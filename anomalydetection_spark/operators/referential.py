@@ -1,0 +1,134 @@
+"""media_ref referential-integrity check.
+
+Engine generalization of the reference's metadata joins (J1-J4,
+/root/reference/database_manager.py:188-233): every non-null
+``spans.media_ref`` must exist in the media catalog; violating docs are
+emitted with their full original span sequence (span-sequence equality
+invariant) and per-partition pass/fail verdicts.
+
+Scale design:
+1. ``explode`` spans → distinct (doc, ref) pairs. Distinct-by-ref first:
+   the anti-join's left side shrinks from |spans| to |distinct refs per
+   doc| before any join.
+2. Optional explicit broadcast-Bloom prefilter (functions/bloom.py):
+   survivors of ``might_contain == False`` are *definite* orphans —
+   only the `True` side ever needs the exact join, and under the
+   default flow we skip the exact join entirely for definite orphans.
+   Bloom FPs would wrongly pass → we re-verify the positives only when
+   ``exact=True`` (default) via a salted left-anti join.
+3. Hot keys (one media_ref shared by ~20% of spans): the join key is
+   salted by replicating the (small) catalog side ``salt_buckets``
+   ways — classic skew-salt — plus AQE skew-join splitting as backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bloom import build_bloom, might_contain_udf
+
+
+def _span_refs(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, partition_id, media_ref ≠ null) pairs."""
+    return (
+        docs.select(
+            "doc_id",
+            "partition_id",
+            F.explode("spans").alias("s"),
+        )
+        .select("doc_id", "partition_id", F.col("s.media_ref").alias("media_ref"))
+        .filter(F.col("media_ref").isNotNull())
+        .dropDuplicates(["doc_id", "media_ref"])
+    )
+
+
+def orphan_refs(
+    docs: DataFrame,
+    catalog: DataFrame,
+    spark: SparkSession | None = None,
+    use_bloom: bool = True,
+    catalog_size_hint: int | None = None,
+    fpp: float = 0.01,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """(doc_id, partition_id, media_ref) pairs whose ref is missing from
+    the catalog."""
+    refs = _span_refs(docs)
+
+    if use_bloom and spark is not None:
+        n = catalog_size_hint if catalog_size_hint is not None else catalog.count()
+        bits, k, m = build_bloom(catalog, "media_ref", n, fpp)
+        mc = might_contain_udf(spark, bits, k, m)
+        refs = refs.withColumn("_maybe", mc(F.col("media_ref")))
+        definite_orphans = refs.filter(~F.col("_maybe")).drop("_maybe")
+        # Bloom positives may be false positives → exact check on the
+        # (tiny) surviving set only.
+        candidates = refs.filter(F.col("_maybe")).drop("_maybe")
+    else:
+        definite_orphans = None
+        candidates = refs
+
+    # Salted left-anti join: replicate the catalog side salt_buckets
+    # ways so a hot media_ref spreads across reducers.
+    salted_left = candidates.withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+    )
+    salted_right = catalog.select("media_ref").crossJoin(
+        F.broadcast(
+            candidates.sparkSession.range(salt_buckets).select(
+                F.col("id").cast("int").alias("_salt")
+            )
+        )
+    )
+    fp_orphans = salted_left.join(
+        salted_right, ["media_ref", "_salt"], "left_anti"
+    ).drop("_salt")
+
+    out = fp_orphans
+    if definite_orphans is not None:
+        out = definite_orphans.unionByName(fp_orphans)
+    return out
+
+
+def referential_violations(
+    docs: DataFrame,
+    catalog: DataFrame,
+    spark: SparkSession | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Violation rows: original doc rows (full span sequence) + the
+    orphan ref(s) that failed, one row per (doc, orphan ref)."""
+    orphans = orphan_refs(docs, catalog, spark, **kwargs)
+    per_doc = orphans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("media_ref")).alias("orphan_refs")
+    )
+    return docs.join(per_doc, "doc_id", "inner").select(
+        "doc_id", "partition_id", "spans", "orphan_refs"
+    )
+
+
+def referential_verdicts(
+    docs: DataFrame,
+    catalog: DataFrame,
+    spark: SparkSession | None = None,
+    **kwargs,
+) -> DataFrame:
+    orphans = orphan_refs(docs, catalog, spark, **kwargs)
+    per_part = orphans.groupBy("partition_id").agg(
+        F.count("*").alias("n_violations")
+    )
+    totals = docs.groupBy("partition_id").agg(F.count("*").alias("n_rows"))
+    return totals.join(per_part, "partition_id", "left").select(
+        F.lit("referential").alias("check"),
+        F.col("partition_id").cast("int"),
+        "n_rows",
+        F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+        (F.coalesce("n_violations", F.lit(0)) / F.col("n_rows")).alias(
+            "violation_rate"
+        ),
+        F.coalesce("n_violations", F.lit(0)).cast("double").alias("score"),
+        F.when(F.coalesce("n_violations", F.lit(0)) > 0, "fail")
+        .otherwise("pass")
+        .alias("verdict"),
+    )

