@@ -1,0 +1,844 @@
+"""Query catalog: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable, with a DuckDB-equivalent ANSI
+SQL oracle where the semantics are SQL-expressible.
+
+Conventions (driver correctness-gate requirements):
+- every computed column aliased identically in Spark and SQL,
+- floats rounded to 4 decimals on BOTH sides (cross-engine float
+  noise is ~1e-12; rounding makes value-hashes comparable),
+- deterministic tie-breaks on every top-k / row_number.
+
+The md5-based MinHash/SimHash pairs work because both engines expose
+md5 → hex and hex → BIGINT (Spark ``conv(...,16,10)``, DuckDB
+``('0x'||h)::BIGINT``), giving bit-exact signatures across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# constraint / validation family (SURVEY.md §2: F11, J-family, A-family)
+# --------------------------------------------------------------------------
+
+def q_uniqueness_dup_keys(spark, sf_dir):
+    """Two-phase salted dup detection (operators/uniqueness.py) applied
+    to lineitem.l_orderkey (multi-line orders are the 'duplicates')."""
+    from .operators.uniqueness import duplicate_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, "l_orderkey").select(
+        "l_orderkey", F.col("dup_cnt").cast("long").alias("dup_cnt")
+    )
+
+
+def q_referential_orphans(spark, sf_dir):
+    """Referential check: events.user_id against a customer-key catalog
+    (c_custkey < 100) — orphans aggregated. Salted left-anti join."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    catalog = cust.select(F.col("c_custkey").cast("long").alias("user_id"))
+    orphans = ev.join(catalog, "user_id", "left_anti")
+    return orphans.groupBy("user_id").agg(F.count("*").alias("n_events"))
+
+
+def q_null_conformance_rates(spark, sf_dir):
+    """Per-source column stats: null/empty rate + length stats (F1/F4
+    analogs — stats.py semantics on the flat corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.length(F.trim(F.coalesce("text", F.lit("")))) == 0, 1).otherwise(0)
+        ).alias("n_empty_text"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).alias("n_null_lang"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def q_type_conformance(spark, sf_dir):
+    """Type-parse conformance (F4 analog): JSON-shaped props + value
+    range, per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("props").rlike('^\\{"k": [0-9]+\\}$'), 1).otherwise(0)
+        ).alias("n_valid_props"),
+        F.sum(F.when(F.col("value") >= 0, 1).otherwise(0)).alias("n_nonneg_value"),
+    )
+
+
+def q_column_stats(spark, sf_dir):
+    """A4-style global stats per group, built-in aggs only."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("std_value"),
+    )
+
+
+def q_minmax_normalize(spark, sf_dir):
+    """A5 min/max score normalization (model_manager.py:255): global
+    min/max via broadcast 1-row agg, not a single-reducer window."""
+    ev = _t(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("_mn"), F.max("value").alias("_mx"))
+    return (
+        ev.crossJoin(F.broadcast(mm))
+        .filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.round(
+                100.0 - (F.col("value") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")) * 100.0,
+                4,
+            ).alias("anomaly_pct"),
+        )
+    )
+
+
+def q_threshold_verdicts(spark, sf_dir):
+    """F11 threshold predicate + per-group verdict (score < threshold ⇒
+    anomaly; model_manager.py:222)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("value") < 1.0, 1).otherwise(0)).alias("n_violations"),
+    ).select(
+        "event_type",
+        "n_rows",
+        "n_violations",
+        F.when(F.col("n_violations") > 0, "fail").otherwise("pass").alias("verdict"),
+    )
+
+
+# --------------------------------------------------------------------------
+# drift family (operators/drift.py semantics on the events stream)
+# --------------------------------------------------------------------------
+
+def q_drift_psi(spark, sf_dir):
+    """PSI between even/odd event_id halves per event_type, value
+    bucketed to 10 equi-width bins."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).alias("half"),
+        F.least(F.floor(F.col("value") / 10), F.lit(9)).cast("int").alias("bucket"),
+    )
+    counts = ev.groupBy("event_type", "half", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("event_type", "half")
+    shares = counts.withColumn("p", F.col("cnt") / F.sum("cnt").over(w))
+    cur = shares.filter(F.col("half") == 0).select(
+        "event_type", "bucket", F.col("p").alias("p_cur")
+    )
+    base = shares.filter(F.col("half") == 1).select(
+        "event_type", "bucket", F.col("p").alias("p_base")
+    )
+    j = cur.join(base, ["event_type", "bucket"], "full_outer").fillna(
+        0.0, subset=["p_cur", "p_base"]
+    )
+    p = F.greatest(F.col("p_cur"), F.lit(1e-6))
+    q = F.greatest(F.col("p_base"), F.lit(1e-6))
+    return j.groupBy("event_type").agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi")
+    )
+
+
+def q_drift_ks(spark, sf_dir):
+    """Binned two-sample KS between 'click' and 'error' value
+    distributions (max CDF gap over buckets)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    ).select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 2), F.lit(49)).cast("int").alias("bucket"),
+    )
+    counts = ev.groupBy("event_type", "bucket").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type")
+    shares = counts.withColumn("p", F.col("cnt") / F.sum("cnt").over(w))
+    a = shares.filter(F.col("event_type") == "click").select(
+        "bucket", F.col("p").alias("p_a")
+    )
+    b = shares.filter(F.col("event_type") == "error").select(
+        "bucket", F.col("p").alias("p_b")
+    )
+    j = a.join(b, "bucket", "full_outer").fillna(0.0, subset=["p_a", "p_b"])
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = j.select(
+        F.sum("p_a").over(wc).alias("cdf_a"), F.sum("p_b").over(wc).alias("cdf_b")
+    )
+    return cdf.agg(
+        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 4).alias("ks")
+    )
+
+
+def q_rolling_3sigma(spark, sf_dir):
+    """3-sigma rule over an hourly count series (drift.py ema_3sigma's
+    windowed half; EMA itself is oracle-exempt, see q_ema_hourly)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = Window.orderBy("bucket_ts").rowsBetween(-12, -1)
+    return (
+        hourly.withColumn("mu", F.avg("n").over(w))
+        .withColumn("sd", F.stddev_samp("n").over(w))
+        .withColumn("n_prev", F.count("n").over(w))
+        .filter(F.col("n_prev") >= 5)
+        .select(
+            "bucket_ts",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.when(F.col("sd") < 1e-9, 0.0).otherwise(
+                    F.abs(F.col("n") - F.col("mu")) / F.col("sd")
+                ),
+                4,
+            ).alias("zscore"),
+        )
+    )
+
+
+def q_ema_hourly(spark, sf_dir):
+    """EMA+3σ over the hourly series via the engine operator (aggregate
+    HOF fold — not ANSI-SQL-expressible; rows-only check)."""
+    from .operators.drift import ema_3sigma
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count("*").cast("double").alias("n")).withColumn("k", F.lit(1))
+    out = ema_3sigma(
+        hourly, ["k"], "bucket_ts", "n", alpha=0.3, sigma_k=3.0, min_history=5
+    )
+    return out.select(
+        "bucket_ts",
+        F.col("n").cast("long").alias("n"),
+        F.round("ema", 4).alias("ema"),
+        F.col("is_anomaly"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup family (training-data pipeline ops over the flat corpus)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup stats per lang: hash-groupBy on normalized text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.lower(F.trim("text")))).alias("n_unique"),
+    )
+
+
+def q_dedup_first_wins(spark, sf_dir):
+    """D2 first-wins dedup (log_parser.py:301-327): keep min doc_id per
+    content hash; count survivors per source."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    kept = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+def _tokens(col="text"):
+    return F.array_distinct(F.split(F.lower(F.trim(col)), " "))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by token-set Jaccard ≥ 0.8 within a lang."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _tokens().alias("toks")
+    )
+    a = d.select(
+        F.col("doc_id").alias("a_id"), "lang", F.col("toks").alias("a_toks")
+    )
+    b = d.select(
+        F.col("doc_id").alias("b_id"), "lang", F.col("toks").alias("b_toks")
+    )
+    pairs = a.join(b, "lang").filter(F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    uni = F.size(F.array_union("a_toks", "b_toks"))
+    return (
+        pairs.withColumn("jaccard", inter.cast("double") / uni)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+_MINHASH_K = 4
+
+
+def _minhash_sig_expr(i: int):
+    """min over tokens of a 60-bit md5-derived hash — bit-exact in
+    DuckDB via ('0x'||substr(md5(...),1,15))::BIGINT."""
+    return F.array_min(
+        F.transform(
+            _tokens(),
+            lambda t: F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), t)), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    ).alias(f"sig_{i}")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signature rows (k=4) for doc_id < 100 — cross-engine
+    bit-exact signature math."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id", *[_minhash_sig_expr(i) for i in range(_MINHASH_K)]
+    )
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    """16-bit SimHash per doc (doc_id < 100): per-bit ±1 vote over
+    md5-hashed distinct tokens, fingerprint = Σ 2^j·[vote_j > 0]."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+        )
+        .select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
+        .withColumn("vote", F.expr("(shiftright(h, j) & 1) * 2 - 1"))
+    )
+    votes = d.groupBy("doc_id", "j").agg(F.sum("vote").alias("s"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(0.0)
+        )
+        .cast("long")
+        .alias("simhash16")
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for query vectors vec_id < 5.
+    Dot/norms computed in float64 on both engines (no float32 drift)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    dot = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+    )
+    nq = F.sqrt(F.expr("aggregate(qv, 0D, (s, x) -> s + x * x)"))
+    nc = F.sqrt(F.expr("aggregate(cv, 0D, (s, x) -> s + x * x)"))
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", dot / (nq * nc))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis family
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok"))
+    per_src = toks.groupBy("source").agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("tok").alias("distinct_tokens"),
+    )
+    docs = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.size(F.split(F.lower(F.trim("text")), " "))), 4).alias(
+            "avg_tokens"
+        ),
+    )
+    return docs.join(per_src, "source")
+
+
+def q_text_quality(spark, sf_dir):
+    """Per-doc quality scoring: token count, mean token length,
+    uniqueness ratio (doc_id < 100)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.lower(F.trim("text")), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.expr(
+                "aggregate(split(lower(trim(text)), ' '), 0D,"
+                " (s, t) -> s + length(t)) / size(split(lower(trim(text)), ' '))"
+            ),
+            4,
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+        ).alias("uniq_ratio"),
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Document fingerprint: 64-bit md5 prefix of normalized text."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.substring(F.md5(F.lower(F.trim("text"))), 1, 16).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# relational coverage (scan/filter/agg/join/window/anti — §2.1/2.7/2.8)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide aggregate with pushed-down date filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """3-way join with broadcast dims: revenue per customer nation."""
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_topk_orders_per_priority(spark, sf_dir):
+    """Top-3 orders by totalprice per priority (A12 top-k shape)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_orderpriority",
+            F.col("rank").cast("long").alias("rank"),
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        )
+    )
+
+
+def q_inactive_customers(spark, sf_dir):
+    """Anti-join: customers with no orders, per nation (S5 skip shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    inactive = cust.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    )
+    return inactive.groupBy("c_nationkey").agg(F.count("*").alias("n_inactive"))
+
+
+def q_sessionization(spark, sf_dir):
+    """C1-style stateful sequence op: session = gap > 30 min, per user
+    (user_id < 20); window lag + running sum of gap flags."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0),
+    )
+    sess = gapped.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HLL sketch distinct per event_type (DataSketches-backed,
+    partition-mergeable). Approximate → rows-only check (DuckDB's
+    approx algorithm differs); exactness is covered by tests against
+    countDistinct."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias(
+            "approx_users"
+        )
+    )
+
+
+def q_similarity_groups(spark, sf_dir):
+    """A11 greedy similarity grouping per lang on truncated text —
+    order-dependent greedy semantics, not SQL-expressible (rows-only)."""
+    from .operators.verdict import similarity_groups
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "lang",
+            F.substring("text", 1, 60).alias("snippet"),
+            F.col("n_chars").cast("double").alias("score"),
+        )
+    )
+    return similarity_groups(
+        d, "snippet", ["lang"], ratio_threshold=0.85, max_candidates=500
+    )
+
+
+# --------------------------------------------------------------------------
+# registry + oracles
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "uniqueness_dup_keys": q_uniqueness_dup_keys,
+    "referential_orphans": q_referential_orphans,
+    "null_conformance_rates": q_null_conformance_rates,
+    "type_conformance": q_type_conformance,
+    "column_stats": q_column_stats,
+    "minmax_normalize": q_minmax_normalize,
+    "threshold_verdicts": q_threshold_verdicts,
+    "drift_psi": q_drift_psi,
+    "drift_ks": q_drift_ks,
+    "rolling_3sigma": q_rolling_3sigma,
+    "ema_hourly": q_ema_hourly,
+    "dedup_exact": q_dedup_exact,
+    "dedup_first_wins": q_dedup_first_wins,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "cosine_topk": q_cosine_topk,
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "doc_fingerprints": q_doc_fingerprints,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "topk_orders_per_priority": q_topk_orders_per_priority,
+    "inactive_customers": q_inactive_customers,
+    "sessionization": q_sessionization,
+    "hll_distinct": q_hll_distinct,
+    "similarity_groups": q_similarity_groups,
+}
+
+
+ORACLES: dict[str, str] = {
+    "uniqueness_dup_keys": """
+        SELECT l_orderkey, count(*) AS dup_cnt
+        FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+    """,
+    "referential_orphans": """
+        SELECT user_id, count(*) AS n_events
+        FROM events
+        WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+        GROUP BY user_id
+    """,
+    "null_conformance_rates": """
+        SELECT source,
+               count(*) AS n_docs,
+               sum(CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 1 ELSE 0 END) AS n_empty_text,
+               sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_null_lang,
+               round(avg(n_chars), 4) AS avg_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY source
+    """,
+    "type_conformance": """
+        SELECT event_type,
+               count(*) AS n_rows,
+               sum(CASE WHEN regexp_matches(props, '^\\{"k": [0-9]+\\}$') THEN 1 ELSE 0 END) AS n_valid_props,
+               sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS n_nonneg_value
+        FROM events GROUP BY event_type
+    """,
+    "column_stats": """
+        SELECT event_type,
+               count(*) AS n_rows,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value,
+               round(avg(value), 4) AS avg_value,
+               round(stddev_samp(value), 4) AS std_value
+        FROM events GROUP BY event_type
+    """,
+    "minmax_normalize": """
+        SELECT event_id,
+               round(100.0 - (value - mn) / (mx - mn) * 100.0, 4) AS anomaly_pct
+        FROM events, (SELECT min(value) AS mn, max(value) AS mx FROM events)
+        WHERE event_id < 200
+    """,
+    "threshold_verdicts": """
+        SELECT event_type, n_rows, n_violations,
+               CASE WHEN n_violations > 0 THEN 'fail' ELSE 'pass' END AS verdict
+        FROM (
+          SELECT event_type, count(*) AS n_rows,
+                 sum(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS n_violations
+          FROM events GROUP BY event_type
+        )
+    """,
+    "drift_psi": """
+        WITH b AS (
+          SELECT event_type, event_id % 2 AS half,
+                 least(CAST(floor(value / 10) AS INT), 9) AS bucket, count(*) AS cnt
+          FROM events GROUP BY 1, 2, 3
+        ), s AS (
+          SELECT event_type, half, bucket,
+                 cnt * 1.0 / sum(cnt) OVER (PARTITION BY event_type, half) AS p
+          FROM b
+        ), j AS (
+          SELECT coalesce(a.event_type, o.event_type) AS event_type,
+                 coalesce(a.p, 0.0) AS p_cur, coalesce(o.p, 0.0) AS p_base
+          FROM (SELECT * FROM s WHERE half = 0) a
+          FULL OUTER JOIN (SELECT * FROM s WHERE half = 1) o
+            ON a.event_type = o.event_type AND a.bucket = o.bucket
+        )
+        SELECT event_type,
+               round(sum((greatest(p_cur, 1e-6) - greatest(p_base, 1e-6))
+                     * ln(greatest(p_cur, 1e-6) / greatest(p_base, 1e-6))), 4) AS psi
+        FROM j GROUP BY event_type
+    """,
+    "drift_ks": """
+        WITH b AS (
+          SELECT event_type, least(CAST(floor(value / 2) AS INT), 49) AS bucket,
+                 count(*) AS cnt
+          FROM events WHERE event_type IN ('click', 'error') GROUP BY 1, 2
+        ), s AS (
+          SELECT event_type, bucket,
+                 cnt * 1.0 / sum(cnt) OVER (PARTITION BY event_type) AS p
+          FROM b
+        ), j AS (
+          SELECT coalesce(a.bucket, o.bucket) AS bucket,
+                 coalesce(a.p, 0.0) AS p_a, coalesce(o.p, 0.0) AS p_b
+          FROM (SELECT * FROM s WHERE event_type = 'click') a
+          FULL OUTER JOIN (SELECT * FROM s WHERE event_type = 'error') o
+            ON a.bucket = o.bucket
+        ), c AS (
+          SELECT sum(p_a) OVER (ORDER BY bucket) AS cdf_a,
+                 sum(p_b) OVER (ORDER BY bucket) AS cdf_b
+          FROM j
+        )
+        SELECT round(max(abs(cdf_a - cdf_b)), 4) AS ks FROM c
+    """,
+    "rolling_3sigma": """
+        WITH h AS (
+          SELECT date_trunc('hour', ts) AS bucket_ts, count(*) * 1.0 AS n
+          FROM events GROUP BY 1
+        ), w AS (
+          SELECT bucket_ts, n,
+                 avg(n) OVER win AS mu,
+                 stddev_samp(n) OVER win AS sd,
+                 count(n) OVER win AS n_prev
+          FROM h
+          WINDOW win AS (ORDER BY bucket_ts ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT bucket_ts, CAST(n AS BIGINT) AS n,
+               round(CASE WHEN sd < 1e-9 THEN 0.0 ELSE abs(n - mu) / sd END, 4) AS zscore
+        FROM w WHERE n_prev >= 5
+    """,
+    "dedup_exact": """
+        SELECT lang, count(*) AS n_docs,
+               count(DISTINCT md5(lower(trim(text)))) AS n_unique
+        FROM documents GROUP BY lang
+    """,
+    "dedup_first_wins": """
+        SELECT source, count(*) AS n_kept FROM (
+          SELECT source,
+                 row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                    ORDER BY doc_id) AS rn
+          FROM documents
+        ) WHERE rn = 1 GROUP BY source
+    """,
+    "dedup_ngram_jaccard": """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+          FROM documents
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(len(list_intersect(a.toks, b.toks)) * 1.0
+                     / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    """,
+    "minhash_signatures": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+          list_aggregate(list_transform(toks,
+            t -> CAST(('0x' || substr(md5('0:' || t), 1, 15)) AS BIGINT)), 'min') AS sig_0,
+          list_aggregate(list_transform(toks,
+            t -> CAST(('0x' || substr(md5('1:' || t), 1, 15)) AS BIGINT)), 'min') AS sig_1,
+          list_aggregate(list_transform(toks,
+            t -> CAST(('0x' || substr(md5('2:' || t), 1, 15)) AS BIGINT)), 'min') AS sig_2,
+          list_aggregate(list_transform(toks,
+            t -> CAST(('0x' || substr(md5('3:' || t), 1, 15)) AS BIGINT)), 'min') AS sig_3
+        FROM t
+    """,
+    "simhash_fingerprints": """
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS tok
+          FROM documents WHERE doc_id < 100
+        ), h AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+          FROM toks
+        ), votes AS (
+          SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+          FROM h, (SELECT unnest(generate_series(0, 15)) AS j)
+          GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN power(2.0, j) ELSE 0.0 END) AS BIGINT)
+                 AS simhash16
+        FROM votes GROUP BY doc_id
+    """,
+    "cosine_topk": """
+        WITH pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_aggregate(list_transform(
+                   list_zip(q.embedding, c.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                 / (sqrt(list_aggregate(list_transform(q.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    * sqrt(list_aggregate(list_transform(c.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos_sim
+          FROM embeddings q JOIN embeddings c ON q.vec_id < 5
+           AND q.vec_id <> c.vec_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM pairs
+        )
+        SELECT query_id, neighbor_id, rank, round(cos_sim, 4) AS cos_sim
+        FROM ranked WHERE rank <= 3
+    """,
+    "token_stats": """
+        WITH tok AS (
+          SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS tok
+          FROM documents
+        ), per_src AS (
+          SELECT source, count(*) AS total_tokens,
+                 count(DISTINCT tok) AS distinct_tokens
+          FROM tok GROUP BY source
+        ), docs AS (
+          SELECT source, count(*) AS n_docs,
+                 round(avg(len(string_split(lower(trim(text)), ' '))), 4) AS avg_tokens
+          FROM documents GROUP BY source
+        )
+        SELECT d.source, d.n_docs, d.avg_tokens, p.total_tokens, p.distinct_tokens
+        FROM docs d JOIN per_src p ON d.source = p.source
+    """,
+    "text_quality": """
+        WITH t AS (
+          SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(list_aggregate(list_transform(toks, x -> len(x) * 1.0), 'sum')
+                     / len(toks), 4) AS avg_token_len,
+               round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS uniq_ratio
+        FROM t
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fingerprint
+        FROM documents WHERE doc_id < 100
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": """
+        SELECT n_name, round(sum(o_totalprice), 4) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "topk_orders_per_priority": """
+        SELECT o_orderpriority, rank, o_orderkey,
+               round(o_totalprice, 4) AS o_totalprice
+        FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+          FROM orders
+        ) WHERE rank <= 3
+    """,
+    "inactive_customers": """
+        SELECT c_nationkey, count(*) AS n_inactive
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY c_nationkey
+    """,
+    "sessionization": """
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WHERE user_id < 20
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM g GROUP BY user_id
+    """,
+}
