@@ -6,8 +6,9 @@ threshold) + drift (PSI) unioned into one verdicts DataFrame.
 
 ``queries()`` / ``oracle_sql()`` — the operator catalog from
 ``anomalydetection_spark.queries`` (one entry per SURVEY.md §2 operator
-family; oracles omitted only for non-SQL-expressible ops: EMA fold,
-HLL sketches, greedy similarity grouping).
+family — see SURVEY.md §8 for the full operator → query map; oracles
+omitted only for non-SQL-expressible ops: EMA fold, HLL sketches,
+greedy similarity grouping).
 """
 
 from __future__ import annotations

@@ -263,23 +263,32 @@ def generate_media_catalog(
     )
 
 
-def expected_violation_doc_ids(n_docs: int) -> dict[str, set[str]]:
+def expected_violation_doc_ids(
+    n_docs: int, seed: int = 42, max_spans: int = 16
+) -> dict[str, set[str]]:
     """Closed-form expected violation sets for a planted generation —
-    the test oracle recomputes these without running the engine."""
-    dup_targets = {f"doc{i - 1}" for i in range(1, n_docs) if i % DUP_MOD == 0}
+    the test oracle recomputes these without running the engine.
+
+    Accounts for two generator interactions: (a) a planted-duplicate row
+    i carries doc_id ``doc(i-1)``, so its other violations surface under
+    that name; (b) reversing offsets of a 1-span doc is a no-op, so
+    such docs are NOT non-monotone."""
+    ids = np.arange(n_docs, dtype=np.int64)
+    uids = ids.astype(np.uint64)
+    dup = (ids % DUP_MOD == 0) & (ids > 0)
+    names = np.where(
+        dup, np.char.add("doc", (ids - 1).astype("U12")),
+        np.char.add("doc", ids.astype("U12")),
+    )
+    n_spans = 1 + (_h(uids, seed, 2) % np.uint64(max_spans)).astype(np.int64)
+    empty = ids % EMPTY_SPANS_MOD == 17
+    nulls = ids % NULL_SPANS_MOD == 23
+    nonmono = (ids % NONMONO_MOD == 7) & ~empty & ~nulls & (n_spans >= 2)
     return {
-        "uniqueness": dup_targets,
-        "empty_spans": {
-            f"doc{i}" for i in range(n_docs) if i % EMPTY_SPANS_MOD == 17
-        },
-        "null_spans": {f"doc{i}" for i in range(n_docs) if i % NULL_SPANS_MOD == 23},
-        "nonmono": {
-            f"doc{i}"
-            for i in range(n_docs)
-            if i % NONMONO_MOD == 7
-            and i % EMPTY_SPANS_MOD != 17
-            and i % NULL_SPANS_MOD != 23
-        },
+        "uniqueness": set(names[dup].tolist()),
+        "empty_spans": set(names[empty].tolist()),
+        "null_spans": set(names[nulls].tolist()),
+        "nonmono": set(names[nonmono].tolist()),
     }
 
 

@@ -49,14 +49,22 @@ def uniqueness_violations(
     key: str = "doc_id",
     salt_buckets: int = 16,
     broadcast_dups: bool = True,
+    key_scope: DataFrame | None = None,
 ) -> DataFrame:
     """Full violation rows for duplicated keys (original columns + dup_cnt).
 
     The dup-key set is usually tiny relative to the table → broadcast it
     for a shuffle-free probe of the big side. With ``broadcast_dups=False``
     AQE picks the strategy (use when dup rate is pathological).
+
+    ``key_scope``: frame to detect duplicate keys over (defaults to
+    ``df``). Incremental runs pass the FULL table here while ``df`` is
+    only the pending partitions — a duplicate pair straddling a
+    validated and a pending partition is still caught (the key-only
+    scan over the full table is one narrow column; violation rows are
+    attributed only within ``df``).
     """
-    dups = duplicate_keys(df, key, salt_buckets)
+    dups = duplicate_keys(key_scope if key_scope is not None else df, key, salt_buckets)
     if broadcast_dups:
         dups = F.broadcast(dups)
     return df.join(dups, key, "inner")
@@ -67,6 +75,7 @@ def uniqueness_verdicts(
     key: str = "doc_id",
     partition_col: str = "partition_id",
     salt_buckets: int = 16,
+    key_scope: DataFrame | None = None,
 ) -> DataFrame:
     """Per-partition pass/fail for the uniqueness check.
 
@@ -74,8 +83,13 @@ def uniqueness_verdicts(
     at least one row of a duplicated key fails (matches the reference's
     per-file verdict granularity: the file containing the anomalous line
     gets the anomaly, /root/reference/model_manager.py:200-228).
+
+    ``key_scope`` (see ``uniqueness_violations``): detect dup keys over
+    the full table even when ``df`` is an incremental slice.
     """
-    dups = F.broadcast(duplicate_keys(df, key, salt_buckets))
+    dups = F.broadcast(
+        duplicate_keys(key_scope if key_scope is not None else df, key, salt_buckets)
+    )
     per_part = df.join(dups, key, "inner").groupBy(partition_col).agg(
         F.count("*").alias("n_violations")
     )

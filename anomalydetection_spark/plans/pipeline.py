@@ -45,9 +45,12 @@ def _violations_union(
     catalog: DataFrame | None,
     spark: SparkSession,
     cfg: ValidationConfig,
+    key_scope: DataFrame | None = None,
 ) -> DataFrame:
     """All checks' violation rows in VIOLATIONS_SCHEMA shape."""
-    uniq = uniqueness_violations(docs, cfg.unique_key, cfg.salt_buckets).select(
+    uniq = uniqueness_violations(
+        docs, cfg.unique_key, cfg.salt_buckets, key_scope=key_scope
+    ).select(
         F.lit("uniqueness").alias("check"),
         F.col("partition_id").cast("int"),
         "doc_id",
@@ -126,7 +129,12 @@ def run_validation(
     scope = scope.cache()
 
     # --- per-partition constraint verdicts ---
-    verdicts = uniqueness_verdicts(scope, cfg.unique_key, salt_buckets=cfg.salt_buckets)
+    # key_scope=docs: duplicate *detection* scans the full table's key
+    # column (narrow, pruned scan) so cross-partition dups remain
+    # visible to an incremental run; attribution stays within scope.
+    verdicts = uniqueness_verdicts(
+        scope, cfg.unique_key, salt_buckets=cfg.salt_buckets, key_scope=docs
+    )
     verdicts = verdicts.unionByName(
         stats_ops.conformance_verdicts(
             scope, cfg.max_null_rate, cfg.max_type_error_rate
@@ -157,7 +165,7 @@ def run_validation(
         global_verdict(verdicts.filter(F.col("partition_id").isNotNull()))
     ).cache()
 
-    violations = _violations_union(scope, catalog, spark, cfg)
+    violations = _violations_union(scope, catalog, spark, cfg, key_scope=docs)
 
     # --- stage violations under run_id, then commit manifest ---
     if violations_dir is not None:

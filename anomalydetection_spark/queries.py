@@ -535,6 +535,294 @@ def q_similarity_groups(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# log-parse family (reference parity: C1 condense, F3/F7 normalize/
+# truncate, F4 timestamp bank, F6 level classify, F8 masking → T1/T3
+# template mining). Input log lines are synthesized deterministically
+# from the events table so both engines see identical strings.
+# --------------------------------------------------------------------------
+
+def _loglines(spark, sf_dir):
+    """Synthetic log stream: header lines (timestamp + level + msg) and
+    continuation lines (every 5th event), keyed (file=user_id, line_no=
+    event_id) — the shape condense_lines consumes
+    (/root/reference/log_parser.py:222-299)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    lvl = (
+        F.when(F.col("event_id") % 4 == 0, "ERROR")
+        .when(F.col("event_id") % 4 == 1, "WARN")
+        .when(F.col("event_id") % 4 == 2, "DEBUG")
+        .otherwise("INFO")
+    )
+    header = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit(" "), lvl, F.lit(" evt="), F.col("event_type"),
+        F.lit(" id="), F.col("event_id"),
+    )
+    cont = F.concat(F.lit("    at frame."), (F.col("event_id") % 7).cast("string"))
+    return ev.select(
+        F.col("user_id").alias("file"),
+        F.col("event_id").alias("line_no"),
+        (F.col("event_id") % 5 == 3).alias("is_cont"),
+        F.when(F.col("event_id") % 5 == 3, cont).otherwise(header).alias("value"),
+    )
+
+
+def q_condense_multiline(spark, sf_dir):
+    """C1 multi-line condense (log_parser.py:222-299): a header line
+    opens a record, continuations append; record assembly via
+    last(header, ignoreNulls) running window + ordered collect_list."""
+    lines = _loglines(spark, sf_dir)
+    w = Window.partitionBy("file").orderBy("line_no").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rec = lines.withColumn(
+        "record_id",
+        F.coalesce(
+            F.last(
+                F.when(~F.col("is_cont"), F.col("line_no")), ignorenulls=True
+            ).over(w),
+            F.lit(-1),
+        ),
+    )
+    return (
+        rec.groupBy("file", "record_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("line_no", "value"))),
+                    lambda s: s["value"],
+                ),
+            ).alias("content"),
+        )
+    )
+
+
+def q_masking_templates(spark, sf_dir):
+    """F8 ordered masking chain → T1/T3 template mining analog: mask
+    digits then collapse runs, count lines per mined template."""
+    lines = _loglines(spark, sf_dir).filter(~F.col("is_cont"))
+    tpl = F.regexp_replace(
+        F.regexp_replace("value", "[0-9]+", "<:NUM:>"),
+        "(<:NUM:>[-: ]?)+",
+        "<:TS:> ",
+    )
+    return (
+        lines.select(tpl.alias("template"))
+        .groupBy("template")
+        .agg(F.count("*").alias("n_lines"))
+    )
+
+
+def q_timestamp_extraction(spark, sf_dir):
+    """F4 multi-format timestamp bank: 3 formats + garbage, parsed with
+    a coalesce(try_to_timestamp...) chain; parse-success rate per
+    event_type is the type-conformance stat."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        F.when(F.col("event_id") % 4 == 0, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("event_id") % 4 == 1, F.date_format("ts", "MM/dd/yyyy HH:mm:ss"))
+        .when(F.col("event_id") % 4 == 2, F.date_format("ts", "yyyyMMdd HHmmss"))
+        .otherwise(F.concat(F.lit("corrupt-"), F.col("event_id")))
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(s, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("MM/dd/yyyy HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("yyyyMMdd HHmmss")),
+    )
+    return (
+        ev.select("event_type", parsed.alias("parsed"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("parsed").alias("n_parsed"),
+            F.min("parsed").alias("min_parsed"),
+        )
+    )
+
+
+def q_level_classify(spark, sf_dir):
+    """F6 log-level classifier: first regex hit ERROR > WARN > DEBUG
+    else INFO (log_parser.py:24-29, :351-358)."""
+    lines = _loglines(spark, sf_dir)
+    level = (
+        F.when(F.col("value").rlike("\\bERROR\\b"), "ERROR")
+        .when(F.col("value").rlike("\\bWARN\\b"), "WARN")
+        .when(F.col("value").rlike("\\bDEBUG\\b"), "DEBUG")
+        .otherwise("INFO")
+    )
+    return lines.groupBy(level.alias("level")).agg(F.count("*").alias("n_lines"))
+
+
+def q_normalize_truncate(spark, sf_dir):
+    """F3 whitespace collapse + F7 100-char truncation with '...'
+    (main.py:120-130)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    collapsed = F.regexp_replace(F.trim("text"), " +", " ")
+    return d.select(
+        "doc_id",
+        F.when(
+            F.length(collapsed) > 100,
+            F.concat(F.substring(collapsed, 1, 100), F.lit("...")),
+        )
+        .otherwise(collapsed)
+        .alias("display_text"),
+        F.length(collapsed).cast("long").alias("clean_len"),
+    )
+
+
+_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "it")
+
+
+def q_stopword_filter(spark, sf_dir):
+    """F2 stop-word validity filter (main.py:113-117): drop tokens that
+    are English stopwords (broadcast isin — a literal IN list compiles
+    to a codegen'd lookup, no join); kept/dropped counts per source."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok")
+    )
+    return toks.groupBy("source").agg(
+        F.sum(F.when(F.col("tok").isin(*_STOPWORDS), 0).otherwise(1)).alias(
+            "n_kept"
+        ),
+        F.sum(F.when(F.col("tok").isin(*_STOPWORDS), 1).otherwise(0)).alias(
+            "n_stopworded"
+        ),
+    )
+
+
+def q_param_extraction(spark, sf_dir):
+    """T2 parameter extraction (log_parser.py:158,:178): tokens matched
+    by the mask wildcards — all digit runs per header line, aggregated
+    per file."""
+    lines = _loglines(spark, sf_dir).filter(~F.col("is_cont"))
+    params = F.expr("regexp_extract_all(value, '[0-9]+', 0)")
+    return (
+        lines.select("file", params.alias("params"))
+        .groupBy("file")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.size("params")).alias("n_params"),
+            F.countDistinct(F.to_json("params")).alias("n_distinct_paramsets"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# feature family additions: A1 TF-IDF, A7 vector align, A10 Levenshtein
+# --------------------------------------------------------------------------
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """A1 TF-IDF re-expressed relationally (model_manager.py:154-198):
+    tf = in-doc term count, idf = ln(N/df), top-3 terms per doc."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.filter(F.col("doc_id") < 50)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("rank").cast("long").alias("rank"), "tok", "tfidf")
+    )
+
+
+def q_levenshtein_pairs(spark, sf_dir):
+    """A10 all-pairs Levenshtein on bounded snippets
+    (model_manager.py:315-325) — JVM built-in, no UDF."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select(
+        "doc_id", "lang", F.substring(F.trim("text"), 1, 40).alias("snip")
+    )
+    a = d.select(F.col("doc_id").alias("a_id"), "lang", F.col("snip").alias("a"))
+    b = d.select(F.col("doc_id").alias("b_id"), "lang", F.col("snip").alias("b"))
+    return (
+        a.join(b, "lang")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.levenshtein("a", "b").cast("long").alias("edit_distance"),
+        )
+    )
+
+
+def q_vector_align(spark, sf_dir):
+    """A7 pad/trim feature vectors to a fixed width (align_features,
+    model_manager.py:297-313): slice to n, zero-pad the remainder."""
+    n = 16
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    aligned = F.expr(
+        f"concat(slice(v, 1, {n}),"
+        f" array_repeat(0D, greatest(0, {n} - size(v))))"
+    )
+    return e.select(
+        "vec_id",
+        F.size(aligned).cast("long").alias("width"),
+        F.round(
+            F.expr(
+                f"aggregate(concat(slice(v, 1, {n}),"
+                f" array_repeat(0D, greatest(0, {n} - size(v)))),"
+                " 0D, (s, x) -> s + x)"
+            ),
+            4,
+        ).alias("checksum"),
+    )
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path next to brute-force
+    q_cosine_topk): bucket = 8 sign bits of the leading components
+    (axis-aligned random-projection LSH); candidates share the query's
+    bucket; exact cosine re-rank within bucket."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucket = F.expr(
+        "aggregate(sequence(0, 7),"
+        " 0L, (s, j) -> s + CASE WHEN v[j] > 0D THEN shiftleft(1L, j) ELSE 0L END)"
+    )
+    eb = e.withColumn("bucket", bucket)
+    q = eb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = eb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    dot = F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (s, x) -> s + x)")
+    nq = F.sqrt(F.expr("aggregate(qv, 0D, (s, x) -> s + x * x)"))
+    nc = F.sqrt(F.expr("aggregate(cv, 0D, (s, x) -> s + x * x)"))
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", dot / (nq * nc))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
 
@@ -566,7 +854,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionization": q_sessionization,
     "hll_distinct": q_hll_distinct,
     "similarity_groups": q_similarity_groups,
+    "stopword_filter": q_stopword_filter,
+    "param_extraction": q_param_extraction,
+    "condense_multiline": q_condense_multiline,
+    "masking_templates": q_masking_templates,
+    "timestamp_extraction": q_timestamp_extraction,
+    "level_classify": q_level_classify,
+    "normalize_truncate": q_normalize_truncate,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "levenshtein_pairs": q_levenshtein_pairs,
+    "vector_align": q_vector_align,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
 }
+
+_LOGLINES_SQL = """
+          SELECT user_id AS file, event_id AS line_no,
+                 (event_id % 5 = 3) AS is_cont,
+                 CASE WHEN event_id % 5 = 3
+                      THEN '    at frame.' || (event_id % 7)
+                      ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') || ' ' ||
+                           CASE WHEN event_id % 4 = 0 THEN 'ERROR'
+                                WHEN event_id % 4 = 1 THEN 'WARN'
+                                WHEN event_id % 4 = 2 THEN 'DEBUG'
+                                ELSE 'INFO' END ||
+                           ' evt=' || event_type || ' id=' || event_id
+                 END AS value
+          FROM events WHERE user_id < 50
+"""
 
 
 ORACLES: dict[str, str] = {
@@ -827,6 +1141,168 @@ ORACLES: dict[str, str] = {
         FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         GROUP BY c_nationkey
+    """,
+    "stopword_filter": """
+        WITH toks AS (
+          SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS tok
+          FROM documents
+        )
+        SELECT source,
+               sum(CASE WHEN tok IN ('a','the','and','of','to','in','is','it')
+                        THEN 0 ELSE 1 END) AS n_kept,
+               sum(CASE WHEN tok IN ('a','the','and','of','to','in','is','it')
+                        THEN 1 ELSE 0 END) AS n_stopworded
+        FROM toks GROUP BY source
+    """,
+    "param_extraction": f"""
+        WITH lines AS ({_LOGLINES_SQL})
+        SELECT file, count(*) AS n_lines,
+               sum(len(regexp_extract_all(value, '[0-9]+'))) AS n_params,
+               count(DISTINCT to_json(regexp_extract_all(value, '[0-9]+')))
+                 AS n_distinct_paramsets
+        FROM lines WHERE NOT is_cont GROUP BY file
+    """,
+    "condense_multiline": f"""
+        WITH lines AS ({_LOGLINES_SQL}),
+        rec AS (
+          SELECT file, line_no, value,
+                 coalesce(last_value(CASE WHEN NOT is_cont THEN line_no END
+                                     IGNORE NULLS)
+                          OVER (PARTITION BY file ORDER BY line_no
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                          -1) AS record_id
+          FROM lines
+        )
+        SELECT file, record_id, count(*) AS n_lines,
+               string_agg(value, chr(10) ORDER BY line_no) AS content
+        FROM rec GROUP BY file, record_id
+    """,
+    "masking_templates": f"""
+        WITH lines AS ({_LOGLINES_SQL})
+        SELECT regexp_replace(
+                 regexp_replace(value, '[0-9]+', '<:NUM:>', 'g'),
+                 '(<:NUM:>[-: ]?)+', '<:TS:> ', 'g') AS template,
+               count(*) AS n_lines
+        FROM lines WHERE NOT is_cont GROUP BY template
+    """,
+    "timestamp_extraction": """
+        WITH s AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 4 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                      WHEN event_id % 4 = 1 THEN strftime(ts, '%m/%d/%Y %H:%M:%S')
+                      WHEN event_id % 4 = 2 THEN strftime(ts, '%Y%m%d %H%M%S')
+                      ELSE 'corrupt-' || event_id END AS raw
+          FROM events
+        )
+        SELECT event_type, count(*) AS n_rows,
+               count(coalesce(try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+                              try_strptime(raw, '%m/%d/%Y %H:%M:%S'),
+                              try_strptime(raw, '%Y%m%d %H%M%S'))) AS n_parsed,
+               min(coalesce(try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+                            try_strptime(raw, '%m/%d/%Y %H:%M:%S'),
+                            try_strptime(raw, '%Y%m%d %H%M%S'))) AS min_parsed
+        FROM s GROUP BY event_type
+    """,
+    "level_classify": f"""
+        WITH lines AS ({_LOGLINES_SQL})
+        SELECT CASE WHEN regexp_matches(value, '\\bERROR\\b') THEN 'ERROR'
+                    WHEN regexp_matches(value, '\\bWARN\\b') THEN 'WARN'
+                    WHEN regexp_matches(value, '\\bDEBUG\\b') THEN 'DEBUG'
+                    ELSE 'INFO' END AS level,
+               count(*) AS n_lines
+        FROM lines GROUP BY level
+    """,
+    "normalize_truncate": """
+        WITH c AS (
+          SELECT doc_id, regexp_replace(trim(text), ' +', ' ', 'g') AS collapsed
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               CASE WHEN length(collapsed) > 100
+                    THEN substr(collapsed, 1, 100) || '...'
+                    ELSE collapsed END AS display_text,
+               length(collapsed) AS clean_len
+        FROM c
+    """,
+    "tfidf_top_terms": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+        ), df AS (
+          SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.tok,
+                 round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+          FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        )
+        SELECT doc_id, rank, tok, tfidf FROM (
+          SELECT doc_id, tok, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, tok ASC) AS rank
+          FROM scored WHERE doc_id < 50
+        ) WHERE rank <= 3
+    """,
+    "levenshtein_pairs": """
+        WITH d AS (
+          SELECT doc_id, lang, substr(trim(text), 1, 40) AS snip
+          FROM documents WHERE doc_id < 20
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               levenshtein(a.snip, b.snip) AS edit_distance
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    """,
+    "vector_align": """
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 50
+        ), a AS (
+          SELECT vec_id,
+                 list_concat(v[1:16],
+                   CASE WHEN len(v) < 16
+                        THEN list_transform(generate_series(1, 16 - len(v)), i -> 0.0)
+                        ELSE [] END) AS aligned
+          FROM e
+        )
+        SELECT vec_id, len(aligned) AS width,
+               round(list_aggregate(aligned, 'sum'), 4) AS checksum
+        FROM a
+    """,
+    "ann_lsh_bucketed": """
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), b AS (
+          SELECT vec_id, v,
+                 (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+               + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+               + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
+               + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END)
+               + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+          FROM e
+        ), pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_aggregate(list_transform(list_zip(q.v, c.v),
+                   p -> p[1] * p[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(q.v, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(c.v, x -> x * x), 'sum')))
+                   AS cos_sim
+          FROM b q JOIN b c ON q.bucket = c.bucket
+          WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, round(cos_sim, 4) AS cos_sim FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM pairs
+        ) WHERE rank <= 3
     """,
     "sessionization": """
         WITH g AS (

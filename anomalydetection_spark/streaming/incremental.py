@@ -1,0 +1,143 @@
+"""Structured Streaming front-end for the validation engine.
+
+The reference's 60 s poll loop + offset tracking + re-entrancy guard
+(/root/reference/main.py:394-414, log_retriever.py:234-241,
+task_scheduler.py:11-25) map directly onto Structured Streaming:
+
+- file-source offsets in the checkpoint = ``last_read_position``
+  (exactly-once, resume-after-crash for free),
+- single active micro-batch = the scheduler's re-entrancy guard,
+- ``Trigger.AvailableNow`` = one drain of the pending backlog — the
+  batch-rounds shape the engine's manifest loop uses,
+- ``processingTime`` trigger = the 60 s poll cadence.
+
+Each micro-batch runs the same per-partition constraint checks as the
+batch pipeline (foreachBatch → plans.pipeline operators), appending
+verdicts + violations parquet. Cross-batch state (global uniqueness,
+drift history) stays in the manifest/violations tables — a micro-batch
+only asserts within-batch and against broadcast reference data, which
+is the right split at 10^12-doc scale (global re-checks run as periodic
+batch passes over the violations/metrics tables).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import stats as stats_ops
+from ..operators.referential import orphan_refs
+from ..operators.uniqueness import duplicate_keys
+from ..schema import DOCUMENTS_SCHEMA
+
+
+def read_documents_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream over a documents directory (schema pinned —
+    streaming sources never infer)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def _batch_verdicts(batch: DataFrame, catalog: DataFrame | None) -> DataFrame:
+    verdicts = stats_ops.conformance_verdicts(batch)
+    uniq = duplicate_keys(batch, "doc_id")
+    per_part = batch.join(F.broadcast(uniq), "doc_id").groupBy(
+        "partition_id"
+    ).agg(F.count("*").alias("n_violations"))
+    totals = batch.groupBy("partition_id").agg(F.count("*").alias("n_rows"))
+    uniq_v = totals.join(per_part, "partition_id", "left").select(
+        F.lit("uniqueness_batch").alias("check"),
+        F.col("partition_id").cast("int"),
+        "n_rows",
+        F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+        (F.coalesce("n_violations", F.lit(0)) / F.col("n_rows")).alias(
+            "violation_rate"
+        ),
+        F.coalesce("n_violations", F.lit(0)).cast("double").alias("score"),
+        F.when(F.coalesce("n_violations", F.lit(0)) > 0, "fail")
+        .otherwise("pass")
+        .alias("verdict"),
+    )
+    out = verdicts.unionByName(uniq_v)
+    if catalog is not None:
+        orphans = orphan_refs(batch, catalog, batch.sparkSession, use_bloom=False)
+        ref_v = totals.join(
+            orphans.groupBy("partition_id").agg(
+                F.count("*").alias("n_violations")
+            ),
+            "partition_id",
+            "left",
+        ).select(
+            F.lit("referential").alias("check"),
+            F.col("partition_id").cast("int"),
+            "n_rows",
+            F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+            (F.coalesce("n_violations", F.lit(0)) / F.col("n_rows")).alias(
+                "violation_rate"
+            ),
+            F.coalesce("n_violations", F.lit(0)).cast("double").alias("score"),
+            F.when(F.coalesce("n_violations", F.lit(0)) > 0, "fail")
+            .otherwise("pass")
+            .alias("verdict"),
+        )
+        out = out.unionByName(ref_v)
+    return out
+
+
+def stream_validate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    catalog: DataFrame | None = None,
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+):
+    """Run incremental validation over arriving document files.
+
+    Returns the StreamingQuery; with ``available_now`` it drains the
+    backlog once and stops (call ``awaitTermination()``)."""
+    stream = read_documents_stream(spark, input_dir)
+    verdicts_dir = os.path.join(output_dir, "verdicts")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        v = _batch_verdicts(batch, catalog).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        v.write.mode("append").parquet(verdicts_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def windowed_span_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Event-time windowed counts with a watermark for late data — the
+    streaming analog of the engine's hourly drift series (the reference
+    itself has no event-time windows, SURVEY.md §2.9; this is the
+    scale-path addition for streaming drift inputs)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket_ts"), "n")
+    )

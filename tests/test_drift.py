@@ -1,0 +1,131 @@
+"""Drift detection: PSI/KS identities on identical inputs, known
+shifts trip thresholds, histogram-KS matches exact KS on small data,
+EMA+3σ flags a planted spike (SURVEY.md §5 item 2; threshold semantics
+mirror /root/reference/model_manager.py:222 — score beyond threshold ⇒
+anomaly — with the stricter-global split of drain3.ini:98/:112)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators.drift import (
+    drift_verdicts,
+    ema_3sigma,
+    ks_from_histograms,
+    psi,
+)
+from anomalydetection_spark.operators.stats import length_histogram
+
+
+def _hist(spark, counts, key="k"):
+    rows = [(key, b, int(c)) for b, c in enumerate(counts) if c > 0]
+    return spark.createDataFrame(rows, "kind string, bucket int, count long")
+
+
+def test_psi_zero_on_identical(spark):
+    h = _hist(spark, [10, 20, 30, 40])
+    assert abs(psi(h, h, ["kind"]).first().psi) < 1e-12
+
+
+def test_ks_zero_on_identical(spark):
+    h = _hist(spark, [10, 20, 30, 40])
+    assert abs(ks_from_histograms(h, h, ["kind"]).first().ks) < 1e-12
+
+
+def test_psi_known_value(spark):
+    """Hand-computed PSI for two 2-bucket distributions."""
+    cur = _hist(spark, [80, 20])
+    base = _hist(spark, [50, 50])
+    exp = (0.8 - 0.5) * np.log(0.8 / 0.5) + (0.2 - 0.5) * np.log(0.2 / 0.5)
+    assert abs(psi(cur, base, ["kind"]).first().psi - exp) < 1e-9
+
+
+def test_ks_matches_exact_small_data(spark):
+    """Histogram KS with bins == distinct values equals the exact
+    two-sample KS statistic."""
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 20, 500)
+    b = np.clip(rng.randint(0, 20, 500) + 4, 0, 19)  # shifted
+    ha = _hist(spark, np.bincount(a, minlength=20))
+    hb = _hist(spark, np.bincount(b, minlength=20))
+    got = ks_from_histograms(ha, hb, ["kind"]).first().ks
+    # exact KS over the same support
+    cdf_a = np.cumsum(np.bincount(a, minlength=20)) / len(a)
+    cdf_b = np.cumsum(np.bincount(b, minlength=20)) / len(b)
+    exact = np.abs(cdf_a - cdf_b).max()
+    assert abs(got - exact) < 1e-9
+    assert got > 0.1
+
+
+def test_shifted_generation_trips_drift(spark, docs):
+    """FIXTURES.md §3: +25% mean length and text 80%→60% must fail the
+    drift gate; an identical regeneration must pass."""
+    from anomalydetection_spark.fixtures import generate_documents
+
+    baseline = length_histogram(docs, bins=64, bin_width=8)
+    shifted_docs = generate_documents(
+        spark, 4000, seed=43, n_partitions=8, n_media=2000,
+        text_mean_len=50.0, text_frac=0.60, plant_violations=False,
+    )
+    shifted = length_histogram(shifted_docs, bins=64, bin_width=8)
+    v = drift_verdicts(
+        shifted, baseline, keys=["kind"], psi_threshold=0.1, ks_threshold=0.1
+    ).collect()
+    text_rows = [r for r in v if "text" in r.check]
+    assert any(r.verdict == "fail" for r in text_rows)
+
+    same = drift_verdicts(
+        baseline, baseline, keys=["kind"], psi_threshold=0.1, ks_threshold=0.1
+    ).collect()
+    assert all(r.verdict == "pass" for r in same)
+
+
+def test_stricter_global_threshold_split(spark):
+    """Same score can pass the per-partition gate and fail the global
+    one (reference: individual −0.04 vs ensemble 0.00)."""
+    cur = _hist(spark, [70, 30])
+    base = _hist(spark, [50, 50])
+    score = psi(cur, base, ["kind"]).first().psi
+    loose = drift_verdicts(cur, base, ["kind"], psi_threshold=score + 0.01,
+                           ks_threshold=1.0).collect()
+    tight = drift_verdicts(cur, base, ["kind"], psi_threshold=score - 0.01,
+                           ks_threshold=1.0).collect()
+    psi_rows_l = [r for r in loose if r.check.startswith("drift_psi")]
+    psi_rows_t = [r for r in tight if r.check.startswith("drift_psi")]
+    assert all(r.verdict == "pass" for r in psi_rows_l)
+    assert all(r.verdict == "fail" for r in psi_rows_t)
+
+
+def test_ema_3sigma_flags_spike(spark):
+    """Flat series with one 10× spike → exactly that point flagged."""
+    rows = [("m", i, 100.0 + (i % 3)) for i in range(30)]
+    rows[20] = ("m", 20, 1000.0)
+    df = spark.createDataFrame(rows, "key string, t int, v double")
+    out = ema_3sigma(df, ["key"], "t", "v", min_history=5).collect()
+    flagged = {r.t for r in out if r.is_anomaly}
+    assert flagged == {20}
+
+
+def test_ema_3sigma_quiet_series_clean(spark):
+    rows = [("m", i, 100.0 + (i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "key string, t int, v double")
+    out = ema_3sigma(df, ["key"], "t", "v", min_history=5).collect()
+    assert not any(r.is_anomaly for r in out)
+
+
+def test_ema_matches_pandas_ewm_recurrence(spark):
+    """EMA fold reproduces the standard recurrence s_t = αx_t+(1-α)s_{t-1}
+    over the trailing window (seeded at the window's first element)."""
+    vals = [10.0, 12.0, 9.0, 11.0, 30.0, 10.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "key string, t int, v double"
+    )
+    out = {r.t: r.ema for r in ema_3sigma(df, ["key"], "t", "v",
+                                          window_size=20).collect()}
+    alpha = 0.3
+    for t in range(1, len(vals)):
+        s = vals[0]
+        for x in vals[1:t]:
+            s = alpha * x + (1 - alpha) * s
+        assert abs(out[t] - s) < 1e-9

@@ -1,0 +1,150 @@
+"""Checkpoint-manifest semantics: snapshot hashing, should-process
+predicate, lease handling, atomic versioned commits (SURVEY.md §5
+item 5; mirrors /root/reference/database_manager.py:66-103 and
+log_retriever.py:167-172)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.sources.manifest import Manifest, partition_snapshots
+
+
+def test_snapshot_hash_order_independent(spark, docs):
+    s1 = {
+        r.partition_id: r.snapshot_hash
+        for r in partition_snapshots(docs).collect()
+    }
+    shuffled = docs.repartition(3)
+    s2 = {
+        r.partition_id: r.snapshot_hash
+        for r in partition_snapshots(shuffled).collect()
+    }
+    assert s1 == s2
+
+
+def test_snapshot_hash_detects_change(spark, docs):
+    s1 = {
+        r.partition_id: r.snapshot_hash
+        for r in partition_snapshots(docs).collect()
+    }
+    mutated = docs.withColumn(
+        "doc_id",
+        F.when(
+            (F.col("partition_id") == 1) & (F.col("doc_id") == "doc1"),
+            F.lit("docX"),
+        ).otherwise(F.col("doc_id")),
+    )
+    s2 = {
+        r.partition_id: r.snapshot_hash
+        for r in partition_snapshots(mutated).collect()
+    }
+    changed = {p for p in s1 if s1[p] != s2[p]}
+    assert changed == {1} or changed == set()  # doc1 may not be in part 1
+    # force a guaranteed change
+    mutated2 = docs.withColumn(
+        "doc_id",
+        F.when(F.col("partition_id") == 1, F.concat(F.col("doc_id"), F.lit("_m")))
+        .otherwise(F.col("doc_id")),
+    )
+    s3 = {
+        r.partition_id: r.snapshot_hash
+        for r in partition_snapshots(mutated2).collect()
+    }
+    assert {p for p in s1 if s1[p] != s3[p]} == {1}
+
+
+def test_pending_then_validated_then_skip(spark, docs, tmp_path):
+    m = Manifest(str(tmp_path / "manifest"))
+    snaps = partition_snapshots(docs)
+    all_parts = sorted(
+        r.partition_id for r in snaps.select("partition_id").collect()
+    )
+    assert m.pending_partitions(snaps) == all_parts
+
+    records = [
+        {
+            "partition_id": r.partition_id,
+            "snapshot_hash": r.snapshot_hash,
+            "n_rows": r.n_rows,
+            "n_violations": 0,
+            "verdict": "pass",
+            "metrics": {"n_rows": r.n_rows},
+        }
+        for r in snaps.collect()
+    ]
+    v = m.commit_validated(records, "run1", "2024-01-01T00:00:00Z")
+    assert v >= 1
+    assert m.pending_partitions(snaps) == []
+
+
+def test_changed_partition_repends(spark, docs, tmp_path):
+    m = Manifest(str(tmp_path / "manifest"))
+    snaps = partition_snapshots(docs)
+    records = [
+        {
+            "partition_id": r.partition_id,
+            "snapshot_hash": r.snapshot_hash,
+            "n_rows": r.n_rows,
+            "verdict": "pass",
+        }
+        for r in snaps.collect()
+    ]
+    m.commit_validated(records, "run1", "t0")
+    mutated = docs.withColumn(
+        "doc_id",
+        F.when(F.col("partition_id") == 2, F.concat("doc_id", F.lit("_m")))
+        .otherwise(F.col("doc_id")),
+    )
+    assert m.pending_partitions(partition_snapshots(mutated)) == [2]
+
+
+def test_lease_respected_and_released(spark, docs, tmp_path):
+    m = Manifest(str(tmp_path / "manifest"))
+    snaps = partition_snapshots(docs)
+    m.acquire_leases([0, 1], "runA", "t0")
+    held = m.pending_partitions(snaps, respect_leases=True)
+    assert 0 not in held and 1 not in held
+    # without lease respect (crash recovery) they are pending again
+    assert 0 in m.pending_partitions(snaps, respect_leases=False)
+
+
+def test_commit_is_versioned_and_atomic(tmp_path):
+    m = Manifest(str(tmp_path / "manifest"))
+    m.commit_validated(
+        [{"partition_id": 0, "snapshot_hash": "h0", "verdict": "pass"}],
+        "r1", "t0",
+    )
+    v1 = m.current_version()
+    m.commit_validated(
+        [{"partition_id": 1, "snapshot_hash": "h1", "verdict": "fail"}],
+        "r2", "t1",
+    )
+    v2 = m.current_version()
+    assert v2 == v1 + 1
+    # previous versions remain readable (time travel / lineage)
+    with open(os.path.join(m.path, f"v{v1}.json")) as f:
+        old = json.load(f)
+    assert list(old["partitions"]) == ["0"]
+    # current has both, with run lineage preserved per partition
+    state = m.load()
+    assert state["0"]["run_id"] == "r1"
+    assert state["1"]["run_id"] == "r2"
+
+
+def test_crash_before_commit_is_invisible(tmp_path):
+    """A torn write (temp file left behind) must not affect reads."""
+    m = Manifest(str(tmp_path / "manifest"))
+    m.commit_validated(
+        [{"partition_id": 0, "snapshot_hash": "h0", "verdict": "pass"}],
+        "r1", "t0",
+    )
+    # simulate a crash: stray temp files from a dead writer
+    with open(os.path.join(m.path, "_tmp_dead"), "w") as f:
+        f.write("{corrupt")
+    state = m.load()
+    assert state["0"]["snapshot_hash"] == "h0"
+    assert m.current_version() == 1

@@ -1,0 +1,129 @@
+"""End-to-end validation pipeline + checkpoint-resume (SURVEY.md §5
+items 4-5): golden verdicts on the planted fixture, resume skips
+validated partitions, interrupted runs replay idempotently."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators.stats import length_histogram
+from anomalydetection_spark.plans.pipeline import run_validation
+
+
+def test_full_run_verdicts_and_violations(spark, docs, catalog, expected):
+    res = run_validation(spark, docs, catalog=catalog)
+    checks = {r.check for r in res.verdicts.collect()}
+    assert {"uniqueness", "referential", "null_spans", "empty_spans",
+            "offset_monotonicity", "null_span_kind"} <= checks
+
+    v = res.violations.cache()
+    uniq_ids = {
+        r.doc_id for r in v.filter(F.col("check") == "uniqueness").collect()
+    }
+    assert uniq_ids == expected["uniqueness"]
+    conf_ids = {
+        r.doc_id for r in v.filter(F.col("check") == "conformance").collect()
+    }
+    assert (
+        expected["null_spans"] | expected["empty_spans"] | expected["nonmono"]
+    ) <= conf_ids
+    # violation rows carry the original span sequence verbatim
+    jkey = F.coalesce(F.to_json("spans"), F.lit("<null>"))
+    orig = docs.select("doc_id", jkey.alias("j")).distinct()
+    viol = (
+        v.filter(F.col("check") != "uniqueness")
+        .select("doc_id", jkey.alias("j"))
+        .distinct()
+    )
+    assert viol.join(orig, ["doc_id", "j"], "left_anti").count() == 0
+
+
+def test_two_level_verdict(spark, docs, catalog):
+    res = run_validation(spark, docs, catalog=catalog)
+    table_rows = [
+        r for r in res.verdicts.collect() if r.partition_id is None
+    ]
+    assert table_rows, "expected table-level rollup rows"
+    uniq_global = [r for r in table_rows if r.check == "uniqueness"]
+    assert uniq_global and uniq_global[0].verdict == "fail"
+
+
+def test_drift_stage_in_pipeline(spark, docs, catalog):
+    baseline = length_histogram(docs, bins=64, bin_width=8)
+    res = run_validation(spark, docs, catalog=catalog, baseline_hist=baseline)
+    drift_rows = [
+        r for r in res.verdicts.collect() if r.check.startswith("drift_len")
+    ]
+    assert drift_rows
+    # current == baseline ⇒ all drift checks pass
+    assert all(r.verdict == "pass" for r in drift_rows)
+
+
+def test_resume_skips_validated(spark, docs, catalog, tmp_path):
+    mdir = str(tmp_path / "manifest")
+    r1 = run_validation(
+        spark, docs, catalog=catalog, manifest_dir=mdir, run_id="r1"
+    )
+    assert len(r1.validated_partitions) > 0
+    r2 = run_validation(
+        spark, docs, catalog=catalog, manifest_dir=mdir, run_id="r2"
+    )
+    assert r2.validated_partitions == []
+    assert r2.verdicts.count() == 0
+    assert r2.violations.count() == 0
+
+
+def test_resume_after_partial_commit(spark, docs, catalog, tmp_path):
+    """Partial manifest state (some partitions committed, rest not) →
+    next run validates exactly the remainder, and its verdicts for
+    those partitions equal a from-scratch run's (idempotent replay)."""
+    from anomalydetection_spark.sources.manifest import (
+        Manifest,
+        partition_snapshots,
+    )
+
+    mdir = str(tmp_path / "manifest")
+    snaps = partition_snapshots(docs).collect()
+    done = [r for r in snaps if r.partition_id % 2 == 0]
+    Manifest(mdir).commit_validated(
+        [
+            {
+                "partition_id": r.partition_id,
+                "snapshot_hash": r.snapshot_hash,
+                "n_rows": r.n_rows,
+                "verdict": "pass",
+            }
+            for r in done
+        ],
+        "dead_run", "t0",
+    )
+    rest = sorted(r.partition_id for r in snaps if r.partition_id % 2 == 1)
+    r2 = run_validation(
+        spark, docs, catalog=catalog, manifest_dir=mdir, run_id="r2"
+    )
+    assert r2.validated_partitions == rest
+
+    full = run_validation(spark, docs, catalog=catalog)
+    for check in ("uniqueness", "null_spans"):
+        a = {
+            (r.partition_id, r.n_violations, r.verdict)
+            for r in full.verdicts.collect()
+            if r.check == check and r.partition_id in rest
+        }
+        b = {
+            (r.partition_id, r.n_violations, r.verdict)
+            for r in r2.verdicts.collect()
+            if r.check == check and r.partition_id is not None
+        }
+        assert a == b
+
+
+def test_staged_violations_published(spark, docs, catalog, tmp_path):
+    vdir = str(tmp_path / "violations")
+    mdir = str(tmp_path / "manifest")
+    res = run_validation(
+        spark, docs, catalog=catalog, manifest_dir=mdir,
+        violations_dir=vdir, run_id="r1",
+    )
+    assert res.manifest_version >= 1
+    assert res.violations.count() > 0

@@ -1,0 +1,64 @@
+"""Driver-contract smoke: entry() runs with a stable schema; every
+queries() entry executes at sf0.001 and returns rows; HLL approximate
+distinct is close to exact (SURVEY.md §5 item 6 runs the full oracle
+cross-check via tools/check_oracles.py — this is the fast in-suite
+layer)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+def test_entry_runs(spark):
+    from __spark_entry__ import entry
+
+    df = entry(spark)
+    rows = df.collect()
+    assert [f.name for f in df.schema.fields] == [
+        "check", "n_violations", "verdict",
+    ]
+    assert len(rows) == 4
+    assert all(r.verdict in ("pass", "fail") for r in rows)
+
+
+def test_every_query_executes(spark):
+    from __spark_entry__ import oracle_sql, queries
+
+    qs = queries()
+    oracles = oracle_sql()
+    assert len(qs) >= 25
+    assert set(oracles) <= set(qs)
+    for name, fn in qs.items():
+        df = fn(spark, SF)
+        n = df.count()
+        assert n >= 0, name
+        assert df.schema.fields, name
+
+
+def test_hll_close_to_exact(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    approx = {
+        r.event_type: r.approx_users
+        for r in ev.groupBy("event_type").agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias(
+                "approx_users"
+            )
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n")
+        ).collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / max(e, 1) < 0.05

@@ -1,0 +1,77 @@
+"""Column-stats profiler: conformance flags match the planted sets,
+histograms conserve mass, HLL distinct counts are within sketch error
+(SURVEY.md §5 item 1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators import stats as S
+
+
+def test_conformance_flags_exact(docs, expected):
+    c = S.doc_conformance(docs)
+    assert {
+        r.doc_id for r in c.filter("null_spans").collect()
+    } == expected["null_spans"]
+    assert {
+        r.doc_id for r in c.filter("empty_spans").collect()
+    } == expected["empty_spans"]
+    assert {
+        r.doc_id for r in c.filter("nonmonotone_offsets").collect()
+    } == expected["nonmono"]
+
+
+def test_partition_stats_sum_to_table(docs):
+    ps = S.partition_stats(docs)
+    tot = ps.agg(
+        F.sum("n_rows").alias("r"), F.sum("n_spans").alias("s")
+    ).first()
+    assert tot.r == docs.count()
+    exact_spans = docs.select(
+        F.sum(F.coalesce(F.size("spans"), F.lit(0)))
+    ).first()[0]
+    assert tot.s == exact_spans
+
+
+def test_hll_vs_exact_distinct(docs):
+    ps = S.partition_stats(docs)
+    merged = ps.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(doc_id_hll))").alias("est")
+    ).first()
+    exact = docs.select(F.countDistinct("doc_id")).first()[0]
+    assert abs(merged.est - exact) / exact < 0.05
+
+
+def test_length_histogram_mass(docs):
+    h = S.length_histogram(docs, bins=64, bin_width=8)
+    total = h.agg(F.sum("count")).first()[0]
+    n_spans = docs.select(
+        F.sum(F.coalesce(F.size("spans"), F.lit(0)))
+    ).first()[0]
+    assert total == n_spans
+    assert h.filter((F.col("bucket") < 0) | (F.col("bucket") > 63)).count() == 0
+
+
+def test_kind_histogram_covers_all_kinds(docs):
+    kinds = {r.kind for r in S.kind_histogram(docs).collect()}
+    assert {"text", "image", "audio", "table", "__null__"} <= kinds
+
+
+def test_conformance_verdicts_thresholds(docs):
+    # planted rates ≈0.15-0.5% — a 1% gate passes, a 0.01% gate fails
+    lax = S.conformance_verdicts(docs, max_null_rate=0.5, max_type_error_rate=0.5)
+    assert all(r.verdict == "pass" for r in lax.collect())
+    strict = S.conformance_verdicts(
+        docs, max_null_rate=1e-6, max_type_error_rate=1e-6
+    )
+    assert any(r.verdict == "fail" for r in strict.collect())
+
+
+def test_conformance_violations_detail(docs, expected):
+    v = S.conformance_violations(docs)
+    got = {r.doc_id: r.detail for r in v.collect()}
+    for d in expected["null_spans"]:
+        assert "null_spans" in got[d]
+    for d in expected["nonmono"]:
+        assert "nonmonotone_offsets" in got[d]

@@ -1,0 +1,93 @@
+"""Verdict assembly: threshold filter (F11), min/max normalization
+(A5), greedy similarity grouping (A11), top-k report (A12, F7
+truncation) — reference semantics per SURVEY.md §2.6."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators.verdict import (
+    global_verdict,
+    normalize_scores,
+    similarity_groups,
+    threshold_violations,
+    top_k_report,
+)
+
+
+def test_threshold_filter(spark):
+    df = spark.createDataFrame(
+        [("a", -0.1), ("b", -0.04), ("c", 0.2)], "id string, score double"
+    )
+    out = threshold_violations(df, threshold=-0.04)
+    assert {r.id for r in out.collect()} == {"a"}  # strictly below
+
+
+def test_normalize_scores_formula(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0), ("b", 5.0), ("c", 10.0)], "id string, score double"
+    )
+    got = {r.id: r.anomaly_pct for r in normalize_scores(df).collect()}
+    assert got == {"a": 100.0, "b": 50.0, "c": 0.0}
+
+
+def test_normalize_constant_scores(spark):
+    df = spark.createDataFrame([("a", 3.0), ("b", 3.0)], "id string, score double")
+    got = {r.anomaly_pct for r in normalize_scores(df).collect()}
+    assert got == {0.0}
+
+
+def test_similarity_groups_merges_near_duplicates(spark):
+    rows = [
+        ("g", "connection timeout to host alpha", 5.0),
+        ("g", "connection timeout to host alphb", 3.0),
+        ("g", "completely different message here", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "part string, text string, score double")
+    out = similarity_groups(df, "text", ["part"], ratio_threshold=0.85).collect()
+    assert len(out) == 2
+    big = max(out, key=lambda r: r.n_members)
+    assert big.n_members == 2
+    assert big.best_score == 5.0
+    assert big.exemplar == "connection timeout to host alpha"
+
+
+def test_similarity_groups_deterministic(spark, docs):
+    d = docs.filter(F.col("spans").isNotNull() & (F.size("spans") > 0)).select(
+        F.col("partition_id").cast("string").alias("part"),
+        F.col("spans")[0]["text"].alias("text"),
+        F.size("spans").cast("double").alias("score"),
+    ).limit(300)
+    a = sorted(map(tuple, similarity_groups(d, "text", ["part"]).collect()))
+    b = sorted(map(tuple, similarity_groups(d, "text", ["part"]).collect()))
+    assert a == b
+
+
+def test_top_k_truncates_at_100_chars(spark):
+    long_text = "x" * 150
+    df = spark.createDataFrame(
+        [("g", long_text, 1.0, 1), ("g", "short", 2.0, 1)],
+        "group_key string, exemplar string, best_score double, n_members long",
+    )
+    out = top_k_report(df, k=1).collect()
+    assert out[0].exemplar == "short"  # higher score first
+    out2 = top_k_report(df, k=2).collect()
+    assert out2[1].exemplar == "x" * 100 + "..."
+
+
+def test_global_verdict_rollup(spark):
+    rows = [
+        ("uniq", 0, 100, 0, 0.0, 0.0, "pass"),
+        ("uniq", 1, 100, 5, 0.05, 5.0, "fail"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "check string, partition_id int, n_rows long, n_violations long,"
+        " violation_rate double, score double, verdict string",
+    )
+    g = global_verdict(df).collect()
+    assert len(g) == 1
+    r = g[0]
+    assert r.partition_id is None
+    assert r.n_rows == 200 and r.n_violations == 5
+    assert r.verdict == "fail"
