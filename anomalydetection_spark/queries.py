@@ -258,8 +258,11 @@ def _tokens(col="text"):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Near-dup pairs by token-set Jaccard ≥ 0.8 within a lang."""
-    d = _t(spark, sf_dir, "documents").select(
+    """Near-dup pairs by token-set Jaccard ≥ 0.8 within a lang, over a
+    bounded sample (doc_id < 2000). Exact all-pairs Jaccard is O(n²) —
+    the verification tier; the scale path for the full corpus is
+    q_minhash_signatures → LSH banding."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
         "doc_id", "lang", _tokens().alias("toks")
     )
     a = d.select(
@@ -1011,7 +1014,7 @@ ORACLES: dict[str, str] = {
         WITH t AS (
           SELECT doc_id, lang,
                  list_distinct(string_split(lower(trim(text)), ' ')) AS toks
-          FROM documents
+          FROM documents WHERE doc_id < 2000
         )
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                round(len(list_intersect(a.toks, b.toks)) * 1.0

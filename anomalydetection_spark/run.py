@@ -1,0 +1,103 @@
+"""CLI runner — the engine's spark-submit entry point.
+
+Replaces the reference's poll-loop main (/root/reference/main.py:394-417)
+with batch rounds over the manifest delta: each invocation validates
+exactly the partitions whose snapshot hash changed since the last
+committed manifest version (S2/S5 semantics), then commits verdicts +
+violations + lineage atomically.
+
+Cluster usage (multi-executor):
+
+    zip -r engine.zip anomalydetection_spark
+    spark-submit --py-files engine.zip \\
+        --conf spark.sql.adaptive.enabled=true \\
+        -m anomalydetection_spark.run -- \\
+        --docs s3://bucket/documents --catalog s3://bucket/media_catalog \\
+        --manifest-dir s3://bucket/manifest --out s3://bucket/validation
+
+Sandbox usage (local[N]):
+
+    python -m anomalydetection_spark.run --docs /tmp/docs \\
+        --catalog /tmp/catalog --out /tmp/out --master 'local[8]'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="validation engine batch round")
+    p.add_argument("--docs", required=True, help="documents table path (parquet)")
+    p.add_argument("--catalog", help="media catalog path (parquet)")
+    p.add_argument("--baseline-hist", help="baseline length-histogram parquet")
+    p.add_argument("--manifest-dir", help="checkpoint manifest directory")
+    p.add_argument("--out", required=True, help="output dir (verdicts/violations)")
+    p.add_argument("--run-id", default=None, help="run id (default: ts-derived)")
+    p.add_argument("--master", default=None, help="Spark master override")
+    p.add_argument("--loop", type=int, default=0,
+                   help="poll every N seconds (0 = one round, the default)")
+    return p.parse_args(argv)
+
+
+def one_round(spark, args, run_id: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from .plans.pipeline import run_validation
+
+    docs = spark.read.parquet(args.docs)
+    catalog = spark.read.parquet(args.catalog) if args.catalog else None
+    baseline = (
+        spark.read.parquet(args.baseline_hist) if args.baseline_hist else None
+    )
+    t0 = time.time()
+    res = run_validation(
+        spark,
+        docs,
+        catalog=catalog,
+        baseline_hist=baseline,
+        manifest_dir=args.manifest_dir,
+        violations_dir=os.path.join(args.out, "violations_staged"),
+        run_id=run_id,
+    )
+    verdicts_out = os.path.join(args.out, "verdicts", run_id)
+    res.verdicts.write.mode("overwrite").parquet(verdicts_out)
+    violations_out = os.path.join(args.out, "violations", run_id)
+    res.violations.write.mode("overwrite").parquet(violations_out)
+    n_fail = res.verdicts.filter(F.col("verdict") == "fail").count()
+    return {
+        "run_id": run_id,
+        "validated_partitions": res.validated_partitions,
+        "manifest_version": res.manifest_version,
+        "n_failed_checks": n_fail,
+        "seconds": round(time.time() - t0, 2),
+        "verdicts": verdicts_out,
+        "violations": violations_out,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark(app_name="validation_round", master=args.master)
+    rounds = 0
+    try:
+        while True:
+            run_id = args.run_id or f"run{int(time.time())}_{rounds}"
+            summary = one_round(spark, args, run_id)
+            print(json.dumps(summary))
+            rounds += 1
+            if not args.loop:
+                return 0
+            time.sleep(args.loop)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

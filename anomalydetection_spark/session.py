@@ -29,6 +29,18 @@ def get_spark(
     it. ``shuffle_partitions`` should track total cores locally and
     ~2-3x total cores on a cluster.
     """
+    # Make the package importable on executor Python workers regardless
+    # of the caller's cwd: local-mode workers inherit this process's
+    # environment (set before the JVM launches); cluster executors get
+    # spark.executorEnv.PYTHONPATH. spark-submit --py-files remains the
+    # canonical packaging path and overrides nothing here.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
@@ -52,6 +64,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
