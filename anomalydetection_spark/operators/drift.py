@@ -31,51 +31,36 @@ def _normalized(hist: DataFrame, keys: list[str], bucket_col: str) -> DataFrame:
     return hist.withColumn("p", F.col("count") / F.sum("count").over(w))
 
 
-def psi(
+def _joined_shares(
     current: DataFrame,
     baseline: DataFrame,
     keys: list[str],
-    bucket_col: str = "bucket",
+    bucket_col: str,
 ) -> DataFrame:
-    """Population Stability Index per `keys` group.
-
-    PSI = Σ_buckets (p - q) * ln(p/q), with ε-floored shares so buckets
-    empty on one side contribute finitely. Inputs are histogram tables
-    (keys..., bucket, count); output one row per group: (keys..., psi).
-    """
+    """Normalized per-bucket shares of both sides, full-outer joined —
+    the shared input of PSI and histogram-KS (built once per drift
+    pass; these are bounded-cardinality frames: |keys| × bins rows)."""
     cur = _normalized(current, keys, bucket_col).select(
         *keys, bucket_col, F.col("p").alias("p_cur")
     )
     base = _normalized(baseline, keys, bucket_col).select(
         *keys, bucket_col, F.col("p").alias("p_base")
     )
-    joined = cur.join(base, [*keys, bucket_col], "full_outer").fillna(
+    return cur.join(base, [*keys, bucket_col], "full_outer").fillna(
         0.0, subset=["p_cur", "p_base"]
     )
+
+
+def _psi_from_shares(joined: DataFrame, keys: list[str]) -> DataFrame:
     p = F.greatest(F.col("p_cur"), F.lit(EPS))
     q = F.greatest(F.col("p_base"), F.lit(EPS))
     contrib = (p - q) * F.log(p / q)
     return joined.groupBy(*keys).agg(F.sum(contrib).alias("psi"))
 
 
-def ks_from_histograms(
-    current: DataFrame,
-    baseline: DataFrame,
-    keys: list[str],
-    bucket_col: str = "bucket",
+def _ks_from_shares(
+    joined: DataFrame, keys: list[str], bucket_col: str
 ) -> DataFrame:
-    """Two-sample KS statistic from binned distributions: max |CDF gap|
-    over the bucket axis (cumulative window sum per side). Approximation
-    error ≤ one bin's mass; see tests for the exact cross-check."""
-    cur = _normalized(current, keys, bucket_col).select(
-        *keys, bucket_col, F.col("p").alias("p_cur")
-    )
-    base = _normalized(baseline, keys, bucket_col).select(
-        *keys, bucket_col, F.col("p").alias("p_base")
-    )
-    joined = cur.join(base, [*keys, bucket_col], "full_outer").fillna(
-        0.0, subset=["p_cur", "p_base"]
-    )
     w = (
         Window.partitionBy(*keys)
         if keys
@@ -91,6 +76,37 @@ def ks_from_histograms(
     )
 
 
+def psi(
+    current: DataFrame,
+    baseline: DataFrame,
+    keys: list[str],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Population Stability Index per `keys` group.
+
+    PSI = Σ_buckets (p - q) * ln(p/q), with ε-floored shares so buckets
+    empty on one side contribute finitely. Inputs are histogram tables
+    (keys..., bucket, count); output one row per group: (keys..., psi).
+    """
+    return _psi_from_shares(
+        _joined_shares(current, baseline, keys, bucket_col), keys
+    )
+
+
+def ks_from_histograms(
+    current: DataFrame,
+    baseline: DataFrame,
+    keys: list[str],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Two-sample KS statistic from binned distributions: max |CDF gap|
+    over the bucket axis (cumulative window sum per side). Approximation
+    error ≤ one bin's mass; see tests for the exact cross-check."""
+    return _ks_from_shares(
+        _joined_shares(current, baseline, keys, bucket_col), keys, bucket_col
+    )
+
+
 def drift_verdicts(
     current_hist: DataFrame,
     baseline_hist: DataFrame,
@@ -100,9 +116,13 @@ def drift_verdicts(
     check_prefix: str = "drift",
 ) -> DataFrame:
     """PSI + KS verdict rows per group (VERDICTS_SCHEMA shape; the
-    group's first key is surfaced as partition_id when integer-like)."""
-    p = psi(current_hist, baseline_hist, keys)
-    k = ks_from_histograms(current_hist, baseline_hist, keys)
+    group's first key is surfaced as partition_id when integer-like).
+
+    The normalized-shares join is built ONCE and feeds both metrics —
+    one fewer histogram join + normalization pass per drift stage."""
+    shares = _joined_shares(current_hist, baseline_hist, keys, "bucket")
+    p = _psi_from_shares(shares, keys)
+    k = _ks_from_shares(shares, keys, "bucket")
     j = p.join(k, keys, "full_outer").fillna(0.0, subset=["psi", "ks"])
     pid = (
         F.col(keys[0]).cast("int")

@@ -30,7 +30,12 @@ from ..functions.bloom import build_bloom, might_contain_udf
 
 
 def _span_refs(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, partition_id, media_ref ≠ null) pairs."""
+    """(doc_id, partition_id, media_ref ≠ null) pairs, one per span.
+
+    NOT deduplicated here: dedup before the anti-join would shuffle
+    every exploded pair, while a broadcast anti-join consumes the raw
+    pairs shuffle-free — survivors (the orphans) are the tiny set, so
+    dedup happens after the join (see ``orphan_refs``)."""
     return (
         docs.select(
             "doc_id",
@@ -39,25 +44,38 @@ def _span_refs(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "partition_id", F.col("s.media_ref").alias("media_ref"))
         .filter(F.col("media_ref").isNotNull())
-        .dropDuplicates(["doc_id", "media_ref"])
     )
+
+
+BLOOM_MIN_CATALOG_ROWS = 5_000_000
 
 
 def orphan_refs(
     docs: DataFrame,
     catalog: DataFrame,
     spark: SparkSession | None = None,
-    use_bloom: bool = True,
+    use_bloom: bool | None = None,
     catalog_size_hint: int | None = None,
     fpp: float = 0.01,
     salt_buckets: int = 8,
 ) -> DataFrame:
     """(doc_id, partition_id, media_ref) pairs whose ref is missing from
-    the catalog."""
+    the catalog.
+
+    ``use_bloom=None`` (auto): build the explicit Bloom prefilter only
+    when the catalog exceeds ``BLOOM_MIN_CATALOG_ROWS`` — below that the
+    anti-join side broadcasts outright and the Bloom build (a catalog
+    pass + driver merge + Python prefilter stage) is pure overhead."""
     refs = _span_refs(docs)
 
-    if use_bloom and spark is not None:
+    n = None
+    if use_bloom is None:
         n = catalog_size_hint if catalog_size_hint is not None else catalog.count()
+        use_bloom = n > BLOOM_MIN_CATALOG_ROWS
+
+    if use_bloom and spark is not None:
+        if n is None:
+            n = catalog_size_hint if catalog_size_hint is not None else catalog.count()
         bits, k, m = build_bloom(catalog, "media_ref", n, fpp)
         mc = might_contain_udf(spark, bits, k, m)
         refs = refs.withColumn("_maybe", mc(F.col("media_ref")))
@@ -69,26 +87,35 @@ def orphan_refs(
         definite_orphans = None
         candidates = refs
 
-    # Salted left-anti join: replicate the catalog side salt_buckets
-    # ways so a hot media_ref spreads across reducers.
-    salted_left = candidates.withColumn(
-        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
-    )
-    salted_right = catalog.select("media_ref").crossJoin(
-        F.broadcast(
-            candidates.sparkSession.range(salt_buckets).select(
-                F.col("id").cast("int").alias("_salt")
+    # Exact anti-join. Broadcastable catalog → shuffle-free probe of the
+    # raw span pairs (no reducer exists, so no skew to salt). Oversized
+    # catalog → salted sort-merge anti-join: replicate the catalog side
+    # salt_buckets ways so a hot media_ref spreads across reducers.
+    broadcastable = n is not None and n <= 20_000_000
+    if broadcastable:
+        fp_orphans = candidates.join(
+            F.broadcast(catalog.select("media_ref")), "media_ref", "left_anti"
+        )
+    else:
+        salted_left = candidates.withColumn(
+            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+        )
+        salted_right = catalog.select("media_ref").crossJoin(
+            F.broadcast(
+                candidates.sparkSession.range(salt_buckets).select(
+                    F.col("id").cast("int").alias("_salt")
+                )
             )
         )
-    )
-    fp_orphans = salted_left.join(
-        salted_right, ["media_ref", "_salt"], "left_anti"
-    ).drop("_salt")
+        fp_orphans = salted_left.join(
+            salted_right, ["media_ref", "_salt"], "left_anti"
+        ).drop("_salt")
 
     out = fp_orphans
     if definite_orphans is not None:
         out = definite_orphans.unionByName(fp_orphans)
-    return out
+    # dedupe AFTER the join: orphan survivors are the tiny set
+    return out.dropDuplicates(["doc_id", "media_ref"])
 
 
 def referential_violations(

@@ -205,13 +205,22 @@ def run_validation(
     """
     manifest = Manifest(manifest_dir) if manifest_dir else None
 
-    snaps = partition_snapshots(docs).cache()
+    # Snapshot hashing (full-width pass) only pays when a manifest
+    # exists to compare against — without one, partition discovery is a
+    # narrow count scan.
     if manifest is not None:
-        pending = manifest.pending_partitions(snaps)
+        snaps = partition_snapshots(docs).cache()
+        pending = sorted(manifest.pending_partitions(snaps))
         manifest.acquire_leases(pending, run_id, now)
+        totals_src = snaps
     else:
-        pending = [r.partition_id for r in snaps.select("partition_id").collect()]
-    pending = sorted(pending)
+        snaps = None
+        totals_src = docs.groupBy("partition_id").agg(
+            F.count("*").alias("n_rows")
+        ).cache()
+        pending = sorted(
+            r.partition_id for r in totals_src.select("partition_id").collect()
+        )
 
     # Partition pruning: only unvalidated partitions are read further.
     # Deliberately NOT cached: each stage projects a narrow column
@@ -266,8 +275,8 @@ def run_validation(
     else:
         violations = violations.cache()
 
-    # --- verdicts from violations + snapshot totals (no re-scan) ---
-    totals = snaps.filter(F.col("partition_id").isin(pending)).select(
+    # --- verdicts from violations + partition totals (no re-scan) ---
+    totals = totals_src.filter(F.col("partition_id").isin(pending)).select(
         "partition_id", "n_rows"
     )
     verdicts = _verdicts_from_violations(

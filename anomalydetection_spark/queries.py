@@ -30,8 +30,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_uniqueness_dup_keys(spark, sf_dir):
-    """Two-phase salted dup detection (operators/uniqueness.py) applied
-    to lineitem.l_orderkey (multi-line orders are the 'duplicates')."""
+    """Dup-key detection (operators/uniqueness.py — map-side partial
+    agg does the salt phase) on lineitem.l_orderkey (multi-line orders
+    are the 'duplicates')."""
     from .operators.uniqueness import duplicate_keys
 
     li = _t(spark, sf_dir, "lineitem")

@@ -94,6 +94,10 @@ def main(argv: list[str] | None = None) -> int:
             rounds += 1
             if not args.loop:
                 return 0
+            # drop the round's cached intermediates (dup keys, orphan
+            # sets, violations) before sleeping — a long-lived poll loop
+            # must not accumulate block-manager state
+            spark.catalog.clearCache()
             time.sleep(args.loop)
     finally:
         spark.stop()

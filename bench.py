@@ -9,9 +9,13 @@ Also measures the authoritative BASELINE.json metric —
 **validated-docs/sec** for the full constraint + drift pass over a
 generated interleaved documents table — and, unless
 ``BENCH_SCALING=0``, the two-cluster-size scaling evidence: the same
-job on the same parquet input at local[8] vs local[32]
-(sandbox substitute for N vs 4N executors; north_rule gate:
-efficiency = rate32 / (4 * rate8) >= 0.8).
+job on the same parquet input at N and 4N cores (default local[2] vs
+local[8] — the sandbox substitute for N vs 4N executors; north_rule
+gate: efficiency = rate_4N / (4 * rate_N) >= 0.8). Each level runs in
+its own subprocess/JVM, warm + median of BENCH_REPEATS passes, because
+the host shows 2-3x noisy-neighbor variance and in-JVM state carries
+across sessions. See BASELINE.md "Bench methodology notes" for the
+host-topology findings behind the N=2 choice.
 """
 
 from __future__ import annotations
@@ -26,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS_BENCH = int(os.environ.get("BENCH_N_DOCS", "1000000"))
+N_DOCS_BENCH = int(os.environ.get("BENCH_N_DOCS", "4000000"))
 DO_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
 WORK_DIR = os.environ.get("BENCH_WORK_DIR", "/tmp/anomalydetection_bench")
 
@@ -111,6 +115,10 @@ def _run_validation_pass(
     dt = time.time() - t0
     assert n_verd > 0 and n_viol > 0
     n_docs = docs.count()
+    # run_validation caches small intermediates (dup keys, orphan sets,
+    # violations); drop them so repeated passes don't accumulate block-
+    # manager state across measurements
+    spark.catalog.clearCache()
     return dt, n_docs
 
 
@@ -133,12 +141,21 @@ def _subprocess_validation(ncores: int) -> tuple[float, int]:
 
 
 def _validation_run_mode(ncores: int) -> None:
+    """Warm once, measure REPEATS times, report the median — the
+    sandbox host shows 2-3x noisy-neighbor variance on single shots."""
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     spark = _fresh_spark(ncores)
     docs_path, cat_path, base_path = _materialize_bench_tables(spark)
     _run_validation_pass(spark, docs_path, cat_path, base_path)  # warm
-    dt, n_docs = _run_validation_pass(spark, docs_path, cat_path, base_path)
+    times = []
+    n_docs = 0
+    for _ in range(repeats):
+        dt, n_docs = _run_validation_pass(spark, docs_path, cat_path, base_path)
+        times.append(dt)
     spark.stop()
-    print(json.dumps({"seconds": dt, "n_docs": n_docs}))
+    times.sort()
+    median = times[len(times) // 2]
+    print(json.dumps({"seconds": median, "n_docs": n_docs, "all_runs": times}))
 
 
 def main() -> None:
