@@ -55,17 +55,24 @@ class ValidationResult:
     manifest_version: int
 
 
+BROADCAST_MAX_ROWS = 500_000
+
+
 def _all_violations(
     scope: DataFrame,
     dups: DataFrame,
     orphan_doc: DataFrame | None,
+    broadcast_orphans: bool = True,
 ) -> DataFrame:
     """One wide scan → every violation row (VIOLATIONS_SCHEMA shape).
 
     Conformance flags are row-local expressions; uniqueness attaches
     via a broadcast join on the (tiny) dup-key set; referential via a
-    broadcast join on the (tiny) per-doc orphan aggregate. Each
-    violating doc emits one row per failed check, spans verbatim."""
+    join on the per-doc orphan aggregate — broadcast ONLY while that
+    side is genuinely small (``broadcast_orphans``): a forced broadcast
+    of a high-violation-rate orphan set serializes on the driver and
+    was the dominant non-scaling cost at 16M docs. Each violating doc
+    emits one row per failed check, spans verbatim."""
     null_spans = F.col("spans").isNull()
     empty_spans = F.col("spans").isNotNull() & (F.size("spans") == 0)
     nonmono = F.when(null_spans, F.lit(False)).otherwise(
@@ -84,9 +91,8 @@ def _all_violations(
 
     flagged = scope.join(F.broadcast(dups), "doc_id", "left")
     if orphan_doc is not None:
-        flagged = flagged.join(
-            F.broadcast(orphan_doc), ["doc_id", "partition_id"], "left"
-        )
+        od = F.broadcast(orphan_doc) if broadcast_orphans else orphan_doc
+        flagged = flagged.join(od, ["doc_id", "partition_id"], "left")
     else:
         flagged = flagged.withColumn(
             "n_orphans", F.lit(None).cast("long")
@@ -253,6 +259,7 @@ def run_validation(
     # attribution stays within scope via the broadcast join.
     dups = duplicate_keys(docs, cfg.unique_key, cfg.salt_buckets).cache()
     orphan_doc = None
+    broadcast_orphans = True
     if catalog is not None:
         orphans = orphan_refs(
             scope, catalog, spark, salt_buckets=cfg.salt_buckets
@@ -265,9 +272,13 @@ def run_validation(
             )
             .cache()
         )
+        # materializing the cache also tells us whether this side is
+        # still broadcast-sized — at a high violation rate it is not,
+        # and a forced driver-serial broadcast would dominate the pass
+        broadcast_orphans = orphan_doc.count() <= BROADCAST_MAX_ROWS
 
     # --- ONE wide scan → all violation rows, staged under run_id ---
-    violations = _all_violations(scope, dups, orphan_doc)
+    violations = _all_violations(scope, dups, orphan_doc, broadcast_orphans)
     if violations_dir is not None:
         staged = os.path.join(violations_dir, f"_staged_{run_id}")
         violations.write.mode("overwrite").parquet(staged)
