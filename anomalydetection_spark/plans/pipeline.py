@@ -149,12 +149,17 @@ def _verdicts_from_violations(
     violations: DataFrame,
     totals: DataFrame,
     has_catalog: bool,
+    cfg: ValidationConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """Per-partition verdict rows derived from the (small) violations
     output + the snapshot totals — zero additional table scans.
 
     n_violations counts VIOLATING DOCS per check (one row per doc per
-    check in the violations table)."""
+    check in the violations table). Pass/fail applies the configured
+    violation-RATE gates (F11 semantics with per-check thresholds:
+    any dup/orphan fails — max_dup_rate/max_orphan_rate 0 — while
+    conformance tolerates up to max_null_rate/max_type_error_rate;
+    exact violation rows are emitted regardless)."""
     conf_counts = [
         F.sum(
             F.when(
@@ -174,6 +179,14 @@ def _verdicts_from_violations(
         ),
         *conf_counts,
     )
+    rate_gates = {
+        "uniqueness": cfg.max_dup_rate,
+        "referential": cfg.max_orphan_rate,
+        "null_spans": cfg.max_null_rate,
+        "empty_spans": cfg.max_null_rate,
+        "offset_monotonicity": cfg.max_type_error_rate,
+        "null_span_kind": cfg.max_type_error_rate,
+    }
     check_names = ["uniqueness", *CONF_CHECKS] + (
         ["referential"] if has_catalog else []
     )
@@ -181,14 +194,17 @@ def _verdicts_from_violations(
     out = None
     for name in check_names:
         n = F.coalesce(F.col(name), F.lit(0))
+        rate = n / F.col("n_rows")
         v = grid.select(
             F.lit(name).alias("check"),
             F.col("partition_id").cast("int"),
             "n_rows",
             n.cast("long").alias("n_violations"),
-            (n / F.col("n_rows")).alias("violation_rate"),
-            n.cast("double").alias("score"),
-            F.when(n > 0, "fail").otherwise("pass").alias("verdict"),
+            rate.alias("violation_rate"),
+            rate.alias("score"),
+            F.when(rate > rate_gates[name], "fail")
+            .otherwise("pass")
+            .alias("verdict"),
         )
         out = v if out is None else out.unionByName(v)
     return out
@@ -291,7 +307,7 @@ def run_validation(
         "partition_id", "n_rows"
     )
     verdicts = _verdicts_from_violations(
-        violations, totals, has_catalog=catalog is not None
+        violations, totals, has_catalog=catalog is not None, cfg=cfg
     )
 
     # --- drift vs baseline histograms (bounded-size join) ---

@@ -38,6 +38,42 @@ def test_full_run_verdicts_and_violations(spark, docs, catalog, expected):
     assert viol.join(orig, ["doc_id", "j"], "left_anti").count() == 0
 
 
+def test_rate_threshold_semantics(spark, docs, catalog):
+    """Pass/fail applies the configured violation-RATE gates: any
+    dup/orphan fails (gates 0.0), conformance tolerates up to
+    max_null_rate — planted conformance rates (~0.15-0.5%) pass a 1%
+    gate and fail a 0% gate; violation rows are emitted either way."""
+    from dataclasses import replace
+
+    from anomalydetection_spark.config import DEFAULT_CONFIG
+
+    lax = run_validation(spark, docs, catalog=catalog)  # defaults: 1%
+    by_check = {
+        r.check: r
+        for r in lax.verdicts.collect()
+        if r.partition_id is None
+    }
+    assert by_check["uniqueness"].verdict == "fail"       # gate 0.0
+    assert by_check["referential"].verdict == "fail"      # gate 0.0
+    assert by_check["null_spans"].verdict == "pass"       # 0.15% < 1%
+    assert by_check["offset_monotonicity"].verdict == "pass"
+    assert lax.violations.filter(
+        F.col("detail").contains("null_spans")
+    ).count() > 0  # rows still emitted for passing checks
+
+    strict = run_validation(
+        spark, docs, catalog=catalog,
+        cfg=replace(DEFAULT_CONFIG, max_null_rate=0.0, max_type_error_rate=0.0),
+    )
+    by_check_s = {
+        r.check: r
+        for r in strict.verdicts.collect()
+        if r.partition_id is None
+    }
+    assert by_check_s["null_spans"].verdict == "fail"
+    assert by_check_s["offset_monotonicity"].verdict == "fail"
+
+
 def test_two_level_verdict(spark, docs, catalog):
     res = run_validation(spark, docs, catalog=catalog)
     table_rows = [
