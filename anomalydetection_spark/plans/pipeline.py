@@ -55,7 +55,7 @@ class ValidationResult:
     manifest_version: int
 
 
-BROADCAST_MAX_ROWS = 500_000
+BROADCAST_MAX_ROWS = 100_000
 
 
 def _all_violations(
