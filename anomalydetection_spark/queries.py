@@ -420,6 +420,92 @@ def q_doc_fingerprints(spark, sf_dir):
     )
 
 
+def q_language_id(spark, sf_dir):
+    """Language-ID via marker-token voting: learn the top-5 most
+    frequent tokens per lang on the even-doc_id half, classify the odd
+    half by marker votes (argmax, tie → lexicographic), report the
+    confusion matrix. The n-gram-heuristic shape of fasttext-style
+    lang-ID, relationally."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok"),
+    )
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    counts = train.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    markers = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .select(F.col("lang").alias("marker_lang"), "tok")
+    )
+    votes = (
+        toks.filter(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(markers), "tok")
+        .groupBy("doc_id", "lang", "marker_lang")
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = Window.partitionBy("doc_id").orderBy(
+        F.desc("votes"), F.asc("marker_lang")
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("doc_id", "lang", F.col("marker_lang").alias("predicted"))
+    )
+    return pred.groupBy("lang", "predicted").agg(F.count("*").alias("n_docs"))
+
+
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Rolling-shingle document fingerprint (winnowing family): hash
+    every 4-token shingle, keep the minimum — robust to local edits,
+    the scale path for near-dup bucketing."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.lower(F.trim("text")), " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(split(lower(trim(text)), ' ')) - 3),"
+        " i -> substring(md5(concat_ws(' ',"
+        " slice(split(lower(trim(text)), ' '), i, 4))), 1, 16))"
+    )
+    return (
+        d.filter(F.size(toks) >= 4)
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.array_min(shingles).alias("min_shingle_fp"),
+        )
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: top-20 most similar vector pairs
+    (vec_id < 300), the dedup-family analog of semantic near-dup
+    mining; exact over the sample, LSH-bucketed at scale."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    dot = F.expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (s, x) -> s + x)")
+    na = F.sqrt(F.expr("aggregate(av, 0D, (s, x) -> s + x * x)"))
+    nb = F.sqrt(F.expr("aggregate(bv, 0D, (s, x) -> s + x * x)"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_sim", dot / (na * nb))
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("a_id"), F.asc("b_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "a_id", "b_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # relational coverage (scan/filter/agg/join/window/anti — §2.1/2.7/2.8)
 # --------------------------------------------------------------------------
@@ -869,6 +955,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "levenshtein_pairs": q_levenshtein_pairs,
     "vector_align": q_vector_align,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "language_id": q_language_id,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
+    "embedding_neardup": q_embedding_neardup,
 }
 
 _LOGLINES_SQL = """
@@ -1307,6 +1396,71 @@ ORACLES: dict[str, str] = {
                                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
           FROM pairs
         ) WHERE rank <= 3
+    """,
+    "language_id": """
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 unnest(string_split(lower(trim(text)), ' ')) AS tok
+          FROM documents
+        ), counts AS (
+          SELECT lang, tok, count(*) AS n
+          FROM toks WHERE doc_id % 2 = 0 GROUP BY lang, tok
+        ), markers AS (
+          SELECT lang AS marker_lang, tok FROM (
+            SELECT lang, tok,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, tok ASC) AS r
+            FROM counts
+          ) WHERE r <= 5
+        ), votes AS (
+          SELECT t.doc_id, t.lang, m.marker_lang, count(*) AS votes
+          FROM toks t JOIN markers m ON t.tok = m.tok
+          WHERE t.doc_id % 2 = 1
+          GROUP BY t.doc_id, t.lang, m.marker_lang
+        ), pred AS (
+          SELECT doc_id, lang, marker_lang AS predicted FROM (
+            SELECT doc_id, lang, marker_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY votes DESC, marker_lang ASC) AS r
+            FROM votes
+          ) WHERE r = 1
+        )
+        SELECT lang, predicted, count(*) AS n_docs
+        FROM pred GROUP BY lang, predicted
+    """,
+    "winnowing_fingerprints": """
+        WITH t AS (
+          SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+          FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               list_aggregate(list_transform(
+                 generate_series(1, len(toks) - 3),
+                 i -> substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 16)),
+                 'min') AS min_shingle_fp
+        FROM t WHERE len(toks) >= 4
+    """,
+    "embedding_neardup": """
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 300
+        ), pairs AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 list_aggregate(list_transform(list_zip(a.v, b.v),
+                   p -> p[1] * p[2]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum')))
+                   AS cos_sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT rank, a_id, b_id, round(cos_sim, 4) AS cos_sim FROM (
+          SELECT a_id, b_id, cos_sim,
+                 row_number() OVER (ORDER BY cos_sim DESC, a_id ASC, b_id ASC)
+                   AS rank
+          FROM pairs
+        ) WHERE rank <= 20
     """,
     "sessionization": """
         WITH g AS (

@@ -141,3 +141,76 @@ def windowed_span_counts(
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("bucket_ts"), "n")
     )
+
+
+def stateful_running_stats(
+    stream: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    sigma_k: float = 3.0,
+    min_history: int = 30,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-key running count/mean/variance carried across micro-batches;
+    a batch is flagged when its mean deviates more than ``sigma_k``
+    historical standard deviations from the carried history — the
+    streaming form of the EMA+3σ drift rule (reference: running
+    min/max + threshold carried across polls,
+    /root/reference/model_manager.py:150-152, :213-215).
+
+    State = (count, sum, sum_sq): merge-associative scalars, O(1) per
+    key regardless of stream length — the shape that scales to
+    arbitrarily long streams and arbitrarily many keys.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            cnt, s, s2 = state.get
+        else:
+            cnt, s, s2 = 0, 0.0, 0.0
+        b_n, b_s, b_s2 = 0, 0.0, 0.0
+        for pdf in pdfs:
+            v = pdf[value_col].astype(float)
+            b_n += len(v)
+            b_s += float(v.sum())
+            b_s2 += float((v * v).sum())
+        if b_n == 0:
+            return
+        batch_mean = b_s / b_n
+        # judge the batch against HISTORY ONLY (state before merging)
+        is_anom = False
+        if cnt >= min_history:
+            hist_mean = s / cnt
+            hist_var = max(0.0, s2 / cnt - hist_mean * hist_mean)
+            hist_sd = hist_var ** 0.5
+            if hist_sd > 1e-12:
+                is_anom = abs(batch_mean - hist_mean) > sigma_k * hist_sd
+        cnt, s, s2 = cnt + b_n, s + b_s, s2 + b_s2
+        state.update((cnt, s, s2))
+        yield pd.DataFrame(
+            [
+                {
+                    **{k: key[i] for i, k in enumerate(key_cols)},
+                    "batch_n": b_n,
+                    "batch_mean": batch_mean,
+                    "total_n": cnt,
+                    "running_mean": s / cnt,
+                    "is_anomaly": is_anom,
+                }
+            ]
+        )
+
+    out_schema = (
+        ", ".join(f"{k} string" for k in key_cols)
+        + ", batch_n long, batch_mean double, total_n long,"
+        " running_mean double, is_anomaly boolean"
+    )
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="cnt long, s double, s2 double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

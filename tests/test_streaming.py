@@ -68,6 +68,61 @@ def test_streaming_checkpoint_files_exist(spark, docs, catalog, tmp_path):
     assert glob.glob(os.path.join(ckpt, "sources", "*", "*"))
 
 
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries (count, sum, sum_sq) across
+    micro-batches: totals accumulate, and a final spiked batch for one
+    key is flagged against the pre-spike history."""
+    import pandas as pd
+
+    from anomalydetection_spark.streaming.incremental import (
+        stateful_running_stats,
+    )
+
+    inp = str(tmp_path / "in")
+    # 3 files = 3 micro-batches (maxFilesPerTrigger=1 below)
+    for b in range(3):
+        rows = []
+        for i in range(60):
+            val = 10.0 + (i % 5)
+            if b == 2 and i < 30:
+                val = 500.0  # spike for key 'a' in the last batch
+            rows.append(("a" if i < 30 else "b", float(val)))
+        pd.DataFrame(rows, columns=["key", "value"]).to_parquet(
+            f"{inp}_f{b}.parquet"
+        )
+        import shutil, os as _os
+        _os.makedirs(inp, exist_ok=True)
+        shutil.move(f"{inp}_f{b}.parquet", f"{inp}/f{b}.parquet")
+
+    stream = (
+        spark.readStream.schema("key string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = stateful_running_stats(
+        stream, ["key"], "value", sigma_k=3.0, min_history=30
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM stateful_stats").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+    # state accumulated: final total per key == 3 batches x 30 rows
+    assert max(r.total_n for r in by_key["a"]) == 90
+    assert max(r.total_n for r in by_key["b"]) == 90
+    # the spiked batch for 'a' flagged, nothing for 'b'
+    assert any(r.is_anomaly for r in by_key["a"])
+    assert not any(r.is_anomaly for r in by_key["b"])
+
+
 def test_windowed_counts_match_batch_groupby(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     got = {
