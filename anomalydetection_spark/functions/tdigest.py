@@ -1,0 +1,184 @@
+"""t-digest quantile sketch: numpy build/merge + Arrow-batched Spark
+integration.
+
+The north-star column-stats profiler computes distribution quantiles
+per (partition, span kind) without a global sort: each partition emits
+a bounded t-digest partial (mergeable, ~O(δ) centroids), partials merge
+associatively up the tree, and any quantile interpolates from the final
+digest. ``percentile_approx`` (Spark's built-in sketch) remains the
+zero-dependency fallback used by operators/stats.py; this module is the
+explicit t-digest path with controllable compression and mergeability
+across snapshots (you can persist digests in the manifest and merge
+across runs — percentile_approx state is not exposed).
+
+Implementation: the *merging* t-digest (Dunning's MergingDigest): sort
+incoming values/centroids, sweep once, greedily merge neighbors while
+the running quantile-width bound k(q_r) - k(q_l) <= 1 holds, with the
+arcsine scale function k(q) = δ/(2π)·asin(2q-1) that concentrates
+resolution at the tails. Pure numpy — vectorized, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import numpy as np
+
+DEFAULT_COMPRESSION = 200.0
+
+
+def _k(q: np.ndarray, delta: float) -> np.ndarray:
+    """Arcsine scale function (tail-biased resolution)."""
+    return delta / (2.0 * math.pi) * np.arcsin(2.0 * np.clip(q, 0.0, 1.0) - 1.0)
+
+
+def compress(
+    means: np.ndarray, weights: np.ndarray, delta: float = DEFAULT_COMPRESSION
+) -> tuple[np.ndarray, np.ndarray]:
+    """One merge pass over sorted centroids → compressed digest."""
+    if len(means) == 0:
+        return means.astype(np.float64), weights.astype(np.float64)
+    order = np.argsort(means, kind="stable")
+    means = means[order].astype(np.float64)
+    weights = weights[order].astype(np.float64)
+    total = weights.sum()
+
+    out_means: list[float] = []
+    out_weights: list[float] = []
+    acc_m, acc_w = means[0], weights[0]
+    w_before = 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q_l = w_before / total
+        q_r = (w_before + acc_w + w) / total
+        if _k(np.array([q_r]), delta)[0] - _k(np.array([q_l]), delta)[0] <= 1.0:
+            # merge into the accumulating centroid (weighted mean)
+            acc_m = (acc_m * acc_w + m * w) / (acc_w + w)
+            acc_w += w
+        else:
+            out_means.append(acc_m)
+            out_weights.append(acc_w)
+            w_before += acc_w
+            acc_m, acc_w = m, w
+    out_means.append(acc_m)
+    out_weights.append(acc_w)
+    return np.asarray(out_means), np.asarray(out_weights)
+
+
+def from_values(
+    values: np.ndarray, delta: float = DEFAULT_COMPRESSION
+) -> tuple[np.ndarray, np.ndarray]:
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    return compress(v, np.ones_like(v), delta)
+
+
+def merge(
+    digests: Iterable[tuple[np.ndarray, np.ndarray]],
+    delta: float = DEFAULT_COMPRESSION,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Associative merge: concat centroids, one compress pass."""
+    ms, ws = [], []
+    for m, w in digests:
+        ms.append(np.asarray(m, dtype=np.float64))
+        ws.append(np.asarray(w, dtype=np.float64))
+    if not ms:
+        return np.array([]), np.array([])
+    return compress(np.concatenate(ms), np.concatenate(ws), delta)
+
+
+def quantile(
+    means: np.ndarray, weights: np.ndarray, qs: Iterable[float]
+) -> list[float]:
+    """Interpolated quantiles from a digest (centroid midpoints)."""
+    means = np.asarray(means, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    out = []
+    if len(means) == 0:
+        return [float("nan") for _ in qs]
+    total = weights.sum()
+    # cumulative weight at each centroid's midpoint
+    cum = np.cumsum(weights) - weights / 2.0
+    for q in qs:
+        target = q * total
+        if target <= cum[0]:
+            out.append(float(means[0]))
+        elif target >= cum[-1]:
+            out.append(float(means[-1]))
+        else:
+            i = int(np.searchsorted(cum, target))
+            lo, hi = cum[i - 1], cum[i]
+            frac = 0.0 if hi == lo else (target - lo) / (hi - lo)
+            out.append(float(means[i - 1] + frac * (means[i] - means[i - 1])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark integration (Arrow-batched; digests travel as array<double> pairs)
+# ---------------------------------------------------------------------------
+
+def tdigest_partials(df, value_col: str, group_cols: list[str],
+                     delta: float = DEFAULT_COMPRESSION):
+    """Per-(group, physical-partition) digest partials via mapInPandas:
+    one streaming pass, bounded memory, no shuffle of raw values. The
+    output is small (≤ groups × partitions rows) and merge-ready."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cols = [*group_cols, value_col]
+
+    def build(batches):
+        acc: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(group_cols, dropna=False, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                d = from_values(sub[value_col].to_numpy(), delta)
+                prev = acc.get(key)
+                acc[key] = merge([prev, d], delta) if prev else d
+        rows = []
+        for key, (m, w) in acc.items():
+            rows.append(
+                {
+                    **dict(zip(group_cols, key)),
+                    "centroid_means": m.tolist(),
+                    "centroid_weights": w.tolist(),
+                }
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    schema = ", ".join(
+        f"{c} string" for c in group_cols
+    ) + ", centroid_means array<double>, centroid_weights array<double>"
+    return df.select(*cols).mapInPandas(build, schema=schema)
+
+
+def tdigest_quantiles(df, value_col: str, group_cols: list[str],
+                      qs: list[float],
+                      delta: float = DEFAULT_COMPRESSION):
+    """Distributed quantiles: partials → grouped merge (applyInPandas)
+    → interpolated quantiles per group."""
+    import pandas as pd
+
+    partials = tdigest_partials(df, value_col, group_cols, delta)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = merge(
+            zip(
+                (np.asarray(x) for x in pdf["centroid_means"]),
+                (np.asarray(x) for x in pdf["centroid_weights"]),
+            ),
+            delta,
+        )
+        vals = quantile(m, w, qs)
+        row = {c: pdf[c].iloc[0] for c in group_cols}
+        for q, v in zip(qs, vals):
+            row[f"q{str(q).replace('.', '_')}"] = v
+        return pd.DataFrame([row])
+
+    out_schema = ", ".join(f"{c} string" for c in group_cols) + ", " + ", ".join(
+        f"q{str(q).replace('.', '_')} double" for q in qs
+    )
+    return partials.groupBy(*group_cols).applyInPandas(
+        merge_group, schema=out_schema
+    )

@@ -605,6 +605,24 @@ def q_hll_distinct(spark, sf_dir):
     )
 
 
+def q_tdigest_quantiles(spark, sf_dir):
+    """t-digest quantiles per event_type (functions/tdigest.py:
+    mapInPandas partials → applyInPandas merge). Approximate sketch →
+    rows-only check; rank-error ≤1% pinned in tests/test_tdigest.py."""
+    from .functions.tdigest import tdigest_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double")
+    )
+    out = tdigest_quantiles(ev, "value", ["event_type"], [0.5, 0.9, 0.99])
+    return out.select(
+        "event_type",
+        F.round("q0_5", 4).alias("p50"),
+        F.round("q0_9", 4).alias("p90"),
+        F.round("q0_99", 4).alias("p99"),
+    )
+
+
 def q_similarity_groups(spark, sf_dir):
     """A11 greedy similarity grouping per lang on truncated text —
     order-dependent greedy semantics, not SQL-expressible (rows-only)."""
@@ -943,6 +961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inactive_customers": q_inactive_customers,
     "sessionization": q_sessionization,
     "hll_distinct": q_hll_distinct,
+    "tdigest_quantiles": q_tdigest_quantiles,
     "similarity_groups": q_similarity_groups,
     "stopword_filter": q_stopword_filter,
     "param_extraction": q_param_extraction,
