@@ -285,12 +285,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 _MINHASH_K = 4
 
 
-def _minhash_sig_expr(i: int):
+def _minhash_sig_expr(i: int, toks=None):
     """min over tokens of a 60-bit md5-derived hash — bit-exact in
     DuckDB via ('0x'||substr(md5(...),1,15))::BIGINT."""
     return F.array_min(
         F.transform(
-            _tokens(),
+            _tokens() if toks is None else toks,
             lambda t: F.conv(
                 F.substring(F.md5(F.concat(F.lit(f"{i}:"), t)), 1, 15), 16, 10
             ).cast("long"),
@@ -305,6 +305,62 @@ def q_minhash_signatures(spark, sf_dir):
     return d.select(
         "doc_id", *[_minhash_sig_expr(i) for i in range(_MINHASH_K)]
     )
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    """Full MinHash→LSH chain: 8 signature slots → 4 bands of 2 →
+    band-hash bucket join → distinct candidate pairs with their true
+    token-Jaccard. The scale path for near-dup mining: the O(n²) pair
+    space shrinks to within-bucket pairs; exact Jaccard re-ranks only
+    the candidates."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        "doc_id", _tokens().alias("toks")
+    )
+    sigs = d.select(
+        "doc_id", "toks",
+        *[_minhash_sig_expr(i, F.col("toks")) for i in range(8)],
+    )
+    bands = sigs.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col(f"sig_{2 * b}"),
+                                F.col(f"sig_{2 * b + 1}"),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "toks", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"),
+        "band", "bucket",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"),
+        "band", "bucket",
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_toks", "b_toks")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    uni = F.size(F.array_union("a_toks", "b_toks"))
+    return pairs.select(
+        "a_id", "b_id",
+        F.round(inter.cast("double") / uni, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.8)
 
 
 def q_simhash_fingerprints(spark, sf_dir):
@@ -950,6 +1006,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_first_wins": q_dedup_first_wins,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "simhash_fingerprints": q_simhash_fingerprints,
     "cosine_topk": q_cosine_topk,
     "token_stats": q_token_stats,
@@ -1148,6 +1205,52 @@ ORACLES: dict[str, str] = {
           list_aggregate(list_transform(toks,
             t -> CAST(('0x' || substr(md5('3:' || t), 1, 15)) AS BIGINT)), 'min') AS sig_3
         FROM t
+    """,
+    "minhash_lsh_candidates": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+          FROM documents WHERE doc_id < 500
+        ), sigs AS (
+          SELECT doc_id, toks,
+            list_aggregate(list_transform(toks,
+              x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)), 'min') AS s0,
+            list_aggregate(list_transform(toks,
+              x -> CAST(('0x' || substr(md5('1:' || x), 1, 15)) AS BIGINT)), 'min') AS s1,
+            list_aggregate(list_transform(toks,
+              x -> CAST(('0x' || substr(md5('2:' || x), 1, 15)) AS BIGINT)), 'min') AS s2,
+            list_aggregate(list_transform(toks,
+              x -> CAST(('0x' || substr(md5('3:' || x), 1, 15)) AS BIGINT)), 'min') AS s3,
+            list_aggregate(list_transform(toks,
+              x -> CAST(('0x' || substr(md5('4:' || x), 1, 15)) AS BIGINT)), 'min') AS s4,
+            list_aggregate(list_transform(toks,
+              x -> CAST(('0x' || substr(md5('5:' || x), 1, 15)) AS BIGINT)), 'min') AS s5,
+            list_aggregate(list_transform(toks,
+              x -> CAST(('0x' || substr(md5('6:' || x), 1, 15)) AS BIGINT)), 'min') AS s6,
+            list_aggregate(list_transform(toks,
+              x -> CAST(('0x' || substr(md5('7:' || x), 1, 15)) AS BIGINT)), 'min') AS s7
+          FROM t
+        ), bands AS (
+          SELECT doc_id, toks, 0 AS band, md5(s0 || ':' || s1) AS bucket FROM sigs
+          UNION ALL
+          SELECT doc_id, toks, 1, md5(s2 || ':' || s3) FROM sigs
+          UNION ALL
+          SELECT doc_id, toks, 2, md5(s4 || ':' || s5) FROM sigs
+          UNION ALL
+          SELECT doc_id, toks, 3, md5(s6 || ':' || s7) FROM sigs
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                 a.toks AS a_toks, b.toks AS b_toks
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id,
+               round(len(list_intersect(a_toks, b_toks)) * 1.0
+                     / len(list_distinct(list_concat(a_toks, b_toks))), 4)
+                 AS jaccard
+        FROM pairs
+        WHERE len(list_intersect(a_toks, b_toks)) * 1.0
+              / len(list_distinct(list_concat(a_toks, b_toks))) >= 0.8
     """,
     "simhash_fingerprints": """
         WITH toks AS (
