@@ -66,10 +66,19 @@ def build_bloom(df: DataFrame, col: str, n_items: int, fpp: float = 0.01):
         if any_rows:
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    partials = hashed.mapInPandas(to_bits, schema="bits binary").collect()
-    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-    for row in partials:
-        bits |= np.frombuffer(row.bits, dtype=np.uint8)
+    # Per-partition bitmap rows (<= P rows of m/8 bytes each) are OR-merged
+    # with treeAggregate: log-depth combine on executors, ~sqrt(P) partials
+    # reach the driver instead of P (at 10^9 keys / 1% fpp that's the
+    # difference between ~1.2 GB x sqrt(P) and x P through the driver).
+    # Per-row Python here touches only the P partial rows, never data rows.
+    partials = hashed.mapInPandas(to_bits, schema="bits binary")
+    zero = np.zeros((m + 7) // 8, dtype=np.uint8)
+    bits = partials.rdd.treeAggregate(
+        zero,
+        lambda acc, row: np.bitwise_or(acc, np.frombuffer(row.bits, dtype=np.uint8)),
+        np.bitwise_or,
+        depth=2,
+    )
     return bits, k, m
 
 

@@ -1066,8 +1066,8 @@ ORACLES: dict[str, str] = {
     "null_conformance_rates": """
         SELECT source,
                count(*) AS n_docs,
-               sum(CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 1 ELSE 0 END) AS n_empty_text,
-               sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_null_lang,
+               CAST(sum(CASE WHEN length(trim(coalesce(text,''))) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
                round(avg(n_chars), 4) AS avg_chars,
                min(n_chars) AS min_chars,
                max(n_chars) AS max_chars
@@ -1076,8 +1076,8 @@ ORACLES: dict[str, str] = {
     "type_conformance": """
         SELECT event_type,
                count(*) AS n_rows,
-               sum(CASE WHEN regexp_matches(props, '^\\{"k": [0-9]+\\}$') THEN 1 ELSE 0 END) AS n_valid_props,
-               sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS n_nonneg_value
+               CAST(sum(CASE WHEN regexp_matches(props, '^\\{"k": [0-9]+\\}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_props,
+               CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonneg_value
         FROM events GROUP BY event_type
     """,
     "column_stats": """
@@ -1100,7 +1100,7 @@ ORACLES: dict[str, str] = {
                CASE WHEN n_violations > 0 THEN 'fail' ELSE 'pass' END AS verdict
         FROM (
           SELECT event_type, count(*) AS n_rows,
-                 sum(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS n_violations
+                 CAST(sum(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
           FROM events GROUP BY event_type
         )
     """,
@@ -1363,16 +1363,16 @@ ORACLES: dict[str, str] = {
           FROM documents
         )
         SELECT source,
-               sum(CASE WHEN tok IN ('a','the','and','of','to','in','is','it')
-                        THEN 0 ELSE 1 END) AS n_kept,
-               sum(CASE WHEN tok IN ('a','the','and','of','to','in','is','it')
-                        THEN 1 ELSE 0 END) AS n_stopworded
+               CAST(sum(CASE WHEN tok IN ('a','the','and','of','to','in','is','it')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN tok IN ('a','the','and','of','to','in','is','it')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_stopworded
         FROM toks GROUP BY source
     """,
     "param_extraction": f"""
         WITH lines AS ({_LOGLINES_SQL})
         SELECT file, count(*) AS n_lines,
-               sum(len(regexp_extract_all(value, '[0-9]+'))) AS n_params,
+               CAST(sum(len(regexp_extract_all(value, '[0-9]+'))) AS BIGINT) AS n_params,
                count(DISTINCT to_json(regexp_extract_all(value, '[0-9]+')))
                  AS n_distinct_paramsets
         FROM lines WHERE NOT is_cont GROUP BY file

@@ -91,6 +91,23 @@ def test_verdicts_fail_only_partitions_with_orphans(spark, docs, catalog):
     assert failed == orphan_parts
 
 
+def test_bloom_tree_merge_matches_single_partition(spark, catalog):
+    """treeAggregate OR-merge over P partition bitmaps must yield bit-for-bit
+    the same filter as a 1-partition build (merge order is irrelevant for OR)."""
+    import numpy as np
+
+    from anomalydetection_spark.functions.bloom import build_bloom
+
+    n = catalog.count()
+    many = catalog.repartition(16)
+    one = catalog.coalesce(1)
+    bits_many, k1, m1 = build_bloom(many, "media_ref", n)
+    bits_one, k2, m2 = build_bloom(one, "media_ref", n)
+    assert (k1, m1) == (k2, m2)
+    assert np.array_equal(bits_many, bits_one)
+    assert bits_many.any()  # non-trivial filter
+
+
 def test_complete_catalog_passes(spark, docs):
     """A catalog containing every referenced key → zero orphans."""
     full = (
