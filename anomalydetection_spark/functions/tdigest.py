@@ -36,7 +36,17 @@ def _k(q: np.ndarray, delta: float) -> np.ndarray:
 def compress(
     means: np.ndarray, weights: np.ndarray, delta: float = DEFAULT_COMPRESSION
 ) -> tuple[np.ndarray, np.ndarray]:
-    """One merge pass over sorted centroids → compressed digest."""
+    """One vectorized merge pass over sorted centroids → compressed digest.
+
+    Fully vectorized (no per-value Python): sort, cumulative weight →
+    each centroid's right-edge quantile → integer cell of the scale
+    function ``floor(k(q_r))`` → consecutive equal-cell runs merge via
+    ``np.add.reduceat``. Every merged cluster lies inside one unit cell
+    of k plus at most the preceding boundary straddle, so cluster
+    k-width stays O(1) and the standard t-digest accuracy bound holds
+    (rank error pinned <1% by tests/test_tdigest.py across uniform /
+    lognormal / bimodal).
+    """
     if len(means) == 0:
         return means.astype(np.float64), weights.astype(np.float64)
     order = np.argsort(means, kind="stable")
@@ -44,25 +54,12 @@ def compress(
     weights = weights[order].astype(np.float64)
     total = weights.sum()
 
-    out_means: list[float] = []
-    out_weights: list[float] = []
-    acc_m, acc_w = means[0], weights[0]
-    w_before = 0.0
-    for m, w in zip(means[1:], weights[1:]):
-        q_l = w_before / total
-        q_r = (w_before + acc_w + w) / total
-        if _k(np.array([q_r]), delta)[0] - _k(np.array([q_l]), delta)[0] <= 1.0:
-            # merge into the accumulating centroid (weighted mean)
-            acc_m = (acc_m * acc_w + m * w) / (acc_w + w)
-            acc_w += w
-        else:
-            out_means.append(acc_m)
-            out_weights.append(acc_w)
-            w_before += acc_w
-            acc_m, acc_w = m, w
-    out_means.append(acc_m)
-    out_weights.append(acc_w)
-    return np.asarray(out_means), np.asarray(out_weights)
+    q_r = np.cumsum(weights) / total
+    cells = np.floor(_k(q_r, delta))
+    starts = np.flatnonzero(np.r_[True, cells[1:] != cells[:-1]])
+    out_weights = np.add.reduceat(weights, starts)
+    out_means = np.add.reduceat(means * weights, starts) / out_weights
+    return out_means, out_weights
 
 
 def from_values(
@@ -148,7 +145,7 @@ def tdigest_partials(df, value_col: str, group_cols: list[str],
             yield pd.DataFrame(rows)
 
     schema = ", ".join(
-        f"{c} string" for c in group_cols
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
     ) + ", centroid_means array<double>, centroid_weights array<double>"
     return df.select(*cols).mapInPandas(build, schema=schema)
 
@@ -176,7 +173,9 @@ def tdigest_quantiles(df, value_col: str, group_cols: list[str],
             row[f"q{str(q).replace('.', '_')}"] = v
         return pd.DataFrame([row])
 
-    out_schema = ", ".join(f"{c} string" for c in group_cols) + ", " + ", ".join(
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    ) + ", " + ", ".join(
         f"q{str(q).replace('.', '_')} double" for q in qs
     )
     return partials.groupBy(*group_cols).applyInPandas(

@@ -203,7 +203,9 @@ def stateful_running_stats(
         )
 
     out_schema = (
-        ", ".join(f"{k} string" for k in key_cols)
+        ", ".join(
+            f"{k} {stream.schema[k].dataType.simpleString()}" for k in key_cols
+        )
         + ", batch_n long, batch_mean double, total_n long,"
         " running_mean double, is_anomaly boolean"
     )

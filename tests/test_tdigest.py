@@ -66,6 +66,20 @@ def test_weight_conservation_and_empty():
     assert np.isnan(td.quantile(m0, w0, [0.5])[0])
 
 
+def test_non_string_group_columns(spark):
+    """Group-column dtypes propagate from df.schema into the Arrow output
+    schemas (int keys previously failed schema conversion)."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        (F.col("event_id") % 4).cast("int").alias("g"),
+        F.col("value").cast("double"),
+    )
+    out = td.tdigest_quantiles(ev, "value", ["g"], [0.5])
+    assert dict(out.dtypes)["g"] == "int"
+    rows = out.collect()
+    assert sorted(r.g for r in rows) == [0, 1, 2, 3]
+    assert all(np.isfinite(r.q0_5) for r in rows)
+
+
 def test_distributed_quantiles_on_events(spark):
     """mapInPandas partials → applyInPandas merge matches exact
     quantiles per group within 1% rank error."""
