@@ -49,8 +49,12 @@ def decode_stub(payload: bytes, kind: str) -> dict:
 
 def decode_fake(payload: bytes, kind: str) -> dict:
     """Deterministic pseudo-decode: metadata derived purely from the
-    payload bytes (stable across runs/executors)."""
-    h = hashlib.md5(payload).digest()
+    payload bytes (stable across runs/executors).
+
+    Hashes the hex form of the payload rather than the raw bytes so
+    any engine with a string md5 (e.g. the DuckDB oracle) can verify
+    the derivation end-to-end."""
+    h = hashlib.md5(payload.hex().encode()).digest()
     if kind == "image":
         return {
             "width": 64 + h[0] * 8,
@@ -115,8 +119,11 @@ def extract_media_features(
                     "media_ref": pdf["media_ref"],
                     "media_kind": pdf["media_kind"],
                     "size_bytes": pdf["payload"].map(len).astype("int64"),
+                    # hex-normalized content hash: md5 over the payload's
+                    # lowercase hex form, so external engines with only a
+                    # string md5 can recompute/verify it
                     "content_hash": pdf["payload"].map(
-                        lambda b: hashlib.md5(b).hexdigest()
+                        lambda b: hashlib.md5(b.hex().encode()).hexdigest()
                     ),
                     "width": pd.array(
                         [f["width"] for f in feats], dtype="Int32"

@@ -986,6 +986,31 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction (operators/multimodal.py): a
+    deterministic 1000-blob binary table → Arrow-batched mapInPandas
+    pseudo-decode → narrow typed metadata. The oracle replays the same
+    md5 derivation in DuckDB over the payload's hex form (content hash
+    and decode_fake both hash hex precisely so a string-md5-only
+    engine can verify the whole chain)."""
+    from .operators.multimodal import (
+        decode_fake,
+        extract_media_features,
+        generate_media_blobs,
+    )
+
+    blobs = generate_media_blobs(spark, 1000)
+    return extract_media_features(blobs, decode_fake).select(
+        "media_ref",
+        "media_kind",
+        F.col("size_bytes").cast("long").alias("size_bytes"),
+        "content_hash",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("duration_ms").cast("int").alias("duration_ms"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -1034,6 +1059,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "embedding_neardup": q_embedding_neardup,
+    "media_features": q_media_features,
 }
 
 _LOGLINES_SQL = """
@@ -1596,5 +1622,40 @@ ORACLES: dict[str, str] = {
                CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id
+    """,
+    # Replays generate_media_blobs + decode_fake (seed 42) byte-for-byte on
+    # the payload's hex form: payload = md5("42:i") digest repeated to a
+    # pseudo-random length; every feature derives from md5 hex strings.
+    "media_features": """
+        WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 1000)),
+        b AS (SELECT i, md5('42:' || i) AS base_hex FROM ids),
+        p AS (
+          SELECT i, base_hex,
+                 100 + (CAST('0x' || substr(base_hex, 1, 4) AS INT) % 4000)
+                   AS length
+          FROM b
+        ),
+        q AS (
+          SELECT i, length,
+                 md5(substr(repeat(base_hex, (length // 16) + 1),
+                            1, 2 * length)) AS chash
+          FROM p
+        )
+        SELECT 'm' || lpad(CAST(i AS VARCHAR), 7, '0') AS media_ref,
+               CASE i % 3 WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS media_kind,
+               CAST(length AS BIGINT) AS size_bytes,
+               chash AS content_hash,
+               CASE WHEN i % 3 = 0
+                    THEN CAST(64 + CAST('0x' || substr(chash, 1, 2) AS INT) * 8
+                              AS INT) END AS width,
+               CASE WHEN i % 3 = 0
+                    THEN CAST(64 + CAST('0x' || substr(chash, 3, 2) AS INT) * 8
+                              AS INT) END AS height,
+               CASE WHEN i % 3 <> 0
+                    THEN CAST(1000 + CAST('0x' || substr(chash, 5, 4) AS INT)
+                              AS INT) END AS duration_ms
+        FROM q
     """,
 }
