@@ -214,7 +214,10 @@ def q_rolling_3sigma(spark, sf_dir):
 
 def q_ema_hourly(spark, sf_dir):
     """EMA+3σ over the hourly series via the engine operator (aggregate
-    HOF fold — not ANSI-SQL-expressible; rows-only check)."""
+    HOF fold). The DuckDB oracle replays the fold with list_reduce —
+    including the engine's seed-plus-fold double application of the
+    first trailing element (aggregate(_prev, _prev[0], …) visits
+    _prev[0] again) via list_prepend."""
     from .operators.drift import ema_3sigma
 
     ev = _t(spark, sf_dir, "events")
@@ -650,32 +653,56 @@ def q_sessionization(spark, sf_dir):
 
 def q_hll_distinct(spark, sf_dir):
     """HLL sketch distinct per event_type (DataSketches-backed,
-    partition-mergeable). Approximate → rows-only check (DuckDB's
-    approx algorithm differs); exactness is covered by tests against
+    partition-mergeable). Tolerance-banded oracle: the query itself
+    asserts |estimate − exact| / exact < 5% as a boolean both engines
+    agree on (a broken sketch flips it false → hash mismatch); the
+    estimate's accuracy is additionally pinned in tests vs
     countDistinct."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias(
             "approx_users"
-        )
+        ),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.abs(F.col("approx_users") - F.col("n_exact"))
+            / F.col("n_exact")
+            < 0.05
+        ).alias("within_5pct"),
     )
 
 
 def q_tdigest_quantiles(spark, sf_dir):
     """t-digest quantiles per event_type (functions/tdigest.py:
-    mapInPandas partials → applyInPandas merge). Approximate sketch →
-    rows-only check; rank-error ≤1% pinned in tests/test_tdigest.py."""
+    mapInPandas partials → applyInPandas merge). Tolerance-banded
+    oracle: the query joins the estimates back to the data and asserts
+    rank error < 1% per quantile as booleans both engines agree on
+    (an off-sketch flips one false → hash mismatch); exact rank-error
+    pins also live in tests/test_tdigest.py."""
     from .functions.tdigest import tdigest_quantiles
 
     ev = _t(spark, sf_dir, "events").select(
         "event_type", F.col("value").cast("double")
     )
-    out = tdigest_quantiles(ev, "value", ["event_type"], [0.5, 0.9, 0.99])
-    return out.select(
+    est = tdigest_quantiles(ev, "value", ["event_type"], [0.5, 0.9, 0.99])
+    j = ev.join(F.broadcast(est), "event_type")
+    ranks = j.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.avg((F.col("value") <= F.col(qc)).cast("double")).alias(f"r{qc}")
+            for qc in ("q0_5", "q0_9", "q0_99")
+        ],
+    )
+    return ranks.select(
         "event_type",
-        F.round("q0_5", 4).alias("p50"),
-        F.round("q0_9", 4).alias("p90"),
-        F.round("q0_99", 4).alias("p99"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.abs(F.col("rq0_5") - 0.5) < 0.01).alias("p50_ok"),
+        (F.abs(F.col("rq0_9") - 0.9) < 0.01).alias("p90_ok"),
+        (F.abs(F.col("rq0_99") - 0.99) < 0.01).alias("p99_ok"),
     )
 
 
@@ -1622,6 +1649,52 @@ ORACLES: dict[str, str] = {
                CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id
+    """,
+    # Replays ema_3sigma: trailing-20 window list + stddev; list_reduce fold
+    # seeded with the first element AND folding over it again (list_prepend)
+    # to match Spark's aggregate(_prev, _prev[0], ...) semantics exactly.
+    "ema_hourly": """
+        WITH h AS (
+          SELECT date_trunc('hour', ts) AS bucket_ts,
+                 CAST(count(*) AS DOUBLE) AS n
+          FROM events GROUP BY 1
+        ),
+        w AS (
+          SELECT bucket_ts, n,
+                 list(n) OVER win AS prev,
+                 stddev_samp(n) OVER win AS sd
+          FROM h
+          WINDOW win AS (ORDER BY bucket_ts
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        ),
+        e AS (
+          SELECT bucket_ts, n, sd,
+                 coalesce(len(prev), 0) AS n_prev,
+                 CASE WHEN coalesce(len(prev), 0) = 0 THEN n
+                      ELSE list_reduce(list_prepend(prev[1], prev),
+                                       (s, x) -> 0.3 * x + 0.7 * s)
+                 END AS ema
+          FROM w
+        )
+        SELECT bucket_ts,
+               CAST(n AS BIGINT) AS n,
+               round(ema, 4) AS ema,
+               (n_prev >= 5 AND
+                CASE WHEN sd IS NULL OR sd < 1e-6 THEN 0.0
+                     ELSE abs(n - ema) / sd END > 3.0) AS is_anomaly
+        FROM e
+    """,
+    "hll_distinct": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_exact,
+               true AS within_5pct
+        FROM events GROUP BY event_type
+    """,
+    "tdigest_quantiles": """
+        SELECT event_type,
+               count(*) AS n_rows,
+               true AS p50_ok, true AS p90_ok, true AS p99_ok
+        FROM events GROUP BY event_type
     """,
     # Replays generate_media_blobs + decode_fake (seed 42) byte-for-byte on
     # the payload's hex form: payload = md5("42:i") digest repeated to a
