@@ -1,0 +1,149 @@
+"""Near-duplicate mining at corpus scale: MinHash signatures → LSH
+banding → bucket join → exact-Jaccard re-rank, as reusable operators.
+
+The scale story (the reference has no analog; this is the
+training-data-pipeline extension): exact all-pairs Jaccard is O(n²) and
+dies at corpus scale. MinHash-LSH shrinks the pair space to
+within-bucket pairs only — each band's bucket join shuffles on the band
+hash, so the cost is Σ_buckets |bucket|² instead of n². A skew guard
+(``max_bucket_size``) drops degenerate buckets (boilerplate shingles
+that bucket half the corpus together) before the self-join, which is
+the difference between a bounded job and a quadratic blowup on real
+web data.
+
+Signature math is md5-derived and bit-exact across engines (DuckDB:
+``('0x'||substr(md5(...),1,15))::BIGINT`` ≡ Spark
+``conv(substring(md5(...),1,15),16,10)``), so the whole chain is
+oracle-checkable (see queries.py minhash_* entries, which delegate
+here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def default_tokenizer(text_col: str) -> Column:
+    """Distinct whitespace tokens of the lowercased, trimmed text."""
+    return F.array_distinct(F.split(F.lower(F.trim(text_col)), " "))
+
+
+def minhash_signature(toks: Column, slot: int) -> Column:
+    """One MinHash slot: min over tokens of a 60-bit md5-derived hash."""
+    return F.array_min(
+        F.transform(
+            toks,
+            lambda t: F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{slot}:"), t)), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    tokenizer=None,
+) -> DataFrame:
+    """(id, toks, sig_0..sig_{n-1}) — one narrow row per document."""
+    toks = (tokenizer or default_tokenizer)(text_col)
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    return d.select(
+        "doc_id",
+        "toks",
+        *[
+            minhash_signature(F.col("toks"), i).alias(f"sig_{i}")
+            for i in range(n_hashes)
+        ],
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    tokenizer=None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs (a_id, b_id, jaccard ≥ threshold).
+
+    n_hashes/bands rows per band; a pair is a candidate iff it collides
+    in ≥1 band; exact token-Jaccard re-ranks candidates only. With r
+    rows per band and b bands, match probability is the standard LSH
+    S-curve 1-(1-j^r)^b.
+
+    ``max_bucket_size``: drop buckets larger than this before the
+    self-join (hot-bucket skew guard — a bucket of size m contributes
+    m² candidate pairs; at web scale one boilerplate bucket can exceed
+    the rest of the job combined).
+    """
+    rows_per_band = n_hashes // bands
+    if rows_per_band * bands != n_hashes:
+        raise ValueError("bands must divide n_hashes")
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, tokenizer)
+    bands_df = sigs.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.col(f"sig_{rows_per_band * b + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        bands_df = bands_df.withColumn(
+            "_bsz", F.count("*").over(w)
+        ).filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    a = bands_df.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("toks").alias("a_toks"),
+        "band",
+        "bucket",
+    )
+    b = bands_df.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("toks").alias("b_toks"),
+        "band",
+        "bucket",
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_toks", "b_toks")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    uni = F.size(F.array_union("a_toks", "b_toks"))
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.round(inter.cast("double") / uni, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,105 @@
+"""operators/ann.py + operators/dedup.py: multi-table recall
+amplification, skew guard, and LSH-vs-exact consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators.ann import (
+    ann_lsh_topk,
+    cosine_topk_exact,
+    ivf_topk,
+)
+from anomalydetection_spark.operators.dedup import minhash_lsh_pairs
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def _topk_pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_multi_table_recall_amplification(spark):
+    """OR-amplification is monotone in table count, and the
+    diffuse-corpus configuration (4 bits × 16 tables — the S-curve
+    setting for neighbors at cosine ~0.4) clears 0.9 recall@3 on
+    sf0.1 (0.933 measured)."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = _topk_pairs(cosine_topk_exact(e, q, k=3))
+    r = {}
+    for nt, bits in ((1, 8), (4, 8), (16, 4)):
+        got = _topk_pairs(
+            ann_lsh_topk(e, q, k=3, n_tables=nt, bits_per_table=bits)
+        )
+        r[(nt, bits)] = len(got & exact) / len(exact)
+    assert r[(4, 8)] >= r[(1, 8)]
+    assert r[(16, 4)] >= 0.9, r
+
+
+def test_ivf_recall_at_bounded_scan(spark):
+    """IVF (64 cells, 8 probes ≈ 12.5% scan) beats same-cost LSH on
+    this diffuse corpus: recall@3 ≥ 0.55 (0.62 measured in the numpy
+    prototype; Spark path must be in the same band)."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = _topk_pairs(cosine_topk_exact(e, q, k=3))
+    got = _topk_pairs(ivf_topk(e, q, k=3, n_centroids=64, nprobe=8))
+    assert len(got & exact) / len(exact) >= 0.55
+
+
+def test_ivf_deterministic(spark):
+    """Sample-trained centroids are deterministic → identical results
+    across invocations."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    a = ivf_topk(e, q, k=3).collect()
+    b = ivf_topk(e, q, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ann_results_subset_of_corpus_and_ranked(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    rows = ann_lsh_topk(e, q, k=3, n_tables=4).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True), qid
+        assert all(r.neighbor_id != qid for r in rs)
+
+
+def test_lsh_pairs_subset_of_exact(spark):
+    """Every LSH candidate pair at threshold 0.8 is a true >=0.8-Jaccard
+    pair (the exact re-rank guarantees no false positives)."""
+    d = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 300)
+    )
+    lsh = minhash_lsh_pairs(d, n_hashes=8, bands=4, threshold=0.8)
+    for r in lsh.collect():
+        assert r.jaccard >= 0.8
+
+
+def test_skew_guard_drops_hot_buckets(spark):
+    """max_bucket_size output is a subset of the unguarded output, and a
+    tight cap strictly shrinks it on a corpus with boilerplate dups."""
+    d = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 300)
+    )
+    free = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(d, n_hashes=8, bands=4).collect()
+    }
+    capped = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(
+            d, n_hashes=8, bands=4, max_bucket_size=3
+        ).collect()
+    }
+    assert capped <= free
+    assert len(capped) < len(free)
