@@ -929,6 +929,19 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+def q_template_mining(spark, sf_dir):
+    """T1 option (b): Drain-parity similarity-tree miner
+    (operators/templates.py — sim_th 0.4, depth 4, max 1024 clusters
+    mirroring /root/reference/drain3.ini:70-78) over the header log
+    lines. Incremental order-dependent clustering → rows-only; cluster
+    count/membership pinned on a deterministic fixture in
+    tests/test_templates.py."""
+    from .operators.templates import mine_templates
+
+    lines = _loglines(spark, sf_dir).filter(~F.col("is_cont"))
+    return mine_templates(lines, "value")
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN (operators/ann.py): sample-trained k-means++ coarse
     quantizer, distributed cell assignment, nprobe-cell exact re-rank.
@@ -1025,6 +1038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,
+    "template_mining": q_template_mining,
 }
 
 _LOGLINES_SQL = """
