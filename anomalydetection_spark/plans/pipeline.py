@@ -365,3 +365,62 @@ def run_validation(
         manifest_version = manifest.commit_validated(records, run_id, now)
 
     return ValidationResult(verdicts, violations, pending, manifest_version)
+
+
+def revalidate_with_feedback(
+    spark: SparkSession,
+    violations: DataFrame,
+    totals: DataFrame,
+    feedback: DataFrame,
+    has_catalog: bool = True,
+    manifest: Manifest | None = None,
+    run_id: str = "feedback0",
+    now: str = "1970-01-01T00:00:00Z",
+    cfg: ValidationConfig = DEFAULT_CONFIG,
+) -> ValidationResult:
+    """Recompute verdicts after human feedback marked violation rows as
+    false positives (operators/feedback.py) — no source-table re-scan;
+    only the (small) violations output is touched, which is exactly why
+    verdicts are derived from violations rather than re-scans.
+
+    ``totals`` is (partition_id, n_rows) — at feedback time this comes
+    from the manifest (n_rows is recorded per partition), never from a
+    new scan. Manifest metrics/verdicts are updated in place without
+    touching snapshot hashes, so the should-process predicate is
+    unaffected (the data didn't change, only its interpretation)."""
+    from ..operators.feedback import apply_feedback, live_violations
+
+    flagged = apply_feedback(violations, feedback).cache()
+    verdicts = _verdicts_from_violations(
+        live_violations(flagged), totals, has_catalog=has_catalog, cfg=cfg
+    )
+    verdicts = verdicts.unionByName(
+        global_verdict(verdicts.filter(F.col("partition_id").isNotNull()))
+    ).cache()
+    version = 0
+    if manifest is not None:
+        per_part = verdicts.filter(F.col("partition_id").isNotNull()).groupBy(
+            "partition_id"
+        ).agg(
+            F.sum("n_violations").alias("n_violations"),
+            F.max(F.when(F.col("verdict") == "fail", 1).otherwise(0)).alias(
+                "failed"
+            ),
+        )
+        n_fb = flagged.filter(~F.col("is_anomaly")).count()
+        records = [
+            {
+                "partition_id": r.partition_id,
+                "n_violations": int(r.n_violations or 0),
+                "verdict": "fail" if r.failed else "pass",
+                "metrics": {"feedback_run": run_id, "n_feedback_total": n_fb},
+            }
+            for r in per_part.collect()
+        ]
+        version = manifest.update_metrics(records, run_id, now)
+    return ValidationResult(
+        verdicts,
+        flagged,
+        sorted(r.partition_id for r in totals.select("partition_id").collect()),
+        version,
+    )

@@ -129,6 +129,31 @@ class Manifest:
             }
         return self._commit_state(state, run_id)
 
+    def update_metrics(
+        self, records: list[dict], run_id: str, now: str
+    ) -> int:
+        """Merge new n_violations/verdict/metrics into already-validated
+        partitions WITHOUT touching snapshot_hash or status — used by
+        the feedback path, where human overrides change the verdict but
+        the data (and so the should-process predicate) is unchanged."""
+        state = self.load()
+        for rec in records:
+            pid = str(rec["partition_id"])
+            cur = state.get(pid)
+            if cur is None:
+                continue
+            cur["n_violations"] = rec.get("n_violations", cur.get("n_violations"))
+            cur["verdict"] = rec.get("verdict", cur.get("verdict"))
+            cur["validated_at"] = now
+            if rec.get("metrics") is not None:
+                import json as _json
+
+                merged = _json.loads(cur.get("metrics_json") or "{}")
+                merged.update(rec["metrics"])
+                cur["metrics_json"] = _json.dumps(merged)
+            state[pid] = cur
+        return self._commit_state(state, run_id)
+
     # ---- the should-process predicate (S5) ----
 
     def pending_partitions(

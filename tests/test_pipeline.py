@@ -38,6 +38,72 @@ def test_full_run_verdicts_and_violations(spark, docs, catalog, expected):
     assert viol.join(orig, ["doc_id", "j"], "left_anti").count() == 0
 
 
+def test_feedback_flips_verdict_and_updates_manifest(
+    spark, docs, catalog, tmp_path
+):
+    """Mark every uniqueness violation in one partition as a false
+    positive → that partition's uniqueness verdict flips to pass,
+    other checks/partitions unchanged, manifest metrics updated in
+    place without touching snapshot hashes (no re-validation queued)."""
+    from anomalydetection_spark.plans.pipeline import revalidate_with_feedback
+    from anomalydetection_spark.sources.manifest import Manifest
+
+    mdir = str(tmp_path / "manifest")
+    res = run_validation(
+        spark, docs, catalog=catalog, manifest_dir=mdir, run_id="r1"
+    )
+    manifest = Manifest(mdir)
+    v_before = {
+        (r.check, r.partition_id): r.verdict
+        for r in res.verdicts.collect()
+        if r.partition_id is not None
+    }
+    uniq = res.violations.filter(F.col("check") == "uniqueness")
+    pid = uniq.select("partition_id").first().partition_id
+    fb = uniq.filter(F.col("partition_id") == pid).select(
+        "check", "doc_id"
+    ).distinct()
+    assert fb.count() > 0
+    totals = res.verdicts.filter(
+        F.col("partition_id").isNotNull()
+    ).select("partition_id", "n_rows").distinct()
+
+    res2 = revalidate_with_feedback(
+        spark, res.violations, totals, fb,
+        manifest=manifest, run_id="fb1", now="1970-01-02T00:00:00Z",
+    )
+    v_after = {
+        (r.check, r.partition_id): r.verdict
+        for r in res2.verdicts.collect()
+        if r.partition_id is not None
+    }
+    assert v_before[("uniqueness", pid)] == "fail"
+    assert v_after[("uniqueness", pid)] == "pass"
+    # every other (check, partition) cell is untouched
+    for key, verdict in v_after.items():
+        if key != ("uniqueness", pid):
+            assert verdict == v_before[key], key
+    # violations table keeps the audit trail: rows flagged, not dropped.
+    # Feedback is doc-level (check, doc_id) — like the reference's
+    # per-text is_anomaly flip — so a dup doc planted in two partitions
+    # is marked in both; expected = rows joining the feedback keys.
+    flagged = res2.violations
+    exp_marked = res.violations.join(fb, ["check", "doc_id"], "left_semi").count()
+    assert flagged.filter(~F.col("is_anomaly")).count() == exp_marked
+    assert exp_marked >= fb.count()
+    assert flagged.count() == res.violations.count()
+    # manifest: metrics merged, hash untouched -> nothing pending
+    state = manifest.load()
+    rec = state[str(pid)]
+    assert rec["verdict"] in ("pass", "fail")
+    import json
+
+    assert json.loads(rec["metrics_json"])["feedback_run"] == "fb1"
+    from anomalydetection_spark.sources.manifest import partition_snapshots
+
+    assert manifest.pending_partitions(partition_snapshots(docs)) == []
+
+
 def test_rate_threshold_semantics(spark, docs, catalog):
     """Pass/fail applies the configured violation-RATE gates: any
     dup/orphan fails (gates 0.0), conformance tolerates up to
