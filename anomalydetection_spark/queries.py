@@ -929,6 +929,37 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+def q_markup_sanitize(spark, sf_dir):
+    """F9 report-layer sanitize/escape (functions/sanitize.py) applied
+    to bracket-wrapped masked templates (which contain <:NUM:>/<:TS:>
+    markers, exercising every branch of the order-sensitive chains)."""
+    from .functions.sanitize import (
+        escape_markup,
+        escape_tree_text,
+        sanitize_text,
+    )
+
+    lines = _loglines(spark, sf_dir).filter(~F.col("is_cont"))
+    tpl = F.regexp_replace(
+        F.regexp_replace("value", "[0-9]+", "<:NUM:>"),
+        "(<:NUM:>[-: ]?)+",
+        "<:TS:> ",
+    )
+    rendered = F.concat(F.lit("["), tpl, F.lit("]"))
+    return (
+        lines.select(rendered.alias("rendered"))
+        .groupBy("rendered")
+        .agg(F.count("*").alias("n_lines"))
+        .select(
+            "rendered",
+            "n_lines",
+            sanitize_text(F.col("rendered")).alias("sanitized"),
+            escape_tree_text(F.col("rendered")).alias("escaped"),
+            escape_markup(escape_tree_text(F.col("rendered"))).alias("markup"),
+        )
+    )
+
+
 def q_template_mining(spark, sf_dir):
     """T1 option (b): Drain-parity similarity-tree miner
     (operators/templates.py — sim_th 0.4, depth 4, max 1024 clusters
@@ -1039,6 +1070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "ann_ivf": q_ann_ivf,
     "template_mining": q_template_mining,
+    "markup_sanitize": q_markup_sanitize,
 }
 
 _LOGLINES_SQL = """
@@ -1404,6 +1436,25 @@ ORACLES: dict[str, str] = {
                  '(<:NUM:>[-: ]?)+', '<:TS:> ', 'g') AS template,
                count(*) AS n_lines
         FROM lines WHERE NOT is_cont GROUP BY template
+    """,
+    "markup_sanitize": f"""
+        WITH lines AS ({_LOGLINES_SQL}),
+        t AS (
+          SELECT '[' || regexp_replace(
+                   regexp_replace(value, '[0-9]+', '<:NUM:>', 'g'),
+                   '(<:NUM:>[-: ]?)+', '<:TS:> ', 'g') || ']' AS rendered,
+                 count(*) AS n_lines
+          FROM lines WHERE NOT is_cont GROUP BY 1
+        )
+        SELECT rendered, n_lines,
+               replace(replace(rendered, '[', ''), ']', '') AS sanitized,
+               replace(replace(rendered, '<', '&lt;'), '>', '&gt;')
+                 AS escaped,
+               replace(replace(replace(replace(replace(
+                 replace(replace(rendered, '<', '&lt;'), '>', '&gt;'),
+                 '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+                 '[', '&#91;'), ']', '&#93;') AS markup
+        FROM t
     """,
     "timestamp_extraction": """
         WITH s AS (
