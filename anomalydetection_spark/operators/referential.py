@@ -49,6 +49,15 @@ def _span_refs(docs: DataFrame) -> DataFrame:
 
 BLOOM_MIN_CATALOG_ROWS = 5_000_000
 
+# Forced-broadcast ceiling for the catalog key column. Media refs are
+# ~20-60 byte strings: 2M rows ≈ 40-120 MB serialized — the top of what
+# an explicit broadcast should ever ship to every executor (Spark's own
+# auto threshold is 10 MB; a forced 20M-row broadcast ≈ 0.4-1.2 GB was
+# an OOM risk on real clusters despite fitting this sandbox). Above the
+# ceiling the salted sort-merge anti-join takes over (AQE skew-join as
+# backstop).
+BROADCAST_MAX_CATALOG_ROWS = 2_000_000
+
 
 def orphan_refs(
     docs: DataFrame,
@@ -68,14 +77,17 @@ def orphan_refs(
     pass + driver merge + Python prefilter stage) is pure overhead."""
     refs = _span_refs(docs)
 
-    n = None
+    # Catalog size drives BOTH the bloom and the join-strategy choice,
+    # so resolve it independently of use_bloom (an explicit
+    # use_bloom=False previously left n unknown and forced even tiny
+    # catalogs down the salted sort-merge path). Callers that know the
+    # size (e.g. streaming micro-batches against a fixed catalog) pass
+    # catalog_size_hint and skip the count() action entirely.
+    n = catalog_size_hint if catalog_size_hint is not None else catalog.count()
     if use_bloom is None:
-        n = catalog_size_hint if catalog_size_hint is not None else catalog.count()
         use_bloom = n > BLOOM_MIN_CATALOG_ROWS
 
     if use_bloom and spark is not None:
-        if n is None:
-            n = catalog_size_hint if catalog_size_hint is not None else catalog.count()
         bits, k, m = build_bloom(catalog, "media_ref", n, fpp)
         mc = might_contain_udf(spark, bits, k, m)
         refs = refs.withColumn("_maybe", mc(F.col("media_ref")))
@@ -91,7 +103,7 @@ def orphan_refs(
     # raw span pairs (no reducer exists, so no skew to salt). Oversized
     # catalog → salted sort-merge anti-join: replicate the catalog side
     # salt_buckets ways so a hot media_ref spreads across reducers.
-    broadcastable = n is not None and n <= 20_000_000
+    broadcastable = n <= BROADCAST_MAX_CATALOG_ROWS
     if broadcastable:
         fp_orphans = candidates.join(
             F.broadcast(catalog.select("media_ref")), "media_ref", "left_anti"

@@ -9,9 +9,10 @@ violations + lineage atomically.
 Cluster usage (multi-executor):
 
     zip -r engine.zip anomalydetection_spark
+    echo 'from anomalydetection_spark.run import main; main()' > run_entry.py
     spark-submit --py-files engine.zip \\
         --conf spark.sql.adaptive.enabled=true \\
-        -m anomalydetection_spark.run -- \\
+        run_entry.py \\
         --docs s3://bucket/documents --catalog s3://bucket/media_catalog \\
         --manifest-dir s3://bucket/manifest --out s3://bucket/validation
 
@@ -88,7 +89,14 @@ def main(argv: list[str] | None = None) -> int:
     rounds = 0
     try:
         while True:
-            run_id = args.run_id or f"run{int(time.time())}_{rounds}"
+            # --loop must not reuse one run_id across rounds: outputs are
+            # written under <out>/.../<run_id> and manifest lineage keys
+            # on it, so a fixed id would overwrite each round's verdicts
+            # and collide lineage records
+            if args.run_id:
+                run_id = f"{args.run_id}_{rounds}" if args.loop else args.run_id
+            else:
+                run_id = f"run{int(time.time())}_{rounds}"
             summary = one_round(spark, args, run_id)
             print(json.dumps(summary))
             rounds += 1

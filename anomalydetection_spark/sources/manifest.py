@@ -27,6 +27,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Version of the snapshot-hash derivation below. Bump whenever the hash
+# scheme changes (v1 = md5(to_json), v2 = bit_xor(xxhash64)): a manifest
+# written under another version cannot compare hashes, so every
+# partition is explicitly (and loudly) re-pending rather than silently
+# mass-mismatching.
+SNAPSHOT_HASH_VERSION = 2
+
 
 def partition_snapshots(docs: DataFrame) -> DataFrame:
     """(partition_id, snapshot_hash, n_rows) — one aggregation pass.
@@ -76,6 +83,15 @@ class Manifest:
         with open(os.path.join(self.path, f"v{v}.json")) as f:
             return json.load(f)["partitions"]
 
+    def stored_hash_version(self) -> int:
+        """Hash-scheme version the current manifest was written under
+        (pre-versioning manifests report 1)."""
+        v = self.current_version()
+        if v == 0:
+            return SNAPSHOT_HASH_VERSION
+        with open(os.path.join(self.path, f"v{v}.json")) as f:
+            return json.load(f).get("hash_version", 1)
+
     # ---- writes ----
 
     def _commit_state(self, state: dict[str, dict], run_id: str) -> int:
@@ -83,7 +99,15 @@ class Manifest:
         fname = f"v{v}.json"
         tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
-            json.dump({"version": v, "run_id": run_id, "partitions": state}, f)
+            json.dump(
+                {
+                    "version": v,
+                    "run_id": run_id,
+                    "hash_version": SNAPSHOT_HASH_VERSION,
+                    "partitions": state,
+                },
+                f,
+            )
         os.rename(tmp, os.path.join(self.path, fname))
         tmp2 = os.path.join(self.path, f"_tmpcur_{uuid.uuid4().hex}")
         with open(tmp2, "w") as f:
@@ -164,6 +188,22 @@ class Manifest:
         by another run is skipped (the reference's in_process check,
         database_manager.py:84-103)."""
         state = self.load()
+        if state and self.stored_hash_version() != SNAPSHOT_HASH_VERSION:
+            # hash-scheme upgrade: stored hashes are incomparable — make
+            # the one-time full revalidation explicit and loggable
+            # instead of a silent all-partitions "mismatch"
+            import warnings
+
+            warnings.warn(
+                "manifest snapshot-hash version "
+                f"{self.stored_hash_version()} != engine version "
+                f"{SNAPSHOT_HASH_VERSION}; revalidating all partitions",
+                stacklevel=2,
+            )
+            return sorted(
+                r.partition_id
+                for r in snapshots.select("partition_id").collect()
+            )
         pending = []
         for row in snapshots.select("partition_id", "snapshot_hash").collect():
             rec = state.get(str(row.partition_id))

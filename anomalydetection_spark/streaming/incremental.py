@@ -43,7 +43,11 @@ def read_documents_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def _batch_verdicts(batch: DataFrame, catalog: DataFrame | None) -> DataFrame:
+def _batch_verdicts(
+    batch: DataFrame,
+    catalog: DataFrame | None,
+    catalog_size_hint: int | None = None,
+) -> DataFrame:
     verdicts = stats_ops.conformance_verdicts(batch)
     uniq = duplicate_keys(batch, "doc_id")
     per_part = batch.join(F.broadcast(uniq), "doc_id").groupBy(
@@ -65,7 +69,17 @@ def _batch_verdicts(batch: DataFrame, catalog: DataFrame | None) -> DataFrame:
     )
     out = verdicts.unionByName(uniq_v)
     if catalog is not None:
-        orphans = orphan_refs(batch, catalog, batch.sparkSession, use_bloom=False)
+        # size hint measured once at stream setup: a micro-batch must
+        # not pay a catalog.count() action per trigger, and a small
+        # catalog should take the broadcast anti-join, not the salted
+        # sort-merge path
+        orphans = orphan_refs(
+            batch,
+            catalog,
+            batch.sparkSession,
+            use_bloom=False,
+            catalog_size_hint=catalog_size_hint,
+        )
         ref_v = totals.join(
             orphans.groupBy("partition_id").agg(
                 F.count("*").alias("n_violations")
@@ -104,11 +118,12 @@ def stream_validate(
     backlog once and stops (call ``awaitTermination()``)."""
     stream = read_documents_stream(spark, input_dir)
     verdicts_dir = os.path.join(output_dir, "verdicts")
+    catalog_n = catalog.count() if catalog is not None else None
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        v = _batch_verdicts(batch, catalog).withColumn(
+        v = _batch_verdicts(batch, catalog, catalog_n).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
         v.write.mode("append").parquet(verdicts_dir)

@@ -148,3 +148,48 @@ def test_crash_before_commit_is_invisible(tmp_path):
     state = m.load()
     assert state["0"]["snapshot_hash"] == "h0"
     assert m.current_version() == 1
+
+
+def test_hash_scheme_upgrade_revalidates_explicitly(spark, docs, tmp_path):
+    """A manifest written under an older snapshot-hash scheme makes every
+    partition pending (hashes incomparable) with an explicit warning,
+    instead of silently mass-mismatching; re-commit under the current
+    scheme restores normal delta behavior."""
+    import json
+    import warnings
+
+    from anomalydetection_spark.sources.manifest import partition_snapshots
+
+    m = Manifest(str(tmp_path / "manifest"))
+    snaps = partition_snapshots(docs)
+    records = [
+        {
+            "partition_id": r.partition_id,
+            "snapshot_hash": r.snapshot_hash,
+            "n_rows": r.n_rows,
+            "verdict": "pass",
+        }
+        for r in snaps.collect()
+    ]
+    m.commit_validated(records, "r1", "t0")
+    assert m.pending_partitions(snaps) == []
+
+    # rewrite the manifest as if produced by hash scheme v1
+    v = m.current_version()
+    fpath = os.path.join(m.path, f"v{v}.json")
+    with open(fpath) as f:
+        doc = json.load(f)
+    doc["hash_version"] = 1
+    with open(fpath, "w") as f:
+        json.dump(doc, f)
+    assert m.stored_hash_version() == 1
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pending = m.pending_partitions(snaps)
+    assert pending == sorted(r["partition_id"] for r in records)
+    assert any("snapshot-hash version" in str(w.message) for w in caught)
+
+    m.commit_validated(records, "r2", "t1")
+    assert m.stored_hash_version() != 1
+    assert m.pending_partitions(snaps) == []
