@@ -7,8 +7,11 @@ threshold) + drift (PSI) unioned into one verdicts DataFrame.
 ``queries()`` / ``oracle_sql()`` — the operator catalog from
 ``anomalydetection_spark.queries`` (one entry per SURVEY.md §2 operator
 family — see SURVEY.md §8 for the full operator → query map; oracles
-omitted only for non-SQL-expressible ops: EMA fold, HLL sketches,
-greedy similarity grouping).
+omitted only for genuinely non-SQL-expressible ops: greedy similarity
+grouping, IVF ANN (seeded iterative k-means), and the Drain template
+miner (order-dependent incremental clustering). The EMA fold is
+oracle'd via DuckDB list_reduce; HLL/t-digest sketches via in-query
+tolerance-band booleans both engines agree on).
 """
 
 from __future__ import annotations

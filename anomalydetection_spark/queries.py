@@ -488,15 +488,17 @@ def q_embedding_neardup(spark, sf_dir):
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("cos_sim", dot / (na * nb))
     )
+    # global top-k via distributed sort+limit (TakeOrderedAndProject —
+    # per-partition top-20 merged on the driver), NOT an unpartitioned
+    # window over all pairs; the rank window then sees only 20 rows
+    top = pairs.orderBy(
+        F.desc("cos_sim"), F.asc("a_id"), F.asc("b_id")
+    ).limit(20)
     w = Window.orderBy(F.desc("cos_sim"), F.asc("a_id"), F.asc("b_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select(
-            F.col("rank").cast("long").alias("rank"),
-            "a_id", "b_id",
-            F.round("cos_sim", 4).alias("cos_sim"),
-        )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "a_id", "b_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
     )
 
 
