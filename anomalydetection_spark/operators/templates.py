@@ -204,3 +204,26 @@ def mine_templates(
         "template",
         F.col("size").cast("long").alias("size"),
     )
+
+
+def store_templates(
+    templates: DataFrame, out_dir: str, run_id: str
+) -> str:
+    """K5 parsed-log/template sink — the working version of the
+    reference's dead ``store_logs_drain3``
+    (/root/reference/database_manager.py:105-121, unreachable after its
+    first ``return True``): persist the mined template dictionary under
+    the run id, stamped so successive runs are comparable."""
+    import os
+
+    path = os.path.join(out_dir, "templates", run_id)
+    templates.withColumn("run_id", F.lit(run_id)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def load_templates(spark, out_dir: str, run_id: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(out_dir, "templates", run_id))

@@ -911,6 +911,50 @@ def q_vector_align(spark, sf_dir):
     )
 
 
+def q_external_log_scan(spark, sf_dir):
+    """S7 external log-API source (sources/external_logs.py): 20
+    streams fetched in parallel via mapInPandas with a deterministic
+    md5-derived fake client; the oracle replays the derivation in
+    DuckDB (same pattern as media_features)."""
+    from .sources.external_logs import FakeLogClient, read_external_logs
+
+    streams = spark.range(0, 20).select(
+        F.concat(F.lit("s"), F.col("id")).alias("stream")
+    )
+    return read_external_logs(
+        streams, lambda: FakeLogClient(seed=7), 1_000_000, 1_012_000
+    )
+
+
+def q_combine_pad(spark, sf_dir):
+    """A8 combine-and-pad (combine_and_pad_arrays,
+    /root/reference/ensemble_model.py:303-316): stack ragged per-doc
+    feature vectors into a zero-padded max-width block. Relationally:
+    global max width = 1-row aggregate broadcast to every row; padding
+    = concat(v, array_repeat(0, width − size(v)))."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.transform(
+            F.split(F.lower(F.trim("text")), " "),
+            lambda t: F.length(t).cast("double"),
+        ).alias("lens"),
+    )
+    m = d.agg(F.max(F.size("lens")).alias("width"))
+    j = d.crossJoin(F.broadcast(m))
+    padded = F.expr(
+        "concat(lens, array_repeat(0D, greatest(0, width - size(lens))))"
+    )
+    return j.select(
+        "doc_id",
+        F.size("lens").cast("long").alias("orig_len"),
+        F.col("width").cast("long").alias("width"),
+        (F.col("width") - F.size("lens")).cast("long").alias("n_pad"),
+        F.round(
+            F.aggregate(padded, F.lit(0.0), lambda s, x: s + x), 4
+        ).alias("checksum"),
+    )
+
+
 def q_ann_lsh_bucketed(spark, sf_dir):
     """Multi-table LSH ANN (the scale path next to brute-force
     q_cosine_topk): 4 sign-projection tables over disjoint 8-component
@@ -1073,6 +1117,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "template_mining": q_template_mining,
     "markup_sanitize": q_markup_sanitize,
+    "combine_pad": q_combine_pad,
+    "external_log_scan": q_external_log_scan,
 }
 
 _LOGLINES_SQL = """
@@ -1457,6 +1503,45 @@ ORACLES: dict[str, str] = {
                  '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
                  '[', '&#91;'), ']', '&#93;') AS markup
         FROM t
+    """,
+    # Replays FakeLogClient (seed 7): per stream s<i>, n = 5 + (md5 byte
+    # % 10) events, 1s apart from start=1_000_000 ms, capped at end=
+    # 1_012_000 ms (so n is additionally capped at 12), line =
+    # "<LEVEL> <hex8> msg=<j>".
+    "external_log_scan": """
+        WITH s AS (
+          SELECT 's' || CAST(range AS VARCHAR) AS stream FROM range(0, 20)
+        ), n AS (
+          SELECT stream,
+                 5 + (CAST('0x' || substr(md5('7:' || stream), 1, 2) AS INT)
+                      % 10) AS n_events
+          FROM s
+        ), j AS (
+          SELECT n.stream, CAST(r.range AS INT) AS line_no
+          FROM n, range(0, 14) r
+          WHERE r.range < n.n_events AND 1000000 + r.range * 1000 < 1012000
+        )
+        SELECT stream, line_no,
+               CAST(1000000 + line_no * 1000 AS BIGINT) AS ts_ms,
+               (CASE line_no % 4 WHEN 0 THEN 'ERROR' WHEN 1 THEN 'WARN'
+                                 WHEN 2 THEN 'INFO' ELSE 'DEBUG' END)
+               || ' ' || substr(md5('7:' || stream || ':' || line_no), 1, 8)
+               || ' msg=' || line_no AS value
+        FROM j
+    """,
+    "combine_pad": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform(string_split(lower(trim(text)), ' '),
+                                s -> CAST(len(s) AS DOUBLE)) AS lens
+          FROM documents WHERE doc_id < 100
+        ), m AS (SELECT max(len(lens)) AS width FROM t)
+        SELECT doc_id,
+               CAST(len(lens) AS BIGINT) AS orig_len,
+               CAST(width AS BIGINT) AS width,
+               CAST(width - len(lens) AS BIGINT) AS n_pad,
+               round(list_sum(lens), 4) AS checksum
+        FROM t, m
     """,
     "timestamp_extraction": """
         WITH s AS (

@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the pure sketch/miner kernels
+— invariants that must hold for ARBITRARY inputs, not just fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from anomalydetection_spark.functions import tdigest as td
+from anomalydetection_spark.operators.templates import DrainMiner
+
+finite_floats = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(finite_floats, min_size=1, max_size=5000))
+def test_tdigest_weight_conservation_and_bounds(values):
+    v = np.asarray(values, dtype=np.float64)
+    m, w = td.from_values(v)
+    assert abs(w.sum() - len(v)) < 1e-6
+    assert len(m) <= len(v)
+    assert m.min() >= v.min() - 1e-9 and m.max() <= v.max() + 1e-9
+    # quantiles stay within the data range and are monotone in q
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    est = td.quantile(m, w, qs)
+    assert est == sorted(est)
+    assert v.min() - 1e-9 <= est[0] and est[-1] <= v.max() + 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(finite_floats, min_size=2, max_size=2000),
+    st.integers(min_value=2, max_value=7),
+)
+def test_tdigest_merge_weight_and_range(values, chunks):
+    v = np.asarray(values, dtype=np.float64)
+    parts = np.array_split(v, chunks)
+    m, w = td.merge([td.from_values(c) for c in parts])
+    assert abs(w.sum() - len(v)) < 1e-6
+    med_merged = td.quantile(m, w, [0.5])[0]
+    assert v.min() - 1e-9 <= med_merged <= v.max() + 1e-9
+
+
+token = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+line = st.lists(token, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(line, min_size=1, max_size=300))
+def test_drain_sizes_sum_and_bounded(lines):
+    m = DrainMiner(max_clusters=64)
+    for ln in lines:
+        m.add(ln)
+    assert sum(m.sizes.values()) == len(lines)
+    assert len(m.templates) <= 64
+    # every template has the token count of the lines it absorbed
+    for cid, tpl in m.templates.items():
+        assert len(tpl) >= 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(line, min_size=1, max_size=150))
+def test_drain_templates_generalize_monotonically(lines):
+    """Re-adding the same corpus doubles total size and only ever
+    GENERALIZES templates: a position can change to <*> but a wildcard
+    never re-specializes, and non-wildcard positions never change
+    token. (Strict fixpoint is not guaranteed — a re-added line may
+    match a sibling cluster whose template then wildcards further.)"""
+    from anomalydetection_spark.operators.templates import WILDCARD
+
+    m = DrainMiner()
+    for ln in lines:
+        m.add(ln)
+    before = {cid: list(t) for cid, t in m.templates.items()}
+    for ln in lines:
+        m.add(ln)
+    assert sum(m.sizes.values()) == 2 * len(lines)
+    for cid, old in before.items():
+        new = m.templates[cid]
+        assert len(new) == len(old)
+        for a, b in zip(old, new):
+            assert b == a or b == WILDCARD
