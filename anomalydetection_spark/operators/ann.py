@@ -111,6 +111,7 @@ def ann_lsh_topk(
     k: int = 3,
     n_tables: int = 4,
     bits_per_table: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Multi-table LSH ANN: OR over ``n_tables`` sign-projection tables,
     exact cosine re-rank within the candidate union.
@@ -120,6 +121,12 @@ def ann_lsh_topk(
     Recall rises with n_tables (candidates = union over tables);
     cost per table is the within-bucket pair mass, expected n²/2^bits
     per table for centered data.
+
+    ``max_bucket_size``: hot-bucket skew guard (same rationale as the
+    dedup LSH guard) — skewed real-world embeddings pile into the
+    all-positive sign bucket; capping drops those buckets from the
+    CANDIDATE side only, bounding the per-bucket join cost while
+    queries keep their other tables' buckets.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -159,6 +166,11 @@ def ann_lsh_topk(
             )
         ).alias("tb"),
     ).select("neighbor_id", "cv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("tbl", "bucket")
+        cb = cb.withColumn("_bsz", F.count("*").over(w)).filter(
+            F.col("_bsz") <= max_bucket_size
+        ).drop("_bsz")
     pairs = (
         qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -67,6 +67,7 @@ def orphan_refs(
     catalog_size_hint: int | None = None,
     fpp: float = 0.01,
     salt_buckets: int = 8,
+    bloom: tuple | None = None,
 ) -> DataFrame:
     """(doc_id, partition_id, media_ref) pairs whose ref is missing from
     the catalog.
@@ -74,7 +75,12 @@ def orphan_refs(
     ``use_bloom=None`` (auto): build the explicit Bloom prefilter only
     when the catalog exceeds ``BLOOM_MIN_CATALOG_ROWS`` — below that the
     anti-join side broadcasts outright and the Bloom build (a catalog
-    pass + driver merge + Python prefilter stage) is pure overhead."""
+    pass + driver merge + Python prefilter stage) is pure overhead.
+
+    ``bloom``: a prebuilt ``(bits, k, m)`` from ``build_bloom`` — pass
+    this when the same catalog is probed repeatedly (streaming
+    micro-batches, poll loops) so the build cost is paid once, not per
+    call."""
     refs = _span_refs(docs)
 
     # Catalog size drives BOTH the bloom and the join-strategy choice,
@@ -84,11 +90,15 @@ def orphan_refs(
     # size (e.g. streaming micro-batches against a fixed catalog) pass
     # catalog_size_hint and skip the count() action entirely.
     n = catalog_size_hint if catalog_size_hint is not None else catalog.count()
-    if use_bloom is None:
+    if bloom is not None:
+        use_bloom = True
+    elif use_bloom is None:
         use_bloom = n > BLOOM_MIN_CATALOG_ROWS
 
     if use_bloom and spark is not None:
-        bits, k, m = build_bloom(catalog, "media_ref", n, fpp)
+        bits, k, m = (
+            bloom if bloom is not None else build_bloom(catalog, "media_ref", n, fpp)
+        )
         mc = might_contain_udf(spark, bits, k, m)
         refs = refs.withColumn("_maybe", mc(F.col("media_ref")))
         definite_orphans = refs.filter(~F.col("_maybe")).drop("_maybe")

@@ -42,7 +42,54 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--master", default=None, help="Spark master override")
     p.add_argument("--loop", type=int, default=0,
                    help="poll every N seconds (0 = one round, the default)")
+    p.add_argument("--apply-feedback", metavar="FB_PARQUET",
+                   help="false-positive feedback table (check, doc_id): "
+                   "recompute verdicts/manifest from a prior run's "
+                   "violations instead of validating")
+    p.add_argument("--violations-run", metavar="RUN_ID",
+                   help="run id under <out>/violations to apply feedback to")
     return p.parse_args(argv)
+
+
+def feedback_round(spark, args) -> dict:
+    """Recompute verdicts from staged violations + human feedback — no
+    source-table scan (the violations output and the manifest's stored
+    n_rows are all that's needed)."""
+    from pyspark.sql import functions as F
+
+    from .plans.pipeline import revalidate_with_feedback
+    from .sources.manifest import Manifest
+
+    if not args.violations_run or not args.manifest_dir:
+        raise SystemExit("--apply-feedback needs --violations-run and --manifest-dir")
+    violations = spark.read.parquet(
+        os.path.join(args.out, "violations", args.violations_run)
+    )
+    feedback = spark.read.parquet(args.apply_feedback)
+    manifest = Manifest(args.manifest_dir)
+    totals = spark.createDataFrame(
+        [
+            (rec["partition_id"], rec.get("n_rows"))
+            for rec in manifest.load().values()
+            if rec.get("n_rows") is not None
+        ],
+        "partition_id int, n_rows long",
+    )
+    run_id = f"{args.violations_run}_feedback"
+    res = revalidate_with_feedback(
+        spark, violations, totals, feedback,
+        has_catalog=bool(args.catalog), manifest=manifest, run_id=run_id,
+    )
+    verdicts_out = os.path.join(args.out, "verdicts", run_id)
+    res.verdicts.write.mode("overwrite").parquet(verdicts_out)
+    n_fail = res.verdicts.filter(F.col("verdict") == "fail").count()
+    return {
+        "run_id": run_id,
+        "manifest_version": res.manifest_version,
+        "n_failed_checks": n_fail,
+        "n_feedback_marked": res.violations.filter(~F.col("is_anomaly")).count(),
+        "verdicts": verdicts_out,
+    }
 
 
 def one_round(spark, args, run_id: str) -> dict:
@@ -86,6 +133,12 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark(app_name="validation_round", master=args.master)
+    if args.apply_feedback:
+        try:
+            print(json.dumps(feedback_round(spark, args)))
+            return 0
+        finally:
+            spark.stop()
     rounds = 0
     try:
         while True:

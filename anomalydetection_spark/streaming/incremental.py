@@ -47,6 +47,7 @@ def _batch_verdicts(
     batch: DataFrame,
     catalog: DataFrame | None,
     catalog_size_hint: int | None = None,
+    bloom: tuple | None = None,
 ) -> DataFrame:
     verdicts = stats_ops.conformance_verdicts(batch)
     uniq = duplicate_keys(batch, "doc_id")
@@ -69,16 +70,17 @@ def _batch_verdicts(
     )
     out = verdicts.unionByName(uniq_v)
     if catalog is not None:
-        # size hint measured once at stream setup: a micro-batch must
-        # not pay a catalog.count() action per trigger, and a small
-        # catalog should take the broadcast anti-join, not the salted
-        # sort-merge path
+        # size hint + optional bloom measured/built once at stream
+        # setup: a micro-batch must not pay a catalog.count() (or a
+        # bloom rebuild) per trigger, and a small catalog should take
+        # the broadcast anti-join, not the salted sort-merge path
         orphans = orphan_refs(
             batch,
             catalog,
             batch.sparkSession,
-            use_bloom=False,
+            use_bloom=bloom is not None,
             catalog_size_hint=catalog_size_hint,
+            bloom=bloom,
         )
         ref_v = totals.join(
             orphans.groupBy("partition_id").agg(
@@ -116,14 +118,25 @@ def stream_validate(
 
     Returns the StreamingQuery; with ``available_now`` it drains the
     backlog once and stops (call ``awaitTermination()``)."""
+    from ..functions.bloom import build_bloom
+    from ..operators.referential import BLOOM_MIN_CATALOG_ROWS
+
     stream = read_documents_stream(spark, input_dir)
     verdicts_dir = os.path.join(output_dir, "verdicts")
     catalog_n = catalog.count() if catalog is not None else None
+    # big catalog: build the Bloom prefilter ONCE for the stream's
+    # lifetime and reuse it every micro-batch (the bits broadcast once
+    # per executor; rebuilding per trigger would re-scan the catalog)
+    bloom = (
+        build_bloom(catalog, "media_ref", catalog_n)
+        if catalog is not None and catalog_n > BLOOM_MIN_CATALOG_ROWS
+        else None
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        v = _batch_verdicts(batch, catalog, catalog_n).withColumn(
+        v = _batch_verdicts(batch, catalog, catalog_n, bloom).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
         v.write.mode("append").parquet(verdicts_dir)

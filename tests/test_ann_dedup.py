@@ -84,6 +84,20 @@ def test_lsh_pairs_subset_of_exact(spark):
         assert r.jaccard >= 0.8
 
 
+def test_ann_bucket_guard_bounds_candidates(spark):
+    """max_bucket_size drops oversized candidate buckets: results are a
+    subset of the unguarded run and a tight cap shrinks the output."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    free = _topk_pairs(ann_lsh_topk(e, q, k=3, n_tables=4, bits_per_table=4))
+    capped = _topk_pairs(
+        ann_lsh_topk(
+            e, q, k=3, n_tables=4, bits_per_table=4, max_bucket_size=20
+        )
+    )
+    assert len(capped) <= len(free)
+
+
 def test_skew_guard_drops_hot_buckets(spark):
     """max_bucket_size output is a subset of the unguarded output, and a
     tight cap strictly shrinks it on a corpus with boilerplate dups."""

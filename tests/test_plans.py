@@ -1,0 +1,57 @@
+"""Physical-plan regression pins: the plan properties PLANS.md claims
+must stay true (column pruning, predicate pushdown, broadcast joins,
+distributed top-k) — a silent optimizer regression fails here, not in
+a 100 TB run."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from anomalydetection_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES[name](spark, SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+def test_uniqueness_scan_is_column_pruned(spark):
+    plan = _plan(spark, "uniqueness_dup_keys")
+    # the key-column scan must read ONLY l_orderkey
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_pricing_summary_pushdown(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_revenue_broadcasts_dimensions(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_neardup_no_global_window(spark):
+    plan = _plan(spark, "embedding_neardup")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_referential_orphans_anti_join_broadcast(spark):
+    plan = _plan(spark, "referential_orphans")
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,100)]" in plan
+
+
+def test_ann_topk_is_rank_limited(spark):
+    """WindowGroupLimit = per-partition partial top-k before the rank
+    exchange (Spark's rank-limit pushdown)."""
+    plan = _plan(spark, "ann_lsh_bucketed")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan

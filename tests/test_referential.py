@@ -108,6 +108,28 @@ def test_bloom_tree_merge_matches_single_partition(spark, catalog):
     assert bits_many.any()  # non-trivial filter
 
 
+def test_prebuilt_bloom_matches_inline_build(spark, docs, catalog):
+    """A bloom built once and passed in (the streaming-reuse path) gives
+    exactly the same orphans as the per-call build."""
+    from anomalydetection_spark.functions.bloom import build_bloom
+
+    n = catalog.count()
+    pre = build_bloom(catalog, "media_ref", n)
+    a = {
+        (r.doc_id, r.media_ref)
+        for r in orphan_refs(
+            docs, catalog, spark, use_bloom=True, catalog_size_hint=n
+        ).collect()
+    }
+    b = {
+        (r.doc_id, r.media_ref)
+        for r in orphan_refs(
+            docs, catalog, spark, bloom=pre, catalog_size_hint=n
+        ).collect()
+    }
+    assert a == b
+
+
 def test_complete_catalog_passes(spark, docs):
     """A catalog containing every referenced key → zero orphans."""
     full = (

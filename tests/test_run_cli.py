@@ -35,3 +35,42 @@ def test_one_round_and_resume(spark, docs_path, catalog, tmp_path):
 
     s2 = one_round(spark, args, "r2")
     assert s2["validated_partitions"] == []
+
+
+def test_feedback_round_cli(spark, docs_path, catalog, tmp_path):
+    """--apply-feedback: mark every uniqueness violation as a false
+    positive via the CLI path; uniqueness failures disappear from the
+    recomputed verdicts, manifest version advances."""
+    from pyspark.sql import functions as F
+
+    from anomalydetection_spark.run import feedback_round
+
+    cat_path = str(tmp_path / "catalog")
+    catalog.write.mode("overwrite").parquet(cat_path)
+    out = str(tmp_path / "out")
+    mdir = str(tmp_path / "manifest")
+    args = parse_args(
+        ["--docs", docs_path, "--catalog", cat_path,
+         "--manifest-dir", mdir, "--out", out]
+    )
+    s1 = one_round(spark, args, "r1")
+    viol = spark.read.parquet(s1["violations"])
+    fb_path = str(tmp_path / "fb")
+    viol.filter(F.col("check") == "uniqueness").select(
+        "check", "doc_id"
+    ).distinct().write.parquet(fb_path)
+
+    args2 = parse_args(
+        ["--docs", docs_path, "--catalog", cat_path,
+         "--manifest-dir", mdir, "--out", out,
+         "--apply-feedback", fb_path, "--violations-run", "r1"]
+    )
+    s3 = feedback_round(spark, args2)
+    assert s3["n_feedback_marked"] > 0
+    assert s3["manifest_version"] > s1["manifest_version"]
+    v = spark.read.parquet(s3["verdicts"])
+    uniq_fail = v.filter(
+        (F.col("check") == "uniqueness") & (F.col("verdict") == "fail")
+    ).count()
+    assert uniq_fail == 0
+    json.dumps(s3)
