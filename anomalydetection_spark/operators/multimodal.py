@@ -99,6 +99,131 @@ def generate_media_blobs(
     )
 
 
+RESIZED_SCHEMA = (
+    "media_ref string, media_kind string, payload binary,"
+    " width int, height int"
+)
+
+FRAMES_SCHEMA = (
+    "media_ref string, frame_idx int, frame_ts_ms int,"
+    " frame_payload binary, frame_hash string"
+)
+
+
+def resize_stub(payload: bytes, kind: str, w: int, h: int) -> bytes:
+    """Production resize hook (PIL/libvips) — not in this container."""
+    raise NotImplementedError(
+        "image resize requires an imaging library; use resize_fake for "
+        "plumbing tests"
+    )
+
+
+def resize_fake(payload: bytes, kind: str, w: int, h: int) -> bytes:
+    """Deterministic pseudo-resize: output bytes derived from the
+    payload digest, length proportional to the target area (stable
+    across runs/executors)."""
+    base = hashlib.md5(payload + f":{w}x{h}".encode()).digest()
+    length = max(16, (w * h) // 64)
+    return (base * (length // 16 + 1))[:length]
+
+
+def resize_media(
+    blobs: DataFrame,
+    width: int,
+    height: int,
+    resize: Callable[[bytes, str, int, int], bytes] = resize_stub,
+) -> DataFrame:
+    """mapInPandas resize for image blobs (audio/video pass through
+    untouched). Same scale contract as extraction: payloads stay on the
+    executors, one Arrow batch in → one batch out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_payload, out_w, out_h = [], [], []
+            for p, k in zip(pdf["payload"], pdf["media_kind"]):
+                if k == "image":
+                    out_payload.append(resize(p, k, width, height))
+                    out_w.append(width)
+                    out_h.append(height)
+                else:
+                    out_payload.append(p)
+                    out_w.append(None)
+                    out_h.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_kind": pdf["media_kind"],
+                    "payload": out_payload,
+                    "width": pd.array(out_w, dtype="Int32"),
+                    "height": pd.array(out_h, dtype="Int32"),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def frame_sample_stub(payload: bytes, every_ms: int) -> list[tuple[int, bytes]]:
+    """Production frame sampler (ffmpeg/libav) — not in this container."""
+    raise NotImplementedError(
+        "video frame sampling requires a codec library; use "
+        "frame_sample_fake for plumbing tests"
+    )
+
+
+def frame_sample_fake(payload: bytes, every_ms: int) -> list[tuple[int, bytes]]:
+    """Deterministic pseudo-sampler: duration from decode_fake's
+    derivation, one 64-byte digest-derived frame per ``every_ms``.
+    Derives through the payload's hex form (same convention as
+    decode_fake/content_hash) so the chain is replayable by any engine
+    with a string md5."""
+    duration = decode_fake(payload, "video")["duration_ms"]
+    out = []
+    for ts in range(0, duration, every_ms):
+        fh_hex = hashlib.md5(
+            (payload.hex() + f":frame:{ts}").encode()
+        ).hexdigest()
+        out.append((ts, bytes.fromhex(fh_hex) * 4))
+    return out
+
+
+def sample_frames(
+    blobs: DataFrame,
+    every_ms: int = 5000,
+    sampler: Callable[[bytes, int], list] = frame_sample_stub,
+) -> DataFrame:
+    """mapInPandas frame sampling over video blobs → one narrow row per
+    sampled frame (ref, idx, ts, frame bytes, frame hash). Non-video
+    rows are skipped; fan-out is bounded by duration/every_ms."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, kind, p in zip(
+                pdf["media_ref"], pdf["media_kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                for idx, (ts, frame) in enumerate(sampler(p, every_ms)):
+                    rows.append(
+                        {
+                            "media_ref": ref,
+                            "frame_idx": idx,
+                            "frame_ts_ms": ts,
+                            "frame_payload": frame,
+                            # hex-normalized hash (cross-engine verifiable)
+                            "frame_hash": hashlib.md5(
+                                frame.hex().encode()
+                            ).hexdigest(),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def extract_media_features(
     blobs: DataFrame,
     decode: Callable[[bytes, str], dict] = decode_stub,

@@ -911,6 +911,28 @@ def q_vector_align(spark, sf_dir):
     )
 
 
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling (operators/multimodal.py::sample_frames):
+    one narrow row per sampled frame over the deterministic blob table;
+    binary frame payloads stay executor-side (the query emits their
+    hex-normalized hash + length). Oracle replays the md5-hex chain."""
+    from .operators.multimodal import (
+        frame_sample_fake,
+        generate_media_blobs,
+        sample_frames,
+    )
+
+    blobs = generate_media_blobs(spark, 300)
+    frames = sample_frames(blobs, every_ms=5000, sampler=frame_sample_fake)
+    return frames.select(
+        "media_ref",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("int").alias("frame_ts_ms"),
+        "frame_hash",
+        F.length("frame_payload").cast("long").alias("frame_bytes"),
+    )
+
+
 def q_external_log_scan(spark, sf_dir):
     """S7 external log-API source (sources/external_logs.py): 20
     streams fetched in parallel via mapInPandas with a deterministic
@@ -1119,6 +1141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markup_sanitize": q_markup_sanitize,
     "combine_pad": q_combine_pad,
     "external_log_scan": q_external_log_scan,
+    "media_frames": q_media_frames,
 }
 
 _LOGLINES_SQL = """
@@ -1503,6 +1526,45 @@ ORACLES: dict[str, str] = {
                  '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
                  '[', '&#91;'), ']', '&#93;') AS markup
         FROM t
+    """,
+    # Replays generate_media_blobs + frame_sample_fake on the payload's hex
+    # form: duration from the content hash (chars 5-8), one 64-byte frame
+    # per 5s, frame bytes = md5(payload_hex:frame:ts) repeated 4x.
+    "media_frames": """
+        WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 300)),
+        b AS (SELECT i, md5('42:' || i) AS base_hex FROM ids
+              WHERE i % 3 = 2),
+        p AS (
+          SELECT i, base_hex,
+                 100 + (CAST('0x' || substr(base_hex, 1, 4) AS INT) % 4000)
+                   AS length
+          FROM b
+        ),
+        q AS (
+          SELECT i,
+                 substr(repeat(base_hex, (length // 16) + 1),
+                        1, 2 * length) AS payload_hex
+          FROM p
+        ),
+        d AS (
+          SELECT i, payload_hex,
+                 1000 + CAST('0x' || substr(md5(payload_hex), 5, 4) AS INT)
+                   AS duration
+          FROM q
+        ),
+        f AS (
+          SELECT d.i, d.payload_hex,
+                 CAST(t.range AS INT) AS frame_idx,
+                 CAST(t.range * 5000 AS INT) AS frame_ts_ms
+          FROM d, range(0, 14) t
+          WHERE t.range * 5000 < d.duration
+        )
+        SELECT 'm' || lpad(CAST(i AS VARCHAR), 7, '0') AS media_ref,
+               frame_idx, frame_ts_ms,
+               md5(repeat(md5(payload_hex || ':frame:' || frame_ts_ms), 4))
+                 AS frame_hash,
+               CAST(64 AS BIGINT) AS frame_bytes
+        FROM f
     """,
     # Replays FakeLogClient (seed 7): per stream s<i>, n = 5 + (md5 byte
     # % 10) events, 1s apart from start=1_000_000 ms, capped at end=
