@@ -232,6 +232,22 @@ def train_ivf_centroids(
     return cent
 
 
+def save_ivf_centroids(spark, cent, path: str) -> None:
+    """Persist a trained quantizer as parquet (cell, vector) — shared-
+    storage friendly, so incremental runs reuse ONE index and cell ids
+    stay comparable across runs (re-training would silently reshuffle
+    every vector's cell)."""
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(cent)]
+    spark.createDataFrame(rows, "cell int, vector array<double>").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_ivf_centroids(spark, path: str):
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return np.asarray([r.vector for r in rows], dtype=np.float64)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -242,6 +258,7 @@ def ivf_topk(
     nprobe: int = 8,
     sample: int = 8192,
     seed: int = 0,
+    centroids=None,
 ) -> DataFrame:
     """IVF ANN: assign every vector to its nearest centroid cell
     (distributed, Arrow-batched numpy argmax — no per-row Python);
@@ -251,12 +268,18 @@ def ivf_topk(
     Scan fraction ≈ nprobe / n_centroids for balanced cells; the cell
     join shuffles on the (bounded-cardinality) cell id, so per-cell
     candidate lists stay executor-local.
+
+    ``centroids``: a prebuilt/loaded quantizer (see
+    save_ivf_centroids/load_ivf_centroids) — pass it to reuse one index
+    across incremental runs instead of retraining per call (retraining
+    would silently reshuffle every vector's cell assignment).
     """
-
-
-
-    cent = train_ivf_centroids(
-        vectors, id_col, vec_col, n_centroids, sample, seed=seed
+    cent = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(
+            vectors, id_col, vec_col, n_centroids, sample, seed=seed
+        )
     )
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(cent)

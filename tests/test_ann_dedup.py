@@ -48,6 +48,29 @@ def test_ivf_recall_at_bounded_scan(spark):
     assert len(got & exact) / len(exact) >= 0.55
 
 
+def test_ivf_centroid_persistence(spark, tmp_path):
+    """Saved → loaded centroids give bit-identical results to the
+    freshly trained index (incremental runs reuse one quantizer)."""
+    import numpy as np
+
+    from anomalydetection_spark.operators.ann import (
+        load_ivf_centroids,
+        save_ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    cent = train_ivf_centroids(e, n_centroids=16)
+    path = str(tmp_path / "ivf_index")
+    save_ivf_centroids(spark, cent, path)
+    loaded = load_ivf_centroids(spark, path)
+    assert np.allclose(cent, loaded)
+    a = sorted(map(tuple, ivf_topk(e, q, k=3, centroids=cent).collect()))
+    b = sorted(map(tuple, ivf_topk(e, q, k=3, centroids=loaded).collect()))
+    assert a == b
+
+
 def test_ivf_deterministic(spark):
     """Sample-trained centroids are deterministic → identical results
     across invocations."""
