@@ -306,6 +306,22 @@ def run_validation(
         fut_dups.result()  # surface any dup-scan failure here
 
     # --- ONE wide scan → all violation rows, staged under run_id ---
+    # The drift-input histogram is independent of the violations output
+    # (it reads scope's text lengths) — materialize it from a second
+    # driver thread so it overlaps the wide violations scan instead of
+    # serializing after it.
+    fut_hist = None
+    cur_hist = None
+    hist_pool = None
+    if baseline_hist is not None:
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        cur_hist = stats_ops.length_histogram(
+            scope, bins=cfg.drift.histogram_bins
+        ).cache()
+        hist_pool = _TPE(max_workers=1)
+        fut_hist = hist_pool.submit(cur_hist.count)
+
     violations = _all_violations(scope, dups, orphan_doc, broadcast_orphans)
     if violations_dir is not None:
         staged = os.path.join(violations_dir, f"_staged_{run_id}")
@@ -313,6 +329,9 @@ def run_validation(
         violations = spark.read.parquet(staged)
     else:
         violations = violations.cache()
+    if fut_hist is not None:
+        fut_hist.result()
+        hist_pool.shutdown()
 
     # --- verdicts from violations + partition totals (no re-scan) ---
     totals = totals_src.filter(F.col("partition_id").isin(pending)).select(
@@ -322,11 +341,9 @@ def run_validation(
         violations, totals, has_catalog=catalog is not None, cfg=cfg
     )
 
-    # --- drift vs baseline histograms (bounded-size join) ---
+    # --- drift vs baseline histograms (bounded-size join; cur_hist
+    # already materialized concurrently with the violations stage) ---
     if baseline_hist is not None:
-        cur_hist = stats_ops.length_histogram(
-            scope, bins=cfg.drift.histogram_bins
-        )
         dv = drift_ops.drift_verdicts(
             cur_hist,
             baseline_hist,

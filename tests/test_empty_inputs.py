@@ -1,0 +1,65 @@
+"""Degenerate-input robustness: operators must return empty/identity
+results — never raise — on empty frames (the shapes a driver smoke
+check or an empty incremental delta produces)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _empty_docs(spark):
+    from anomalydetection_spark.schema import DOCUMENTS_SCHEMA
+
+    return spark.createDataFrame([], schema=DOCUMENTS_SCHEMA)
+
+
+def test_templates_empty(spark):
+    from anomalydetection_spark.operators.templates import mine_templates
+
+    df = spark.createDataFrame([], "text string")
+    assert mine_templates(df, "text").count() == 0
+
+
+def test_ann_empty_queries(spark):
+    from anomalydetection_spark.operators.ann import ann_lsh_topk, ivf_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    none = e.filter(F.col("vec_id") < 0)
+    assert ann_lsh_topk(e, none, k=3).count() == 0
+    assert ivf_topk(e, none, k=3, n_centroids=8).count() == 0
+
+
+def test_dedup_empty(spark):
+    from anomalydetection_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_lsh_pairs(d).count() == 0
+
+
+def test_orphan_refs_empty_docs(spark, catalog):
+    from anomalydetection_spark.operators.referential import orphan_refs
+
+    assert orphan_refs(_empty_docs(spark), catalog, spark).count() == 0
+
+
+def test_tdigest_empty_frame(spark):
+    from anomalydetection_spark.functions.tdigest import tdigest_quantiles
+
+    ev = spark.createDataFrame([], "event_type string, value double")
+    assert tdigest_quantiles(ev, "value", ["event_type"], [0.5]).count() == 0
+
+
+def test_feedback_empty(spark, docs, catalog):
+    from anomalydetection_spark.operators.feedback import (
+        FEEDBACK_SCHEMA,
+        apply_feedback,
+    )
+    from anomalydetection_spark.plans.pipeline import run_validation
+
+    res = run_validation(spark, docs, catalog=catalog)
+    fb = spark.createDataFrame([], schema=FEEDBACK_SCHEMA)
+    flagged = apply_feedback(res.violations, fb)
+    assert flagged.filter(~F.col("is_anomaly")).count() == 0
+    assert flagged.count() == res.violations.count()
