@@ -96,11 +96,14 @@ def one_round(spark, args, run_id: str) -> dict:
     from pyspark.sql import functions as F
 
     from .plans.pipeline import run_validation
+    from .sources.tables import read_table
 
-    docs = spark.read.parquet(args.docs)
-    catalog = spark.read.parquet(args.catalog) if args.catalog else None
+    # paths read as parquet; catalog.db.table identifiers read through
+    # the Iceberg source when the runtime jar is present (sources/tables)
+    docs = read_table(spark, args.docs)
+    catalog = read_table(spark, args.catalog) if args.catalog else None
     baseline = (
-        spark.read.parquet(args.baseline_hist) if args.baseline_hist else None
+        read_table(spark, args.baseline_hist) if args.baseline_hist else None
     )
     t0 = time.time()
     res = run_validation(

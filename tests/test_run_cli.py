@@ -74,3 +74,19 @@ def test_feedback_round_cli(spark, docs_path, catalog, tmp_path):
     ).count()
     assert uniq_fail == 0
     json.dumps(s3)
+
+
+def test_read_table_dispatch(spark, docs_path):
+    """Paths read as parquet; table identifiers only attempt Iceberg
+    when the runtime jar is present (absent in this sandbox)."""
+    from anomalydetection_spark.sources.tables import (
+        iceberg_available,
+        is_table_identifier,
+        read_table,
+    )
+
+    assert not is_table_identifier(docs_path)
+    assert is_table_identifier("prod.validation.documents")
+    assert not is_table_identifier("s3://bucket/path")
+    assert read_table(spark, docs_path).count() > 0
+    assert iceberg_available(spark) is False  # no jar in this sandbox
