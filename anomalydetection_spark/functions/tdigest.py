@@ -110,6 +110,36 @@ def quantile(
     return out
 
 
+def wasserstein(
+    means1: np.ndarray,
+    weights1: np.ndarray,
+    means2: np.ndarray,
+    weights2: np.ndarray,
+) -> float:
+    """1-Wasserstein (earth-mover) distance between two digests:
+    ∫|CDF₁ − CDF₂| dx over the union of centroid positions (each digest
+    treated as point masses at its centroid means). Error is bounded by
+    centroid widths, i.e. O(1/δ) of the value range — good enough for a
+    drift score, and computable from the SAME mergeable partials the
+    quantile path already produces (no second data pass)."""
+    m1 = np.asarray(means1, dtype=np.float64)
+    m2 = np.asarray(means2, dtype=np.float64)
+    w1 = np.asarray(weights1, dtype=np.float64)
+    w2 = np.asarray(weights2, dtype=np.float64)
+    if len(m1) == 0 or len(m2) == 0:
+        return float("nan")
+    xs = np.unique(np.concatenate([m1, m2]))
+    cdf1 = np.cumsum(w1[np.argsort(m1, kind="stable")])
+    cdf2 = np.cumsum(w2[np.argsort(m2, kind="stable")])
+    c1 = cdf1[np.searchsorted(np.sort(m1), xs, side="right") - 1]
+    c1 = np.where(np.searchsorted(np.sort(m1), xs, side="right") == 0, 0.0, c1)
+    c2 = cdf2[np.searchsorted(np.sort(m2), xs, side="right") - 1]
+    c2 = np.where(np.searchsorted(np.sort(m2), xs, side="right") == 0, 0.0, c2)
+    c1 = c1 / w1.sum()
+    c2 = c2 / w2.sum()
+    return float(np.sum(np.abs(c1[:-1] - c2[:-1]) * np.diff(xs)))
+
+
 # ---------------------------------------------------------------------------
 # Spark integration (Arrow-batched; digests travel as array<double> pairs)
 # ---------------------------------------------------------------------------

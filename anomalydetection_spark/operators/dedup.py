@@ -147,3 +147,66 @@ def minhash_lsh_pairs(
         "b_id",
         F.round(inter.cast("double") / uni, 4).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over the near-dup pair graph →
+    (doc_id, cluster_id) with cluster_id = the component's min doc id —
+    the step that turns pairwise candidates into keep-one-per-cluster
+    dedup decisions.
+
+    Iterative min-label propagation driven from the driver: each round
+    every node takes the min label among itself and its neighbors, so
+    labels spread one hop per round and the loop stops at the first
+    fixed point (≤ graph diameter rounds; near-dup components are
+    shallow in practice, ``max_iters`` bounds pathological chains).
+    The pair graph is the LSH OUTPUT — orders of magnitude smaller than
+    the corpus — so a driver loop over bounded frames is the right
+    shape; each round is one small shuffle on doc id.
+    """
+    fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)  # truncate the loop's lineage
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

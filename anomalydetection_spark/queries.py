@@ -239,6 +239,53 @@ def q_ema_hourly(spark, sf_dir):
 # dedup family (training-data pipeline ops over the flat corpus)
 # --------------------------------------------------------------------------
 
+def q_drift_wasserstein(spark, sf_dir):
+    """Exact 1-Wasserstein drift between the event-id halves per
+    event_type: ∫|CDF_a − CDF_b| dx via windowed cumulative counts over
+    distinct values — the exact reference the t-digest-based
+    wasserstein() approximation is pinned against in tests."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        (F.col("event_id") % 2).alias("side"),
+    )
+    g = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("ca"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("cb"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    word = Window.partitionBy("event_type").orderBy("value")
+    c = g.select(
+        "event_type",
+        "value",
+        (F.sum("ca").over(wcum) / F.sum("ca").over(wall)).alias("cdfa"),
+        (F.sum("cb").over(wcum) / F.sum("cb").over(wall)).alias("cdfb"),
+        F.lead("value").over(word).alias("nxt"),
+    )
+    return (
+        c.filter(F.col("nxt").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("cdfa") - F.col("cdfb"))
+                    * (F.col("nxt") - F.col("value"))
+                ),
+                4,
+            ).alias("w1")
+        )
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup stats per lang: hash-groupBy on normalized text."""
     d = _t(spark, sf_dir, "documents")
@@ -321,6 +368,23 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return minhash_lsh_pairs(
         d, "doc_id", "text", n_hashes=8, bands=4, threshold=0.8
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the LSH near-dup pair graph
+    (operators/dedup.py::duplicate_clusters): every doc in a ≥0.8-
+    Jaccard pair labeled with its component's min doc_id — the
+    keep-one-per-cluster dedup decision. Oracle: DuckDB recursive-CTE
+    reachability over the same pair set."""
+    from .operators.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=8, bands=4, threshold=0.8
+    )
+    return duplicate_clusters(pairs).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
     )
 
 
@@ -1142,6 +1206,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "combine_pad": q_combine_pad,
     "external_log_scan": q_external_log_scan,
     "media_frames": q_media_frames,
+    "dedup_clusters": q_dedup_clusters,
+    "drift_wasserstein": q_drift_wasserstein,
 }
 
 _LOGLINES_SQL = """
@@ -1254,6 +1320,32 @@ ORACLES: dict[str, str] = {
           FROM j
         )
         SELECT round(max(abs(cdf_a - cdf_b)), 4) AS ks FROM c
+    """,
+    "drift_wasserstein": """
+        WITH s AS (
+          SELECT event_type, CAST(value AS DOUBLE) AS value,
+                 event_id % 2 AS side
+          FROM events
+        ), g AS (
+          SELECT event_type, value,
+                 CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS ca,
+                 CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS cb
+          FROM s GROUP BY 1, 2
+        ), c AS (
+          SELECT event_type, value,
+                 sum(ca) OVER (PARTITION BY event_type ORDER BY value)
+                   / sum(ca) OVER (PARTITION BY event_type) AS cdfa,
+                 sum(cb) OVER (PARTITION BY event_type ORDER BY value)
+                   / sum(cb) OVER (PARTITION BY event_type) AS cdfb,
+                 lead(value) OVER (PARTITION BY event_type ORDER BY value)
+                   AS nxt
+          FROM g
+        )
+        SELECT event_type,
+               round(sum(abs(cdfa - cdfb) * (nxt - value)), 4) AS w1
+        FROM c WHERE nxt IS NOT NULL GROUP BY event_type
     """,
     "rolling_3sigma": """
         WITH h AS (
@@ -1790,6 +1882,8 @@ ORACLES: dict[str, str] = {
           FROM pairs
         ) WHERE rank <= 20
     """,
+    # Appended programmatically below (reuses the minhash_lsh_candidates
+    # pair derivation): "dedup_clusters".
     "sessionization": """
         WITH g AS (
           SELECT user_id, event_id, ts,
@@ -1885,3 +1979,23 @@ ORACLES: dict[str, str] = {
         FROM q
     """,
 }
+
+# Connected components over the SAME candidate pairs the
+# minhash_lsh_candidates oracle derives: recursive reachability,
+# component id = min reachable label.
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE
+    cand AS ({ORACLES["minhash_lsh_candidates"]}),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM cand
+      UNION
+      SELECT b_id AS src, a_id AS dst FROM cand
+    ),
+    walk(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+    )
+    SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY id
+"""

@@ -121,6 +121,37 @@ def test_ann_bucket_guard_bounds_candidates(spark):
     assert len(capped) <= len(free)
 
 
+def test_duplicate_clusters_components(spark):
+    """Hand-built graph: {1-2, 2-3} ∪ {7-8} ∪ {4-9, 9-5, 5-4} → three
+    components labeled by their min id; chain convergence needs
+    multiple propagation rounds."""
+    from anomalydetection_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (4, 9), (9, 5), (5, 4)],
+        "a_id long, b_id long",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 4: 4, 9: 4, 5: 4}
+
+
+def test_duplicate_clusters_long_chain(spark):
+    """A 12-node path graph exercises >1 propagation round and the
+    fixed-point stop."""
+    from anomalydetection_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "a_id long, b_id long"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()
+    }
+    assert set(got) == set(range(100, 113))
+    assert set(got.values()) == {100}
+
+
 def test_skew_guard_drops_hot_buckets(spark):
     """max_bucket_size output is a subset of the unguarded output, and a
     tight cap strictly shrinks it on a corpus with boilerplate dups."""

@@ -66,6 +66,47 @@ def test_weight_conservation_and_empty():
     assert np.isnan(td.quantile(m0, w0, [0.5])[0])
 
 
+def test_wasserstein_from_digests_close_to_exact(spark):
+    """Digest-based W1 between the event-id halves per event_type is
+    within 5% (relative to the value spread) of the exact windowed-CDF
+    computation (the drift_wasserstein catalog query)."""
+    from anomalydetection_spark.queries import QUERIES
+
+    exact = {
+        r.event_type: r.w1
+        for r in QUERIES["drift_wasserstein"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_type", F.col("value").cast("double"), "event_id"
+    )
+    rows = ev.collect()
+    halves: dict[str, tuple[list, list]] = {}
+    for r in rows:
+        halves.setdefault(r.event_type, ([], []))[r.event_id % 2].append(
+            r.value
+        )
+    for t, (a, b) in halves.items():
+        m1, w1 = td.from_values(np.array(a))
+        m2, w2 = td.from_values(np.array(b))
+        approx = td.wasserstein(m1, w1, m2, w2)
+        spread = max(max(a), max(b)) - min(min(a), min(b))
+        assert abs(approx - exact[t]) / spread < 0.05, (
+            t, approx, exact[t], spread,
+        )
+
+
+def test_wasserstein_identical_and_shifted():
+    rng = np.random.RandomState(3)
+    v = rng.normal(50, 10, 50_000)
+    m, w = td.from_values(v)
+    assert td.wasserstein(m, w, m, w) == 0.0
+    m2, w2 = td.from_values(v + 7.0)
+    approx = td.wasserstein(m, w, m2, w2)
+    assert abs(approx - 7.0) < 0.2  # shift distance = shift amount
+
+
 def test_non_string_group_columns(spark):
     """Group-column dtypes propagate from df.schema into the Arrow output
     schemas (int keys previously failed schema conversion)."""
