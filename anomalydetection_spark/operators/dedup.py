@@ -149,23 +149,56 @@ def minhash_lsh_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+DRIVER_UNION_FIND_MAX_PAIRS = 5_000_000
+
+
 def duplicate_clusters(
-    pairs: DataFrame, max_iters: int = 20
+    pairs: DataFrame,
+    max_iters: int = 20,
+    driver_threshold: int = DRIVER_UNION_FIND_MAX_PAIRS,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph →
     (doc_id, cluster_id) with cluster_id = the component's min doc id —
     the step that turns pairwise candidates into keep-one-per-cluster
     dedup decisions.
 
-    Iterative min-label propagation driven from the driver: each round
-    every node takes the min label among itself and its neighbors, so
-    labels spread one hop per round and the loop stops at the first
-    fixed point (≤ graph diameter rounds; near-dup components are
-    shallow in practice, ``max_iters`` bounds pathological chains).
-    The pair graph is the LSH OUTPUT — orders of magnitude smaller than
-    the corpus — so a driver loop over bounded frames is the right
-    shape; each round is one small shuffle on doc id.
+    Size-aware (same pattern as the referential join): the pair graph
+    is the LSH OUTPUT — orders of magnitude smaller than the corpus —
+    so up to ``driver_threshold`` pairs (≈80 MB of ids at 5M) a driver
+    union-find answers in one pass, skipping ~diameter Spark jobs of
+    per-round scheduling overhead. Beyond that, iterative min-label
+    propagation: each round every node takes the min label among
+    itself and its neighbors (one small shuffle per round, fixed-point
+    stop, ``max_iters`` bounds pathological chains). Both paths return
+    identical labels.
     """
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs.select("a_id", "b_id").collect():
+            a, b = r.a_id, r.b_id
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the root IS the component min id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        dt = pairs.schema["a_id"].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            rows, f"doc_id {dt}, cluster_id {dt}"
+        )
+
     fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     edges = (
         fwd.unionByName(

@@ -137,19 +137,25 @@ def test_duplicate_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 4: 4, 9: 4, 5: 4}
 
 
-def test_duplicate_clusters_long_chain(spark):
-    """A 12-node path graph exercises >1 propagation round and the
-    fixed-point stop."""
+def test_duplicate_clusters_long_chain_both_paths(spark):
+    """A 12-node path graph through BOTH tiers: the distributed
+    propagation path (driver_threshold=0, >1 round + fixed-point stop)
+    and the driver union-find must agree exactly."""
     from anomalydetection_spark.operators.dedup import duplicate_clusters
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(100, 112)], "a_id long, b_id long"
     )
-    got = {
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(pairs, driver_threshold=0).collect()
+    }
+    uf = {
         r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()
     }
-    assert set(got) == set(range(100, 113))
-    assert set(got.values()) == {100}
+    assert dist == uf
+    assert set(dist) == set(range(100, 113))
+    assert set(dist.values()) == {100}
 
 
 def test_skew_guard_drops_hot_buckets(spark):
