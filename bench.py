@@ -145,7 +145,9 @@ def _validation_run_mode(ncores: int) -> None:
     sandbox host shows 2-3x noisy-neighbor variance on single shots and
     that noise is strictly additive, so min-of-repeats is the least
     contaminated estimate of the engine's own cost at each level."""
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    # 2 keeps the full bench inside the per-round window; raise via env
+    # for tighter min-of-repeats estimates when time allows
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     spark = _fresh_spark(ncores)
     docs_path, cat_path, base_path = _materialize_bench_tables(spark)
     _run_validation_pass(spark, docs_path, cat_path, base_path)  # warm
