@@ -23,26 +23,37 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.bloom import build_bloom, might_contain_udf
 
 
-def _span_refs(docs: DataFrame) -> DataFrame:
+def _span_refs(docs: DataFrame, row_fingerprint: bool = False) -> DataFrame:
     """(doc_id, partition_id, media_ref ≠ null) pairs, one per span.
 
     NOT deduplicated here: dedup before the anti-join would shuffle
     every exploded pair, while a broadcast anti-join consumes the raw
     pairs shuffle-free — survivors (the orphans) are the tiny set, so
-    dedup happens after the join (see ``orphan_refs``)."""
+    dedup happens after the join (see ``orphan_refs``).
+
+    ``row_fingerprint``: also emit ``row_fp = xxhash64(spans)`` so a
+    downstream per-doc aggregate can stay per-PHYSICAL-row when the
+    table contains duplicate doc_ids with differing span sequences
+    (the pipeline's join path uses this to match the row-local path's
+    semantics: a violation row's orphan list reflects that row's own
+    spans, never a same-id sibling's)."""
+    cols = ["doc_id", "partition_id"]
+    base = docs
+    if row_fingerprint:
+        base = base.withColumn("row_fp", F.xxhash64("spans"))
+        cols.append("row_fp")
     return (
-        docs.select(
-            "doc_id",
-            "partition_id",
-            F.explode("spans").alias("s"),
-        )
-        .select("doc_id", "partition_id", F.col("s.media_ref").alias("media_ref"))
+        base.select(*cols, F.explode("spans").alias("s"))
+        .select(*cols, F.col("s.media_ref").alias("media_ref"))
         .filter(F.col("media_ref").isNotNull())
     )
 
@@ -59,6 +70,77 @@ BLOOM_MIN_CATALOG_ROWS = 5_000_000
 BROADCAST_MAX_CATALOG_ROWS = 2_000_000
 
 
+def collect_catalog_keys(catalog: DataFrame, col: str = "media_ref"):
+    """Distinct catalog keys as a sorted numpy array (for the row-local
+    membership path). Only call when the catalog is known to be at most
+    ``BROADCAST_MAX_CATALOG_ROWS`` — the same ceiling that gates the
+    forced broadcast join, for the same serialized-size reasons."""
+    keys = [
+        r[0]
+        for r in catalog.select(col).filter(F.col(col).isNotNull())
+        .distinct().collect()
+    ]
+    return np.sort(np.asarray(keys, dtype=object))
+
+
+def orphan_refs_rowlocal_udf(spark: SparkSession, keys: np.ndarray):
+    """Vectorized membership check: array<string> refs per row →
+    sorted array of refs NOT present in the broadcast catalog key set.
+
+    This is the shuffle-free referential path: for a broadcastable
+    catalog the check is row-local, so the wide validation scan never
+    shuffles and there is no separate exploded-refs pre-scan. An Arrow
+    UDF working directly on the ListArray buffers (flatten → hashed
+    ``is_in`` → offset rebuild) — zero per-row Python; only the orphan
+    survivors (~violation-rate fraction of values) touch an object
+    sort. (A pandas_udf draft of this was ~5x slower than the join it
+    replaced: Arrow→object conversion plus per-row list rebuilds cost
+    more than the shuffle. ListArray-level is the only shape that
+    wins.)
+    """
+    from pyspark.sql.functions import arrow_udf
+
+    bkeys = spark.sparkContext.broadcast(np.asarray(keys, dtype=object))
+    val_type = pa.string()
+
+    @arrow_udf("array<string>")
+    def _orphans(refs: pa.Array) -> pa.Array:
+        cat = pa.array(bkeys.value, type=val_type)
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        n = len(refs)
+        # per-slot value counts (null slot -> 0), C-level
+        counts = np.asarray(pc.list_value_length(refs).fill_null(0))
+        flat = pc.list_flatten(refs)  # skips null slots
+        orphan_mask = np.asarray(
+            pc.invert(pc.is_in(flat, value_set=cat)).fill_null(True)
+        )
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+        o_rows = row_ids[orphan_mask]
+        o_vals = flat.to_numpy(zero_copy_only=False)[orphan_mask]
+        # sort_array semantics within each row (tiny survivor set)
+        order = np.lexsort((o_vals, o_rows))
+        new_offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(np.bincount(o_rows, minlength=n), out=new_offsets[1:])
+        return pa.ListArray.from_arrays(
+            pa.array(new_offsets, type=pa.int32()),
+            pa.array(o_vals[order], type=val_type),
+        )
+
+    return _orphans
+
+
+def span_refs_column() -> Column:
+    """Distinct non-null media_refs of a row's span sequence (JVM-side
+    projection feeding the row-local membership UDF)."""
+    return F.array_distinct(
+        F.filter(
+            F.transform("spans", lambda s: s["media_ref"]),
+            lambda r: r.isNotNull(),
+        )
+    )
+
+
 def orphan_refs(
     docs: DataFrame,
     catalog: DataFrame,
@@ -68,9 +150,11 @@ def orphan_refs(
     fpp: float = 0.01,
     salt_buckets: int = 8,
     bloom: tuple | None = None,
+    row_fingerprint: bool = False,
 ) -> DataFrame:
     """(doc_id, partition_id, media_ref) pairs whose ref is missing from
-    the catalog.
+    the catalog (plus ``row_fp`` when ``row_fingerprint`` — see
+    ``_span_refs``).
 
     ``use_bloom=None`` (auto): build the explicit Bloom prefilter only
     when the catalog exceeds ``BLOOM_MIN_CATALOG_ROWS`` — below that the
@@ -81,7 +165,7 @@ def orphan_refs(
     this when the same catalog is probed repeatedly (streaming
     micro-batches, poll loops) so the build cost is paid once, not per
     call."""
-    refs = _span_refs(docs)
+    refs = _span_refs(docs, row_fingerprint=row_fingerprint)
 
     # Catalog size drives BOTH the bloom and the join-strategy choice,
     # so resolve it independently of use_bloom (an explicit
@@ -137,7 +221,10 @@ def orphan_refs(
     if definite_orphans is not None:
         out = definite_orphans.unionByName(fp_orphans)
     # dedupe AFTER the join: orphan survivors are the tiny set
-    return out.dropDuplicates(["doc_id", "media_ref"])
+    dedup_cols = ["doc_id", "media_ref"] + (
+        ["row_fp"] if row_fingerprint else []
+    )
+    return out.dropDuplicates(dedup_cols)
 
 
 def referential_violations(

@@ -63,16 +63,29 @@ def _all_violations(
     dups: DataFrame,
     orphan_doc: DataFrame | None,
     broadcast_orphans: bool = True,
+    orphan_udf=None,
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """One wide scan → every violation row (VIOLATIONS_SCHEMA shape).
 
     Conformance flags are row-local expressions; uniqueness attaches
-    via a broadcast join on the (tiny) dup-key set; referential via a
-    join on the per-doc orphan aggregate — broadcast ONLY while that
-    side is genuinely small (``broadcast_orphans``): a forced broadcast
-    of a high-violation-rate orphan set serializes on the driver and
-    was the dominant non-scaling cost at 16M docs. Each violating doc
-    emits one row per failed check, spans verbatim."""
+    via a broadcast join on the (tiny) dup-key set. Referential comes
+    in two shapes, chosen by catalog size in ``run_validation``:
+
+    * ``orphan_udf`` (broadcastable catalog — the common case): a
+      vectorized membership check over each row's projected refs array
+      (operators/referential.py::orphan_refs_rowlocal_udf). Row-local →
+      the wide scan never shuffles and needs no exploded-refs pre-scan.
+      The earlier join-based shape shuffled the ENTIRE wide scope
+      (spans included) through a sort-merge join against the per-doc
+      orphan aggregate — the dominant non-scaling cost of the pass at
+      16M docs (~13 s of a 29 s stage at local[8]).
+    * ``orphan_doc`` join (catalog too large to broadcast): per-doc
+      orphan aggregate from the salted anti-join pre-scan, attached by
+      join — broadcast only while that side is genuinely small
+      (``broadcast_orphans``).
+
+    Each violating doc emits one row per failed check, spans verbatim."""
     null_spans = F.col("spans").isNull()
     empty_spans = F.col("spans").isNotNull() & (F.size("spans") == 0)
     nonmono = F.when(null_spans, F.lit(False)).otherwise(
@@ -89,10 +102,35 @@ def _all_violations(
         F.when(n_null_kind > 0, "null_span_kind"),
     )
 
-    flagged = scope.join(F.broadcast(dups), "doc_id", "left")
-    if orphan_doc is not None:
+    dups_b = F.broadcast(dups) if broadcast_dups else dups
+    flagged = scope.join(dups_b, "doc_id", "left")
+    if orphan_udf is not None:
+        from ..operators.referential import span_refs_column
+
+        # one ArrowEvalPython stage; the empty→null rewrite happens on
+        # the column ref so the UDF runs once per row
+        flagged = (
+            flagged.withColumn("_oarr", orphan_udf(span_refs_column()))
+            .withColumn(
+                "orphan_refs",
+                F.when(F.size("_oarr") > 0, F.col("_oarr")),
+            )
+            .withColumn(
+                "n_orphans",
+                F.when(
+                    F.col("orphan_refs").isNotNull(),
+                    F.size("orphan_refs").cast("long"),
+                ),
+            )
+            .drop("_oarr")
+        )
+    elif orphan_doc is not None:
         od = F.broadcast(orphan_doc) if broadcast_orphans else orphan_doc
-        flagged = flagged.join(od, ["doc_id", "partition_id"], "left")
+        flagged = (
+            flagged.withColumn("row_fp", F.xxhash64("spans"))
+            .join(od, ["doc_id", "partition_id", "row_fp"], "left")
+            .drop("row_fp")
+        )
     else:
         flagged = flagged.withColumn(
             "n_orphans", F.lit(None).cast("long")
@@ -220,11 +258,27 @@ def run_validation(
     run_id: str = "run0",
     now: str = "1970-01-01T00:00:00Z",
     cfg: ValidationConfig = DEFAULT_CONFIG,
+    timings: dict | None = None,
+    catalog_size_hint: int | None = None,
 ) -> ValidationResult:
     """Full constraint + drift pass with resumable checkpointing.
 
     ``now`` is injected (never wall-clock) for deterministic tests.
+    ``timings``: optional dict populated with per-phase wall seconds
+    (discovery / small_scans / violations / verdicts) for scaling
+    profiles and production observability.
     """
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        if timings is not None:
+            t = _time.time()
+            timings[phase] = round(t - _t0, 3)
+            _t0 = t
+
     manifest = Manifest(manifest_dir) if manifest_dir else None
 
     # Snapshot hashing (full-width pass) only pays when a manifest
@@ -267,6 +321,7 @@ def run_validation(
             [],
             manifest.current_version() if manifest else 0,
         )
+    _mark("discovery")
     scope = docs.filter(F.col("partition_id").isin(pending))
 
     # --- small check inputs (narrow scans; tiny cached outputs) ---
@@ -282,28 +337,65 @@ def run_validation(
 
     dups = duplicate_keys(docs, cfg.unique_key, cfg.salt_buckets).cache()
     orphan_doc = None
+    orphan_udf = None
     broadcast_orphans = True
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut_dups = pool.submit(dups.count)
         if catalog is not None:
-            orphans = orphan_refs(
-                scope, catalog, spark, salt_buckets=cfg.salt_buckets
+            from ..operators.referential import (
+                BROADCAST_MAX_CATALOG_ROWS,
+                collect_catalog_keys,
+                orphan_refs_rowlocal_udf,
             )
-            orphan_doc = (
-                orphans.groupBy("doc_id", "partition_id")
-                .agg(
-                    F.sort_array(F.collect_set("media_ref")).alias(
-                        "orphan_refs"
-                    ),
-                    F.count("*").alias("n_orphans"),
+
+            n_cat = (
+                catalog_size_hint
+                if catalog_size_hint is not None
+                else catalog.count()
+            )
+            if n_cat <= BROADCAST_MAX_CATALOG_ROWS:
+                # broadcastable catalog → referential is a row-local
+                # membership check inside the wide scan: no exploded-
+                # refs pre-scan and no shuffle of the wide scope
+                orphan_udf = orphan_refs_rowlocal_udf(
+                    spark, collect_catalog_keys(catalog)
                 )
-                .cache()
-            )
-            # materializing the cache also tells us whether this side is
-            # still broadcast-sized — at a high violation rate it is not,
-            # and a forced driver-serial broadcast would dominate the pass
-            broadcast_orphans = orphan_doc.count() <= BROADCAST_MAX_ROWS
-        fut_dups.result()  # surface any dup-scan failure here
+            else:
+                # row_fingerprint keeps the aggregate per-PHYSICAL-row
+                # (dup doc_ids with differing spans stay separate),
+                # matching the row-local path's semantics exactly
+                orphans = orphan_refs(
+                    scope,
+                    catalog,
+                    spark,
+                    salt_buckets=cfg.salt_buckets,
+                    catalog_size_hint=n_cat,
+                    row_fingerprint=True,
+                )
+                orphan_doc = (
+                    orphans.groupBy("doc_id", "partition_id", "row_fp")
+                    .agg(
+                        F.sort_array(F.collect_set("media_ref")).alias(
+                            "orphan_refs"
+                        ),
+                        F.count("*").alias("n_orphans"),
+                    )
+                    .cache()
+                )
+                # materializing the cache also tells us whether this
+                # side is still broadcast-sized — at a high violation
+                # rate it is not, and a forced driver-serial broadcast
+                # would dominate the pass
+                broadcast_orphans = orphan_doc.count() <= BROADCAST_MAX_ROWS
+        # a pathological table could have more dup keys than fit a
+        # forced broadcast — same serialized-size ceiling as the
+        # catalog broadcast ((key, count) rows are catalog-key-sized);
+        # beyond it the attach degrades to a shuffle join rather than
+        # OOMing executors
+        from ..operators.referential import BROADCAST_MAX_CATALOG_ROWS as _BC
+
+        broadcast_dups = fut_dups.result() <= _BC
+    _mark("small_scans")
 
     # --- ONE wide scan → all violation rows, staged under run_id ---
     # The drift-input histogram is independent of the violations output
@@ -322,7 +414,14 @@ def run_validation(
         hist_pool = _TPE(max_workers=1)
         fut_hist = hist_pool.submit(cur_hist.count)
 
-    violations = _all_violations(scope, dups, orphan_doc, broadcast_orphans)
+    violations = _all_violations(
+        scope,
+        dups,
+        orphan_doc,
+        broadcast_orphans,
+        orphan_udf=orphan_udf,
+        broadcast_dups=broadcast_dups,
+    )
     if violations_dir is not None:
         staged = os.path.join(violations_dir, f"_staged_{run_id}")
         violations.write.mode("overwrite").parquet(staged)
@@ -332,6 +431,7 @@ def run_validation(
     if fut_hist is not None:
         fut_hist.result()
         hist_pool.shutdown()
+    _mark("violations")
 
     # --- verdicts from violations + partition totals (no re-scan) ---
     totals = totals_src.filter(F.col("partition_id").isin(pending)).select(
@@ -359,6 +459,7 @@ def run_validation(
         global_verdict(verdicts.filter(F.col("partition_id").isNotNull()))
     ).cache()
 
+    _mark("verdicts")
     manifest_version = 0
     if manifest is not None:
         per_part = {

@@ -229,3 +229,28 @@ def test_staged_violations_published(spark, docs, catalog, tmp_path):
     )
     assert res.manifest_version >= 1
     assert res.violations.count() > 0
+
+
+def test_rowlocal_and_join_referential_paths_agree(spark, docs, catalog):
+    """The shuffle-free row-local referential path (broadcastable
+    catalog → Arrow membership UDF inside the wide scan) and the
+    legacy anti-join + per-doc-aggregate path must emit identical
+    violation rows and verdicts. The legacy path is forced by lying
+    about the catalog size via catalog_size_hint."""
+    rowlocal = run_validation(spark, docs, catalog=catalog)
+    legacy = run_validation(
+        spark, docs, catalog=catalog, catalog_size_hint=10_000_000
+    )
+
+    def viol_key(res):
+        return sorted(
+            (r.check, r.doc_id, r.detail, str(r.score), str(r.spans))
+            for r in res.violations.collect()
+        )
+
+    assert viol_key(rowlocal) == viol_key(legacy)
+    verd = lambda res: sorted(
+        (r.check, str(r.partition_id), str(r.n_violations), r.verdict)
+        for r in res.verdicts.collect()
+    )
+    assert verd(rowlocal) == verd(legacy)
