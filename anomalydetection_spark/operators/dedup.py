@@ -172,6 +172,10 @@ def duplicate_clusters(
     stop, ``max_iters`` bounds pathological chains). Both paths return
     identical labels.
     """
+    # the pair graph is consumed at least twice (size probe + either
+    # the driver collect or repeated propagation joins) — cache it so
+    # the upstream LSH chain runs once
+    pairs = pairs.cache()
     n_pairs = pairs.count()
     if n_pairs <= driver_threshold:
         parent: dict = {}
@@ -195,6 +199,7 @@ def duplicate_clusters(
                 parent[hi] = lo
         rows = [(x, find(x)) for x in parent]
         dt = pairs.schema["a_id"].dataType.simpleString()
+        pairs.unpersist()
         return pairs.sparkSession.createDataFrame(
             rows, f"doc_id {dt}, cluster_id {dt}"
         )
@@ -240,6 +245,8 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
+    pairs.unpersist()
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

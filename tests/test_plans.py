@@ -55,3 +55,39 @@ def test_ann_topk_is_rank_limited(spark):
     plan = _plan(spark, "ann_lsh_bucketed")
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_rowlocal_violations_scan_never_shuffles(spark, docs, catalog):
+    """The wide violations scan with a broadcastable catalog must be
+    shuffle-free: referential is a row-local Arrow membership UDF and
+    uniqueness attaches via broadcast — a SortMergeJoin or a non-
+    broadcast Exchange in this DAG means the wide scope is being
+    shuffled again (the round-1 scaling killer)."""
+    from anomalydetection_spark.operators.referential import (
+        collect_catalog_keys,
+        orphan_refs_rowlocal_udf,
+    )
+    from anomalydetection_spark.operators.uniqueness import duplicate_keys
+    from anomalydetection_spark.plans.pipeline import _all_violations
+
+    dups = duplicate_keys(docs, "doc_id", 8)
+    udf = orphan_refs_rowlocal_udf(spark, collect_catalog_keys(catalog))
+    viol = _all_violations(docs, dups, None, orphan_udf=udf)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        viol.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" in plan
+    assert "SortMergeJoin" not in plan
+    # the only exchanges allowed feed the dup-key broadcast side
+    import re
+
+    non_broadcast = [
+        ln for ln in plan.splitlines()
+        if re.search(r"Exchange (?!.*EXECUTOR_BROADCAST)", ln)
+        and "Exchange" in ln and "BroadcastExchange" not in ln
+        and "hashpartitioning" in ln
+    ]
+    # dup-key aggregation legitimately shuffles its narrow key column;
+    # nothing else may
+    assert len(non_broadcast) <= 1, non_broadcast
