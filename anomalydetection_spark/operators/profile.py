@@ -1,0 +1,105 @@
+"""Generic one-pass table profiler: per-column stats for arbitrary
+schemas (the schema-validation half of the engine's north star, the
+batch analog of the reference's per-model feature summaries —
+/root/reference/model_manager.py:83-118 computes per-cluster vector
+stats; here the unit is a column of any Spark type).
+
+Design for 10^12 rows: ONE aggregation over the table produces every
+metric as a map-side-combinable built-in agg (count / min / max / avg /
+stddev / approx_count_distinct); the long-form reshape afterwards
+operates on a single driver-sized row via ``stack``. No UDFs, no
+per-column scans, no shuffle beyond the one partial-agg exchange.
+
+``exact_distinct=True`` swaps HLL approx_count_distinct for exact
+count(DISTINCT …) — used by the oracle-gated catalog query so DuckDB
+agrees bit-for-bit; production profiling at scale keeps the default
+HLL (mergeable, single-pass, no per-column shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+    distinct_rsd: float = 0.02,
+) -> DataFrame:
+    """Long-form profile: one row per (column, metric), value double.
+
+    Metrics: every column gets n_rows / n_null / null_rate /
+    n_distinct; numeric columns add min / max / avg / stddev (rounded
+    to 4 to keep the values engine-portable); strings add
+    min/avg/max length; arrays add min/avg/max size. Timestamps/dates
+    profile as epoch-second min/max. Unsupported types (struct, map,
+    binary) get the null/distinct block only.
+    """
+    cols = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    per_col: dict[str, list[str]] = {}
+
+    def add(c: str, metric: str, expr) -> None:
+        key = f"{c}::{metric}"
+        aggs.append(expr.alias(key))
+        per_col.setdefault(c, []).append(metric)
+
+    for c in cols:
+        dt = schema[c]
+        col = F.col(c)
+        add(c, "n_null", F.count(F.lit(1)) - F.count(col))
+        if exact_distinct:
+            add(c, "n_distinct", F.countDistinct(col).cast("double"))
+        else:
+            add(c, "n_distinct",
+                F.approx_count_distinct(col, distinct_rsd).cast("double"))
+        if isinstance(dt, _NUMERIC):
+            add(c, "min", F.round(F.min(col).cast("double"), 4))
+            add(c, "max", F.round(F.max(col).cast("double"), 4))
+            add(c, "avg", F.round(F.avg(col), 4))
+            add(c, "stddev", F.round(F.stddev_samp(col), 4))
+        elif isinstance(dt, T.StringType):
+            ln = F.length(col)
+            add(c, "min_len", F.min(ln).cast("double"))
+            add(c, "max_len", F.max(ln).cast("double"))
+            add(c, "avg_len", F.round(F.avg(ln), 4))
+        elif isinstance(dt, T.ArrayType):
+            sz = F.size(col)
+            add(c, "min_size", F.min(sz).cast("double"))
+            add(c, "max_size", F.max(sz).cast("double"))
+            add(c, "avg_size", F.round(F.avg(sz), 4))
+        elif isinstance(
+            dt, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        ):
+            # session tz is pinned to UTC (session.py) so NTZ values
+            # profile to the same epoch seconds DuckDB's epoch() yields
+            ep = F.unix_timestamp(col)
+            add(c, "min_epoch", F.min(ep).cast("double"))
+            add(c, "max_epoch", F.max(ep).cast("double"))
+        elif isinstance(dt, T.BooleanType):
+            add(c, "true_rate",
+                F.round(F.avg(col.cast("double")), 4))
+
+    one = df.agg(*aggs)
+    # reshape the single row to long form — stack() on a 1-row frame
+    pairs = []
+    for c in cols:
+        for m in per_col[c]:
+            pairs.append(f"'{c}', '{m}', cast(`{c}::{m}` as double)")
+        pairs.append(f"'{c}', 'null_rate', `{c}::n_null` / nullif(__n, 0)")
+        pairs.append(f"'{c}', 'n_rows', cast(__n as double)")
+    n_triples = len(pairs)
+    return one.selectExpr(
+        f"stack({n_triples}, {', '.join(pairs)}) as (column, metric, value)"
+    ).select(
+        "column", "metric", F.round(F.col("value"), 6).alias("value")
+    )

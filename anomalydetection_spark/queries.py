@@ -239,6 +239,22 @@ def q_ema_hourly(spark, sf_dir):
 # dedup family (training-data pipeline ops over the flat corpus)
 # --------------------------------------------------------------------------
 
+def q_table_profile(spark, sf_dir):
+    """Generic one-pass per-column profiler (operators/profile.py) over
+    the orders table: null counts/rates, distinct counts, numeric
+    min/max/avg/stddev, string length stats, timestamp epoch range —
+    the schema-validation stats block of the north star, one
+    map-side-combinable aggregation for the whole table.
+    exact_distinct=True here so the DuckDB oracle matches bit-for-bit;
+    production profiling keeps the default HLL path (pinned <5% error
+    in tests/test_stats.py)."""
+    from .operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"), exact_distinct=True
+    )
+
+
 def q_drift_wasserstein(spark, sf_dir):
     """Exact 1-Wasserstein drift between the event-id halves per
     event_type: ∫|CDF_a − CDF_b| dx via windowed cumulative counts over
@@ -1208,6 +1224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     "dedup_clusters": q_dedup_clusters,
     "drift_wasserstein": q_drift_wasserstein,
+    "table_profile": q_table_profile,
 }
 
 _LOGLINES_SQL = """
@@ -1320,6 +1337,53 @@ ORACLES: dict[str, str] = {
           FROM j
         )
         SELECT round(max(abs(cdf_a - cdf_b)), 4) AS ks FROM c
+    """,
+    "table_profile": """
+        WITH a AS (SELECT count(*) AS n, count(o_orderkey) AS o_orderkey_cnt, count(DISTINCT o_orderkey) AS o_orderkey_dist, min(o_orderkey)::DOUBLE AS o_orderkey_min, max(o_orderkey)::DOUBLE AS o_orderkey_max, avg(o_orderkey) AS o_orderkey_avg, stddev_samp(o_orderkey) AS o_orderkey_std, count(o_custkey) AS o_custkey_cnt, count(DISTINCT o_custkey) AS o_custkey_dist, min(o_custkey)::DOUBLE AS o_custkey_min, max(o_custkey)::DOUBLE AS o_custkey_max, avg(o_custkey) AS o_custkey_avg, stddev_samp(o_custkey) AS o_custkey_std, count(o_totalprice) AS o_totalprice_cnt, count(DISTINCT o_totalprice) AS o_totalprice_dist, min(o_totalprice)::DOUBLE AS o_totalprice_min, max(o_totalprice)::DOUBLE AS o_totalprice_max, avg(o_totalprice) AS o_totalprice_avg, stddev_samp(o_totalprice) AS o_totalprice_std, count(o_orderstatus) AS o_orderstatus_cnt, count(DISTINCT o_orderstatus) AS o_orderstatus_dist, min(length(o_orderstatus)) AS o_orderstatus_minl, max(length(o_orderstatus)) AS o_orderstatus_maxl, avg(length(o_orderstatus)) AS o_orderstatus_avgl, count(o_orderpriority) AS o_orderpriority_cnt, count(DISTINCT o_orderpriority) AS o_orderpriority_dist, min(length(o_orderpriority)) AS o_orderpriority_minl, max(length(o_orderpriority)) AS o_orderpriority_maxl, avg(length(o_orderpriority)) AS o_orderpriority_avgl, count(o_orderdate) AS o_orderdate_cnt, count(DISTINCT o_orderdate) AS o_orderdate_dist, min(o_orderdate) AS o_orderdate_mine, max(o_orderdate) AS o_orderdate_maxe FROM orders)
+        SELECT 'o_orderkey' AS "column", 'n_null' AS metric, round((n - o_orderkey_cnt)::DOUBLE, 6) AS value FROM a
+        UNION ALL SELECT 'o_orderkey', 'n_distinct', round(o_orderkey_dist::DOUBLE, 6) FROM a
+        UNION ALL SELECT 'o_orderkey', 'min', round(o_orderkey_min, 4) FROM a
+        UNION ALL SELECT 'o_orderkey', 'max', round(o_orderkey_max, 4) FROM a
+        UNION ALL SELECT 'o_orderkey', 'avg', round(o_orderkey_avg, 4) FROM a
+        UNION ALL SELECT 'o_orderkey', 'stddev', round(o_orderkey_std, 4) FROM a
+        UNION ALL SELECT 'o_orderkey', 'null_rate', round((n - o_orderkey_cnt)::DOUBLE / nullif(n, 0), 6) FROM a
+        UNION ALL SELECT 'o_orderkey', 'n_rows', n::DOUBLE FROM a
+        UNION ALL SELECT 'o_custkey' AS "column", 'n_null' AS metric, round((n - o_custkey_cnt)::DOUBLE, 6) AS value FROM a
+        UNION ALL SELECT 'o_custkey', 'n_distinct', round(o_custkey_dist::DOUBLE, 6) FROM a
+        UNION ALL SELECT 'o_custkey', 'min', round(o_custkey_min, 4) FROM a
+        UNION ALL SELECT 'o_custkey', 'max', round(o_custkey_max, 4) FROM a
+        UNION ALL SELECT 'o_custkey', 'avg', round(o_custkey_avg, 4) FROM a
+        UNION ALL SELECT 'o_custkey', 'stddev', round(o_custkey_std, 4) FROM a
+        UNION ALL SELECT 'o_custkey', 'null_rate', round((n - o_custkey_cnt)::DOUBLE / nullif(n, 0), 6) FROM a
+        UNION ALL SELECT 'o_custkey', 'n_rows', n::DOUBLE FROM a
+        UNION ALL SELECT 'o_totalprice' AS "column", 'n_null' AS metric, round((n - o_totalprice_cnt)::DOUBLE, 6) AS value FROM a
+        UNION ALL SELECT 'o_totalprice', 'n_distinct', round(o_totalprice_dist::DOUBLE, 6) FROM a
+        UNION ALL SELECT 'o_totalprice', 'min', round(o_totalprice_min, 4) FROM a
+        UNION ALL SELECT 'o_totalprice', 'max', round(o_totalprice_max, 4) FROM a
+        UNION ALL SELECT 'o_totalprice', 'avg', round(o_totalprice_avg, 4) FROM a
+        UNION ALL SELECT 'o_totalprice', 'stddev', round(o_totalprice_std, 4) FROM a
+        UNION ALL SELECT 'o_totalprice', 'null_rate', round((n - o_totalprice_cnt)::DOUBLE / nullif(n, 0), 6) FROM a
+        UNION ALL SELECT 'o_totalprice', 'n_rows', n::DOUBLE FROM a
+        UNION ALL SELECT 'o_orderstatus', 'n_null', round((n - o_orderstatus_cnt)::DOUBLE, 6) FROM a
+        UNION ALL SELECT 'o_orderstatus', 'n_distinct', round(o_orderstatus_dist::DOUBLE, 6) FROM a
+        UNION ALL SELECT 'o_orderstatus', 'min_len', o_orderstatus_minl::DOUBLE FROM a
+        UNION ALL SELECT 'o_orderstatus', 'max_len', o_orderstatus_maxl::DOUBLE FROM a
+        UNION ALL SELECT 'o_orderstatus', 'avg_len', round(o_orderstatus_avgl, 4) FROM a
+        UNION ALL SELECT 'o_orderstatus', 'null_rate', round((n - o_orderstatus_cnt)::DOUBLE / nullif(n, 0), 6) FROM a
+        UNION ALL SELECT 'o_orderstatus', 'n_rows', n::DOUBLE FROM a
+        UNION ALL SELECT 'o_orderpriority', 'n_null', round((n - o_orderpriority_cnt)::DOUBLE, 6) FROM a
+        UNION ALL SELECT 'o_orderpriority', 'n_distinct', round(o_orderpriority_dist::DOUBLE, 6) FROM a
+        UNION ALL SELECT 'o_orderpriority', 'min_len', o_orderpriority_minl::DOUBLE FROM a
+        UNION ALL SELECT 'o_orderpriority', 'max_len', o_orderpriority_maxl::DOUBLE FROM a
+        UNION ALL SELECT 'o_orderpriority', 'avg_len', round(o_orderpriority_avgl, 4) FROM a
+        UNION ALL SELECT 'o_orderpriority', 'null_rate', round((n - o_orderpriority_cnt)::DOUBLE / nullif(n, 0), 6) FROM a
+        UNION ALL SELECT 'o_orderpriority', 'n_rows', n::DOUBLE FROM a
+        UNION ALL SELECT 'o_orderdate', 'n_null', round((n - o_orderdate_cnt)::DOUBLE, 6) FROM a
+        UNION ALL SELECT 'o_orderdate', 'n_distinct', round(o_orderdate_dist::DOUBLE, 6) FROM a
+        UNION ALL SELECT 'o_orderdate', 'min_epoch', round(epoch(o_orderdate_mine)::DOUBLE, 6) FROM a
+        UNION ALL SELECT 'o_orderdate', 'max_epoch', round(epoch(o_orderdate_maxe)::DOUBLE, 6) FROM a
+        UNION ALL SELECT 'o_orderdate', 'null_rate', round((n - o_orderdate_cnt)::DOUBLE / nullif(n, 0), 6) FROM a
+        UNION ALL SELECT 'o_orderdate', 'n_rows', n::DOUBLE FROM a
     """,
     "drift_wasserstein": """
         WITH s AS (

@@ -75,3 +75,35 @@ def test_conformance_violations_detail(docs, expected):
         assert "null_spans" in got[d]
     for d in expected["nonmono"]:
         assert "nonmonotone_offsets" in got[d]
+
+
+def test_profile_table_generic(spark):
+    """One-pass profiler: approx distinct within 5% of exact, per-type
+    metric blocks present, null accounting right."""
+    from anomalydetection_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(i, float(i % 97), f"s{i % 13}", [1] * (i % 4), i % 2 == 0)
+         for i in range(5000)]
+        + [(None, None, None, None, None)] * 50,
+        "k bigint, v double, s string, arr array<int>, b boolean",
+    )
+    prof = {
+        (r.column, r.metric): r.value
+        for r in profile_table(df).collect()
+    }
+    assert prof[("k", "n_rows")] == 5050.0
+    assert prof[("k", "n_null")] == 50.0
+    assert abs(prof[("k", "null_rate")] - 50 / 5050) < 1e-6  # round-6 output
+    assert abs(prof[("k", "n_distinct")] - 5000) / 5000 < 0.05  # HLL
+    assert prof[("v", "max")] == 96.0
+    assert prof[("s", "max_len")] >= 2.0
+    assert prof[("arr", "max_size")] == 3.0
+    assert abs(prof[("b", "true_rate")] - 0.5) < 0.01
+
+    exact = {
+        (r.column, r.metric): r.value
+        for r in profile_table(df, exact_distinct=True).collect()
+    }
+    assert exact[("k", "n_distinct")] == 5000.0
+    assert exact[("s", "n_distinct")] == 13.0
