@@ -48,6 +48,7 @@ def _batch_verdicts(
     catalog: DataFrame | None,
     catalog_size_hint: int | None = None,
     bloom: tuple | None = None,
+    baseline_hist: DataFrame | None = None,
 ) -> DataFrame:
     verdicts = stats_ops.conformance_verdicts(batch)
     uniq = duplicate_keys(batch, "doc_id")
@@ -102,6 +103,23 @@ def _batch_verdicts(
             .alias("verdict"),
         )
         out = out.unionByName(ref_v)
+    if baseline_hist is not None:
+        # distribution drift per micro-batch against the STORED
+        # baseline: the batch reduces to a bounded (kind x bucket)
+        # histogram before any join, so the per-trigger cost is a
+        # map-side partial agg + a histogram-sized join regardless of
+        # batch size
+        from ..operators import drift as drift_ops
+
+        dv = drift_ops.drift_verdicts(
+            stats_ops.length_histogram(batch),
+            baseline_hist,
+            keys=["kind"],
+            psi_threshold=0.25,
+            ks_threshold=0.2,
+            check_prefix="drift_len_batch",
+        )
+        out = out.unionByName(dv)
     return out
 
 
@@ -113,6 +131,7 @@ def stream_validate(
     catalog: DataFrame | None = None,
     available_now: bool = True,
     processing_time: str = "60 seconds",
+    baseline_hist: DataFrame | None = None,
 ):
     """Run incremental validation over arriving document files.
 
@@ -136,7 +155,9 @@ def stream_validate(
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        v = _batch_verdicts(batch, catalog, catalog_n, bloom).withColumn(
+        v = _batch_verdicts(
+            batch, catalog, catalog_n, bloom, baseline_hist
+        ).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
         v.write.mode("append").parquet(verdicts_dir)

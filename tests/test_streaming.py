@@ -136,3 +136,29 @@ def test_windowed_counts_match_batch_groupby(spark):
         ).agg(F.count("*").alias("n")).collect()
     }
     assert got == exp
+
+
+def test_stream_drift_verdicts_against_baseline(spark, docs, catalog, tmp_path):
+    """With a stored baseline histogram, every micro-batch also emits
+    drift_len_batch PSI/KS verdict rows; an identical-distribution
+    baseline passes (the batch IS the baseline population)."""
+    from anomalydetection_spark.operators.stats import length_histogram
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, docs, inp, 0, 4)
+    baseline = length_histogram(
+        docs.filter(F.col("partition_id") < 4)
+    ).cache()
+    baseline.count()
+
+    q = stream_validate(
+        spark, inp, out, ckpt, catalog=catalog, baseline_hist=baseline
+    )
+    q.awaitTermination()
+    v = spark.read.parquet(os.path.join(out, "verdicts"))
+    drift = v.filter(F.col("check").startswith("drift_len_batch")).collect()
+    assert drift, "no drift verdict rows emitted"
+    # batch == baseline population -> zero drift, all pass
+    assert all(r.verdict == "pass" for r in drift)
