@@ -75,12 +75,14 @@ def collect_catalog_keys(catalog: DataFrame, col: str = "media_ref"):
     membership path). Only call when the catalog is known to be at most
     ``BROADCAST_MAX_CATALOG_ROWS`` — the same ceiling that gates the
     forced broadcast join, for the same serialized-size reasons."""
-    keys = [
-        r[0]
-        for r in catalog.select(col).filter(F.col(col).isNotNull())
-        .distinct().collect()
-    ]
-    return np.sort(np.asarray(keys, dtype=object))
+    tbl = (
+        catalog.select(col)
+        .filter(F.col(col).isNotNull())
+        .distinct()
+        .toArrow()  # Arrow transfer: no per-row Row materialization
+    )
+    keys = tbl.column(0).to_numpy(zero_copy_only=False)
+    return np.sort(keys.astype(object, copy=False))
 
 
 def orphan_refs_rowlocal_udf(spark: SparkSession, keys: np.ndarray):
