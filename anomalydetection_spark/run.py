@@ -48,6 +48,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    "violations instead of validating")
     p.add_argument("--violations-run", metavar="RUN_ID",
                    help="run id under <out>/violations to apply feedback to")
+    p.add_argument("--profile", action="store_true",
+                   help="also write a one-pass per-column profile of the "
+                   "docs table to <out>/profile/<run_id>")
     return p.parse_args(argv)
 
 
@@ -119,9 +122,16 @@ def one_round(spark, args, run_id: str) -> dict:
     res.verdicts.write.mode("overwrite").parquet(verdicts_out)
     violations_out = os.path.join(args.out, "violations", run_id)
     res.violations.write.mode("overwrite").parquet(violations_out)
+    profile_out = None
+    if args.profile:
+        from .operators.profile import profile_table
+
+        profile_out = os.path.join(args.out, "profile", run_id)
+        profile_table(docs).write.mode("overwrite").parquet(profile_out)
     n_fail = res.verdicts.filter(F.col("verdict") == "fail").count()
     return {
         "run_id": run_id,
+        "profile": profile_out,
         "validated_partitions": res.validated_partitions,
         "manifest_version": res.manifest_version,
         "n_failed_checks": n_fail,

@@ -90,3 +90,20 @@ def test_read_table_dispatch(spark, docs_path):
     assert not is_table_identifier("s3://bucket/path")
     assert read_table(spark, docs_path).count() > 0
     assert iceberg_available(spark) is False  # no jar in this sandbox
+
+
+def test_profile_flag_writes_column_stats(spark, docs_path, catalog, tmp_path):
+    cat_path = str(tmp_path / "catalog")
+    catalog.write.mode("overwrite").parquet(cat_path)
+    out = str(tmp_path / "out")
+    args = parse_args(
+        ["--docs", docs_path, "--catalog", cat_path, "--out", out,
+         "--profile"]
+    )
+    s = one_round(spark, args, "r1")
+    prof = spark.read.parquet(s["profile"])
+    cols = {r.column for r in prof.select("column").distinct().collect()}
+    assert {"doc_id", "spans", "partition_id"} <= cols
+    rows = {(r.column, r.metric): r.value for r in prof.collect()}
+    assert rows[("doc_id", "n_rows")] > 0
+    assert ("spans", "avg_size") in rows
