@@ -63,3 +63,31 @@ def test_feedback_empty(spark, docs, catalog):
     flagged = apply_feedback(res.violations, fb)
     assert flagged.filter(~F.col("is_anomaly")).count() == 0
     assert flagged.count() == res.violations.count()
+
+
+def test_empty_catalog_rowlocal_all_refs_orphan(spark, docs):
+    """Zero-row catalog through the row-local membership path: every
+    non-null ref is an orphan; the pass completes and flags them."""
+    from anomalydetection_spark.plans.pipeline import run_validation
+
+    empty_cat = spark.createDataFrame([], "media_ref string")
+    res = run_validation(spark, docs, catalog=empty_cat)
+    ref = res.violations.filter(F.col("check") == "referential")
+    n_ref_docs = ref.select("doc_id").distinct().count()
+    # every doc with >=1 non-null media_ref must be flagged
+    expect = (
+        docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.transform("spans", lambda s: s["media_ref"]),
+                    lambda r: r.isNotNull(),
+                )
+            ).alias("k"),
+        )
+        .filter(F.col("k") > 0)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_ref_docs == expect
