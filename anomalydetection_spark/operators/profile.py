@@ -80,9 +80,20 @@ def profile_table(
         elif isinstance(
             dt, (T.TimestampType, T.TimestampNTZType, T.DateType)
         ):
-            # session tz is pinned to UTC (session.py) so NTZ values
-            # profile to the same epoch seconds DuckDB's epoch() yields
-            ep = F.unix_timestamp(col)
+            # epoch seconds WITHOUT session-timezone dependence:
+            # NTZ -> pure wall-clock diff vs the NTZ epoch literal,
+            # DATE -> day arithmetic, instant -> unix_timestamp (which
+            # is tz-free for instants). unix_timestamp on NTZ/DATE
+            # would shift with spark.sql.session.timeZone.
+            if isinstance(dt, T.TimestampNTZType):
+                ep = F.expr(
+                    "timestampdiff(SECOND,"
+                    f" TIMESTAMP_NTZ '1970-01-01 00:00:00', `{c}`)"
+                )
+            elif isinstance(dt, T.DateType):
+                ep = F.datediff(col, F.lit("1970-01-01")) * 86400
+            else:
+                ep = F.unix_timestamp(col)
             add(c, "min_epoch", F.min(ep).cast("double"))
             add(c, "max_epoch", F.max(ep).cast("double"))
         elif isinstance(dt, T.BooleanType):
