@@ -190,8 +190,12 @@ def q_rolling_3sigma(spark, sf_dir):
     """3-sigma rule over an hourly count series (drift.py ema_3sigma's
     windowed half; EMA itself is oracle-exempt, see q_ema_hourly)."""
     ev = _t(spark, sf_dir, "events")
+    # tz-free NTZ hour truncation: date_trunc would coerce the NTZ
+    # column to an instant via the session timezone
     hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("bucket_ts")
+        F.to_timestamp_ntz(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00")
+        ).alias("bucket_ts")
     ).agg(F.count("*").cast("double").alias("n"))
     w = Window.orderBy("bucket_ts").rowsBetween(-12, -1)
     return (
@@ -222,7 +226,9 @@ def q_ema_hourly(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("bucket_ts")
+        F.to_timestamp_ntz(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00")
+        ).alias("bucket_ts")
     ).agg(F.count("*").cast("double").alias("n")).withColumn("k", F.lit(1))
     out = ema_3sigma(
         hourly, ["k"], "bucket_ts", "n", alpha=0.3, sigma_k=3.0, min_history=5
@@ -845,7 +851,9 @@ def q_timestamp_extraction(spark, sf_dir):
         .agg(
             F.count("*").alias("n_rows"),
             F.count("parsed").alias("n_parsed"),
-            F.min("parsed").alias("min_parsed"),
+            # instant -> NTZ restores the parsed wall-clock time under
+            # any session timezone (parse and render use the same tz)
+            F.min("parsed").cast("timestamp_ntz").alias("min_parsed"),
         )
     )
 
