@@ -12,8 +12,12 @@ per-column scans, no shuffle beyond the one partial-agg exchange.
 
 ``exact_distinct=True`` swaps HLL approx_count_distinct for exact
 count(DISTINCT …) — used by the oracle-gated catalog query so DuckDB
-agrees bit-for-bit; production profiling at scale keeps the default
-HLL (mergeable, single-pass, no per-column shuffle).
+agrees bit-for-bit. NOTE: multi-column exact distinct makes Catalyst
+rewrite the agg through an ``Expand`` (one replicated row per distinct
+column — 7x the scan rows here), which is exactly the cost HLL
+sketches exist to avoid; production profiling at scale keeps the
+default HLL path, whose plan is pinned shuffle-minimal
+(scan → partial agg → ONE exchange → stack) in tests/test_plans.py.
 """
 
 from __future__ import annotations

@@ -91,3 +91,19 @@ def test_rowlocal_violations_scan_never_shuffles(spark, docs, catalog):
     # dup-key aggregation legitimately shuffles its narrow key column;
     # nothing else may
     assert len(non_broadcast) <= 1, non_broadcast
+
+
+def test_profile_default_plan_single_pass(spark):
+    """The default (HLL) profiler plan must stay scan → partial agg →
+    ONE exchange → final agg → stack: no Expand (the multi-column
+    exact-distinct rewrite that replicates every scan row per column)."""
+    from anomalydetection_spark.operators.profile import profile_table
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        profile_table(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Expand" not in plan
+    assert plan.count("Exchange") <= 2  # plan tree + details listing
+    assert "partial_" in plan
