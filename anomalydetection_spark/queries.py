@@ -261,6 +261,31 @@ def q_table_profile(spark, sf_dir):
     )
 
 
+def q_schema_contract(spark, sf_dir):
+    """Declarative schema-contract validation over events
+    (operators/contract.py): structural tier (missing column +
+    type mismatch, zero scans) and data tier (null / allowed-set /
+    range / regex rules, ONE agg pass) unioned as verdict rows."""
+    from .operators.contract import ColumnRule, Contract, contract_verdicts
+
+    ev = _t(spark, sf_dir, "events")
+    contract = Contract(
+        columns={
+            "event_id": ColumnRule(dtype="bigint", max_null_rate=0.0),
+            "event_type": ColumnRule(
+                dtype="string",
+                allowed=("click", "view", "purchase", "signup"),
+            ),
+            "value": ColumnRule(
+                dtype="float", min_value=0.0, max_value=400.0
+            ),
+            "props": ColumnRule(dtype="string", rlike='^\\{"k": [0-9]\\}$'),
+            "session_id": ColumnRule(dtype="string"),
+        }
+    )
+    return contract_verdicts(ev, contract)
+
+
 def q_drift_wasserstein(spark, sf_dir):
     """Exact 1-Wasserstein drift between the event-id halves per
     event_type: ∫|CDF_a − CDF_b| dx via windowed cumulative counts over
@@ -1233,6 +1258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "drift_wasserstein": q_drift_wasserstein,
     "table_profile": q_table_profile,
+    "schema_contract": q_schema_contract,
 }
 
 _LOGLINES_SQL = """
@@ -1392,6 +1418,59 @@ ORACLES: dict[str, str] = {
         UNION ALL SELECT 'o_orderdate', 'max_epoch', round(epoch(o_orderdate_maxe)::DOUBLE, 6) FROM a
         UNION ALL SELECT 'o_orderdate', 'null_rate', round((n - o_orderdate_cnt)::DOUBLE / nullif(n, 0), 6) FROM a
         UNION ALL SELECT 'o_orderdate', 'n_rows', n::DOUBLE FROM a
+    """,
+    "schema_contract": """
+        WITH n AS (SELECT count(*)::DOUBLE AS total FROM events)
+        SELECT 'schema:missing_column' AS check, 'session_id' AS "column",
+               CAST(NULL AS BIGINT) AS n_violations,
+               CAST(NULL AS DOUBLE) AS violation_rate,
+               'fail' AS verdict, 'declared but absent' AS detail
+        UNION ALL
+        SELECT 'schema:type_mismatch', 'value', NULL, NULL, 'fail',
+               'expected float, got double'
+        UNION ALL
+        SELECT 'rule:null', 'event_id',
+               CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               round(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) / total, 6),
+               CASE WHEN sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) = 0
+                    THEN 'pass' ELSE 'fail' END,
+               NULL
+        FROM events, n GROUP BY total
+        UNION ALL
+        SELECT 'rule:allowed', 'event_type',
+               CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                    ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT),
+               round(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                    ('click','view','purchase','signup') THEN 1 ELSE 0 END) / total, 6),
+               CASE WHEN sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                    ('click','view','purchase','signup') THEN 1 ELSE 0 END) = 0
+                    THEN 'pass' ELSE 'fail' END,
+               NULL
+        FROM events, n GROUP BY total
+        UNION ALL
+        SELECT 'rule:min_value', 'value',
+               CAST(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT),
+               round(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) / total, 6),
+               CASE WHEN sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) = 0
+                    THEN 'pass' ELSE 'fail' END,
+               NULL
+        FROM events, n GROUP BY total
+        UNION ALL
+        SELECT 'rule:max_value', 'value',
+               CAST(sum(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) AS BIGINT),
+               round(sum(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) / total, 6),
+               CASE WHEN sum(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) = 0
+                    THEN 'pass' ELSE 'fail' END,
+               NULL
+        FROM events, n GROUP BY total
+        UNION ALL
+        SELECT 'rule:rlike', 'props',
+               CAST(sum(CASE WHEN props IS NOT NULL AND NOT regexp_full_match(props, '\\{"k": [0-9]\\}') THEN 1 ELSE 0 END) AS BIGINT),
+               round(sum(CASE WHEN props IS NOT NULL AND NOT regexp_full_match(props, '\\{"k": [0-9]\\}') THEN 1 ELSE 0 END) / total, 6),
+               CASE WHEN sum(CASE WHEN props IS NOT NULL AND NOT regexp_full_match(props, '\\{"k": [0-9]\\}') THEN 1 ELSE 0 END) = 0
+                    THEN 'pass' ELSE 'fail' END,
+               NULL
+        FROM events, n GROUP BY total
     """,
     "drift_wasserstein": """
         WITH s AS (

@@ -1,0 +1,70 @@
+"""Schema-contract validation (operators/contract.py): structural
+diff, data-tier rule counts, verdict gating with null budgets."""
+
+from __future__ import annotations
+
+from anomalydetection_spark.operators.contract import (
+    ColumnRule,
+    Contract,
+    contract_verdicts,
+    contract_violation_counts,
+    schema_diff,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 5.0, "ok"), (2, "b", -1.0, "ok"),
+         (3, "zzz", 50.0, None), (None, "a", 2.0, "bad value")],
+        "id bigint, cat string, score double, note string",
+    )
+
+
+CONTRACT = Contract(
+    columns={
+        "id": ColumnRule(dtype="bigint", nullable=False),
+        "cat": ColumnRule(allowed=("a", "b")),
+        "score": ColumnRule(min_value=0.0, max_value=10.0),
+        "note": ColumnRule(rlike="^ok$", max_null_rate=0.5),
+        "gone": ColumnRule(dtype="string"),
+    },
+    closed=True,
+)
+
+
+def test_schema_diff_structural(spark):
+    issues = {(i["column"], i["issue"])
+              for i in schema_diff(_df(spark).schema, CONTRACT)}
+    assert ("gone", "missing_column") in issues
+    assert ("id", "nullable_mismatch") in issues  # parquet-style nullable
+    # closed contract: no extras here (all 4 declared)
+    assert not any(i == "unexpected_column" for _, i in issues)
+
+    open_extra = Contract(columns={"id": ColumnRule()}, closed=True)
+    issues2 = {(i["column"], i["issue"])
+               for i in schema_diff(_df(spark).schema, open_extra)}
+    assert ("cat", "unexpected_column") in issues2
+
+
+def test_violation_counts_one_pass(spark):
+    counts = {
+        (r.column, r.rule): (r.n_violations, r.violation_rate)
+        for r in contract_violation_counts(_df(spark), CONTRACT).collect()
+    }
+    assert counts[("id", "null")][0] == 1
+    assert counts[("cat", "allowed")][0] == 1          # zzz
+    assert counts[("score", "min_value")][0] == 1      # -1.0
+    assert counts[("score", "max_value")][0] == 1      # 50.0
+    assert counts[("note", "rlike")][0] == 1           # "bad value"
+    assert counts[("note", "null")][0] == 1            # null within budget
+
+
+def test_verdicts_null_budget(spark):
+    v = {
+        (r.check, r.column): r.verdict
+        for r in contract_verdicts(_df(spark), CONTRACT).collect()
+    }
+    assert v[("rule:null", "id")] == "fail"       # nullable=False, 1 null
+    assert v[("rule:null", "note")] == "pass"     # 25% <= 50% budget
+    assert v[("rule:allowed", "cat")] == "fail"
+    assert v[("schema:missing_column", "gone")] == "fail"
