@@ -260,6 +260,7 @@ def run_validation(
     cfg: ValidationConfig = DEFAULT_CONFIG,
     timings: dict | None = None,
     catalog_size_hint: int | None = None,
+    contract=None,
 ) -> ValidationResult:
     """Full constraint + drift pass with resumable checkpointing.
 
@@ -453,6 +454,22 @@ def run_validation(
             check_prefix="drift_len",
         )
         verdicts = verdicts.unionByName(dv)
+
+    # --- optional declarative schema contract (structural tier is
+    # driver-side metadata only; data tier is one narrow agg pass) ---
+    if contract is not None:
+        from ..operators.contract import contract_verdicts
+
+        cv = contract_verdicts(scope, contract).select(
+            F.concat_ws(":", F.col("check"), F.col("column")).alias("check"),
+            F.lit(None).cast("int").alias("partition_id"),
+            F.lit(None).cast("long").alias("n_rows"),
+            "n_violations",
+            "violation_rate",
+            F.col("n_violations").cast("double").alias("score"),
+            "verdict",
+        )
+        verdicts = verdicts.unionByName(cv)
 
     # --- table-level rollup (the "ensemble" two-level verdict) ---
     verdicts = verdicts.unionByName(

@@ -68,3 +68,25 @@ def test_verdicts_null_budget(spark):
     assert v[("rule:null", "note")] == "pass"     # 25% <= 50% budget
     assert v[("rule:allowed", "cat")] == "fail"
     assert v[("schema:missing_column", "gone")] == "fail"
+
+
+def test_pipeline_contract_integration(spark, docs, catalog):
+    """run_validation(contract=...) unions table-level contract verdict
+    rows (check = '<tier>:<rule>:<column>', partition_id null) without
+    disturbing the per-partition checks."""
+    from anomalydetection_spark.plans.pipeline import run_validation
+
+    contract = Contract(
+        columns={
+            "doc_id": ColumnRule(dtype="string", max_null_rate=0.0),
+            "spans": ColumnRule(max_null_rate=0.5),
+            "nonexistent": ColumnRule(),
+        }
+    )
+    res = run_validation(spark, docs, catalog=catalog, contract=contract)
+    rows = {r.check: r.verdict for r in res.verdicts.collect()}
+    assert rows["schema:missing_column:nonexistent"] == "fail"
+    assert "rule:null:doc_id" in rows
+    assert "rule:null:spans" in rows
+    # per-partition checks unaffected
+    assert any(k == "uniqueness" for k in rows)
