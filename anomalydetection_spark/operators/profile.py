@@ -37,6 +37,7 @@ def profile_table(
     columns: list[str] | None = None,
     exact_distinct: bool = False,
     distinct_rsd: float = 0.02,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Long-form profile: one row per (column, metric), value double.
 
@@ -46,8 +47,15 @@ def profile_table(
     min/avg/max length; arrays add min/avg/max size. Timestamps/dates
     profile as epoch-second min/max. Unsupported types (struct, map,
     binary) get the null/distinct block only.
+
+    ``group_cols``: profile per group (e.g. ``["partition_id"]`` for
+    hot-spot detection) — still one aggregation pass; the output gains
+    the group columns and the reshape happens per group row.
     """
-    cols = columns or df.columns
+    group_cols = group_cols or []
+    cols = [
+        c for c in (columns or df.columns) if c not in set(group_cols)
+    ]
     schema = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("__n")]
     per_col: dict[str, list[str]] = {}
@@ -104,8 +112,10 @@ def profile_table(
             add(c, "true_rate",
                 F.round(F.avg(col.cast("double")), 4))
 
-    one = df.agg(*aggs)
-    # reshape the single row to long form — stack() on a 1-row frame
+    one = (
+        df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+    )
+    # reshape to long form — stack() on the group-cardinality frame
     pairs = []
     for c in cols:
         for m in per_col[c]:
@@ -114,7 +124,11 @@ def profile_table(
         pairs.append(f"'{c}', 'n_rows', cast(__n as double)")
     n_triples = len(pairs)
     return one.selectExpr(
-        f"stack({n_triples}, {', '.join(pairs)}) as (column, metric, value)"
+        *[f"`{g}`" for g in group_cols],
+        f"stack({n_triples}, {', '.join(pairs)}) as (column, metric, value)",
     ).select(
-        "column", "metric", F.round(F.col("value"), 6).alias("value")
+        *group_cols,
+        "column",
+        "metric",
+        F.round(F.col("value"), 6).alias("value"),
     )

@@ -107,3 +107,26 @@ def test_profile_table_generic(spark):
     }
     assert exact[("k", "n_distinct")] == 5000.0
     assert exact[("s", "n_distinct")] == 13.0
+
+
+def test_profile_table_grouped(spark, docs):
+    """group_cols: per-partition profile in one pass; group totals
+    match per-partition counts."""
+    from anomalydetection_spark.operators.profile import profile_table
+
+    prof = profile_table(
+        docs, columns=["doc_id", "spans"], group_cols=["partition_id"]
+    )
+    rows = {
+        (r.partition_id, r.column, r.metric): r.value
+        for r in prof.collect()
+    }
+    totals = {
+        r.partition_id: r.n
+        for r in docs.groupBy("partition_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for pid, n in totals.items():
+        assert rows[(pid, "doc_id", "n_rows")] == float(n)
+    assert any(m == "avg_size" for (_, c, m) in rows if c == "spans")
