@@ -103,33 +103,39 @@ def orphan_refs_rowlocal_udf(spark: SparkSession, keys: np.ndarray):
     from pyspark.sql.functions import arrow_udf
 
     bkeys = spark.sparkContext.broadcast(np.asarray(keys, dtype=object))
-    val_type = pa.string()
 
     @arrow_udf("array<string>")
     def _orphans(refs: pa.Array) -> pa.Array:
-        cat = pa.array(bkeys.value, type=val_type)
-        if isinstance(refs, pa.ChunkedArray):
-            refs = refs.combine_chunks()
-        n = len(refs)
-        # per-slot value counts (null slot -> 0), C-level
-        counts = np.asarray(pc.list_value_length(refs).fill_null(0))
-        flat = pc.list_flatten(refs)  # skips null slots
-        orphan_mask = np.asarray(
-            pc.invert(pc.is_in(flat, value_set=cat)).fill_null(True)
-        )
-        row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
-        o_rows = row_ids[orphan_mask]
-        o_vals = flat.to_numpy(zero_copy_only=False)[orphan_mask]
-        # sort_array semantics within each row (tiny survivor set)
-        order = np.lexsort((o_vals, o_rows))
-        new_offsets = np.zeros(n + 1, dtype=np.int32)
-        np.cumsum(np.bincount(o_rows, minlength=n), out=new_offsets[1:])
-        return pa.ListArray.from_arrays(
-            pa.array(new_offsets, type=pa.int32()),
-            pa.array(o_vals[order], type=val_type),
-        )
+        return _orphan_kernel(refs, bkeys.value)
 
     return _orphans
+
+
+def _orphan_kernel(refs, keys: np.ndarray):
+    """Pure pyarrow kernel behind the row-local UDF (property-tested in
+    tests/test_properties.py against a per-row Python reference):
+    list<string> refs per row → sorted list of refs not in ``keys``."""
+    cat = pa.array(keys, type=pa.string())
+    if isinstance(refs, pa.ChunkedArray):
+        refs = refs.combine_chunks()
+    n = len(refs)
+    # per-slot value counts (null slot -> 0), C-level
+    counts = np.asarray(pc.list_value_length(refs).fill_null(0))
+    flat = pc.list_flatten(refs)  # skips null slots
+    orphan_mask = np.asarray(
+        pc.invert(pc.is_in(flat, value_set=cat)).fill_null(True)
+    )
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+    o_rows = row_ids[orphan_mask]
+    o_vals = flat.to_numpy(zero_copy_only=False)[orphan_mask]
+    # sort_array semantics within each row (tiny survivor set)
+    order = np.lexsort((o_vals, o_rows))
+    new_offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(np.bincount(o_rows, minlength=n), out=new_offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(new_offsets, type=pa.int32()),
+        pa.array(o_vals[order], type=pa.string()),
+    )
 
 
 def span_refs_column() -> Column:

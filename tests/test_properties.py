@@ -87,3 +87,35 @@ def test_drain_templates_generalize_monotonically(lines):
         assert len(new) == len(old)
         for a, b in zip(old, new):
             assert b == a or b == WILDCARD
+
+
+ref_str = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.lists(ref_str, max_size=6)),
+        max_size=200,
+    ),
+    st.lists(ref_str, max_size=30),
+)
+def test_orphan_kernel_matches_python_reference(rows, catalog):
+    """The Arrow orphan kernel must agree with a per-row Python
+    reference for arbitrary ref lists (incl. nulls, empties, dups)."""
+    import pyarrow as pa
+
+    from anomalydetection_spark.operators.referential import _orphan_kernel
+
+    refs = pa.array(rows, type=pa.list_(pa.string()))
+    keys = np.sort(np.asarray(sorted(set(catalog)), dtype=object))
+    out = _orphan_kernel(refs, keys).to_pylist()
+    cat = set(catalog)
+    expect = [
+        sorted(v for v in (row or []) if v not in cat) for row in rows
+    ]
+    assert out == expect
