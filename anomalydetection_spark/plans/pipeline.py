@@ -340,8 +340,20 @@ def run_validation(
     orphan_doc = None
     orphan_udf = None
     broadcast_orphans = True
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    fut_hist = None
+    cur_hist = None
+    pool = ThreadPoolExecutor(max_workers=3)
+    try:
         fut_dups = pool.submit(dups.count)
+        # the drift-input histogram depends only on scope — start it
+        # NOW so it overlaps the dup scan and then the wide violations
+        # materialization (it previously serialized before the wide
+        # scan in the cached-violations path)
+        if baseline_hist is not None:
+            cur_hist = stats_ops.length_histogram(
+                scope, bins=cfg.drift.histogram_bins
+            ).cache()
+            fut_hist = pool.submit(cur_hist.count)
         if catalog is not None:
             from ..operators.referential import (
                 BROADCAST_MAX_CATALOG_ROWS,
@@ -396,42 +408,31 @@ def run_validation(
         from ..operators.referential import BROADCAST_MAX_CATALOG_ROWS as _BC
 
         broadcast_dups = fut_dups.result() <= _BC
-    _mark("small_scans")
+        _mark("small_scans")
 
-    # --- ONE wide scan → all violation rows, staged under run_id ---
-    # The drift-input histogram is independent of the violations output
-    # (it reads scope's text lengths) — materialize it from a second
-    # driver thread so it overlaps the wide violations scan instead of
-    # serializing after it.
-    fut_hist = None
-    cur_hist = None
-    hist_pool = None
-    if baseline_hist is not None:
-        from concurrent.futures import ThreadPoolExecutor as _TPE
-
-        cur_hist = stats_ops.length_histogram(
-            scope, bins=cfg.drift.histogram_bins
-        ).cache()
-        hist_pool = _TPE(max_workers=1)
-        fut_hist = hist_pool.submit(cur_hist.count)
-
-    violations = _all_violations(
-        scope,
-        dups,
-        orphan_doc,
-        broadcast_orphans,
-        orphan_udf=orphan_udf,
-        broadcast_dups=broadcast_dups,
-    )
-    if violations_dir is not None:
-        staged = os.path.join(violations_dir, f"_staged_{run_id}")
-        violations.write.mode("overwrite").parquet(staged)
-        violations = spark.read.parquet(staged)
-    else:
-        violations = violations.cache()
-    if fut_hist is not None:
-        fut_hist.result()
-        hist_pool.shutdown()
+        # --- ONE wide scan → all violation rows, staged under run_id.
+        # Materialized HERE (write or cache+count) so the histogram job
+        # above genuinely overlaps it; downstream verdict/violation
+        # consumers then read the materialized result. ---
+        violations = _all_violations(
+            scope,
+            dups,
+            orphan_doc,
+            broadcast_orphans,
+            orphan_udf=orphan_udf,
+            broadcast_dups=broadcast_dups,
+        )
+        if violations_dir is not None:
+            staged = os.path.join(violations_dir, f"_staged_{run_id}")
+            violations.write.mode("overwrite").parquet(staged)
+            violations = spark.read.parquet(staged)
+        else:
+            violations = violations.cache()
+            pool.submit(violations.count).result()
+        if fut_hist is not None:
+            fut_hist.result()
+    finally:
+        pool.shutdown(wait=False)
     _mark("violations")
 
     # --- verdicts from violations + partition totals (no re-scan) ---
