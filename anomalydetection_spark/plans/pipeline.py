@@ -298,6 +298,12 @@ def run_validation(
 
     manifest = Manifest(manifest_dir) if manifest_dir else None
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=3)
+    dups = duplicate_keys(docs, cfg.unique_key, cfg.salt_buckets).cache()
+    fut_dups = None
+
     # Snapshot hashing (full-width pass) only pays when a manifest
     # exists to compare against — without one, partition discovery is a
     # narrow count scan.
@@ -307,6 +313,12 @@ def run_validation(
         manifest.acquire_leases(pending, run_id, now)
         totals_src = snaps
     else:
+        # No manifest → every partition with rows is pending by
+        # construction, so the full-table dup-key scan can never be
+        # wasted work: submit it BEFORE the discovery count so the two
+        # narrow scans overlap (with a manifest the pending set decides
+        # whether any scan is needed at all, so discovery goes first).
+        fut_dups = pool.submit(dups.count)
         snaps = None
         totals_src = docs.groupBy("partition_id").agg(
             F.count("*").alias("n_rows")
@@ -324,6 +336,8 @@ def run_validation(
     if not pending:
         from ..schema import VIOLATIONS_SCHEMA
 
+        pool.shutdown(wait=False)
+        dups.unpersist()
         empty_v = spark.createDataFrame(
             [],
             schema=(
@@ -350,17 +364,14 @@ def run_validation(
     # so the two overlap instead of serializing (Spark schedules
     # concurrent jobs fine; this was the dominant sequential small-stage
     # latency in the N→4N scaling profile).
-    from concurrent.futures import ThreadPoolExecutor
-
-    dups = duplicate_keys(docs, cfg.unique_key, cfg.salt_buckets).cache()
     orphan_doc = None
     orphan_udf = None
     broadcast_orphans = True
     fut_hist = None
     cur_hist = None
-    pool = ThreadPoolExecutor(max_workers=3)
     try:
-        fut_dups = pool.submit(dups.count)
+        if fut_dups is None:
+            fut_dups = pool.submit(dups.count)
         # the drift-input histogram depends only on scope — start it
         # NOW so it overlaps the dup scan and then the wide violations
         # materialization (it previously serialized before the wide
