@@ -132,3 +132,92 @@ def profile_table(
         "metric",
         F.round(F.col("value"), 6).alias("value"),
     )
+
+
+# Metrics that compare as absolute-rate deltas vs relative changes vs
+# informational-only (they scale with row count, so cross-snapshot
+# comparison is meaningless without normalization — their rate/shape
+# counterparts above carry the drift signal).
+RATE_METRICS = ("null_rate", "true_rate")
+INFO_METRICS = ("n_rows", "n_null", "n_distinct")
+
+
+def profile_drift(
+    cur: DataFrame,
+    base: DataFrame,
+    rate_threshold: float = 0.05,
+    rel_threshold: float = 0.5,
+) -> DataFrame:
+    """Diff two ``profile_table`` snapshots → per-(column, metric)
+    drift verdicts: the schema+distribution drift check for ARBITRARY
+    tables (the documents pipeline has its own drift stage; this one
+    works on any profile pair, e.g. yesterday's orders vs today's).
+
+    Output: (column, metric, base_value, cur_value, delta, rel_change,
+    status, verdict).
+
+    * ``status``: 'added' (metric only in cur — new column / type
+      change), 'removed' (only in base), else 'compared'. Presence is
+      tracked with explicit flags, NOT value nullness — a present
+      metric whose value is NULL (e.g. stddev over <2 rows) is still
+      'compared' (and passes: no evidence of drift either way).
+    * ``verdict``: schema changes (added/removed) always fail;
+      RATE_METRICS gate on absolute delta (> rate_threshold);
+      INFO_METRICS never fail (row-count-scaled); everything else
+      (min/max/avg/stddev/len/size/epoch) gates on relative change
+      (> rel_threshold vs |base|; a 0 -> nonzero flip fails).
+
+    Both inputs are profile outputs (driver-bounded: columns x
+    metrics rows) — the join is trivially broadcastable; this operator
+    adds zero table scans on top of the two profile passes.
+    """
+    c = cur.select(
+        "column", "metric",
+        F.col("value").alias("cur_value"),
+        F.lit(True).alias("_in_cur"),
+    )
+    b = base.select(
+        "column", "metric",
+        F.col("value").alias("base_value"),
+        F.lit(True).alias("_in_base"),
+    )
+    j = c.join(b, ["column", "metric"], "full_outer")
+    status = (
+        F.when(F.col("_in_base").isNull(), "added")
+        .when(F.col("_in_cur").isNull(), "removed")
+        .otherwise("compared")
+    )
+    delta = F.round(F.col("cur_value") - F.col("base_value"), 6)
+    abase = F.abs(F.col("base_value"))
+    rel = F.when(
+        abase > 0,
+        F.round((F.col("cur_value") - F.col("base_value")) / abase, 6),
+    )
+    comparable = F.col("cur_value").isNotNull() & F.col(
+        "base_value"
+    ).isNotNull()
+    verdict = (
+        F.when(status != "compared", "fail")
+        .when(~comparable, "pass")
+        .when(F.col("metric").isin(*INFO_METRICS), "pass")
+        .when(
+            F.col("metric").isin(*RATE_METRICS),
+            F.when(F.abs(delta) > rate_threshold, "fail").otherwise("pass"),
+        )
+        .when(
+            abase == 0,
+            F.when(F.abs(F.col("cur_value")) > 0, "fail").otherwise("pass"),
+        )
+        .when(F.abs(rel) > rel_threshold, "fail")
+        .otherwise("pass")
+    )
+    return j.select(
+        "column",
+        "metric",
+        "base_value",
+        "cur_value",
+        F.when(comparable, delta).alias("delta"),
+        F.when(comparable, rel).alias("rel_change"),
+        status.alias("status"),
+        verdict.alias("verdict"),
+    )

@@ -261,6 +261,30 @@ def q_table_profile(spark, sf_dir):
     )
 
 
+def q_profile_drift(spark, sf_dir):
+    """Profile-level drift (operators/profile.py::profile_drift): the
+    events table split into halves at 2024-01-16, each half profiled
+    with the one-pass profiler, snapshots diffed per (column, metric)
+    with schema-change detection — cur additionally profiles user_id,
+    which surfaces as status='added' fail rows (a new column appearing
+    between snapshots). Rate metrics gate on absolute delta, shape
+    metrics on relative change, count metrics are informational."""
+    from .operators.profile import profile_drift, profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    base = profile_table(
+        ev.filter(F.col("ts") < "2024-01-16"),
+        columns=["value", "event_type"],
+        exact_distinct=True,
+    )
+    cur = profile_table(
+        ev.filter(F.col("ts") >= "2024-01-16"),
+        columns=["value", "event_type", "user_id"],
+        exact_distinct=True,
+    )
+    return profile_drift(cur, base)
+
+
 def q_schema_contract(spark, sf_dir):
     """Declarative schema-contract validation over events
     (operators/contract.py): structural tier (missing column +
@@ -1258,6 +1282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "drift_wasserstein": q_drift_wasserstein,
     "table_profile": q_table_profile,
+    "profile_drift": q_profile_drift,
     "schema_contract": q_schema_contract,
 }
 
@@ -1418,6 +1443,103 @@ ORACLES: dict[str, str] = {
         UNION ALL SELECT 'o_orderdate', 'max_epoch', round(epoch(o_orderdate_maxe)::DOUBLE, 6) FROM a
         UNION ALL SELECT 'o_orderdate', 'null_rate', round((n - o_orderdate_cnt)::DOUBLE / nullif(n, 0), 6) FROM a
         UNION ALL SELECT 'o_orderdate', 'n_rows', n::DOUBLE FROM a
+    """,
+    "profile_drift": """
+        WITH bagg AS (
+            SELECT count(*) AS n,
+                   count(value) AS v_cnt, count(DISTINCT value) AS v_dist,
+                   min(value)::DOUBLE AS v_min, max(value)::DOUBLE AS v_max,
+                   avg(value) AS v_avg, stddev_samp(value) AS v_std,
+                   count(event_type) AS e_cnt,
+                   count(DISTINCT event_type) AS e_dist,
+                   min(length(event_type)) AS e_minl,
+                   max(length(event_type)) AS e_maxl,
+                   avg(length(event_type)) AS e_avgl
+            FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        ), cagg AS (
+            SELECT count(*) AS n,
+                   count(value) AS v_cnt, count(DISTINCT value) AS v_dist,
+                   min(value)::DOUBLE AS v_min, max(value)::DOUBLE AS v_max,
+                   avg(value) AS v_avg, stddev_samp(value) AS v_std,
+                   count(event_type) AS e_cnt,
+                   count(DISTINCT event_type) AS e_dist,
+                   min(length(event_type)) AS e_minl,
+                   max(length(event_type)) AS e_maxl,
+                   avg(length(event_type)) AS e_avgl,
+                   count(user_id) AS u_cnt, count(DISTINCT user_id) AS u_dist,
+                   min(user_id)::DOUBLE AS u_min, max(user_id)::DOUBLE AS u_max,
+                   avg(user_id) AS u_avg, stddev_samp(user_id) AS u_std
+            FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        ), bprof AS (
+            SELECT 'value' AS "column", 'n_null' AS metric, round((n - v_cnt)::DOUBLE, 6) AS value FROM bagg
+            UNION ALL SELECT 'value', 'n_distinct', round(v_dist::DOUBLE, 6) FROM bagg
+            UNION ALL SELECT 'value', 'min', round(v_min, 4) FROM bagg
+            UNION ALL SELECT 'value', 'max', round(v_max, 4) FROM bagg
+            UNION ALL SELECT 'value', 'avg', round(v_avg, 4) FROM bagg
+            UNION ALL SELECT 'value', 'stddev', round(v_std, 4) FROM bagg
+            UNION ALL SELECT 'value', 'null_rate', round((n - v_cnt)::DOUBLE / nullif(n, 0), 6) FROM bagg
+            UNION ALL SELECT 'value', 'n_rows', n::DOUBLE FROM bagg
+            UNION ALL SELECT 'event_type', 'n_null', round((n - e_cnt)::DOUBLE, 6) FROM bagg
+            UNION ALL SELECT 'event_type', 'n_distinct', round(e_dist::DOUBLE, 6) FROM bagg
+            UNION ALL SELECT 'event_type', 'min_len', e_minl::DOUBLE FROM bagg
+            UNION ALL SELECT 'event_type', 'max_len', e_maxl::DOUBLE FROM bagg
+            UNION ALL SELECT 'event_type', 'avg_len', round(e_avgl, 4) FROM bagg
+            UNION ALL SELECT 'event_type', 'null_rate', round((n - e_cnt)::DOUBLE / nullif(n, 0), 6) FROM bagg
+            UNION ALL SELECT 'event_type', 'n_rows', n::DOUBLE FROM bagg
+        ), cprof AS (
+            SELECT 'value' AS "column", 'n_null' AS metric, round((n - v_cnt)::DOUBLE, 6) AS value FROM cagg
+            UNION ALL SELECT 'value', 'n_distinct', round(v_dist::DOUBLE, 6) FROM cagg
+            UNION ALL SELECT 'value', 'min', round(v_min, 4) FROM cagg
+            UNION ALL SELECT 'value', 'max', round(v_max, 4) FROM cagg
+            UNION ALL SELECT 'value', 'avg', round(v_avg, 4) FROM cagg
+            UNION ALL SELECT 'value', 'stddev', round(v_std, 4) FROM cagg
+            UNION ALL SELECT 'value', 'null_rate', round((n - v_cnt)::DOUBLE / nullif(n, 0), 6) FROM cagg
+            UNION ALL SELECT 'value', 'n_rows', n::DOUBLE FROM cagg
+            UNION ALL SELECT 'event_type', 'n_null', round((n - e_cnt)::DOUBLE, 6) FROM cagg
+            UNION ALL SELECT 'event_type', 'n_distinct', round(e_dist::DOUBLE, 6) FROM cagg
+            UNION ALL SELECT 'event_type', 'min_len', e_minl::DOUBLE FROM cagg
+            UNION ALL SELECT 'event_type', 'max_len', e_maxl::DOUBLE FROM cagg
+            UNION ALL SELECT 'event_type', 'avg_len', round(e_avgl, 4) FROM cagg
+            UNION ALL SELECT 'event_type', 'null_rate', round((n - e_cnt)::DOUBLE / nullif(n, 0), 6) FROM cagg
+            UNION ALL SELECT 'event_type', 'n_rows', n::DOUBLE FROM cagg
+            UNION ALL SELECT 'user_id', 'n_null', round((n - u_cnt)::DOUBLE, 6) FROM cagg
+            UNION ALL SELECT 'user_id', 'n_distinct', round(u_dist::DOUBLE, 6) FROM cagg
+            UNION ALL SELECT 'user_id', 'min', round(u_min, 4) FROM cagg
+            UNION ALL SELECT 'user_id', 'max', round(u_max, 4) FROM cagg
+            UNION ALL SELECT 'user_id', 'avg', round(u_avg, 4) FROM cagg
+            UNION ALL SELECT 'user_id', 'stddev', round(u_std, 4) FROM cagg
+            UNION ALL SELECT 'user_id', 'null_rate', round((n - u_cnt)::DOUBLE / nullif(n, 0), 6) FROM cagg
+            UNION ALL SELECT 'user_id', 'n_rows', n::DOUBLE FROM cagg
+        ), j AS (
+            SELECT coalesce(c."column", b."column") AS "column",
+                   coalesce(c.metric, b.metric) AS metric,
+                   b.value AS base_value, c.value AS cur_value,
+                   CASE WHEN b."column" IS NULL THEN 'added'
+                        WHEN c."column" IS NULL THEN 'removed'
+                        ELSE 'compared' END AS status
+            FROM cprof c FULL OUTER JOIN bprof b
+              ON c."column" = b."column" AND c.metric = b.metric
+        )
+        SELECT "column", metric, base_value, cur_value,
+               CASE WHEN cur_value IS NOT NULL AND base_value IS NOT NULL
+                    THEN round(cur_value - base_value, 6) END AS delta,
+               CASE WHEN cur_value IS NOT NULL AND base_value IS NOT NULL
+                         AND abs(base_value) > 0
+                    THEN round((cur_value - base_value) / abs(base_value), 6)
+               END AS rel_change,
+               status,
+               CASE WHEN status <> 'compared' THEN 'fail'
+                    WHEN cur_value IS NULL OR base_value IS NULL THEN 'pass'
+                    WHEN metric IN ('n_rows', 'n_null', 'n_distinct') THEN 'pass'
+                    WHEN metric IN ('null_rate', 'true_rate') THEN
+                         CASE WHEN abs(round(cur_value - base_value, 6)) > 0.05
+                              THEN 'fail' ELSE 'pass' END
+                    WHEN abs(base_value) = 0 THEN
+                         CASE WHEN abs(cur_value) > 0 THEN 'fail' ELSE 'pass' END
+                    WHEN abs(round((cur_value - base_value) / abs(base_value), 6)) > 0.5
+                         THEN 'fail'
+                    ELSE 'pass' END AS verdict
+        FROM j
     """,
     "schema_contract": """
         WITH n AS (SELECT count(*)::DOUBLE AS total FROM events)

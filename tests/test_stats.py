@@ -130,3 +130,58 @@ def test_profile_table_grouped(spark, docs):
     for pid, n in totals.items():
         assert rows[(pid, "doc_id", "n_rows")] == float(n)
     assert any(m == "avg_size" for (_, c, m) in rows if c == "spans")
+
+
+def test_profile_drift_semantics(spark):
+    """profile_drift verdict table: added/removed schema changes fail;
+    rate metrics gate on absolute delta; shape metrics on relative
+    change with the 0 -> nonzero flip failing; info metrics and
+    null-valued comparisons never fail."""
+    from anomalydetection_spark.operators.profile import profile_drift
+
+    schema = "column string, metric string, value double"
+    base = spark.createDataFrame(
+        [
+            ("a", "null_rate", 0.01),   # |Δ|=0.02 <= 0.05 -> pass
+            ("a", "avg", 10.0),         # rel 0.2 <= 0.5 -> pass
+            ("a", "stddev", 2.0),       # rel 2.0 > 0.5 -> fail
+            ("a", "n_rows", 100.0),     # info -> pass despite 10x
+            ("b", "min", 0.0),          # 0 -> nonzero flip -> fail
+            ("b", "max", 0.0),          # 0 -> 0 -> pass
+            ("b", "stddev", None),      # null comparison -> pass
+            ("gone", "avg", 5.0),       # removed -> fail
+        ],
+        schema,
+    )
+    cur = spark.createDataFrame(
+        [
+            ("a", "null_rate", 0.03),
+            ("a", "avg", 12.0),
+            ("a", "stddev", 6.0),
+            ("a", "n_rows", 1000.0),
+            ("b", "min", 3.0),
+            ("b", "max", 0.0),
+            ("b", "stddev", 1.0),
+            ("new", "avg", 1.0),        # added -> fail
+        ],
+        schema,
+    )
+    out = {
+        (r.column, r.metric): r
+        for r in profile_drift(cur, base).collect()
+    }
+    assert len(out) == 9
+    assert out[("a", "null_rate")].verdict == "pass"
+    assert out[("a", "avg")].verdict == "pass"
+    assert out[("a", "avg")].rel_change == 0.2
+    assert out[("a", "stddev")].verdict == "fail"
+    assert out[("a", "n_rows")].verdict == "pass"
+    assert out[("b", "min")].verdict == "fail"
+    assert out[("b", "max")].verdict == "pass"
+    assert out[("b", "stddev")].verdict == "pass"
+    assert out[("b", "stddev")].delta is None
+    assert out[("gone", "avg")].status == "removed"
+    assert out[("gone", "avg")].verdict == "fail"
+    assert out[("new", "avg")].status == "added"
+    assert out[("new", "avg")].verdict == "fail"
+    assert out[("new", "avg")].base_value is None
