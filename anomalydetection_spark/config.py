@@ -72,6 +72,15 @@ class ValidationConfig:
 
     # Scale knobs
     salt_buckets: int = 16                  # two-phase agg / salted join fanout
+    # Violations-sink exemplar cap: the violations table is the ONLY
+    # engine output that scales with table size (a 1% violation rate at
+    # 10^12 docs is 10^10 full-width rows). When set, at most this many
+    # violation rows per (check, partition) are materialized as
+    # exemplars; per-partition verdict COUNTS stay exact (window
+    # aggregates carried on the exemplar rows — plans/pipeline.py::
+    # _cap_violations). None = emit every violation row (reference
+    # parity default; K1 semantics).
+    max_violation_exemplars: int | None = None
     truncate_chars: int = 100               # report truncation (main.py:120-130)
     top_k_report: int = 20
 

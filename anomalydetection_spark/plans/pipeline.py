@@ -31,7 +31,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, ValidationConfig
@@ -217,6 +217,21 @@ def _verdicts_from_violations(
         ),
         *conf_counts,
     )
+    return _grid_to_verdicts(per_part, totals, has_catalog, cfg)
+
+
+def _grid_to_verdicts(
+    per_part: DataFrame,
+    totals: DataFrame,
+    has_catalog: bool,
+    cfg: ValidationConfig,
+) -> DataFrame:
+    """Wide per-partition check counts → long-form verdict rows.
+
+    ONE pass over the counts grid: unpivot the per-check count columns
+    with stack() instead of a per-check union (a 7-branch union re-ran
+    the violations groupBy once per branch — 7x the work for identical
+    output; measured 7.9s -> ~1s of the local[32] 16M pass)."""
     rate_gates = {
         "uniqueness": cfg.max_dup_rate,
         "referential": cfg.max_orphan_rate,
@@ -229,11 +244,6 @@ def _verdicts_from_violations(
         ["referential"] if has_catalog else []
     )
     grid = totals.join(per_part, "partition_id", "left")
-    # ONE pass over the violations aggregate: unpivot the per-check
-    # count columns with stack() instead of a per-check union (a
-    # 7-branch union re-ran the violations groupBy once per branch —
-    # 7x the work for identical output; measured 7.9s -> ~1s of the
-    # local[32] 16M pass).
     stack_args = []
     for name in check_names:
         stack_args += [
@@ -262,6 +272,65 @@ def _verdicts_from_violations(
             .alias("verdict"),
         )
     )
+
+
+_CAP_HELPER_COLS = ["__n_in_group"] + [f"__cnt_{n}" for n in CONF_CHECKS]
+
+
+def _cap_violations(violations: DataFrame, k: int) -> DataFrame:
+    """Exemplar-capped violation stream: at most ``k`` rows per
+    (check, partition), each carrying the EXACT group counts as window
+    aggregates (``__n_in_group`` + per-conformance-name ``__cnt_*``)
+    so verdicts stay exact without a second pass over the stream.
+
+    Cost model: ONE shuffle of the violation stream (violation-rate ×
+    table, i.e. the thing this cap exists to shrink on the way to the
+    sink) — the wide table itself is still scanned exactly once. Every
+    non-empty (check, partition) group keeps ≥1 exemplar (k >= 1), so
+    the counts survive onto at least one materialized row per group."""
+    if k < 1:
+        raise ValueError("max_violation_exemplars must be >= 1")
+    w = Window.partitionBy("check", "partition_id")
+    out = violations.withColumn(
+        "__rn", F.row_number().over(w.orderBy("doc_id", "detail"))
+    ).withColumn("__n_in_group", F.count(F.lit(1)).over(w))
+    for name in CONF_CHECKS:
+        out = out.withColumn(
+            f"__cnt_{name}",
+            F.sum(
+                F.when(
+                    (F.col("check") == "conformance")
+                    & F.col("detail").contains(name),
+                    1,
+                ).otherwise(0)
+            ).over(w),
+        )
+    return out.filter(F.col("__rn") <= k).drop("__rn")
+
+
+def _verdicts_from_capped(
+    capped: DataFrame,
+    totals: DataFrame,
+    has_catalog: bool,
+    cfg: ValidationConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Per-partition verdicts from an exemplar-capped violation stream:
+    counts come from the window aggregates stamped on the exemplar rows
+    by ``_cap_violations`` (max over the group constant), not from
+    counting rows — row counts are capped, the stamped counts are not."""
+    aggs = [
+        F.max(
+            F.when(F.col("check") == name, F.col("__n_in_group"))
+        ).alias(name)
+        for name in ("uniqueness", "referential")
+    ] + [
+        F.max(
+            F.when(F.col("check") == "conformance", F.col(f"__cnt_{name}"))
+        ).alias(name)
+        for name in CONF_CHECKS
+    ]
+    per_part = capped.groupBy("partition_id").agg(*aggs)
+    return _grid_to_verdicts(per_part, totals, has_catalog, cfg)
 
 
 def run_validation(
@@ -449,6 +518,11 @@ def run_validation(
             orphan_udf=orphan_udf,
             broadcast_dups=broadcast_dups,
         )
+        capped = cfg.max_violation_exemplars is not None
+        if capped:
+            violations = _cap_violations(
+                violations, cfg.max_violation_exemplars
+            )
         if violations_dir is not None:
             staged = os.path.join(violations_dir, f"_staged_{run_id}")
             violations.write.mode("overwrite").parquet(staged)
@@ -466,9 +540,17 @@ def run_validation(
     totals = totals_src.filter(F.col("partition_id").isin(pending)).select(
         "partition_id", "n_rows"
     )
-    verdicts = _verdicts_from_violations(
-        violations, totals, has_catalog=catalog is not None, cfg=cfg
-    )
+    if capped:
+        verdicts = _verdicts_from_capped(
+            violations, totals, has_catalog=catalog is not None, cfg=cfg
+        )
+        # the helper count columns have served the verdicts; the
+        # returned/written violations keep the VIOLATIONS_SCHEMA shape
+        violations = violations.drop(*_CAP_HELPER_COLS)
+    else:
+        verdicts = _verdicts_from_violations(
+            violations, totals, has_catalog=catalog is not None, cfg=cfg
+        )
 
     # --- drift vs baseline histograms (bounded-size join; cur_hist
     # already materialized concurrently with the violations stage) ---

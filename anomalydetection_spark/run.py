@@ -51,6 +51,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--profile", action="store_true",
                    help="also write a one-pass per-column profile of the "
                    "docs table to <out>/profile/<run_id>")
+    p.add_argument("--max-violation-exemplars", type=int, default=None,
+                   metavar="K",
+                   help="cap the violations sink at K exemplar rows per "
+                   "(check, partition); verdict counts stay exact. "
+                   "Default: emit every violation row")
     return p.parse_args(argv)
 
 
@@ -98,6 +103,7 @@ def feedback_round(spark, args) -> dict:
 def one_round(spark, args, run_id: str) -> dict:
     from pyspark.sql import functions as F
 
+    from .config import DEFAULT_CONFIG
     from .plans.pipeline import run_validation
     from .sources.tables import read_table
 
@@ -109,6 +115,13 @@ def one_round(spark, args, run_id: str) -> dict:
         read_table(spark, args.baseline_hist) if args.baseline_hist else None
     )
     t0 = time.time()
+    cfg = DEFAULT_CONFIG
+    if args.max_violation_exemplars is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, max_violation_exemplars=args.max_violation_exemplars
+        )
     res = run_validation(
         spark,
         docs,
@@ -117,6 +130,7 @@ def one_round(spark, args, run_id: str) -> dict:
         manifest_dir=args.manifest_dir,
         violations_dir=os.path.join(args.out, "violations_staged"),
         run_id=run_id,
+        cfg=cfg,
     )
     verdicts_out = os.path.join(args.out, "verdicts", run_id)
     res.verdicts.write.mode("overwrite").parquet(verdicts_out)

@@ -254,3 +254,45 @@ def test_rowlocal_and_join_referential_paths_agree(spark, docs, catalog):
         for r in res.verdicts.collect()
     )
     assert verd(rowlocal) == verd(legacy)
+
+
+def test_exemplar_cap_exact_verdicts_smaller_sink(spark, docs, catalog):
+    """max_violation_exemplars: verdict rows are IDENTICAL to the
+    uncapped run (counts come from window aggregates, not row counts),
+    the violations sink shrinks to <= k rows per (check, partition),
+    keeps the uncapped schema, and every emitted exemplar is a genuine
+    violation row from the uncapped set."""
+    import dataclasses
+
+    from anomalydetection_spark.config import DEFAULT_CONFIG
+
+    k = 2
+    capped_cfg = dataclasses.replace(
+        DEFAULT_CONFIG, max_violation_exemplars=k
+    )
+    full = run_validation(spark, docs, catalog=catalog)
+    capped = run_validation(spark, docs, catalog=catalog, cfg=capped_cfg)
+
+    vf = set(map(tuple, full.verdicts.collect()))
+    vc = set(map(tuple, capped.verdicts.collect()))
+    assert vf == vc
+
+    assert capped.violations.schema == full.violations.schema
+    per_group = (
+        capped.violations.groupBy("check", "partition_id")
+        .count()
+        .collect()
+    )
+    assert per_group and all(r["count"] <= k for r in per_group)
+    assert capped.violations.count() < full.violations.count()
+    # exemplars are a subset of the real violation rows
+    cols = ["check", "partition_id", "doc_id", "detail"]
+    extra = capped.violations.select(cols).join(
+        full.violations.select(cols), cols, "left_anti"
+    )
+    assert extra.count() == 0
+    # every non-empty (check, partition) group keeps >=1 exemplar
+    gf = {(r.check, r.partition_id)
+          for r in full.violations.select("check", "partition_id").distinct().collect()}
+    gc = {(r.check, r.partition_id) for r in per_group}
+    assert gf == gc

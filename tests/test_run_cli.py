@@ -107,3 +107,35 @@ def test_profile_flag_writes_column_stats(spark, docs_path, catalog, tmp_path):
     rows = {(r.column, r.metric): r.value for r in prof.collect()}
     assert rows[("doc_id", "n_rows")] > 0
     assert ("spans", "avg_size") in rows
+
+
+def test_exemplar_cap_flag(spark, docs_path, catalog, tmp_path):
+    """--max-violation-exemplars K caps the written violations per
+    (check, partition) while the verdicts parquet matches an uncapped
+    round exactly."""
+    from pyspark.sql import functions as F
+
+    cat_path = str(tmp_path / "catalog")
+    catalog.write.mode("overwrite").parquet(cat_path)
+
+    base_args = [
+        "--docs", docs_path, "--catalog", cat_path,
+        "--out", str(tmp_path / "out_full"),
+    ]
+    s_full = one_round(spark, parse_args(base_args), "rf")
+    cap_args = [
+        "--docs", docs_path, "--catalog", cat_path,
+        "--out", str(tmp_path / "out_cap"),
+        "--max-violation-exemplars", "1",
+    ]
+    s_cap = one_round(spark, parse_args(cap_args), "rc")
+
+    vf = set(map(tuple, spark.read.parquet(s_full["verdicts"]).collect()))
+    vc = set(map(tuple, spark.read.parquet(s_cap["verdicts"]).collect()))
+    assert vf == vc
+
+    capped = spark.read.parquet(s_cap["violations"])
+    assert capped.groupBy("check", "partition_id").count().agg(
+        F.max("count")
+    ).first()[0] == 1
+    assert capped.count() < spark.read.parquet(s_full["violations"]).count()
