@@ -664,7 +664,15 @@ def revalidate_with_feedback(
     from the manifest (n_rows is recorded per partition), never from a
     new scan. Manifest metrics/verdicts are updated in place without
     touching snapshot hashes, so the should-process predicate is
-    unaffected (the data didn't change, only its interpretation)."""
+    unaffected (the data didn't change, only its interpretation).
+
+    Feedback recompute counts violation ROWS, so it requires the run
+    being corrected to have written the full violations table
+    (max_violation_exemplars=None, the default) — on an exemplar-capped
+    run the counts would reflect only the capped exemplars. The two
+    features serve opposite regimes: feedback review assumes a
+    human-scale violation set; the cap exists for violation sets too
+    large to review row-by-row."""
     from ..operators.feedback import apply_feedback, live_violations
 
     flagged = apply_feedback(violations, feedback).cache()
