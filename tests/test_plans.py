@@ -107,3 +107,38 @@ def test_profile_default_plan_single_pass(spark):
     assert "Expand" not in plan
     assert plan.count("Exchange") <= 2  # plan tree + details listing
     assert "partial_" in plan
+
+
+def test_capped_violations_single_extra_exchange(spark, docs, catalog):
+    """Exemplar capping may add exactly ONE non-broadcast exchange over
+    the violation stream (the window on (check, partition_id)); the
+    wide scope itself must still reach the window without shuffling,
+    and all count columns must ride the same window exchange."""
+    from anomalydetection_spark.operators.referential import (
+        collect_catalog_keys,
+        orphan_refs_rowlocal_udf,
+    )
+    from anomalydetection_spark.operators.uniqueness import duplicate_keys
+    from anomalydetection_spark.plans.pipeline import (
+        _all_violations,
+        _cap_violations,
+    )
+
+    dups = duplicate_keys(docs, "doc_id", 8)
+    udf = orphan_refs_rowlocal_udf(spark, collect_catalog_keys(catalog))
+    viol = _cap_violations(
+        _all_violations(docs, dups, None, orphan_udf=udf), 3
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        viol.explain("formatted")
+    plan = buf.getvalue()
+    non_broadcast = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+        and "hashpartitioning" in ln
+    ]
+    # dup-key agg shuffle (narrow) + ONE window shuffle; nothing else
+    assert len(non_broadcast) <= 2, non_broadcast
+    window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert window_lines, "expected a Window operator in the capped plan"
