@@ -162,3 +162,58 @@ def test_stream_drift_verdicts_against_baseline(spark, docs, catalog, tmp_path):
     assert drift, "no drift verdict rows emitted"
     # batch == baseline population -> zero drift, all pass
     assert all(r.verdict == "pass" for r in drift)
+
+
+def test_stream_violations_sink_and_exemplar_cap(spark, docs, catalog, tmp_path):
+    """Micro-batches emit exact violation rows under
+    violations/batch_id=N; with max_violation_exemplars=K the stored
+    rows are capped per (check, partition, batch) while the verdict
+    counts stay EXACT (equal to the uncapped run's)."""
+    inp = str(tmp_path / "in")
+    _write_batch(spark, docs, inp, 0, 4)
+
+    out_full = str(tmp_path / "out_full")
+    stream_validate(
+        spark, inp, out_full, str(tmp_path / "ck1"),
+        catalog=catalog, emit_violations=True,
+    ).awaitTermination()
+    viols = spark.read.parquet(os.path.join(out_full, "violations"))
+    assert viols.count() > 0
+    assert "batch_id" in viols.columns  # partition-dir column
+    checks = {r.check for r in viols.select("check").distinct().collect()}
+    assert {"uniqueness", "conformance", "referential"} <= checks
+    # span sequences travel verbatim on violation rows
+    assert "spans" in viols.columns
+    # no capping helper columns leak into the stored schema
+    assert not [c for c in viols.columns if c.startswith("__")]
+
+    out_cap = str(tmp_path / "out_cap")
+    k = 2
+    stream_validate(
+        spark, inp, out_cap, str(tmp_path / "ck2"),
+        catalog=catalog, emit_violations=True, max_violation_exemplars=k,
+    ).awaitTermination()
+    capped = spark.read.parquet(os.path.join(out_cap, "violations"))
+    per_group = capped.groupBy("check", "partition_id", "batch_id").count()
+    assert per_group.filter(F.col("count") > k).count() == 0
+    assert not [c for c in capped.columns if c.startswith("__")]
+    # every group that had violations keeps >=1 exemplar
+    full_groups = {
+        (r.check, r.partition_id)
+        for r in viols.select("check", "partition_id").distinct().collect()
+    }
+    cap_groups = {
+        (r.check, r.partition_id)
+        for r in capped.select("check", "partition_id").distinct().collect()
+    }
+    assert full_groups == cap_groups
+
+    # verdict counts identical between capped and uncapped runs
+    def verdict_counts(out_dir):
+        v = spark.read.parquet(os.path.join(out_dir, "verdicts"))
+        return {
+            (r.check, r.partition_id): r.n_violations
+            for r in v.collect()
+        }
+
+    assert verdict_counts(out_cap) == verdict_counts(out_full)
