@@ -106,7 +106,12 @@ def quantile(
             i = int(np.searchsorted(cum, target))
             lo, hi = cum[i - 1], cum[i]
             frac = 0.0 if hi == lo else (target - lo) / (hi - lo)
-            out.append(float(means[i - 1] + frac * (means[i] - means[i - 1])))
+            val = means[i - 1] + frac * (means[i] - means[i - 1])
+            # fp rounding can overshoot the bracketing centroid (e.g.
+            # denormal-range means: -1.4e-45 + frac*1.4e-45 rounds to
+            # exactly 0.0 > means[i]); clamp into [means[i-1], means[i]]
+            # which also keeps the q->value map monotone
+            out.append(float(min(max(val, means[i - 1]), means[i])))
     return out
 
 
