@@ -335,3 +335,102 @@ def stateful_running_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+def stateful_cross_batch_dups(
+    stream: DataFrame,
+    key_col: str = "doc_id",
+    n_buckets: int = 64,
+    capacity_per_bucket: int = 1_000_000,
+    fpp: float = 0.01,
+):
+    """Approximate CROSS-batch uniqueness for streams: per-bucket Bloom
+    filter carried in ``applyInPandasWithState``; emits one row per key
+    that is a duplicate within its micro-batch or *probably* seen in an
+    earlier batch (FP rate ≤ ``fpp`` while a bucket is under capacity).
+
+    The within-batch path (stream_validate's uniqueness_batch check) is
+    exact; cross-batch exactness at 10^12 keys would need unbounded
+    state, so this operator takes the honest bounded-memory trade:
+
+    * state per bucket = one Bloom bitmap (~1.44·capacity·log2(1/fpp)/8
+      bytes; defaults → ~1.2 MB/bucket) — O(1) in stream length,
+    * keys are routed to buckets by hash, so state and work distribute
+      across executors; scale = raise ``n_buckets`` (state shards),
+      not bitmap size,
+    * a bucket past ``capacity_per_bucket`` marks its output rows
+      ``filter_saturated`` (FP rate degrades, detection never silently
+      lies) — the exact periodic batch pass over the manifest remains
+      the ground-truth tier, same split as the drift history.
+
+    Flags are independently scoped: ``within_batch`` = a later
+    occurrence inside this batch (exact); ``probable_prior`` = Bloom hit
+    against state BEFORE this batch's keys are folded in (approximate).
+    Reference analog: the scoring loop's seen-before membership carried
+    across polls (/root/reference/log_retriever.py:234-241), re-expressed
+    as sharded mergeable state instead of a process-local dict.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.bloom import _optimal_params, _positions
+
+    m, k = _optimal_params(capacity_per_bucket, fpp)
+    nbytes = (m + 7) // 8
+
+    hashed = stream.select(
+        F.col(key_col),
+        F.xxhash64(key_col).alias("__h1"),
+        F.xxhash64(key_col, F.lit(1)).alias("__h2"),
+        F.pmod(F.xxhash64(key_col, F.lit(2)), F.lit(n_buckets))
+        .cast("int")
+        .alias("__bucket"),
+    )
+
+    def update(key, pdfs, state):
+        import numpy as np
+
+        if state.exists:
+            bits_bytes, n_added, saturated = state.get
+            bits = np.frombuffer(bits_bytes, dtype=np.uint8).copy()
+        else:
+            bits, n_added, saturated = np.zeros(nbytes, np.uint8), 0, False
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        dup_within = pdf[key_col].duplicated(keep="first").to_numpy()
+        h1 = pdf["__h1"].to_numpy(np.int64).view(np.uint64)
+        h2 = pdf["__h2"].to_numpy(np.int64).view(np.uint64)
+        # membership vs PRIOR state (before this batch folds in)
+        hit = np.ones(len(pdf), dtype=bool)
+        for pos in _positions(h1, h2, k, m):
+            hit &= (
+                bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))
+            ) != 0
+        firsts = ~dup_within
+        for pos in _positions(h1[firsts], h2[firsts], k, m):
+            np.bitwise_or.at(
+                bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+            )
+        n_added += int(firsts.sum())
+        saturated = saturated or n_added > capacity_per_bucket
+        state.update((bits.tobytes(), n_added, saturated))
+        mask = dup_within | hit
+        if not mask.any():
+            return
+        out = pdf.loc[mask, [key_col]].copy()
+        out["bucket"] = key[0]
+        out["within_batch"] = dup_within[mask]
+        out["probable_prior"] = hit[mask]
+        out["filter_saturated"] = saturated
+        yield out
+
+    return hashed.groupBy("__bucket").applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, bucket int, within_batch boolean,"
+            " probable_prior boolean, filter_saturated boolean"
+        ),
+        stateStructType="bits binary, n_added long, saturated boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

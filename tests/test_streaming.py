@@ -217,3 +217,49 @@ def test_stream_violations_sink_and_exemplar_cap(spark, docs, catalog, tmp_path)
         }
 
     assert verdict_counts(out_cap) == verdict_counts(out_full)
+
+
+def test_stateful_cross_batch_dups(spark, tmp_path):
+    """Per-bucket Bloom state carried across micro-batches: keys
+    repeated from an earlier batch are flagged probable_prior, repeats
+    inside one batch are flagged within_batch (exactly — the filter is
+    far under capacity so the FP term is ~2^-50 here)."""
+    import pandas as pd
+
+    from anomalydetection_spark.streaming.incremental import (
+        stateful_cross_batch_dups,
+    )
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp, exist_ok=True)
+    batches = [
+        [f"k{i}" for i in range(50)],                     # fresh
+        [f"k{i}" for i in range(25, 75)],                 # 25 repeats
+        [f"k{i}" for i in range(75, 80)] + ["k0", "k77", "k77"],
+    ]
+    for b, keys in enumerate(batches):
+        pd.DataFrame({"doc_id": keys}).to_parquet(f"{inp}/f{b}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = (
+        stateful_cross_batch_dups(stream, "doc_id", n_buckets=8)
+        .writeStream.format("memory")
+        .queryName("xbatch_dups")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM xbatch_dups").collect()
+    prior = {r.doc_id for r in rows if r.probable_prior}
+    within = [r.doc_id for r in rows if r.within_batch]
+    # batch1 repeats k25..k49; batch2 repeats k0 cross-batch and k77
+    # three times within the batch (occurrences 2 and 3 flagged)
+    assert prior == {f"k{i}" for i in range(25, 50)} | {"k0"}
+    assert within == ["k77", "k77"]
+    assert not any(r.filter_saturated for r in rows)
