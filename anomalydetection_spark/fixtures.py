@@ -57,6 +57,7 @@ EMPTY_SPANS_MOD = 331  # ~0.3% empty spans array
 NULL_SPANS_MOD = 677   # ~0.15% null spans
 NONMONO_MOD = 499      # ~0.2% non-monotone offsets
 NULL_KIND_MOD = 200    # ~0.5% null span kind
+INCOHERENT_MOD = 300   # ~0.33% spans violate kind<->media_ref coherence
 MISSING_REF_MOD = 11   # media index m is absent from catalog iff m % 11 == 7
 HOT_REF_PROB = 0.20    # hot media_ref m0000000 share of media spans
 
@@ -141,6 +142,17 @@ def generate_documents(
             midx = np.where(um < HOT_REF_PROB, 0, midx)
             media_ref = np.char.add("m", np.char.zfill(midx.astype("U10"), 7))
             media_ref = np.where(is_media, media_ref.astype(object), None)
+            if plant_violations:
+                # kind<->media_ref coherence violations: a text span
+                # gains the (always-cataloged) hot ref, a media span
+                # loses its ref; null-kind spans are excluded (already
+                # flagged by null_span_kind)
+                incoh = _h(sid, seed, 9) % np.uint64(INCOHERENT_MOD) == 0
+                incoh &= ~null_kind
+                media_ref = np.where(
+                    incoh & ~is_media, "m0000000", media_ref
+                ).astype(object)
+                media_ref = np.where(incoh & is_media, None, media_ref)
 
             # text: log-normal-ish token-repeat length per kind (drift lever)
             g = _u01(sid, seed, 7)
@@ -284,11 +296,25 @@ def expected_violation_doc_ids(
     empty = ids % EMPTY_SPANS_MOD == 17
     nulls = ids % NULL_SPANS_MOD == 23
     nonmono = (ids % NONMONO_MOD == 7) & ~empty & ~nulls & (n_spans >= 2)
+    # span-level coherence planting replayed per span (kind identity is
+    # irrelevant to membership: a flagged text span gains a ref, a
+    # flagged media span loses one — either direction violates)
+    n_spans_eff = np.where(empty | nulls, 0, n_spans)
+    doc_idx = np.repeat(np.arange(n_docs), n_spans_eff)
+    span_idx = (
+        np.concatenate([np.arange(k) for k in n_spans_eff if k])
+        if n_spans_eff.sum()
+        else np.array([], dtype=np.int64)
+    )
+    sid = uids[doc_idx] * np.uint64(131) + span_idx.astype(np.uint64)
+    null_kind = _h(sid, seed, 4) % np.uint64(NULL_KIND_MOD) == 0
+    incoh = (_h(sid, seed, 9) % np.uint64(INCOHERENT_MOD) == 0) & ~null_kind
     return {
         "uniqueness": set(names[dup].tolist()),
         "empty_spans": set(names[empty].tolist()),
         "null_spans": set(names[nulls].tolist()),
         "nonmono": set(names[nonmono].tolist()),
+        "incoherent": set(names[doc_idx[incoh]].tolist()),
     }
 
 

@@ -33,6 +33,18 @@ MONOTONE_EXPR = (
 )
 
 
+def incoherent_span_filter(s):
+    """kind<->media_ref coherence predicate for one span struct: a text
+    span must not carry a media_ref, a non-text (media) span must carry
+    one; null-kind spans are excluded (flagged by null_span_kind).
+    Interleaved-payload rule — no analog in the reference's flat log
+    lines; the north_star's text+media document shape requires it."""
+    return s["kind"].isNotNull() & (
+        ((s["kind"] == "text") & s["media_ref"].isNotNull())
+        | ((s["kind"] != "text") & s["media_ref"].isNull())
+    )
+
+
 def doc_conformance(docs: DataFrame) -> DataFrame:
     """Per-doc conformance flags — one narrow projection, no shuffle."""
     return docs.select(
@@ -46,6 +58,9 @@ def doc_conformance(docs: DataFrame) -> DataFrame:
         F.coalesce(
             F.size(F.filter("spans", lambda s: s["kind"].isNull())), F.lit(0)
         ).alias("n_null_kind"),
+        F.coalesce(
+            F.size(F.filter("spans", incoherent_span_filter)), F.lit(0)
+        ).alias("n_incoherent"),
         F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans"),
     )
 
@@ -59,6 +74,7 @@ def partition_stats(docs: DataFrame) -> DataFrame:
         F.sum(F.col("empty_spans").cast("long")).alias("n_empty_spans"),
         F.sum(F.col("nonmonotone_offsets").cast("long")).alias("n_nonmonotone"),
         F.sum("n_null_kind").alias("n_null_kind"),
+        F.sum("n_incoherent").alias("n_incoherent"),
         F.sum("n_spans").alias("n_spans"),
         F.expr("hll_sketch_agg(doc_id)").alias("doc_id_hll"),
     )
@@ -139,6 +155,7 @@ def conformance_verdicts(
         ("empty_spans", "n_empty_spans", max_null_rate),
         ("offset_monotonicity", "n_nonmonotone", max_type_error_rate),
         ("null_span_kind", "n_null_kind", max_type_error_rate),
+        ("span_coherence", "n_incoherent", max_type_error_rate),
     ]
     out = None
     for name, colname, thresh in checks:
@@ -169,6 +186,9 @@ def conformance_violations(docs: DataFrame) -> DataFrame:
     n_null_kind = F.coalesce(
         F.size(F.filter("spans", lambda s: s["kind"].isNull())), F.lit(0)
     )
+    n_incoherent = F.coalesce(
+        F.size(F.filter("spans", incoherent_span_filter)), F.lit(0)
+    )
     return (
         docs.select(
             "doc_id",
@@ -180,6 +200,7 @@ def conformance_violations(docs: DataFrame) -> DataFrame:
                 F.when(empty_spans, "empty_spans"),
                 F.when(nonmono, "nonmonotone_offsets"),
                 F.when(n_null_kind > 0, "null_span_kind"),
+                F.when(n_incoherent > 0, "span_coherence"),
             ).alias("detail"),
         )
         .filter(F.col("detail") != "")

@@ -43,7 +43,8 @@ from ..operators.verdict import global_verdict
 from ..sources.manifest import Manifest, partition_snapshots
 
 CONF_CHECKS = (
-    "null_spans", "empty_spans", "offset_monotonicity", "null_span_kind"
+    "null_spans", "empty_spans", "offset_monotonicity", "null_span_kind",
+    "span_coherence",
 )
 
 
@@ -94,12 +95,16 @@ def _all_violations(
     n_null_kind = F.coalesce(
         F.size(F.filter("spans", lambda s: s["kind"].isNull())), F.lit(0)
     )
+    n_incoherent = F.coalesce(
+        F.size(F.filter("spans", stats_ops.incoherent_span_filter)), F.lit(0)
+    )
     conf_detail = F.concat_ws(
         ",",
         F.when(null_spans, "null_spans"),
         F.when(empty_spans, "empty_spans"),
         F.when(nonmono, "offset_monotonicity"),
         F.when(n_null_kind > 0, "null_span_kind"),
+        F.when(n_incoherent > 0, "span_coherence"),
     )
 
     dups_b = F.broadcast(dups) if broadcast_dups else dups
@@ -239,6 +244,7 @@ def _grid_to_verdicts(
         "empty_spans": cfg.max_null_rate,
         "offset_monotonicity": cfg.max_type_error_rate,
         "null_span_kind": cfg.max_type_error_rate,
+        "span_coherence": cfg.max_type_error_rate,
     }
     check_names = ["uniqueness", *CONF_CHECKS] + (
         ["referential"] if has_catalog else []

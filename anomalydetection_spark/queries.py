@@ -1224,11 +1224,61 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_span_coherence(spark, sf_dir):
+    """Interleaved-payload kind<->media_ref coherence — the 5th
+    conformance check (operators/stats.py::incoherent_span_filter; a
+    text span must not carry a media_ref, a media span must) — applied
+    to a deterministic 3-spans-per-doc synthesis from the flat corpus:
+    kind and media_ref are drawn from independent integer hashes so a
+    fixed fraction of spans is incoherent. The engine side builds REAL
+    array<struct> spans and filters with the production predicate; the
+    oracle replays the same arithmetic over an unnested cross join."""
+    from .operators.stats import incoherent_span_filter
+
+    d = _t(spark, sf_dir, "documents")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda i: F.struct(
+            F.when(
+                ((F.col("doc_id") % 1000003) * 31 + i * 7) % 97 < 60, "text"
+            )
+            .otherwise("image")
+            .alias("kind"),
+            F.substring("text", 1, 8).alias("text"),
+            F.when(
+                ((F.col("doc_id") % 999983) * 17 + i * 11) % 5 == 0,
+                F.concat(
+                    F.lit("m"), ((F.col("doc_id") + i) % 100).cast("string")
+                ),
+            ).alias("media_ref"),
+            (i * 10).cast("int").alias("offset"),
+        ),
+    )
+    return (
+        d.withColumn("spans", spans)
+        .select(
+            "source",
+            F.size("spans").alias("n_spans"),
+            F.size(F.filter("spans", incoherent_span_filter)).alias("n_bad"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_bad").alias("n_incoherent"),
+            F.round(F.sum("n_bad") / F.sum("n_spans"), 6).alias(
+                "incoherent_rate"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "span_coherence": q_span_coherence,
     "uniqueness_dup_keys": q_uniqueness_dup_keys,
     "referential_orphans": q_referential_orphans,
     "null_conformance_rates": q_null_conformance_rates,
@@ -1303,6 +1353,29 @@ _LOGLINES_SQL = """
 
 
 ORACLES: dict[str, str] = {
+    "span_coherence": """
+        WITH sp AS (SELECT * FROM (VALUES (0),(1),(2)) AS t(i)),
+        s AS (
+          SELECT d.source,
+            CASE WHEN ((d.doc_id % 1000003) * 31 + sp.i * 7) % 97 < 60
+                 THEN 'text' ELSE 'image' END AS kind,
+            CASE WHEN ((d.doc_id % 999983) * 17 + sp.i * 11) % 5 = 0
+                 THEN 'm' || CAST((d.doc_id + sp.i) % 100 AS VARCHAR)
+            END AS media_ref
+          FROM documents d CROSS JOIN sp
+        )
+        SELECT source,
+          CAST(count(*) // 3 AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_spans,
+          CAST(sum(CASE WHEN (kind = 'text' AND media_ref IS NOT NULL)
+                       OR (kind <> 'text' AND media_ref IS NULL)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_incoherent,
+          round(CAST(sum(CASE WHEN (kind = 'text' AND media_ref IS NOT NULL)
+                             OR (kind <> 'text' AND media_ref IS NULL)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+            AS incoherent_rate
+        FROM s GROUP BY source
+    """,
     "uniqueness_dup_keys": """
         SELECT l_orderkey, count(*) AS dup_cnt
         FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1

@@ -14,7 +14,7 @@ def test_full_run_verdicts_and_violations(spark, docs, catalog, expected):
     res = run_validation(spark, docs, catalog=catalog)
     checks = {r.check for r in res.verdicts.collect()}
     assert {"uniqueness", "referential", "null_spans", "empty_spans",
-            "offset_monotonicity", "null_span_kind"} <= checks
+            "offset_monotonicity", "null_span_kind", "span_coherence"} <= checks
 
     v = res.violations.cache()
     uniq_ids = {
@@ -26,6 +26,7 @@ def test_full_run_verdicts_and_violations(spark, docs, catalog, expected):
     }
     assert (
         expected["null_spans"] | expected["empty_spans"] | expected["nonmono"]
+        | expected["incoherent"]
     ) <= conf_ids
     # violation rows carry the original span sequence verbatim
     jkey = F.coalesce(F.to_json("spans"), F.lit("<null>"))

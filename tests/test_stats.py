@@ -20,6 +20,9 @@ def test_conformance_flags_exact(docs, expected):
     assert {
         r.doc_id for r in c.filter("nonmonotone_offsets").collect()
     } == expected["nonmono"]
+    assert {
+        r.doc_id for r in c.filter("n_incoherent > 0").collect()
+    } == expected["incoherent"]
 
 
 def test_partition_stats_sum_to_table(docs):
@@ -75,6 +78,8 @@ def test_conformance_violations_detail(docs, expected):
         assert "null_spans" in got[d]
     for d in expected["nonmono"]:
         assert "nonmonotone_offsets" in got[d]
+    for d in expected["incoherent"]:
+        assert "span_coherence" in got[d]
 
 
 def test_profile_table_generic(spark):
