@@ -715,3 +715,190 @@ def revalidate_with_feedback(
         sorted(r.partition_id for r in totals.select("partition_id").collect()),
         version,
     )
+
+
+def preflight_estimate(
+    spark: SparkSession,
+    docs: DataFrame,
+    catalog: DataFrame | None = None,
+    fraction: float = 0.01,
+    seed: int = 42,
+    cfg: ValidationConfig = DEFAULT_CONFIG,
+    confidence_z: float = 2.576,
+    catalog_size_hint: int | None = None,
+) -> DataFrame:
+    """Sampled pre-flight estimate: would a full validation pass
+    pass its gates? At 10^12 docs you want this answer from a
+    ``fraction`` of the wide-column work before committing the full
+    pass — the 100 TB analog of a dry run.
+
+    Two tiers, matched to what each check actually costs:
+
+    * **exact** — uniqueness. Sampling keys cannot see duplicates
+      (a dup pair survives a p-sample with probability p²), but the
+      dup-key scan only reads the KEY column — cheap at any scale —
+      so it runs exact over the full table.
+    * **sampled** — the wide-column checks (conformance families +
+      referential), which dominate full-pass cost. Violating-doc
+      rates get Wilson score intervals at ``confidence_z`` (default
+      99%); per-check verdict is ``fail`` if the interval floor
+      clears the gate, ``pass`` if its ceiling stays under, else
+      ``inconclusive`` (run the full pass / raise the fraction).
+      For zero-tolerance gates any sampled sighting is definitive:
+      the sample is a subset of the table, so an observed orphan
+      proves a violation exists — no statistics needed for ``fail``.
+
+    Returns a driver-materialized DataFrame (one row per check):
+    (check, tier, n_evaluated, n_violations, rate, ci_lo, ci_hi,
+    gate, verdict). Deterministic under (fraction, seed).
+    """
+    import math
+
+    # --- exact narrow tier: dup keys over the full key column ---
+    n_total = docs.count()
+    dups = duplicate_keys(docs, cfg.unique_key, cfg.salt_buckets)
+    n_dup_docs = int(
+        dups.agg(F.coalesce(F.sum("dup_cnt"), F.lit(0))).first()[0]
+    )
+
+    # --- sampled wide tier: one scan, every flag in one agg ---
+    sample = docs.sample(fraction=fraction, seed=seed)
+    null_spans = F.col("spans").isNull()
+    empty_spans = F.col("spans").isNotNull() & (F.size("spans") == 0)
+    nonmono = F.when(null_spans, F.lit(False)).otherwise(
+        ~F.expr(stats_ops.MONOTONE_EXPR)
+    )
+    n_null_kind = F.coalesce(
+        F.size(F.filter("spans", lambda s: s["kind"].isNull())), F.lit(0)
+    )
+    n_incoh = F.coalesce(
+        F.size(F.filter("spans", stats_ops.incoherent_span_filter)), F.lit(0)
+    )
+    flags = {
+        "null_spans": null_spans,
+        "empty_spans": empty_spans,
+        "offset_monotonicity": nonmono,
+        "null_span_kind": n_null_kind > 0,
+        "span_coherence": n_incoh > 0,
+    }
+    proj = [v.cast("long").alias(k) for k, v in flags.items()]
+    ref_joined = None
+    ref_in_agg = False
+    if catalog is not None:
+        from ..operators.referential import (
+            BROADCAST_MAX_CATALOG_ROWS,
+            collect_catalog_keys,
+            orphan_refs_rowlocal_udf,
+            span_refs_column,
+        )
+
+        n_cat = (
+            catalog_size_hint
+            if catalog_size_hint is not None
+            else catalog.count()
+        )
+        if n_cat <= BROADCAST_MAX_CATALOG_ROWS:
+            udf = orphan_refs_rowlocal_udf(spark, collect_catalog_keys(catalog))
+            proj.append(
+                (F.size(udf(span_refs_column())) > 0)
+                .cast("long")
+                .alias("referential")
+            )
+            ref_in_agg = True
+        else:
+            # catalog beyond broadcast: the salted anti-join runs on the
+            # SAMPLE's exploded refs only — fraction x the full cost
+            ref_joined = (
+                orphan_refs(
+                    sample,
+                    catalog,
+                    spark,
+                    salt_buckets=cfg.salt_buckets,
+                    catalog_size_hint=n_cat,
+                    row_fingerprint=True,
+                )
+                .select("doc_id", "partition_id", "row_fp")
+                .distinct()
+                .count()
+            )
+    tot = sample.select(*proj).groupBy().agg(
+        F.count("*").alias("__n"),
+        *[F.sum(k).alias(k) for k in flags],
+        *([F.sum("referential").alias("referential")] if ref_in_agg else []),
+    ).first()
+    n_sample = int(tot["__n"])
+
+    gates = {
+        "uniqueness": cfg.max_dup_rate,
+        "referential": cfg.max_orphan_rate,
+        "null_spans": cfg.max_null_rate,
+        "empty_spans": cfg.max_null_rate,
+        "offset_monotonicity": cfg.max_type_error_rate,
+        "null_span_kind": cfg.max_type_error_rate,
+        "span_coherence": cfg.max_type_error_rate,
+    }
+
+    def _wilson(x: int, n: int) -> tuple[float, float]:
+        if n == 0:
+            return (0.0, 1.0)
+        z = confidence_z
+        p = x / n
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = (
+            z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        )
+        return (max(0.0, center - half), min(1.0, center + half))
+
+    rows = []
+    exact_rate = n_dup_docs / n_total if n_total else 0.0
+    rows.append(
+        (
+            "uniqueness",
+            "exact",
+            n_total,
+            n_dup_docs,
+            exact_rate,
+            exact_rate,
+            exact_rate,
+            gates["uniqueness"],
+            "fail" if exact_rate > gates["uniqueness"] else "pass",
+        )
+    )
+    sampled_counts = {k: int(tot[k] or 0) for k in flags}
+    if catalog is not None:
+        sampled_counts["referential"] = (
+            int(tot["referential"] or 0) if ref_in_agg else int(ref_joined)
+        )
+    for name, x in sampled_counts.items():
+        lo, hi = _wilson(x, n_sample)
+        gate = gates[name]
+        if x > 0 and gate == 0.0:
+            verdict = "fail"       # sample ⊆ table: sighting is proof
+        elif lo > gate:
+            verdict = "fail"
+        elif hi <= gate:
+            verdict = "pass"
+        else:
+            verdict = "inconclusive"
+        rows.append(
+            (
+                name,
+                "sampled",
+                n_sample,
+                x,
+                (x / n_sample) if n_sample else 0.0,
+                lo,
+                hi,
+                gate,
+                verdict,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "check string, tier string, n_evaluated long, n_violations long,"
+            " rate double, ci_lo double, ci_hi double, gate double,"
+            " verdict string"
+        ),
+    )

@@ -51,6 +51,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--profile", action="store_true",
                    help="also write a one-pass per-column profile of the "
                    "docs table to <out>/profile/<run_id>")
+    p.add_argument("--preflight", type=float, default=None, metavar="FRACTION",
+                   help="sampled pre-flight estimate instead of a full pass: "
+                   "exact dup-key tier + Wilson-CI verdicts on the wide "
+                   "checks from a FRACTION sample; writes one JSON line "
+                   "and exits")
     p.add_argument("--max-violation-exemplars", type=int, default=None,
                    metavar="K",
                    help="cap the violations sink at K exemplar rows per "
@@ -160,6 +165,30 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark(app_name="validation_round", master=args.master)
+    if args.preflight is not None:
+        from .plans.pipeline import preflight_estimate
+        from .sources.tables import read_table
+
+        try:
+            docs = read_table(spark, args.docs)
+            catalog = read_table(spark, args.catalog) if args.catalog else None
+            t0 = time.time()
+            pf = preflight_estimate(
+                spark, docs, catalog=catalog, fraction=args.preflight
+            )
+            rows = [r.asDict() for r in pf.collect()]
+            print(json.dumps({
+                "preflight_fraction": args.preflight,
+                "seconds": round(time.time() - t0, 2),
+                "any_fail": any(r["verdict"] == "fail" for r in rows),
+                "any_inconclusive": any(
+                    r["verdict"] == "inconclusive" for r in rows
+                ),
+                "checks": rows,
+            }))
+            return 0
+        finally:
+            spark.stop()
     if args.apply_feedback:
         try:
             print(json.dumps(feedback_round(spark, args)))

@@ -297,3 +297,50 @@ def test_exemplar_cap_exact_verdicts_smaller_sink(spark, docs, catalog):
           for r in full.violations.select("check", "partition_id").distinct().collect()}
     gc = {(r.check, r.partition_id) for r in per_group}
     assert gf == gc
+
+
+def test_preflight_estimate(spark, docs, catalog, expected):
+    """Sampled pre-flight: exact uniqueness tier matches the planted
+    dup count; sampled CIs cover the true wide-check rates; verdict
+    logic (pass / fail / inconclusive) follows the gate vs interval."""
+    from anomalydetection_spark.plans.pipeline import preflight_estimate
+
+    pf = preflight_estimate(
+        spark, docs, catalog=catalog, fraction=0.25, seed=7
+    )
+    rows = {r.check: r for r in pf.collect()}
+    n_total = docs.count()
+
+    # exact tier: uniqueness counts every doc in a dup group
+    u = rows["uniqueness"]
+    assert u.tier == "exact"
+    assert u.n_evaluated == n_total
+    assert u.n_violations == 2 * len(expected["uniqueness"])
+    assert u.verdict == "fail"                    # gate 0.0, dups planted
+
+    # sampled tier covers every wide check + referential
+    for name in ("null_spans", "empty_spans", "offset_monotonicity",
+                 "null_span_kind", "span_coherence", "referential"):
+        r = rows[name]
+        assert r.tier == "sampled"
+        assert 0.0 <= r.ci_lo <= r.rate <= r.ci_hi <= 1.0
+
+    # true doc-level rates must fall inside the 99% CI (planted rates,
+    # n≈1000 sample → comfortably inside for all five families)
+    true_rates = {
+        "null_spans": len(expected["null_spans"]) / n_total,
+        "empty_spans": len(expected["empty_spans"]) / n_total,
+        "offset_monotonicity": len(expected["nonmono"]) / n_total,
+        "span_coherence": len(expected["incoherent"]) / n_total,
+    }
+    for name, t in true_rates.items():
+        assert rows[name].ci_lo <= t <= rows[name].ci_hi, name
+
+    # zero-tolerance sighting rule: planted orphans exist → fail
+    assert rows["referential"].verdict == "fail"
+
+    # determinism
+    pf2 = preflight_estimate(
+        spark, docs, catalog=catalog, fraction=0.25, seed=7
+    )
+    assert sorted(map(tuple, pf2.collect())) == sorted(map(tuple, pf.collect()))

@@ -139,3 +139,20 @@ def test_exemplar_cap_flag(spark, docs_path, catalog, tmp_path):
         F.max("count")
     ).first()[0] == 1
     assert capped.count() < spark.read.parquet(s_full["violations"]).count()
+
+
+def test_preflight_estimate_cli_path(spark, docs_path, catalog, tmp_path, expected):
+    """--preflight's core (preflight_estimate on CLI-read tables):
+    exact uniqueness matches the planted count, sampled checks carry
+    CIs, zero-tolerance referential fails on a planted-orphan sample."""
+    from anomalydetection_spark.plans.pipeline import preflight_estimate
+    from anomalydetection_spark.sources.tables import read_table
+
+    docs = read_table(spark, docs_path)
+    pf = preflight_estimate(spark, docs, catalog=catalog, fraction=0.3, seed=3)
+    rows = {r.check: r for r in pf.collect()}
+    assert rows["uniqueness"].n_violations == 2 * len(expected["uniqueness"])
+    assert rows["uniqueness"].verdict == "fail"
+    assert {r.tier for n, r in rows.items() if n != "uniqueness"} == {"sampled"}
+    assert rows["referential"].verdict == "fail"
+    assert all(r.ci_lo <= r.rate <= r.ci_hi for r in rows.values())
