@@ -726,6 +726,7 @@ def preflight_estimate(
     cfg: ValidationConfig = DEFAULT_CONFIG,
     confidence_z: float = 2.576,
     catalog_size_hint: int | None = None,
+    mode: str = "rows",
 ) -> DataFrame:
     """Sampled pre-flight estimate: would a full validation pass
     pass its gates? At 10^12 docs you want this answer from a
@@ -739,20 +740,39 @@ def preflight_estimate(
       dup-key scan only reads the KEY column — cheap at any scale —
       so it runs exact over the full table.
     * **sampled** — the wide-column checks (conformance families +
-      referential), which dominate full-pass cost. Violating-doc
-      rates get Wilson score intervals at ``confidence_z`` (default
-      99%); per-check verdict is ``fail`` if the interval floor
-      clears the gate, ``pass`` if its ceiling stays under, else
-      ``inconclusive`` (run the full pass / raise the fraction).
-      For zero-tolerance gates any sampled sighting is definitive:
-      the sample is a subset of the table, so an observed orphan
-      proves a violation exists — no statistics needed for ``fail``.
+      referential), which dominate full-pass cost; per-check verdict
+      is ``fail`` if the confidence interval's floor clears the gate,
+      ``pass`` if its ceiling stays under, else ``inconclusive`` (run
+      the full pass / raise the fraction). For zero-tolerance gates
+      any sampled sighting is definitive: the sample is a subset of
+      the table, so an observed orphan proves a violation exists —
+      no statistics needed for ``fail``.
+
+    Two sampling ``mode``s, matched to what a sample costs at scale:
+
+    * ``"rows"`` — uniform row sample, Wilson score interval at
+      ``confidence_z`` (default 99%). Statistically tightest, but a
+      row sample still READS every file (decode-then-drop), so its
+      saving is CPU, not IO — right for small-to-mid tables or
+      CPU-bound rechecks.
+    * ``"partitions"`` — cluster sample: ⌈fraction·M⌉ whole
+      partitions chosen by deterministic key hash, scanned via
+      partition pruning — on a partitioned/Iceberg layout the
+      unsampled files are never opened, so cost is truly
+      ``fraction`` of the table. CI widens to the cluster-sampling
+      ratio-estimator variance with finite-population correction
+      (between-partition variance dominates when violations cluster
+      by partition — exactly when a row-sample CI would lie).
 
     Returns a driver-materialized DataFrame (one row per check):
     (check, tier, n_evaluated, n_violations, rate, ci_lo, ci_hi,
-    gate, verdict). Deterministic under (fraction, seed).
+    gate, verdict). Deterministic under (fraction, seed, mode).
     """
+    import hashlib
     import math
+
+    if mode not in ("rows", "partitions"):
+        raise ValueError(f"mode must be 'rows' or 'partitions': {mode!r}")
 
     # --- exact narrow tier: dup keys over the full key column ---
     n_total = docs.count()
@@ -762,7 +782,21 @@ def preflight_estimate(
     )
 
     # --- sampled wide tier: one scan, every flag in one agg ---
-    sample = docs.sample(fraction=fraction, seed=seed)
+    n_clusters_total = None
+    if mode == "partitions":
+        all_pids = sorted(
+            r.partition_id
+            for r in docs.select("partition_id").distinct().collect()
+        )
+        n_clusters_total = len(all_pids)
+        m = max(1, math.ceil(fraction * n_clusters_total))
+        chosen = sorted(
+            all_pids,
+            key=lambda p: hashlib.md5(f"{seed}:{p}".encode()).hexdigest(),
+        )[:m]
+        sample = docs.filter(F.col("partition_id").isin(chosen))
+    else:
+        sample = docs.sample(fraction=fraction, seed=seed)
     null_spans = F.col("spans").isNull()
     empty_spans = F.col("spans").isNotNull() & (F.size("spans") == 0)
     nonmono = F.when(null_spans, F.lit(False)).otherwise(
@@ -808,8 +842,9 @@ def preflight_estimate(
         else:
             # catalog beyond broadcast: the salted anti-join runs on the
             # SAMPLE's exploded refs only — fraction x the full cost
-            ref_joined = (
-                orphan_refs(
+            ref_joined = {
+                r.partition_id: r.n
+                for r in orphan_refs(
                     sample,
                     catalog,
                     spark,
@@ -819,14 +854,23 @@ def preflight_estimate(
                 )
                 .select("doc_id", "partition_id", "row_fp")
                 .distinct()
-                .count()
-            )
-    tot = sample.select(*proj).groupBy().agg(
-        F.count("*").alias("__n"),
-        *[F.sum(k).alias(k) for k in flags],
-        *([F.sum("referential").alias("referential")] if ref_in_agg else []),
-    ).first()
-    n_sample = int(tot["__n"])
+                .groupBy("partition_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+    check_cols = list(flags) + (["referential"] if ref_in_agg else [])
+    # per-partition grid either way (metadata scale): rows mode sums it
+    # globally, partitions mode needs the per-cluster counts for the CI
+    grid = (
+        sample.select("partition_id", *proj)
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("__n"),
+            *[F.sum(k).alias(k) for k in check_cols],
+        )
+        .collect()
+    )
+    n_sample = sum(int(r["__n"]) for r in grid)
 
     gates = {
         "uniqueness": cfg.max_dup_rate,
@@ -850,6 +894,43 @@ def preflight_estimate(
         )
         return (max(0.0, center - half), min(1.0, center + half))
 
+    def _t_quantile(z: float, nu: int) -> float:
+        """Student-t quantile from its normal counterpart via the
+        standard asymptotic expansion in 1/nu (within ~1% of the true
+        quantile for nu >= 3; converges to z as nu grows). Needed
+        because a cluster sample of m partitions estimates variance on
+        m-1 dof — with m=4 the honest 99% multiplier is ~5.8, not 2.58;
+        the normal quantile would make small-m CIs confidently wrong."""
+        if nu <= 0:
+            return float("inf")
+        z3, z5, z7 = z ** 3, z ** 5, z ** 7
+        return (
+            z
+            + (z3 + z) / (4 * nu)
+            + (5 * z5 + 16 * z3 + 3 * z) / (96 * nu * nu)
+            + (3 * z7 + 19 * z5 + 17 * z3 - 15 * z) / (384 * nu ** 3)
+        )
+
+    def _cluster_ci(xs: list[int], ns: list[int]) -> tuple[float, float]:
+        """Ratio-estimator CI for a cluster (whole-partition) sample of
+        m of M clusters, with finite-population correction (collapses
+        to the exact value at fraction=1) and a Student-t multiplier on
+        m-1 dof for the between-partition variance estimate."""
+        n_tot, x_tot, m = sum(ns), sum(xs), len(ns)
+        if n_tot == 0:
+            return (0.0, 1.0)
+        p = x_tot / n_tot
+        if m < 2:
+            return (0.0, 1.0)   # one cluster: no variance information
+        nbar = n_tot / m
+        s2 = sum((x - p * n) ** 2 for x, n in zip(xs, ns)) / (m - 1)
+        var = max(
+            0.0,
+            (1 - m / n_clusters_total) * s2 / (m * nbar * nbar),
+        )
+        half = _t_quantile(confidence_z, m - 1) * math.sqrt(var)
+        return (max(0.0, p - half), min(1.0, p + half))
+
     rows = []
     exact_rate = n_dup_docs / n_total if n_total else 0.0
     rows.append(
@@ -865,13 +946,22 @@ def preflight_estimate(
             "fail" if exact_rate > gates["uniqueness"] else "pass",
         )
     )
-    sampled_counts = {k: int(tot[k] or 0) for k in flags}
-    if catalog is not None:
-        sampled_counts["referential"] = (
-            int(tot["referential"] or 0) if ref_in_agg else int(ref_joined)
+    per_check: dict[str, tuple[list[int], list[int]]] = {}
+    ns = [int(r["__n"]) for r in grid]
+    for name in check_cols:
+        per_check[name] = ([int(r[name] or 0) for r in grid], ns)
+    if catalog is not None and not ref_in_agg:
+        per_check["referential"] = (
+            [int(ref_joined.get(r["partition_id"], 0)) for r in grid],
+            ns,
         )
-    for name, x in sampled_counts.items():
-        lo, hi = _wilson(x, n_sample)
+    tier = "sampled" if mode == "rows" else "sampled_partitions"
+    for name, (xs, ns_) in per_check.items():
+        x = sum(xs)
+        if mode == "rows":
+            lo, hi = _wilson(x, n_sample)
+        else:
+            lo, hi = _cluster_ci(xs, ns_)
         gate = gates[name]
         if x > 0 and gate == 0.0:
             verdict = "fail"       # sample ⊆ table: sighting is proof
@@ -884,7 +974,7 @@ def preflight_estimate(
         rows.append(
             (
                 name,
-                "sampled",
+                tier,
                 n_sample,
                 x,
                 (x / n_sample) if n_sample else 0.0,

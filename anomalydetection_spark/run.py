@@ -56,6 +56,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    "exact dup-key tier + Wilson-CI verdicts on the wide "
                    "checks from a FRACTION sample; writes one JSON line "
                    "and exits")
+    p.add_argument("--preflight-mode", choices=("rows", "partitions"),
+                   default="rows",
+                   help="preflight sampling unit: 'rows' (uniform row "
+                   "sample, Wilson CI — still reads every file) or "
+                   "'partitions' (whole-partition cluster sample, "
+                   "partition-pruned IO, cluster-variance CI)")
     p.add_argument("--max-violation-exemplars", type=int, default=None,
                    metavar="K",
                    help="cap the violations sink at K exemplar rows per "
@@ -174,11 +180,13 @@ def main(argv: list[str] | None = None) -> int:
             catalog = read_table(spark, args.catalog) if args.catalog else None
             t0 = time.time()
             pf = preflight_estimate(
-                spark, docs, catalog=catalog, fraction=args.preflight
+                spark, docs, catalog=catalog, fraction=args.preflight,
+                mode=args.preflight_mode,
             )
             rows = [r.asDict() for r in pf.collect()]
             print(json.dumps({
                 "preflight_fraction": args.preflight,
+                "preflight_mode": args.preflight_mode,
                 "seconds": round(time.time() - t0, 2),
                 "any_fail": any(r["verdict"] == "fail" for r in rows),
                 "any_inconclusive": any(

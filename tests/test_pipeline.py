@@ -344,3 +344,37 @@ def test_preflight_estimate(spark, docs, catalog, expected):
         spark, docs, catalog=catalog, fraction=0.25, seed=7
     )
     assert sorted(map(tuple, pf2.collect())) == sorted(map(tuple, pf.collect()))
+
+
+def test_preflight_partition_mode(spark, docs, catalog, expected):
+    """Cluster-sampled pre-flight: the plan prunes to the chosen
+    partition set (the scale point — unsampled files never open), the
+    cluster-variance CI covers the true rates, and fraction=1 collapses
+    to the exact full-table rates (finite-population correction)."""
+    from anomalydetection_spark.plans.pipeline import preflight_estimate
+
+    pf = preflight_estimate(
+        spark, docs, catalog=catalog, fraction=0.5, seed=11,
+        mode="partitions",
+    )
+    rows = {r.check: r for r in pf.collect()}
+    n_total = docs.count()
+    assert rows["null_spans"].tier == "sampled_partitions"
+    # sampled half the clusters: evaluated count is a strict subset
+    assert 0 < rows["null_spans"].n_evaluated < n_total
+    for name, key in (("null_spans", "null_spans"),
+                      ("span_coherence", "incoherent")):
+        t = len(expected[key]) / n_total
+        r = rows[name]
+        assert r.ci_lo <= t <= r.ci_hi, (name, t, r.ci_lo, r.ci_hi)
+    assert rows["referential"].verdict == "fail"  # sighting rule
+
+    # fraction=1 → every cluster sampled → fpc zeroes the variance
+    full = preflight_estimate(
+        spark, docs, catalog=catalog, fraction=1.0, mode="partitions"
+    )
+    frows = {r.check: r for r in full.collect()}
+    ns = frows["null_spans"]
+    assert ns.n_evaluated == n_total
+    assert abs(ns.ci_hi - ns.ci_lo) < 1e-12
+    assert ns.n_violations == len(expected["null_spans"])
