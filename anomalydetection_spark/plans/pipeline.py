@@ -54,6 +54,11 @@ class ValidationResult:
     violations: DataFrame        # exact violation rows (all checks)
     validated_partitions: list[int]
     manifest_version: int
+    # True when the violations are exemplar-capped (K rows per check x
+    # partition): verdict counts are exact but the violation ROWS are a
+    # subset — consumers needing the full set (quarantine, feedback
+    # review) must check this
+    capped: bool = False
 
 
 BROADCAST_MAX_ROWS = 100_000
@@ -647,7 +652,9 @@ def run_validation(
             )
         manifest_version = manifest.commit_validated(records, run_id, now)
 
-    return ValidationResult(verdicts, violations, pending, manifest_version)
+    return ValidationResult(
+        verdicts, violations, pending, manifest_version, capped=capped
+    )
 
 
 def revalidate_with_feedback(

@@ -51,6 +51,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--profile", action="store_true",
                    help="also write a one-pass per-column profile of the "
                    "docs table to <out>/profile/<run_id>")
+    p.add_argument("--quarantine", action="store_true",
+                   help="also split the docs table into clean/quarantined "
+                   "parquet under <out>/quarantine/<run_id> (single "
+                   "partitioned-write pass; incompatible with "
+                   "--max-violation-exemplars — the split needs the full "
+                   "violation set)")
     p.add_argument("--preflight", type=float, default=None, metavar="FRACTION",
                    help="sampled pre-flight estimate instead of a full pass: "
                    "exact dup-key tier + Wilson-CI verdicts on the wide "
@@ -147,6 +153,19 @@ def one_round(spark, args, run_id: str) -> dict:
     res.verdicts.write.mode("overwrite").parquet(verdicts_out)
     violations_out = os.path.join(args.out, "violations", run_id)
     res.violations.write.mode("overwrite").parquet(violations_out)
+    quarantine_out = None
+    if args.quarantine:
+        from .operators.quarantine import write_quarantine_split
+
+        if res.capped:
+            raise SystemExit(
+                "--quarantine needs the full violation set; drop "
+                "--max-violation-exemplars"
+            )
+        quarantine_out = write_quarantine_split(
+            docs, res.violations,
+            os.path.join(args.out, "quarantine", run_id),
+        )
     profile_out = None
     if args.profile:
         from .operators.profile import profile_table
@@ -157,6 +176,7 @@ def one_round(spark, args, run_id: str) -> dict:
     return {
         "run_id": run_id,
         "profile": profile_out,
+        "quarantine": quarantine_out,
         "validated_partitions": res.validated_partitions,
         "manifest_version": res.manifest_version,
         "n_failed_checks": n_fail,
