@@ -209,3 +209,46 @@ def ema_3sigma(
         .drop("_prev", "_mu", "_n_prev")
         .withColumnRenamed("_sd", "trailing_sd")
     )
+
+
+def manifest_history_drift(
+    spark,
+    manifest,
+    alpha: float = 0.3,
+    sigma_k: float = 3.0,
+    min_history: int = 5,
+) -> DataFrame:
+    """Temporal drift on the engine's OWN metrics: each partition's
+    violation-rate series across manifest versions, EMA+3σ flagged —
+    "this partition's violation rate jumped against its own history",
+    the reference's running-score anomaly rule
+    (/root/reference/model_manager.py:200-228) applied to validation
+    telemetry instead of log lines. Input is the manifest history
+    (versions × partitions rows — metadata scale), so this runs in
+    milliseconds regardless of table size."""
+    hist = (
+        manifest.history_df(spark)
+        .filter(F.col("n_rows").isNotNull() & (F.col("n_rows") > 0))
+        .withColumn(
+            "violation_rate",
+            F.col("n_violations").cast("double") / F.col("n_rows"),
+        )
+    )
+    return ema_3sigma(
+        hist,
+        key_cols=["partition_id"],
+        order_col="version",
+        value_col="violation_rate",
+        alpha=alpha,
+        sigma_k=sigma_k,
+        min_history=min_history,
+    ).select(
+        "partition_id",
+        "version",
+        "run_id",
+        "violation_rate",
+        "ema",
+        "trailing_sd",
+        "zscore",
+        "is_anomaly",
+    )

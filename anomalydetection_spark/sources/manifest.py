@@ -219,6 +219,40 @@ class Manifest:
                 pending.append(row.partition_id)
         return sorted(pending)
 
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """Every committed version's per-partition record as one
+        DataFrame (version, run_id, partition_id, n_rows, n_violations,
+        verdict, validated_at) — the metric-history input for temporal
+        drift (operators/drift.py::manifest_history_drift). Versions are
+        full snapshots, so row count = versions x partitions — metadata
+        scale (the validation-run cadence, not the data volume)."""
+        import json as _json
+
+        rows = []
+        for v in range(1, self.current_version() + 1):
+            with open(os.path.join(self.path, f"v{v}.json")) as f:
+                snap = _json.load(f)
+            for rec in snap["partitions"].values():
+                rows.append(
+                    (
+                        v,
+                        snap.get("run_id"),
+                        rec.get("partition_id"),
+                        rec.get("n_rows"),
+                        rec.get("n_violations"),
+                        rec.get("verdict"),
+                        rec.get("validated_at"),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            schema=(
+                "version int, run_id string, partition_id int,"
+                " n_rows long, n_violations long, verdict string,"
+                " validated_at string"
+            ),
+        )
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         from ..schema import MANIFEST_SCHEMA
 

@@ -129,3 +129,33 @@ def test_ema_matches_pandas_ewm_recurrence(spark):
         for x in vals[1:t]:
             s = alpha * x + (1 - alpha) * s
         assert abs(out[t] - s) < 1e-9
+
+
+def test_manifest_history_drift_flags_rate_spike(spark, tmp_path):
+    """Per-partition violation-rate series across manifest versions:
+    a stable ~1% history passes; one partition's spike to 30% in the
+    last run is flagged — for exactly that (partition, version)."""
+    from anomalydetection_spark.operators.drift import manifest_history_drift
+    from anomalydetection_spark.sources.manifest import Manifest
+
+    m = Manifest(str(tmp_path / "m"))
+    n_runs, n_parts, n_rows = 9, 4, 10_000
+    for v in range(1, n_runs + 1):
+        records = []
+        for pid in range(n_parts):
+            base = 100 + 7 * ((pid * 31 + v * 13) % 5)   # stable ~1%
+            spike = v == n_runs and pid == 2
+            records.append({
+                "partition_id": pid,
+                "snapshot_hash": f"h{pid}",
+                "n_rows": n_rows,
+                "n_violations": 3000 if spike else base,
+                "verdict": "fail" if spike else "pass",
+            })
+        m.commit_validated(records, f"run{v}", f"1970-01-0{v}T00:00:00Z")
+
+    d = manifest_history_drift(spark, m, min_history=5)
+    flagged = {(r.partition_id, r.version) for r in d.collect() if r.is_anomaly}
+    assert flagged == {(2, n_runs)}
+    # series shape: every (partition, version) cell present
+    assert d.count() == n_runs * n_parts
