@@ -45,9 +45,24 @@ class ColumnRule:
 
 
 @dataclass(frozen=True)
+class ExpressionRule:
+    """Cross-column row rule: a SQL boolean that must hold per row.
+    A row violates when the expression is false OR null (three-valued
+    logic collapsed pessimistically — an unevaluable rule is not a
+    pass). Budget semantics match the null rule: fail when the
+    violation rate exceeds ``max_violation_rate``."""
+
+    expr: str
+    max_violation_rate: float = 0.0
+
+
+@dataclass(frozen=True)
 class Contract:
     columns: dict[str, ColumnRule] = field(default_factory=dict)
     closed: bool = False               # True -> extra columns violate
+    # named cross-column rules, e.g.
+    # {"span_order": ExpressionRule("size(spans) = 0 OR spans[0].offset >= 0")}
+    expressions: dict[str, ExpressionRule] = field(default_factory=dict)
 
 
 def schema_diff(observed: T.StructType, contract: Contract) -> list[dict]:
@@ -107,6 +122,13 @@ def contract_violation_counts(df: DataFrame, contract: Contract) -> DataFrame:
         if rule.rlike is not None:
             add(c, "rlike", col.isNotNull() & ~col.rlike(rule.rlike))
 
+    for name, er in contract.expressions.items():
+        # compiles into the SAME single agg pass; unevaluable
+        # expressions surface as schema:invalid_expression in
+        # contract_verdicts, not here
+        add("*", f"expr:{name}",
+            ~F.coalesce(F.expr(er.expr), F.lit(False)))
+
     one = df.agg(*aggs)
     triples = ", ".join(
         f"'{c}', '{r}', cast(`{c}::{r}` as double)" for c, r in keys
@@ -134,20 +156,50 @@ def contract_verdicts(df: DataFrame, contract: Contract) -> DataFrame:
          i["detail"])
         for i in schema_diff(df.schema, contract)
     ]
+    # expressions that don't compile against this schema become
+    # structural failures instead of crashing the agg pass
+    valid_exprs: dict[str, ExpressionRule] = {}
+    for name, er in contract.expressions.items():
+        try:
+            df.selectExpr(er.expr)
+            valid_exprs[name] = er
+        except Exception as e:  # AnalysisException / parse errors
+            struct_rows.append(
+                ("schema:invalid_expression", name, None, None, "fail",
+                 str(e).splitlines()[0][:200])
+            )
     structural = spark.createDataFrame(
         struct_rows,
         "check string, column string, n_violations long,"
         " violation_rate double, verdict string, detail string",
     )
+    if valid_exprs != contract.expressions:
+        from dataclasses import replace as _replace
+
+        contract = _replace(contract, expressions=valid_exprs)
     counts = contract_violation_counts(df, contract)
 
     def budget(c: str) -> float:
         r = contract.columns[c].max_null_rate
         return r if r is not None else 0.0
 
-    budget_map = F.create_map(
-        *[x for c in contract.columns
-          for x in (F.lit(c), F.lit(budget(c)))]
+    # empty create_map() is VOID-keyed (unkeyable) — fall back to a
+    # typed null lookup when a rule family is absent
+    budget_lookup = (
+        F.create_map(
+            *[x for c in contract.columns
+              for x in (F.lit(c), F.lit(budget(c)))]
+        )[F.col("column")]
+        if contract.columns
+        else F.lit(None).cast("double")
+    )
+    expr_budget_lookup = (
+        F.create_map(
+            *[x for n, er in contract.expressions.items()
+              for x in (F.lit(f"expr:{n}"), F.lit(er.max_violation_rate))]
+        )[F.col("rule")]
+        if contract.expressions
+        else F.lit(None).cast("double")
     )
     data = counts.select(
         F.concat(F.lit("rule:"), "rule").alias("check"),
@@ -156,7 +208,12 @@ def contract_verdicts(df: DataFrame, contract: Contract) -> DataFrame:
         "violation_rate",
         F.when(
             (F.col("rule") == "null")
-            & (F.col("violation_rate") <= budget_map[F.col("column")]),
+            & (F.col("violation_rate") <= budget_lookup),
+            "pass",
+        )
+        .when(
+            F.col("rule").startswith("expr:")
+            & (F.col("violation_rate") <= expr_budget_lookup),
             "pass",
         )
         .when(F.col("n_violations") == 0, "pass")

@@ -290,7 +290,12 @@ def q_schema_contract(spark, sf_dir):
     (operators/contract.py): structural tier (missing column +
     type mismatch, zero scans) and data tier (null / allowed-set /
     range / regex rules, ONE agg pass) unioned as verdict rows."""
-    from .operators.contract import ColumnRule, Contract, contract_verdicts
+    from .operators.contract import (
+        ColumnRule,
+        Contract,
+        ExpressionRule,
+        contract_verdicts,
+    )
 
     ev = _t(spark, sf_dir, "events")
     contract = Contract(
@@ -305,7 +310,14 @@ def q_schema_contract(spark, sf_dir):
             ),
             "props": ColumnRule(dtype="string", rlike='^\\{"k": [0-9]\\}$'),
             "session_id": ColumnRule(dtype="string"),
-        }
+        },
+        expressions={
+            # cross-column row rule: purchases must carry value > 0
+            "purchase_value": ExpressionRule(
+                "event_type <> 'purchase' OR value > 0",
+                max_violation_rate=0.25,
+            ),
+        },
     )
     return contract_verdicts(ev, contract)
 
@@ -1663,6 +1675,14 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN props IS NOT NULL AND NOT regexp_full_match(props, '\\{"k": [0-9]\\}') THEN 1 ELSE 0 END) AS BIGINT),
                round(sum(CASE WHEN props IS NOT NULL AND NOT regexp_full_match(props, '\\{"k": [0-9]\\}') THEN 1 ELSE 0 END) / total, 6),
                CASE WHEN sum(CASE WHEN props IS NOT NULL AND NOT regexp_full_match(props, '\\{"k": [0-9]\\}') THEN 1 ELSE 0 END) = 0
+                    THEN 'pass' ELSE 'fail' END,
+               NULL
+        FROM events, n GROUP BY total
+        UNION ALL
+        SELECT 'rule:expr:purchase_value', '*',
+               CAST(sum(CASE WHEN NOT coalesce(event_type <> 'purchase' OR value > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+               round(sum(CASE WHEN NOT coalesce(event_type <> 'purchase' OR value > 0, FALSE) THEN 1 ELSE 0 END) / total, 6),
+               CASE WHEN sum(CASE WHEN NOT coalesce(event_type <> 'purchase' OR value > 0, FALSE) THEN 1 ELSE 0 END) / total <= 0.25
                     THEN 'pass' ELSE 'fail' END,
                NULL
         FROM events, n GROUP BY total

@@ -90,3 +90,33 @@ def test_pipeline_contract_integration(spark, docs, catalog):
     assert "rule:null:spans" in rows
     # per-partition checks unaffected
     assert any(k == "uniqueness" for k in rows)
+
+
+def test_expression_rules_cross_column(spark):
+    """Named cross-column SQL rules compile into the same single agg
+    pass: violations = rows where the expr is false OR null; budget
+    semantics match the null rule; an unparseable expr becomes a
+    structural failure instead of crashing."""
+    from anomalydetection_spark.operators.contract import (
+        Contract,
+        ExpressionRule,
+        contract_verdicts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 2), (4, None), (5, 50)],
+        "a bigint, b bigint",
+    )
+    c = Contract(expressions={
+        "b_geq_a": ExpressionRule("b >= a"),                 # 3:2 fails, null fails
+        "b_mostly": ExpressionRule("b >= a", max_violation_rate=0.5),
+        "bad": ExpressionRule("nosuchcol > 1"),
+    })
+    rows = {r.check + "/" + r.column: r for r in contract_verdicts(df, c).collect()}
+    strict = rows["rule:expr:b_geq_a/*"]
+    assert strict.n_violations == 2            # (3,2) and (4,null)
+    assert strict.verdict == "fail"
+    budget = rows["rule:expr:b_mostly/*"]
+    assert budget.n_violations == 2 and budget.verdict == "pass"  # 0.4 <= 0.5
+    invalid = rows["schema:invalid_expression/bad"]
+    assert invalid.verdict == "fail" and invalid.detail
