@@ -424,10 +424,11 @@ def stateful_cross_batch_dups(
         out["filter_saturated"] = saturated
         yield out
 
+    key_type = stream.schema[key_col].dataType.simpleString()
     return hashed.groupBy("__bucket").applyInPandasWithState(
         update,
         outputStructType=(
-            f"{key_col} string, bucket int, within_batch boolean,"
+            f"{key_col} {key_type}, bucket int, within_batch boolean,"
             " probable_prior boolean, filter_saturated boolean"
         ),
         stateStructType="bits binary, n_added long, saturated boolean",

@@ -263,3 +263,38 @@ def test_stateful_cross_batch_dups(spark, tmp_path):
     assert prior == {f"k{i}" for i in range(25, 50)} | {"k0"}
     assert within == ["k77", "k77"]
     assert not any(r.filter_saturated for r in rows)
+
+
+def test_cross_batch_dups_nonstring_key(spark, tmp_path):
+    """Key-column type flows from the stream schema into the state
+    operator's output (a hardcoded 'string' key broke Arrow conversion
+    for long keys)."""
+    import pandas as pd
+
+    from anomalydetection_spark.streaming.incremental import (
+        stateful_cross_batch_dups,
+    )
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp, exist_ok=True)
+    pd.DataFrame({"user_id": [1, 2, 3]}).to_parquet(f"{inp}/f0.parquet")
+    pd.DataFrame({"user_id": [2, 4, 4]}).to_parquet(f"{inp}/f1.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = (
+        stateful_cross_batch_dups(stream, "user_id", n_buckets=4)
+        .writeStream.format("memory")
+        .queryName("xbatch_long_key")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM xbatch_long_key").collect()
+    assert {r.user_id for r in rows if r.probable_prior} == {2}
+    assert [r.user_id for r in rows if r.within_batch] == [4]
