@@ -903,12 +903,14 @@ def preflight_estimate(
 
     def _t_quantile(z: float, nu: int) -> float:
         """Student-t quantile from its normal counterpart via the
-        standard asymptotic expansion in 1/nu (within ~1% of the true
-        quantile for nu >= 3; converges to z as nu grows). Needed
-        because a cluster sample of m partitions estimates variance on
-        m-1 dof — with m=4 the honest 99% multiplier is ~5.8, not 2.58;
-        the normal quantile would make small-m CIs confidently wrong."""
-        if nu <= 0:
+        standard asymptotic expansion in 1/nu (within 0.1% for nu >= 9,
+        ~3-4% low at nu = 3; callers must not use it below nu = 3 —
+        t_1(99%) is 63.7 and no expansion around z reaches it).
+        Needed because a cluster sample of m partitions estimates
+        variance on m-1 dof — with m=4 the honest 99% multiplier is
+        ~5.8, not 2.58; the normal quantile would make small-m CIs
+        confidently wrong."""
+        if nu < 3:
             return float("inf")
         z3, z5, z7 = z ** 3, z ** 5, z ** 7
         return (
@@ -927,8 +929,14 @@ def preflight_estimate(
         if n_tot == 0:
             return (0.0, 1.0)
         p = x_tot / n_tot
-        if m < 2:
-            return (0.0, 1.0)   # one cluster: no variance information
+        if m == n_clusters_total and m >= 1:
+            return (p, p)       # census: fpc would zero the variance
+        if m < 4:
+            # 1-3 sampled clusters = 0-2 variance dof: a 99%-level t
+            # multiplier is 9.9-63.7x the normal one — no useful bound.
+            # Report total ignorance; the zero-tolerance sighting rule
+            # still fires, everything else is honestly inconclusive.
+            return (0.0, 1.0)
         nbar = n_tot / m
         s2 = sum((x - p * n) ** 2 for x, n in zip(xs, ns)) / (m - 1)
         var = max(
