@@ -51,6 +51,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--profile", action="store_true",
                    help="also write a one-pass per-column profile of the "
                    "docs table to <out>/profile/<run_id>")
+    p.add_argument("--report", action="store_true",
+                   help="write a human-readable text report (per-check "
+                   "summary + sanitized truncated exemplars) to "
+                   "<out>/report/<run_id>.txt")
     p.add_argument("--quarantine", action="store_true",
                    help="also split the docs table into clean/quarantined "
                    "parquet under <out>/quarantine/<run_id> (single "
@@ -153,6 +157,15 @@ def one_round(spark, args, run_id: str) -> dict:
     res.verdicts.write.mode("overwrite").parquet(verdicts_out)
     violations_out = os.path.join(args.out, "violations", run_id)
     res.violations.write.mode("overwrite").parquet(violations_out)
+    report_out = None
+    if args.report:
+        from .operators.report import render_report
+
+        txt = render_report(res.verdicts, res.violations)
+        report_out = os.path.join(args.out, "report", f"{run_id}.txt")
+        os.makedirs(os.path.dirname(report_out), exist_ok=True)
+        with open(report_out, "w") as f:
+            f.write(txt + "\n")
     quarantine_out = None
     if args.quarantine:
         from .operators.quarantine import write_quarantine_split
@@ -176,6 +189,7 @@ def one_round(spark, args, run_id: str) -> dict:
     return {
         "run_id": run_id,
         "profile": profile_out,
+        "report": report_out,
         "quarantine": quarantine_out,
         "validated_partitions": res.validated_partitions,
         "manifest_version": res.manifest_version,

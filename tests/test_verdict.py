@@ -91,3 +91,28 @@ def test_global_verdict_rollup(spark):
     assert r.partition_id is None
     assert r.n_rows == 200 and r.n_violations == 5
     assert r.verdict == "fail"
+
+
+def test_render_report(spark, docs, catalog):
+    """Report renderer: bounded text, per-check summary consistent with
+    verdicts, exemplars truncated + sanitized (no [ ] or < > survive),
+    at most k per check."""
+    from anomalydetection_spark.operators.report import (
+        render_report,
+        report_exemplars,
+    )
+    from anomalydetection_spark.plans.pipeline import run_validation
+
+    res = run_validation(spark, docs, catalog=catalog)
+    txt = render_report(res.verdicts, res.violations, k_exemplars=2)
+    assert "VALIDATION REPORT" in txt and "overall: FAIL" in txt
+    for check in ("uniqueness", "referential", "null_spans",
+                  "span_coherence"):
+        assert check in txt
+    # exemplars bounded and clean
+    ex = report_exemplars(res.violations, k=2, truncate_chars=50)
+    counts = {r[0]: r[1] for r in ex.groupBy("check").count().collect()}
+    assert counts and all(v <= 2 for v in counts.values())
+    for r in ex.collect():
+        assert len(r.exemplar) <= 53            # 50 + '...'
+        assert "[" not in r.exemplar and "<" not in r.exemplar
