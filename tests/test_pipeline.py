@@ -378,3 +378,34 @@ def test_preflight_partition_mode(spark, docs, catalog, expected):
     assert ns.n_evaluated == n_total
     assert abs(ns.ci_hi - ns.ci_lo) < 1e-12
     assert ns.n_violations == len(expected["null_spans"])
+
+
+def test_partitioned_layout_equivalence(spark, docs, catalog, tmp_path):
+    """The pipeline produces identical verdicts when the table is laid
+    out hive-partitioned by partition_id (directory per partition — the
+    closest flat-parquet analog of the Iceberg layout; partition-column
+    values come from dir names and type inference, and partition
+    pruning becomes file pruning)."""
+    pdir = str(tmp_path / "docs_partitioned")
+    docs.write.mode("overwrite").partitionBy("partition_id").parquet(pdir)
+    pdocs = spark.read.parquet(pdir).select(*docs.columns)
+
+    flat = run_validation(spark, docs, catalog=catalog)
+    part = run_validation(spark, pdocs, catalog=catalog)
+    key = lambda df: {
+        (r.check, r.partition_id): (r.n_rows, r.n_violations, r.verdict)
+        for r in df.collect()
+    }
+    assert key(part.verdicts) == key(flat.verdicts)
+
+    # preflight partition mode on this layout = genuine file pruning
+    from anomalydetection_spark.plans.pipeline import preflight_estimate
+
+    pf = preflight_estimate(
+        spark, pdocs, catalog=catalog, fraction=0.5, mode="partitions"
+    )
+    rows = {r.check: r for r in pf.collect()}
+    assert rows["uniqueness"].n_violations == \
+        flat.verdicts.filter(
+            (F.col("check") == "uniqueness") & F.col("partition_id").isNull()
+        ).first().n_violations
