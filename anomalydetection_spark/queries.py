@@ -1290,7 +1290,6 @@ def q_span_coherence(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "span_coherence": q_span_coherence,
     "uniqueness_dup_keys": q_uniqueness_dup_keys,
     "referential_orphans": q_referential_orphans,
     "null_conformance_rates": q_null_conformance_rates,
@@ -1346,6 +1345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_profile": q_table_profile,
     "profile_drift": q_profile_drift,
     "schema_contract": q_schema_contract,
+    "span_coherence": q_span_coherence,
 }
 
 _LOGLINES_SQL = """
