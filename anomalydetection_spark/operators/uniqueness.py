@@ -22,10 +22,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _keys(key) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
 def duplicate_keys(
-    df: DataFrame, key: str = "doc_id", salt_buckets: int = 16
+    df: DataFrame, key="doc_id", salt_buckets: int = 16
 ) -> DataFrame:
-    """Keys appearing more than once → (key, dup_cnt).
+    """Keys appearing more than once → (key..., dup_cnt). ``key`` may
+    be one column name or a list (composite key) — the plan is the same
+    single partial-agg groupBy either way.
 
     Single groupBy: Spark's map-side partial aggregation IS the salted
     two-phase scheme — a key duplicated millions of times collapses to
@@ -37,9 +43,10 @@ def duplicate_keys(
     (benchmarked ~1.7x slower) — ``salt_buckets`` is retained for API
     stability but partial agg makes it unnecessary.
     """
+    cols = _keys(key)
     return (
-        df.select(key)
-        .groupBy(key)
+        df.select(*cols)
+        .groupBy(*cols)
         .agg(F.count("*").alias("dup_cnt"))
         .filter(F.col("dup_cnt") > 1)
     )
@@ -47,7 +54,7 @@ def duplicate_keys(
 
 def uniqueness_violations(
     df: DataFrame,
-    key: str = "doc_id",
+    key="doc_id",
     salt_buckets: int = 16,
     broadcast_dups: bool = True,
     key_scope: DataFrame | None = None,
@@ -68,12 +75,12 @@ def uniqueness_violations(
     dups = duplicate_keys(key_scope if key_scope is not None else df, key, salt_buckets)
     if broadcast_dups:
         dups = F.broadcast(dups)
-    return df.join(dups, key, "inner")
+    return df.join(dups, _keys(key), "inner")
 
 
 def uniqueness_verdicts(
     df: DataFrame,
-    key: str = "doc_id",
+    key="doc_id",
     partition_col: str = "partition_id",
     salt_buckets: int = 16,
     key_scope: DataFrame | None = None,
@@ -91,7 +98,7 @@ def uniqueness_verdicts(
     dups = F.broadcast(
         duplicate_keys(key_scope if key_scope is not None else df, key, salt_buckets)
     )
-    per_part = df.join(dups, key, "inner").groupBy(partition_col).agg(
+    per_part = df.join(dups, _keys(key), "inner").groupBy(partition_col).agg(
         F.count("*").alias("n_violations")
     )
     totals = df.groupBy(partition_col).agg(F.count("*").alias("n_rows"))

@@ -41,6 +41,21 @@ def q_uniqueness_dup_keys(spark, sf_dir):
     )
 
 
+def q_uniqueness_composite(spark, sf_dir):
+    """Composite-key uniqueness (operators/uniqueness.py with a column
+    list): duplicate (l_orderkey, l_partkey) pairs — same part appearing
+    on two lines of one order. Same single partial-agg groupBy plan as
+    the single-key path."""
+    from .operators.uniqueness import duplicate_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey", "l_partkey"]).select(
+        "l_orderkey",
+        "l_partkey",
+        F.col("dup_cnt").cast("long").alias("dup_cnt"),
+    )
+
+
 def q_referential_orphans(spark, sf_dir):
     """Referential check: events.user_id against a customer-key catalog
     (c_custkey < 100) — orphans aggregated. Salted left-anti join."""
@@ -1346,6 +1361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_drift": q_profile_drift,
     "schema_contract": q_schema_contract,
     "span_coherence": q_span_coherence,
+    "uniqueness_composite": q_uniqueness_composite,
 }
 
 _LOGLINES_SQL = """
@@ -1391,6 +1407,10 @@ ORACLES: dict[str, str] = {
     "uniqueness_dup_keys": """
         SELECT l_orderkey, count(*) AS dup_cnt
         FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+    """,
+    "uniqueness_composite": """
+        SELECT l_orderkey, l_partkey, count(*) AS dup_cnt
+        FROM lineitem GROUP BY l_orderkey, l_partkey HAVING count(*) > 1
     """,
     "referential_orphans": """
         SELECT user_id, count(*) AS n_events

@@ -67,3 +67,21 @@ def test_clean_table_passes(spark):
     )
     assert duplicate_keys(df).count() == 0
     assert all(r.verdict == "pass" for r in uniqueness_verdicts(df).collect())
+
+
+def test_composite_key_duplicates(spark):
+    """Composite keys: duplicates on (a, b) pairs, not on either column
+    alone; violations join back on the full key list."""
+    from anomalydetection_spark.operators.uniqueness import (
+        duplicate_keys,
+        uniqueness_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 11), (2, "x", 12), (1, "x", 13), (3, "z", 14)],
+        "a bigint, b string, v bigint",
+    )
+    dups = duplicate_keys(df, ["a", "b"]).collect()
+    assert [(r.a, r.b, r.dup_cnt) for r in dups] == [(1, "x", 2)]
+    v = uniqueness_violations(df, ["a", "b"]).collect()
+    assert sorted(r.v for r in v) == [10, 13]
