@@ -90,3 +90,33 @@ class ValidationConfig:
 
 
 DEFAULT_CONFIG = ValidationConfig()
+
+
+def _build(cls, d: dict, nested: dict | None = None):
+    """Dataclass from a dict with unknown-key rejection (typos in a
+    config file must fail loudly, not silently validate with
+    defaults)."""
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - fields
+    if unknown:
+        raise ValueError(
+            f"unknown {cls.__name__} keys: {sorted(unknown)}"
+            f" (valid: {sorted(fields)})"
+        )
+    kwargs = dict(d)
+    for key, sub_cls in (nested or {}).items():
+        if key in kwargs and isinstance(kwargs[key], dict):
+            kwargs[key] = _build(sub_cls, kwargs[key])
+    return cls(**kwargs)
+
+
+def config_from_dict(d: dict) -> ValidationConfig:
+    """ValidationConfig from a plain dict (e.g. a parsed JSON file):
+    top-level keys are ValidationConfig fields; ``drift`` and
+    ``similarity`` may be nested dicts. Unknown keys raise."""
+    return _build(
+        ValidationConfig, d,
+        nested={"drift": DriftConfig, "similarity": SimilarityConfig},
+    )

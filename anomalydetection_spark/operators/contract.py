@@ -222,3 +222,41 @@ def contract_verdicts(df: DataFrame, contract: Contract) -> DataFrame:
         F.lit(None).cast("string").alias("detail"),
     )
     return structural.unionByName(data)
+
+
+def contract_from_dict(d: dict) -> Contract:
+    """Contract from a plain dict (parsed JSON config):
+
+    {"closed": false,
+     "columns": {"event_id": {"dtype": "bigint", "max_null_rate": 0},
+                 "event_type": {"allowed": ["click", "view"]}},
+     "expressions": {"purchase_value":
+                     {"expr": "event_type <> 'purchase' OR value > 0",
+                      "max_violation_rate": 0.25}}}
+
+    Unknown keys raise (config typos must not silently validate)."""
+    from ..config import _build
+
+    cols = {
+        name: _build(ColumnRule, rule if isinstance(rule, dict) else {})
+        for name, rule in (d.get("columns") or {}).items()
+    }
+    from dataclasses import replace as _replace
+
+    for name, rule in cols.items():
+        if rule.allowed is not None:
+            cols[name] = _replace(rule, allowed=tuple(rule.allowed))
+    exprs = {
+        name: (
+            _build(ExpressionRule, er)
+            if isinstance(er, dict)
+            else ExpressionRule(expr=str(er))
+        )
+        for name, er in (d.get("expressions") or {}).items()
+    }
+    extra = set(d) - {"columns", "expressions", "closed"}
+    if extra:
+        raise ValueError(f"unknown Contract keys: {sorted(extra)}")
+    return Contract(
+        columns=cols, closed=bool(d.get("closed", False)), expressions=exprs
+    )

@@ -51,6 +51,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--profile", action="store_true",
                    help="also write a one-pass per-column profile of the "
                    "docs table to <out>/profile/<run_id>")
+    p.add_argument("--config", metavar="JSON",
+                   help="JSON config file: {'validation': ValidationConfig "
+                   "fields (drift/similarity nestable), 'contract': "
+                   "Contract dict (columns/expressions/closed)}. Unknown "
+                   "keys fail loudly. CLI flags override file values")
     p.add_argument("--report", action="store_true",
                    help="write a human-readable text report (per-check "
                    "summary + sanitized truncated exemplars) to "
@@ -137,6 +142,20 @@ def one_round(spark, args, run_id: str) -> dict:
     )
     t0 = time.time()
     cfg = DEFAULT_CONFIG
+    contract = None
+    if args.config:
+        from .config import config_from_dict
+        from .operators.contract import contract_from_dict
+
+        with open(args.config) as f:
+            file_cfg = json.load(f)
+        extra = set(file_cfg) - {"validation", "contract"}
+        if extra:
+            raise SystemExit(f"unknown --config sections: {sorted(extra)}")
+        if file_cfg.get("validation"):
+            cfg = config_from_dict(file_cfg["validation"])
+        if file_cfg.get("contract"):
+            contract = contract_from_dict(file_cfg["contract"])
     if args.max_violation_exemplars is not None:
         import dataclasses
 
@@ -152,6 +171,7 @@ def one_round(spark, args, run_id: str) -> dict:
         violations_dir=os.path.join(args.out, "violations_staged"),
         run_id=run_id,
         cfg=cfg,
+        contract=contract,
     )
     verdicts_out = os.path.join(args.out, "verdicts", run_id)
     res.verdicts.write.mode("overwrite").parquet(verdicts_out)

@@ -156,3 +156,61 @@ def test_preflight_estimate_cli_path(spark, docs_path, catalog, tmp_path, expect
     assert {r.tier for n, r in rows.items() if n != "uniqueness"} == {"sampled"}
     assert rows["referential"].verdict == "fail"
     assert all(r.ci_lo <= r.rate <= r.ci_hi for r in rows.values())
+
+
+def test_config_file_round(spark, docs_path, catalog, tmp_path):
+    """--config JSON drives thresholds AND a declarative contract:
+    tightened gates flip conformance checks to fail; contract verdict
+    rows (including a cross-column expression rule) appear; unknown
+    keys fail loudly."""
+    import json as _json
+
+    import pytest as _pytest
+
+    cat_path = str(tmp_path / "catalog")
+    catalog.write.mode("overwrite").parquet(cat_path)
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        _json.dump({
+            "validation": {
+                "max_null_rate": 0.0, "max_type_error_rate": 0.0,
+                "drift": {"psi_threshold_global": 0.05},
+            },
+            "contract": {
+                "columns": {
+                    "doc_id": {"dtype": "string", "max_null_rate": 0.0},
+                    "nosuch": {"dtype": "bigint"},
+                },
+                "expressions": {
+                    "has_partition": {"expr": "partition_id >= 0"},
+                },
+            },
+        }, f)
+
+    out = str(tmp_path / "out")
+    s = one_round(
+        spark,
+        parse_args(["--docs", docs_path, "--catalog", cat_path,
+                    "--out", out, "--config", cfg_path]),
+        "rcfg",
+    )
+    v = spark.read.parquet(s["verdicts"])
+    from pyspark.sql import functions as F
+
+    by = {r.check: r.verdict for r in v.filter(
+        F.col("partition_id").isNull()).collect()}
+    assert by["null_spans"] == "fail"           # 0.0 gate from file
+    # contract rows arrive as check:column composites
+    assert by["schema:missing_column:nosuch"] == "fail"
+    assert by["rule:expr:has_partition:*"] == "pass"
+
+    bad_path = str(tmp_path / "bad.json")
+    with open(bad_path, "w") as f:
+        _json.dump({"validation": {"max_nul_rate": 0.0}}, f)
+    with _pytest.raises(ValueError, match="unknown ValidationConfig"):
+        one_round(
+            spark,
+            parse_args(["--docs", docs_path, "--catalog", cat_path,
+                        "--out", out, "--config", bad_path]),
+            "rbad",
+        )
