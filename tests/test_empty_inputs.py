@@ -91,3 +91,21 @@ def test_empty_catalog_rowlocal_all_refs_orphan(spark, docs):
         .count()
     )
     assert n_ref_docs == expect
+
+
+def test_preflight_on_empty_table(spark, catalog):
+    """Preflight degrades gracefully on an empty docs table: exact tier
+    reports zero, sampled checks come back inconclusive (no data, no
+    CI), nothing crashes — both sampling modes."""
+    from anomalydetection_spark.fixtures import generate_documents
+    from anomalydetection_spark.plans.pipeline import preflight_estimate
+
+    empty = generate_documents(spark, 10).filter("partition_id < -1")
+    for mode in ("rows", "partitions"):
+        rows = {r.check: r for r in preflight_estimate(
+            spark, empty, catalog=catalog, fraction=0.5, mode=mode
+        ).collect()}
+        assert rows["uniqueness"].n_violations == 0
+        assert rows["uniqueness"].verdict == "pass"
+        sampled = [r for n, r in rows.items() if n != "uniqueness"]
+        assert sampled and all(r.verdict == "inconclusive" for r in sampled)
