@@ -59,6 +59,10 @@ class ValidationResult:
     # subset — consumers needing the full set (quarantine, feedback
     # review) must check this
     capped: bool = False
+    # the pass's own (kind x bucket) length histogram, already
+    # materialized when a drift baseline was supplied — callers can
+    # persist it as the NEXT baseline without re-scanning the table
+    current_hist: DataFrame | None = None
 
 
 BROADCAST_MAX_ROWS = 100_000
@@ -653,7 +657,8 @@ def run_validation(
         manifest_version = manifest.commit_validated(records, run_id, now)
 
     return ValidationResult(
-        verdicts, violations, pending, manifest_version, capped=capped
+        verdicts, violations, pending, manifest_version, capped=capped,
+        current_hist=cur_hist,
     )
 
 

@@ -51,6 +51,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--profile", action="store_true",
                    help="also write a one-pass per-column profile of the "
                    "docs table to <out>/profile/<run_id>")
+    p.add_argument("--auto-baseline", action="store_true",
+                   help="managed drift baseline under <out>/baseline: first "
+                   "run bootstraps it from the current histogram (one extra "
+                   "narrow scan, once), later runs drift-compare against it "
+                   "automatically. Overridden by an explicit --baseline-hist")
+    p.add_argument("--refresh-baseline", action="store_true",
+                   help="with --auto-baseline: after a round whose drift "
+                   "checks all pass, replace the stored baseline with this "
+                   "round's histogram (already materialized — no re-scan)")
     p.add_argument("--config", metavar="JSON",
                    help="JSON config file: {'validation': ValidationConfig "
                    "fields (drift/similarity nestable), 'contract': "
@@ -140,6 +149,11 @@ def one_round(spark, args, run_id: str) -> dict:
     baseline = (
         read_table(spark, args.baseline_hist) if args.baseline_hist else None
     )
+    baseline_dir = os.path.join(args.out, "baseline")
+    if baseline is None and args.auto_baseline and os.path.exists(
+        os.path.join(baseline_dir, "_SUCCESS")
+    ):
+        baseline = spark.read.parquet(baseline_dir)
     t0 = time.time()
     cfg = DEFAULT_CONFIG
     contract = None
@@ -177,6 +191,32 @@ def one_round(spark, args, run_id: str) -> dict:
     res.verdicts.write.mode("overwrite").parquet(verdicts_out)
     violations_out = os.path.join(args.out, "violations", run_id)
     res.violations.write.mode("overwrite").parquet(violations_out)
+    baseline_action = None
+    if args.auto_baseline:
+        from pyspark.sql import functions as _F
+
+        from .operators import stats as _stats
+
+        if baseline is None:
+            # bootstrap: one narrow histogram scan, first run only
+            _stats.length_histogram(
+                docs, bins=cfg.drift.histogram_bins
+            ).write.mode("overwrite").parquet(baseline_dir)
+            baseline_action = "bootstrapped"
+        elif args.refresh_baseline and res.current_hist is not None:
+            drift_fail = res.verdicts.filter(
+                _F.col("check").startswith("drift_len")
+                & (_F.col("verdict") == "fail")
+            ).count()
+            if drift_fail == 0:
+                # current_hist derives from docs (already materialized),
+                # not from baseline_dir — overwriting in place is safe
+                res.current_hist.write.mode("overwrite").parquet(
+                    baseline_dir
+                )
+                baseline_action = "refreshed"
+            else:
+                baseline_action = "kept (drift failed)"
     report_out = None
     if args.report:
         from .operators.report import render_report
@@ -210,6 +250,7 @@ def one_round(spark, args, run_id: str) -> dict:
         "run_id": run_id,
         "profile": profile_out,
         "report": report_out,
+        "baseline": baseline_action,
         "quarantine": quarantine_out,
         "validated_partitions": res.validated_partitions,
         "manifest_version": res.manifest_version,

@@ -5,6 +5,7 @@ validates nothing (resume)."""
 from __future__ import annotations
 
 import json
+import os
 
 from anomalydetection_spark.run import one_round, parse_args
 
@@ -214,3 +215,39 @@ def test_config_file_round(spark, docs_path, catalog, tmp_path):
                         "--out", out, "--config", bad_path]),
             "rbad",
         )
+
+
+def test_auto_baseline_lifecycle(spark, docs_path, catalog, tmp_path):
+    """--auto-baseline: run 1 bootstraps the stored histogram, run 2
+    drift-compares against it (identical data -> drift passes) and
+    --refresh-baseline rewrites it; the refreshed baseline equals the
+    current histogram."""
+    cat_path = str(tmp_path / "catalog")
+    catalog.write.mode("overwrite").parquet(cat_path)
+    out = str(tmp_path / "out")
+    base = ["--docs", docs_path, "--catalog", cat_path, "--out", out,
+            "--auto-baseline"]
+
+    s1 = one_round(spark, parse_args(base), "b1")
+    assert s1["baseline"] == "bootstrapped"
+    v1 = spark.read.parquet(s1["verdicts"])
+    assert v1.filter(v1.check.startswith("drift_len")).count() == 0
+
+    s2 = one_round(spark, parse_args(base + ["--refresh-baseline"]), "b2")
+    assert s2["baseline"] == "refreshed"
+    v2 = spark.read.parquet(s2["verdicts"])
+    drift = v2.filter(v2.check.startswith("drift_len")).collect()
+    assert drift and all(r.verdict == "pass" for r in drift)
+
+    # stored baseline after refresh == the current histogram of docs
+    from anomalydetection_spark.operators.stats import length_histogram
+
+    stored = {
+        (r.kind, r.bucket): r["count"]
+        for r in spark.read.parquet(os.path.join(out, "baseline")).collect()
+    }
+    cur = {
+        (r.kind, r.bucket): r["count"]
+        for r in length_histogram(spark.read.parquet(docs_path)).collect()
+    }
+    assert stored == cur
