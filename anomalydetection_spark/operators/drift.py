@@ -107,6 +107,54 @@ def ks_from_histograms(
     )
 
 
+def chi2_from_histograms(
+    current: DataFrame,
+    baseline: DataFrame,
+    keys: list[str],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Two-sample chi-squared homogeneity statistic per ``keys`` group.
+
+    Unlike PSI/KS this works on raw COUNT histograms, not shares: under
+    H0 both samples draw from one pooled distribution, so each side's
+    expected count in a bucket is its sample size times the pooled
+    bucket share. chi2 = Σ_sides Σ_buckets (O − E)² / E; dof = (buckets
+    with any mass) − 1. Complements PSI (which ε-floors empty buckets
+    and is sample-size-free) with the classical statistic whose null
+    distribution is known — a fixed chi2 threshold maps to a p-value.
+
+    Inputs are bounded histogram frames (keys × bins rows) from
+    stats.py, so like the other drift rules this never touches
+    row-level data and costs nothing extra at 10^12-doc scale.
+    """
+    cur = current.select(*keys, bucket_col, F.col("count").alias("c_cur"))
+    base = baseline.select(*keys, bucket_col, F.col("count").alias("c_base"))
+    j = cur.join(base, [*keys, bucket_col], "full_outer").fillna(
+        0, subset=["c_cur", "c_base"]
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    j = (
+        j.withColumn("n_cur", F.sum("c_cur").over(w))
+        .withColumn("n_base", F.sum("c_base").over(w))
+        .withColumn(
+            "pooled",
+            (F.col("c_cur") + F.col("c_base"))
+            / (F.col("n_cur") + F.col("n_base")),
+        )
+    )
+    e_cur = F.col("n_cur") * F.col("pooled")
+    e_base = F.col("n_base") * F.col("pooled")
+    contrib = F.when(
+        e_cur > 0, F.pow(F.col("c_cur") - e_cur, F.lit(2)) / e_cur
+    ).otherwise(0.0) + F.when(
+        e_base > 0, F.pow(F.col("c_base") - e_base, F.lit(2)) / e_base
+    ).otherwise(0.0)
+    return j.groupBy(*keys).agg(
+        F.sum(contrib).alias("chi2"),
+        (F.count("*") - 1).cast("int").alias("dof"),
+    )
+
+
 def drift_verdicts(
     current_hist: DataFrame,
     baseline_hist: DataFrame,

@@ -201,6 +201,32 @@ def q_drift_ks(spark, sf_dir):
     )
 
 
+def q_drift_chi2(spark, sf_dir):
+    """Two-sample chi-squared homogeneity between even/odd event_id
+    halves per event_type (operators/drift.py::chi2_from_histograms),
+    value bucketed to 10 equi-width bins — completes the drift family
+    (PSI, KS, Wasserstein, EMA+3σ) with the classical statistic whose
+    null distribution is known, so a threshold maps to a p-value."""
+    from .operators.drift import chi2_from_histograms
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).alias("half"),
+        F.least(F.floor(F.col("value") / 10), F.lit(9))
+        .cast("int")
+        .alias("bucket"),
+    )
+    counts = ev.groupBy("event_type", "half", "bucket").agg(
+        F.count("*").alias("count")
+    )
+    cur = counts.filter(F.col("half") == 0).drop("half")
+    base = counts.filter(F.col("half") == 1).drop("half")
+    out = chi2_from_histograms(cur, base, ["event_type"])
+    return out.select(
+        "event_type", F.round("chi2", 4).alias("chi2"), "dof"
+    )
+
+
 def q_rolling_3sigma(spark, sf_dir):
     """3-sigma rule over an hourly count series (drift.py ema_3sigma's
     windowed half; EMA itself is oracle-exempt, see q_ema_hourly)."""
@@ -1362,6 +1388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_contract": q_schema_contract,
     "span_coherence": q_span_coherence,
     "uniqueness_composite": q_uniqueness_composite,
+    "drift_chi2": q_drift_chi2,
 }
 
 _LOGLINES_SQL = """
@@ -1479,6 +1506,39 @@ ORACLES: dict[str, str] = {
                round(sum((greatest(p_cur, 1e-6) - greatest(p_base, 1e-6))
                      * ln(greatest(p_cur, 1e-6) / greatest(p_base, 1e-6))), 4) AS psi
         FROM j GROUP BY event_type
+    """,
+    "drift_chi2": """
+        WITH b AS (
+          SELECT event_type, event_id % 2 AS half,
+                 least(CAST(floor(value / 10) AS INT), 9) AS bucket,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2, 3
+        ), j AS (
+          SELECT coalesce(a.event_type, o.event_type) AS event_type,
+                 coalesce(a.cnt, 0) AS c_cur, coalesce(o.cnt, 0) AS c_base
+          FROM (SELECT * FROM b WHERE half = 0) a
+          FULL OUTER JOIN (SELECT * FROM b WHERE half = 1) o
+            ON a.event_type = o.event_type AND a.bucket = o.bucket
+        ), t AS (
+          SELECT event_type, c_cur, c_base,
+                 sum(c_cur) OVER (PARTITION BY event_type) AS n_cur,
+                 sum(c_base) OVER (PARTITION BY event_type) AS n_base
+          FROM j
+        ), e AS (
+          SELECT event_type, c_cur, c_base,
+                 n_cur * (c_cur + c_base) * 1.0 / (n_cur + n_base) AS e_cur,
+                 n_base * (c_cur + c_base) * 1.0 / (n_cur + n_base) AS e_base
+          FROM t
+        )
+        SELECT event_type,
+               round(sum(
+                 CASE WHEN e_cur > 0
+                      THEN pow(c_cur - e_cur, 2) / e_cur ELSE 0 END
+               + CASE WHEN e_base > 0
+                      THEN pow(c_base - e_base, 2) / e_base ELSE 0 END), 4)
+                 AS chi2,
+               CAST(count(*) - 1 AS INT) AS dof
+        FROM e GROUP BY event_type
     """,
     "drift_ks": """
         WITH b AS (

@@ -159,3 +159,46 @@ def test_manifest_history_drift_flags_rate_spike(spark, tmp_path):
     assert flagged == {(2, n_runs)}
     # series shape: every (partition, version) cell present
     assert d.count() == n_runs * n_parts
+
+
+def test_chi2_zero_on_identical(spark):
+    from anomalydetection_spark.operators.drift import chi2_from_histograms
+
+    h = _hist(spark, [10, 20, 30, 40])
+    row = chi2_from_histograms(h, h, ["kind"]).first()
+    assert abs(row.chi2) < 1e-12
+    assert row.dof == 3
+
+
+def test_chi2_known_value(spark):
+    """Hand-computed 2x2 homogeneity chi-squared (no continuity corr.)."""
+    from anomalydetection_spark.operators.drift import chi2_from_histograms
+
+    cur = _hist(spark, [80, 20])
+    base = _hist(spark, [50, 50])
+    # pooled shares: 130/200, 70/200; E_cur = (65, 35), E_base = (65, 35)
+    exp = sum(
+        (o - e) ** 2 / e
+        for o, e in [(80, 65.0), (20, 35.0), (50, 65.0), (50, 35.0)]
+    )
+    row = chi2_from_histograms(cur, base, ["kind"]).first()
+    assert abs(row.chi2 - exp) < 1e-9
+    assert row.dof == 1
+
+
+def test_chi2_bucket_empty_on_one_side(spark):
+    """full_outer join keeps one-sided buckets; expected counts stay
+    positive because the pooled share includes the other side's mass."""
+    from anomalydetection_spark.operators.drift import chi2_from_histograms
+
+    cur = _hist(spark, [100, 0, 50])   # bucket 1 absent on cur side
+    base = _hist(spark, [60, 40, 50])
+    row = chi2_from_histograms(cur, base, ["kind"]).first()
+    n_cur, n_base, tot = 150.0, 150.0, 300.0
+    exp = 0.0
+    for c, b in [(100, 60), (0, 40), (50, 50)]:
+        pooled = (c + b) / tot
+        exp += (c - n_cur * pooled) ** 2 / (n_cur * pooled)
+        exp += (b - n_base * pooled) ** 2 / (n_base * pooled)
+    assert abs(row.chi2 - exp) < 1e-9
+    assert row.dof == 2
