@@ -250,3 +250,72 @@ def duplicate_clusters(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def seed_assign(
+    df: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_id_col: str = "sid",
+    seed_vec_col: str = "sv",
+) -> DataFrame:
+    """Semantic (embedding-space) cluster assignment: attach each row's
+    nearest seed by cosine (ties → lowest seed id) as ``seed_id`` plus
+    the winning similarity as ``seed_cos``.
+
+    This is the assignment half of Lloyd's k-means (iterate it against
+    re-averaged centroids and you have the full algorithm — see
+    ann.py::train_ivf_centroids for the sample-trained variant), and
+    the first stage of semantic dedup: rows with ``seed_cos`` above a
+    threshold inside one cluster are near-duplicate candidates.
+
+    Scale shape: the seed set is collapsed to ONE broadcast row holding
+    an array<struct> of (sid, vector, norm), so assignment is a pure
+    map over the corpus — zero shuffle, no window, no per-row Python;
+    all vector math runs in JVM higher-order functions. At 10^12 rows
+    this is a single narrow pass; only the caller's final aggregation
+    shuffles (k rows). Argmax is array_max over (cos, -sid) structs,
+    which reproduces ORDER BY cos DESC, sid ASC bit-exactly in any
+    engine (the DuckDB oracle replays it; see queries.py
+    semantic_dedup).
+    """
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    sv = F.col(seed_vec_col).cast("array<double>")
+    seeds_row = seeds.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(seed_id_col).cast("long").alias("sid"),
+                    sv.alias("sv"),
+                    F.sqrt(_dot(sv, sv)).alias("ns"),
+                )
+            )
+        ).alias("_seeds")
+    )
+    v = F.col("_v")
+    scored = F.transform(
+        F.col("_seeds"),
+        lambda s: F.struct(
+            (_dot(v, s["sv"]) / (F.col("_nv") * s["ns"])).alias("cos"),
+            (-s["sid"]).alias("neg_sid"),
+            s["sid"].alias("sid"),
+        ),
+    )
+    best = F.array_max(scored)
+    return (
+        df.crossJoin(F.broadcast(seeds_row))
+        .withColumn("_v", F.col(vec_col).cast("array<double>"))
+        .withColumn("_nv", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+        .withColumn("_best", best)
+        .withColumn("seed_id", F.col("_best")["sid"])
+        .withColumn("seed_cos", F.col("_best")["cos"])
+        .drop("_seeds", "_v", "_nv", "_best")
+    )

@@ -694,6 +694,40 @@ def q_embedding_neardup(spark, sf_dir):
 # relational coverage (scan/filter/agg/join/window/anti — §2.1/2.7/2.8)
 # --------------------------------------------------------------------------
 
+def q_semantic_dedup(spark, sf_dir):
+    """Semantic dedup over the embedding column: every non-seed vector
+    is assigned to its nearest of 8 seed vectors by cosine
+    (operators/dedup.py::seed_assign — one shuffle-free Lloyd
+    assignment pass over a broadcast seed array), then vectors with
+    seed-cosine ≥ 0.3 are counted as near-duplicate candidates of
+    their cluster seed. Per-cluster output: size, candidate count,
+    rate, max similarity. The 100 TB shape: assignment is a pure
+    narrow map; only this k-row aggregation shuffles."""
+    from .operators.dedup import seed_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")
+    )
+    a = seed_assign(
+        e.filter(F.col("vec_id") >= 8), seeds, "vec_id", "embedding"
+    )
+    return (
+        a.groupBy("seed_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sum(F.when(F.col("seed_cos") >= 0.3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dups"),
+            F.round(F.max("seed_cos"), 6).alias("max_cos"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(F.col("n_dups") / F.col("cluster_size"), 6),
+        )
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: wide aggregate with pushed-down date filter."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1389,6 +1423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_coherence": q_span_coherence,
     "uniqueness_composite": q_uniqueness_composite,
     "drift_chi2": q_drift_chi2,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 _LOGLINES_SQL = """
@@ -1506,6 +1541,35 @@ ORACLES: dict[str, str] = {
                round(sum((greatest(p_cur, 1e-6) - greatest(p_base, 1e-6))
                      * ln(greatest(p_cur, 1e-6) / greatest(p_base, 1e-6))), 4) AS psi
         FROM j GROUP BY event_type
+    """,
+    "semantic_dedup": """
+        WITH seeds AS (
+          SELECT vec_id AS sid, embedding AS sv
+          FROM embeddings WHERE vec_id < 8
+        ), pairs AS (
+          SELECT e.vec_id, s.sid,
+                 list_aggregate(list_transform(list_zip(e.embedding, s.sv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                 / (sqrt(list_aggregate(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(s.sv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                   AS cos
+          FROM embeddings e CROSS JOIN seeds s WHERE e.vec_id >= 8
+        ), best AS (
+          SELECT vec_id, sid, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, sid ASC) AS rn
+          FROM pairs
+        )
+        SELECT sid AS seed_id,
+               CAST(count(*) AS BIGINT) AS cluster_size,
+               CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dups,
+               round(max(cos), 6) AS max_cos,
+               round(CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*), 6) AS dup_rate
+        FROM best WHERE rn = 1 GROUP BY sid
     """,
     "drift_chi2": """
         WITH b AS (

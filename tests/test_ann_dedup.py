@@ -177,3 +177,52 @@ def test_skew_guard_drops_hot_buckets(spark):
     }
     assert capped <= free
     assert len(capped) < len(free)
+
+
+def test_seed_assign_picks_nearest_and_breaks_ties_low(spark):
+    """Known geometry: v0 aligns with seed 0, v1 with seed 1; an
+    equidistant vector ties and must take the LOWER seed id (the
+    ORDER BY cos DESC, sid ASC contract the oracle replays)."""
+    from anomalydetection_spark.operators.dedup import seed_assign
+
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "sid long, sv array<double>"
+    )
+    rows = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1]),   # → seed 0
+            (11, [0.2, 0.8]),   # → seed 1
+            (12, [0.5, 0.5]),   # exact tie → seed 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: (r.seed_id, r.seed_cos)
+        for r in seed_assign(rows, seeds).collect()
+    }
+    assert out[10][0] == 0 and out[11][0] == 1
+    assert out[12][0] == 0
+    assert abs(out[12][1] - 0.5**0.5) < 1e-12
+
+
+def test_seed_assign_is_shuffle_free(spark):
+    """Assignment must be a narrow map: broadcast seeds only, no hash
+    repartitioning anywhere in the physical plan."""
+    from anomalydetection_spark.operators.dedup import seed_assign
+
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "sid long, sv array<double>"
+    )
+    rows = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(7), F.rand(8)).cast("array<double>").alias(
+            "embedding"
+        ),
+    )
+    plan = (
+        seed_assign(rows, seeds)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning" not in plan
