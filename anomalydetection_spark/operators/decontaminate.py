@@ -1,0 +1,84 @@
+"""Benchmark decontamination: flag corpus documents that share any
+word n-gram with a benchmark/eval set.
+
+The reference has no analog — this is a training-data-pipeline
+extension (the standard "remove eval contamination before pretraining"
+step: GPT-3 used 13-gram overlap, the n here is a parameter). The
+mechanics reuse the dedup family's shapes: tokenize → n-gram shingles →
+set intersection, except one side (the benchmark) is tiny relative to
+the corpus, so the join is a broadcast semi-join against the DISTINCT
+benchmark gram set rather than an LSH chain.
+
+Scale shape at 10^12 corpus docs:
+- The benchmark gram set is bounded by the benchmark's size (eval sets
+  are ~10^4-10^6 docs → ~10^6-10^8 grams); below ``broadcast_max_grams``
+  it ships once to every executor and the probe is a narrow pass over
+  the corpus (no corpus shuffle at all until the per-doc aggregation,
+  which is map-side combinable on doc_id — grams of one doc live in one
+  row before explode, so the partial agg collapses them locally).
+- Above the cap, the same call degrades to a plain shuffled semi-join
+  and AQE picks the strategy; for gram sets that don't fit even that,
+  build a Bloom filter over grams with functions/bloom.py and accept
+  the fpp as an over-flagging rate (decontamination tolerates false
+  positives — dropping a clean doc is cheap, keeping a contaminated
+  one is not).
+
+Tokenization is the catalog's shared convention (split lowercased
+trimmed text on single spaces) so the DuckDB oracle replays it
+bit-exactly (queries.py::decontamination).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BROADCAST_MAX_GRAMS = 20_000_000
+
+
+def word_ngrams(text_col, n: int) -> Column:
+    """Distinct word n-grams (space-joined) of the lowercased trimmed
+    text; empty array when the document has fewer than n tokens."""
+    toks = F.split(F.lower(F.trim(text_col)), " ")
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_grams(
+    benchmark: DataFrame, text_col: str = "text", n: int = 4
+) -> DataFrame:
+    """DISTINCT n-gram set of the benchmark side — the broadcast side."""
+    return benchmark.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    broadcast_grams: bool | None = None,
+) -> DataFrame:
+    """(id, n_matched_grams) for every corpus doc sharing ≥1 n-gram
+    with the benchmark. ``broadcast_grams=None`` lets AQE decide;
+    True forces the broadcast hint (callers that know the benchmark
+    is eval-set-sized should pass True)."""
+    bench = benchmark_grams(benchmark, text_col, n)
+    if broadcast_grams:
+        bench = F.broadcast(bench)
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    return grams.join(bench, "gram").groupBy(id_col).agg(
+        F.count("*").alias("n_matched_grams")
+    )

@@ -728,6 +728,40 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): docs
+    with doc_id % 23 == 0 stand in as the eval set; every other doc is
+    flagged if it shares any word 4-gram with it. Per-source output:
+    corpus size, contaminated count/rate, total matched-gram hits.
+    Scale shape: benchmark grams broadcast; the corpus is one narrow
+    pass + a map-side-combinable per-doc count."""
+    from .operators.decontaminate import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 23 == 0)
+    corpus = d.filter(F.col("doc_id") % 23 != 0)
+    hits = contaminated_docs(corpus, bench, broadcast_grams=True)
+    return (
+        corpus.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_matched_grams").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum(F.coalesce("n_matched_grams", F.lit(0)))
+            .cast("long")
+            .alias("gram_hits"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.round(F.col("n_contaminated") / F.col("n_docs"), 6),
+        )
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: wide aggregate with pushed-down date filter."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1424,6 +1458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_composite": q_uniqueness_composite,
     "drift_chi2": q_drift_chi2,
     "semantic_dedup": q_semantic_dedup,
+    "decontamination": q_decontamination,
 }
 
 _LOGLINES_SQL = """
@@ -1541,6 +1576,35 @@ ORACLES: dict[str, str] = {
                round(sum((greatest(p_cur, 1e-6) - greatest(p_base, 1e-6))
                      * ln(greatest(p_cur, 1e-6) / greatest(p_base, 1e-6))), 4) AS psi
         FROM j GROUP BY event_type
+    """,
+    "decontamination": """
+        WITH toks AS (
+          SELECT doc_id, source,
+                 string_split(lower(trim(text)), ' ') AS t
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+          FROM toks, unnest(range(1, len(t) - 2)) AS r(i)
+          WHERE len(t) >= 4
+        ), bench AS (
+          SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0
+        ), hits AS (
+          SELECT g.doc_id, count(*) AS m
+          FROM grams g JOIN bench b USING (gram)
+          WHERE g.doc_id % 23 <> 0
+          GROUP BY g.doc_id
+        ), corpus AS (
+          SELECT doc_id, source FROM documents WHERE doc_id % 23 <> 0
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN m IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               CAST(sum(coalesce(m, 0)) AS BIGINT) AS gram_hits,
+               round(sum(CASE WHEN m IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS contamination_rate
+        FROM corpus LEFT JOIN hits USING (doc_id)
+        GROUP BY source
     """,
     "semantic_dedup": """
         WITH seeds AS (

@@ -1,0 +1,65 @@
+"""Benchmark-decontamination operator (operators/decontaminate.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators.decontaminate import (
+    benchmark_grams,
+    contaminated_docs,
+    word_ngrams,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_ngrams_distinct_and_short_doc_empty(spark):
+    df = _df(spark, [(1, "a b a b a b"), (2, "x y z")])
+    out = {
+        r.doc_id: sorted(r.g)
+        for r in df.select(
+            "doc_id", word_ngrams(F.col("text"), 4).alias("g")
+        ).collect()
+    }
+    # sliding 4-grams of "a b a b a b" repeat — distinct leaves 2
+    assert out[1] == ["a b a b", "b a b a"]
+    assert out[2] == []  # 3 tokens < n
+
+
+def test_exact_overlap_flagged_partial_not(spark):
+    bench = _df(spark, [(100, "the quick brown fox jumps")])
+    corpus = _df(
+        spark,
+        [
+            (1, "saw the quick brown fox today"),  # shares 4-gram
+            (2, "the quick brown cat sat"),        # only 3-gram overlap
+            (3, "quick brown"),                    # too short
+        ],
+    )
+    hits = {
+        r.doc_id: r.n_matched_grams
+        for r in contaminated_docs(
+            corpus, bench, broadcast_grams=True
+        ).collect()
+    }
+    assert hits == {1: 1}  # only 'the quick brown fox' appears in doc 1
+
+
+def test_benchmark_gram_set_is_distinct(spark):
+    bench = _df(spark, [(1, "a b c d"), (2, "a b c d e")])
+    grams = sorted(r.gram for r in benchmark_grams(bench).collect())
+    assert grams == ["a b c d", "b c d e"]
+
+
+def test_broadcast_hint_reaches_plan(spark):
+    bench = _df(spark, [(100, "the quick brown fox jumps")])
+    corpus = _df(spark, [(1, "saw the quick brown fox today")])
+    plan = (
+        contaminated_docs(corpus, bench, broadcast_grams=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
