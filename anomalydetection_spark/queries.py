@@ -762,6 +762,72 @@ def q_decontamination(spark, sf_dir):
     )
 
 
+def q_pii_scan(spark, sf_dir):
+    """PII detection + redaction audit (operators/pii.py). The corpus
+    text is PII-free by construction, so deterministic PII is planted
+    arithmetically (emails on doc_id%7, IPv4 on %11, phone fragments
+    on %13 — docs can carry several classes at once), then the
+    production detector/redactor runs over the result. Per-source
+    output: match counts per class, affected-doc count, and the
+    redaction character delta. Row-local codegen expressions — zero
+    shuffle beyond the final rollup."""
+    from .operators.pii import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            doc % 7 == 0,
+            F.concat(
+                F.lit(" user"),
+                (doc % 50).cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc % 11 == 0,
+            F.concat(
+                F.lit(" 10.0."),
+                (doc % 256).cast("string"),
+                F.lit("."),
+                (doc % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc % 13 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                (1000 + doc % 9000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    rows = d.select(
+        "source",
+        *pii_counts(planted),
+        (F.length(planted) - F.length(redact_pii(planted))).alias(
+            "chars_delta"
+        ),
+    )
+    return rows.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("email_hits").cast("long").alias("email_hits"),
+        F.sum("ipv4_hits").cast("long").alias("ipv4_hits"),
+        F.sum("phone_hits").cast("long").alias("phone_hits"),
+        F.sum(
+            F.when(
+                (F.col("email_hits") > 0)
+                | (F.col("ipv4_hits") > 0)
+                | (F.col("phone_hits") > 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pii_docs"),
+        F.sum("chars_delta").cast("long").alias("chars_delta"),
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: wide aggregate with pushed-down date filter."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1459,6 +1525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_chi2": q_drift_chi2,
     "semantic_dedup": q_semantic_dedup,
     "decontamination": q_decontamination,
+    "pii_scan": q_pii_scan,
 }
 
 _LOGLINES_SQL = """
@@ -1576,6 +1643,45 @@ ORACLES: dict[str, str] = {
                round(sum((greatest(p_cur, 1e-6) - greatest(p_base, 1e-6))
                      * ln(greatest(p_cur, 1e-6) / greatest(p_base, 1e-6))), 4) AS psi
         FROM j GROUP BY event_type
+    """,
+    "pii_scan": """
+        WITH p AS (
+          SELECT source,
+            text
+            || CASE WHEN doc_id % 7 = 0
+                    THEN ' user' || CAST(doc_id % 50 AS VARCHAR)
+                         || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                    THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.' || CAST(doc_id % 100 AS VARCHAR)
+                    ELSE '' END
+            || CASE WHEN doc_id % 13 = 0
+                    THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                    ELSE '' END AS s
+          FROM documents
+        ), c AS (
+          SELECT source, s,
+            len(regexp_extract_all(s,
+              '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS e,
+            len(regexp_extract_all(s,
+              '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS i,
+            len(regexp_extract_all(s, '\\d{3}-\\d{4}')) AS ph,
+            len(s) - len(
+              regexp_replace(regexp_replace(regexp_replace(s,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+                '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[IPV4]', 'g'),
+                '\\d{3}-\\d{4}', '[PHONE]', 'g')) AS delta
+          FROM p
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(e) AS BIGINT) AS email_hits,
+               CAST(sum(i) AS BIGINT) AS ipv4_hits,
+               CAST(sum(ph) AS BIGINT) AS phone_hits,
+               CAST(sum(CASE WHEN e > 0 OR i > 0 OR ph > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+               CAST(sum(delta) AS BIGINT) AS chars_delta
+        FROM c GROUP BY source
     """,
     "decontamination": """
         WITH toks AS (
