@@ -1460,6 +1460,78 @@ def q_span_coherence(spark, sf_dir):
     )
 
 
+def q_span_roundtrip(spark, sf_dir):
+    """The north_rule's span-sequence equality invariant, driver-gated:
+    synthesized array<struct> spans (same arithmetic as
+    q_span_coherence) are posexploded, deliberately scattered across
+    partitions by span position (each doc's spans land in different
+    tasks), then reassembled with the C1/§2.4 pattern —
+    array_sort(collect_list(struct(pos, span))) — and compared
+    bit-exactly against the original array. Output per source:
+    roundtrip-ok count (must equal n_docs) plus a portable integer
+    checksum computed FROM THE REBUILT spans, which the oracle computes
+    directly from the synthesis — any reordering, drop, or field
+    corruption in the reassembly diverges one or both columns."""
+    d = _t(spark, sf_dir, "documents")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda i: F.struct(
+            F.when(
+                ((F.col("doc_id") % 1000003) * 31 + i * 7) % 97 < 60, "text"
+            )
+            .otherwise("image")
+            .alias("kind"),
+            F.substring("text", 1, 8).alias("text"),
+            F.when(
+                ((F.col("doc_id") % 999983) * 17 + i * 11) % 5 == 0,
+                F.concat(
+                    F.lit("m"), ((F.col("doc_id") + i) % 100).cast("string")
+                ),
+            ).alias("media_ref"),
+            (i * 10).cast("int").alias("offset"),
+        ),
+    )
+    docs = d.withColumn("spans", spans).select("doc_id", "source", "spans")
+    ex = docs.select(
+        "doc_id", "source", F.posexplode("spans").alias("pos", "span")
+    )
+    scattered = ex.repartition(16, "pos")
+    rebuilt = scattered.groupBy("doc_id", "source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "span"))),
+            lambda x: x["span"],
+        ).alias("rebuilt")
+    )
+    j = docs.join(rebuilt, ["doc_id", "source"])
+
+    def span_hash(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.when(s["kind"] == "text", 1).otherwise(2) * 131
+            + F.coalesce(F.length(s["media_ref"]), F.lit(-7)) * 17
+            + s["offset"]
+            + F.length(s["text"]) * 3,
+        )
+
+    return (
+        j.select(
+            "source",
+            F.when(F.to_json("spans") == F.to_json("rebuilt"), 1)
+            .otherwise(0)
+            .alias("ok"),
+            span_hash(F.col("rebuilt")).alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ok").cast("long").alias("n_roundtrip_ok"),
+            F.sum("h").cast("long").alias("span_checksum"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -1526,6 +1598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "decontamination": q_decontamination,
     "pii_scan": q_pii_scan,
+    "span_roundtrip": q_span_roundtrip,
 }
 
 _LOGLINES_SQL = """
@@ -1643,6 +1716,28 @@ ORACLES: dict[str, str] = {
                round(sum((greatest(p_cur, 1e-6) - greatest(p_base, 1e-6))
                      * ln(greatest(p_cur, 1e-6) / greatest(p_base, 1e-6))), 4) AS psi
         FROM j GROUP BY event_type
+    """,
+    "span_roundtrip": """
+        WITH sp AS (SELECT * FROM (VALUES (0),(1),(2)) AS t(i)),
+        s AS (
+          SELECT d.source,
+            CASE WHEN ((d.doc_id % 1000003) * 31 + sp.i * 7) % 97 < 60
+                 THEN 'text' ELSE 'image' END AS kind,
+            CASE WHEN ((d.doc_id % 999983) * 17 + sp.i * 11) % 5 = 0
+                 THEN 'm' || CAST((d.doc_id + sp.i) % 100 AS VARCHAR)
+            END AS media_ref,
+            sp.i * 10 AS off,
+            len(substr(d.text, 1, 8)) AS tlen
+          FROM documents d CROSS JOIN sp
+        )
+        SELECT source,
+               CAST(count(*) // 3 AS BIGINT) AS n_docs,
+               CAST(count(*) // 3 AS BIGINT) AS n_roundtrip_ok,
+               CAST(sum(
+                 (CASE WHEN kind = 'text' THEN 1 ELSE 2 END) * 131
+                 + coalesce(len(media_ref), -7) * 17
+                 + off + tlen * 3) AS BIGINT) AS span_checksum
+        FROM s GROUP BY source
     """,
     "pii_scan": """
         WITH p AS (

@@ -62,3 +62,31 @@ def test_hll_close_to_exact(spark):
     }
     for k, e in exact.items():
         assert abs(approx[k] - e) / max(e, 1) < 0.05
+
+
+def test_span_roundtrip_invariant_holds_and_detects_corruption(spark):
+    """q_span_roundtrip must certify every doc (ok == n_docs), and the
+    certification must actually discriminate: reassembling WITHOUT the
+    position sort over a multi-partition scatter is the bug class the
+    invariant exists to catch, and to_json equality flags it."""
+    from anomalydetection_spark.queries import q_span_roundtrip
+
+    rows = q_span_roundtrip(spark, SF).collect()
+    assert rows
+    assert all(r.n_roundtrip_ok == r.n_docs for r in rows)
+
+    # negative control: shuffled spans, no ordered reassembly
+    docs = spark.createDataFrame(
+        [(1, [("text", "a", None, 0), ("image", "b", "m1", 10),
+              ("text", "c", None, 20)])],
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    broken = docs.select(
+        "doc_id",
+        F.reverse("spans").alias("rebuilt"),
+        F.col("spans"),
+    ).select(
+        (F.to_json("spans") == F.to_json("rebuilt")).alias("ok")
+    )
+    assert broken.first().ok is False
