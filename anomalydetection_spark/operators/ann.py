@@ -318,3 +318,46 @@ def ivf_topk(
         .withColumn("cos_sim", _cosine(q))
     )
     return _topk(pairs, k)
+
+
+def lloyd_iteration(
+    df: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """One fully-distributed Lloyd (k-means) update: assign every row
+    to its nearest seed by cosine (dedup.py::seed_assign — shuffle-free
+    broadcast pass), then recompute each centroid as the element-wise
+    mean of its members. Returns the refreshed seed frame (sid, sv).
+
+    Unlike train_ivf_centroids (driver-side numpy over a bounded
+    sample), this update touches EVERY row and never leaves the
+    executors: the mean is a posexplode over vector components →
+    groupBy (sid, dim) partial-aggregated average → per-seed array
+    rebuild, so the shuffle volume is k × dims rows regardless of
+    corpus size. Iterating it is exact distributed k-means; one
+    iteration over the full corpus is the standard refinement step on
+    top of sample-trained centroids.
+
+    Centroid components are rounded to ``round_decimals`` so the
+    update is reproducible bit-exactly across engines (the DuckDB
+    oracle replays the same rounded update; float summation-order
+    noise sits ~1e-16, far below the rounding grid).
+    """
+    from .dedup import seed_assign
+
+    a = seed_assign(df, seeds, id_col, vec_col)
+    dims = a.select(
+        "seed_id", F.posexplode(F.col(vec_col).cast("array<double>"))
+    ).toDF("seed_id", "dim", "val")
+    cent = dims.groupBy("seed_id", "dim").agg(
+        F.round(F.avg("val"), round_decimals).alias("c")
+    )
+    return cent.groupBy("seed_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda x: x["c"],
+        ).alias("sv")
+    ).select(F.col("seed_id").alias("sid"), "sv")

@@ -828,6 +828,30 @@ def q_pii_scan(spark, sf_dir):
     )
 
 
+def q_kmeans_refine(spark, sf_dir):
+    """One fully-distributed Lloyd iteration, driver-gated end to end
+    (operators/ann.py::lloyd_iteration): assign → element-wise centroid
+    mean (rounded to the cross-engine grid) → reassign, reporting the
+    refined clustering. Proves the iterative-algorithm path: per
+    iteration the shuffle volume is k × dims rows regardless of corpus
+    size, and the assignment passes are shuffle-free broadcast maps."""
+    from .operators.ann import lloyd_iteration
+    from .operators.dedup import seed_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")
+    )
+    rest = e.filter(F.col("vec_id") >= 8)
+    refined = lloyd_iteration(rest, seeds, "vec_id", "embedding")
+    a = seed_assign(rest, refined, "vec_id", "embedding")
+    return a.groupBy("seed_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.round(F.sum("seed_cos"), 4).alias("sum_cos"),
+        F.round(F.max("seed_cos"), 6).alias("max_cos"),
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: wide aggregate with pushed-down date filter."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1599,6 +1623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination": q_decontamination,
     "pii_scan": q_pii_scan,
     "span_roundtrip": q_span_roundtrip,
+    "kmeans_refine": q_kmeans_refine,
 }
 
 _LOGLINES_SQL = """
@@ -1716,6 +1741,61 @@ ORACLES: dict[str, str] = {
                round(sum((greatest(p_cur, 1e-6) - greatest(p_base, 1e-6))
                      * ln(greatest(p_cur, 1e-6) / greatest(p_base, 1e-6))), 4) AS psi
         FROM j GROUP BY event_type
+    """,
+    "kmeans_refine": """
+        WITH rest AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8
+        ), seeds0 AS (
+          SELECT vec_id AS sid, embedding AS sv
+          FROM embeddings WHERE vec_id < 8
+        ), p1 AS (
+          SELECT e.vec_id, s.sid,
+                 list_aggregate(list_transform(list_zip(e.embedding, s.sv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                 / (sqrt(list_aggregate(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(s.sv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                   AS cos
+          FROM rest e CROSS JOIN seeds0 s
+        ), a1 AS (
+          SELECT vec_id, sid FROM (
+            SELECT vec_id, sid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, sid ASC) AS rn
+            FROM p1) WHERE rn = 1
+        ), comp AS (
+          SELECT a1.sid, r.d AS dim,
+                 CAST(e.embedding[r.d] AS DOUBLE) AS val
+          FROM a1 JOIN rest e USING (vec_id),
+               unnest(range(1, len(e.embedding) + 1)) AS r(d)
+        ), cent AS (
+          SELECT sid, list(c ORDER BY dim) AS sv FROM (
+            SELECT sid, dim, round(avg(val), 6) AS c
+            FROM comp GROUP BY sid, dim)
+          GROUP BY sid
+        ), p2 AS (
+          SELECT e.vec_id, s.sid,
+                 list_aggregate(list_transform(list_zip(e.embedding, s.sv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                 / (sqrt(list_aggregate(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(s.sv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                   AS cos
+          FROM rest e CROSS JOIN cent s
+        ), a2 AS (
+          SELECT vec_id, sid, cos FROM (
+            SELECT vec_id, sid, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, sid ASC) AS rn
+            FROM p2) WHERE rn = 1
+        )
+        SELECT sid AS seed_id,
+               CAST(count(*) AS BIGINT) AS cluster_size,
+               round(sum(cos), 4) AS sum_cos,
+               round(max(cos), 6) AS max_cos
+        FROM a2 GROUP BY sid
     """,
     "span_roundtrip": """
         WITH sp AS (SELECT * FROM (VALUES (0),(1),(2)) AS t(i)),

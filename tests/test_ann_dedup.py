@@ -226,3 +226,34 @@ def test_seed_assign_is_shuffle_free(spark):
         .toString()
     )
     assert "hashpartitioning" not in plan
+
+
+def test_lloyd_iteration_converges_on_separated_clusters(spark):
+    """Two tight clusters, seeds started OFF-center inside each: one
+    distributed Lloyd pass must pull centroids to the means and the
+    next assignment must be the true partition, then a further pass
+    must be a fixed point (assignments stop changing)."""
+    from anomalydetection_spark.operators.ann import lloyd_iteration
+    from anomalydetection_spark.operators.dedup import seed_assign
+
+    rows = []
+    for i in range(20):  # cluster A hugs +x, cluster B hugs +y
+        rows.append((i, [10.0 + (i % 5) * 0.1, float(i % 3) * 0.1]))
+        rows.append((100 + i, [float(i % 3) * 0.1, 10.0 + (i % 5) * 0.1]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    seeds = spark.createDataFrame(
+        [(0, [3.0, 1.0]), (1, [1.0, 3.0])], "sid long, sv array<double>"
+    )
+
+    def partition(s):
+        a = seed_assign(df, s)
+        return {r.vec_id: r.seed_id for r in a.collect()}
+
+    s1 = lloyd_iteration(df, seeds)
+    p1 = partition(s1)
+    assert all(v == 0 for k, v in p1.items() if k < 100)
+    assert all(v == 1 for k, v in p1.items() if k >= 100)
+    s2 = lloyd_iteration(df, s1)
+    assert partition(s2) == p1  # fixed point
