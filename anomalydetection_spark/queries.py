@@ -572,6 +572,40 @@ def q_token_stats(spark, sf_dir):
     return docs.join(per_src, "source")
 
 
+def q_token_bpe_counts(spark, sf_dir):
+    """BPE-ish token counting beside the whitespace tier
+    (q_token_stats): a GPT-2-flavored lexer regex — letter runs, digit
+    runs, single non-alphanumeric marks — over text enriched with
+    deterministic punctuation/number suffixes (the plain corpus is
+    pure lowercase words, where both tokenizers agree). Per-source
+    output: whitespace tokens, BPE-ish tokens, and their ratio — the
+    pipeline's cost predictor for LLM token budgeting. Row-local
+    codegen; one rollup shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    s = F.concat(
+        F.col("text"),
+        F.lit(", v"),
+        (doc % 100).cast("string"),
+        F.lit("."),
+        F.when(doc % 3 == 0, F.lit(" (rev-2a)")).otherwise(F.lit("")),
+    )
+    bpe = F.size(
+        F.regexp_extract_all(s, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    )
+    ws = F.size(F.split(F.trim(s), " "))
+    return (
+        d.select("source", ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+            F.round(F.sum("bpe") / F.sum("ws"), 6).alias("bpe_per_ws"),
+        )
+    )
+
+
 def q_text_quality(spark, sf_dir):
     """Per-doc quality scoring: token count, mean token length,
     uniqueness ratio (doc_id < 100)."""
@@ -1624,6 +1658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scan": q_pii_scan,
     "span_roundtrip": q_span_roundtrip,
     "kmeans_refine": q_kmeans_refine,
+    "token_bpe_counts": q_token_bpe_counts,
 }
 
 _LOGLINES_SQL = """
@@ -1741,6 +1776,27 @@ ORACLES: dict[str, str] = {
                round(sum((greatest(p_cur, 1e-6) - greatest(p_base, 1e-6))
                      * ln(greatest(p_cur, 1e-6) / greatest(p_base, 1e-6))), 4) AS psi
         FROM j GROUP BY event_type
+    """,
+    "token_bpe_counts": """
+        WITH p AS (
+          SELECT source,
+                 text || ', v' || CAST(doc_id % 100 AS VARCHAR) || '.'
+                      || CASE WHEN doc_id % 3 = 0 THEN ' (rev-2a)'
+                              ELSE '' END AS s
+          FROM documents
+        ), c AS (
+          SELECT source,
+                 len(string_split(trim(s), ' ')) AS ws,
+                 len(regexp_extract_all(s, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                   AS bpe
+          FROM p
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+               round(sum(bpe) * 1.0 / sum(ws), 6) AS bpe_per_ws
+        FROM c GROUP BY source
     """,
     "kmeans_refine": """
         WITH rest AS (
