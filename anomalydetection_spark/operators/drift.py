@@ -107,6 +107,65 @@ def ks_from_histograms(
     )
 
 
+def jsd_from_histograms(
+    current: DataFrame,
+    baseline: DataFrame,
+    keys: list[str],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Jensen-Shannon divergence per ``keys`` group (natural log, so
+    the range is [0, ln 2]). JSD = ½·KL(p‖m) + ½·KL(q‖m) with
+    m = (p+q)/2 — symmetric and bounded, unlike PSI (unbounded) and
+    KL (asymmetric, undefined on one-sided buckets). One-sided buckets
+    contribute finitely without ε-flooring because m > 0 whenever
+    either side has mass; a side's zero-mass term is 0 by the
+    0·ln(0) = 0 convention. Same bounded histogram inputs as the rest
+    of the drift family."""
+    joined = _joined_shares(current, baseline, keys, bucket_col)
+    m = (F.col("p_cur") + F.col("p_base")) / 2
+    kl_p = F.when(
+        F.col("p_cur") > 0,
+        F.col("p_cur") * F.log(F.col("p_cur") / m),
+    ).otherwise(0.0)
+    kl_q = F.when(
+        F.col("p_base") > 0,
+        F.col("p_base") * F.log(F.col("p_base") / m),
+    ).otherwise(0.0)
+    return joined.groupBy(*keys).agg(
+        F.sum((kl_p + kl_q) / 2).alias("jsd")
+    )
+
+
+def psi_explain(
+    current: DataFrame,
+    baseline: DataFrame,
+    keys: list[str],
+    bucket_col: str = "bucket",
+    k: int = 3,
+) -> DataFrame:
+    """Why did PSI fail: the top-k buckets per group by absolute PSI
+    contribution, with both sides' shares — the interpretability
+    surface for a drift verdict (the reference shows raw anomaly rows;
+    this shows which part of the distribution moved). Output:
+    (keys..., bucket, p_cur, p_base, psi_contrib, rank). Bounded:
+    k × |groups| rows."""
+    joined = _joined_shares(current, baseline, keys, bucket_col)
+    p = F.greatest(F.col("p_cur"), F.lit(EPS))
+    q = F.greatest(F.col("p_base"), F.lit(EPS))
+    contrib = (p - q) * F.log(p / q)
+    w = (
+        Window.partitionBy(*keys)
+        if keys
+        else Window.partitionBy(F.lit(1))
+    ).orderBy(F.desc(F.abs(F.col("psi_contrib"))), F.asc(bucket_col))
+    return (
+        joined.withColumn("psi_contrib", contrib)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*keys, bucket_col, "p_cur", "p_base", "psi_contrib", "rank")
+    )
+
+
 def chi2_from_histograms(
     current: DataFrame,
     baseline: DataFrame,

@@ -209,6 +209,16 @@ def q_drift_chi2(spark, sf_dir):
     null distribution is known, so a threshold maps to a p-value."""
     from .operators.drift import chi2_from_histograms
 
+    cur, base = _event_halves_hist(spark, sf_dir)
+    out = chi2_from_histograms(cur, base, ["event_type"])
+    return out.select(
+        "event_type", F.round("chi2", 4).alias("chi2"), "dof"
+    )
+
+
+def _event_halves_hist(spark, sf_dir):
+    """Shared current/baseline histogram split for the drift family:
+    even/odd event_id halves per event_type, value in 10 bins."""
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         (F.col("event_id") % 2).alias("half"),
@@ -221,9 +231,37 @@ def q_drift_chi2(spark, sf_dir):
     )
     cur = counts.filter(F.col("half") == 0).drop("half")
     base = counts.filter(F.col("half") == 1).drop("half")
-    out = chi2_from_histograms(cur, base, ["event_type"])
+    return cur, base
+
+
+def q_drift_jsd(spark, sf_dir):
+    """Jensen-Shannon divergence per event_type between even/odd
+    halves (operators/drift.py::jsd_from_histograms) — the symmetric,
+    [0, ln 2]-bounded member of the drift family."""
+    from .operators.drift import jsd_from_histograms
+
+    cur, base = _event_halves_hist(spark, sf_dir)
+    return jsd_from_histograms(cur, base, ["event_type"]).select(
+        "event_type", F.round("jsd", 6).alias("jsd")
+    )
+
+
+def q_drift_explain(spark, sf_dir):
+    """Drift explanation (operators/drift.py::psi_explain): the top-3
+    buckets per event_type by absolute PSI contribution with both
+    sides' shares — which part of the distribution moved, not just
+    that it moved. Bounded output: k × groups rows."""
+    from .operators.drift import psi_explain
+
+    cur, base = _event_halves_hist(spark, sf_dir)
+    out = psi_explain(cur, base, ["event_type"], k=3)
     return out.select(
-        "event_type", F.round("chi2", 4).alias("chi2"), "dof"
+        "event_type",
+        "bucket",
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round("p_base", 6).alias("p_base"),
+        F.round("psi_contrib", 6).alias("psi_contrib"),
+        "rank",
     )
 
 
@@ -1659,6 +1697,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_roundtrip": q_span_roundtrip,
     "kmeans_refine": q_kmeans_refine,
     "token_bpe_counts": q_token_bpe_counts,
+    "drift_jsd": q_drift_jsd,
+    "drift_explain": q_drift_explain,
 }
 
 _LOGLINES_SQL = """
@@ -1971,6 +2011,70 @@ ORACLES: dict[str, str] = {
                round(CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END)
                      AS DOUBLE) / count(*), 6) AS dup_rate
         FROM best WHERE rn = 1 GROUP BY sid
+    """,
+    "drift_jsd": """
+        WITH b AS (
+          SELECT event_type, event_id % 2 AS half,
+                 least(CAST(floor(value / 10) AS INT), 9) AS bucket,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2, 3
+        ), s AS (
+          SELECT event_type, half, bucket,
+                 cnt * 1.0 / sum(cnt) OVER (PARTITION BY event_type, half)
+                   AS p
+          FROM b
+        ), j AS (
+          SELECT coalesce(a.event_type, o.event_type) AS event_type,
+                 coalesce(a.p, 0.0) AS p_cur, coalesce(o.p, 0.0) AS p_base
+          FROM (SELECT * FROM s WHERE half = 0) a
+          FULL OUTER JOIN (SELECT * FROM s WHERE half = 1) o
+            ON a.event_type = o.event_type AND a.bucket = o.bucket
+        )
+        SELECT event_type,
+               round(sum(
+                 (CASE WHEN p_cur > 0
+                       THEN p_cur * ln(p_cur / ((p_cur + p_base) / 2))
+                       ELSE 0 END
+                + CASE WHEN p_base > 0
+                       THEN p_base * ln(p_base / ((p_cur + p_base) / 2))
+                       ELSE 0 END) / 2), 6) AS jsd
+        FROM j GROUP BY event_type
+    """,
+    "drift_explain": """
+        WITH b AS (
+          SELECT event_type, event_id % 2 AS half,
+                 least(CAST(floor(value / 10) AS INT), 9) AS bucket,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2, 3
+        ), s AS (
+          SELECT event_type, half, bucket,
+                 cnt * 1.0 / sum(cnt) OVER (PARTITION BY event_type, half)
+                   AS p
+          FROM b
+        ), j AS (
+          SELECT coalesce(a.event_type, o.event_type) AS event_type,
+                 coalesce(a.bucket, o.bucket) AS bucket,
+                 coalesce(a.p, 0.0) AS p_cur, coalesce(o.p, 0.0) AS p_base
+          FROM (SELECT * FROM s WHERE half = 0) a
+          FULL OUTER JOIN (SELECT * FROM s WHERE half = 1) o
+            ON a.event_type = o.event_type AND a.bucket = o.bucket
+        ), c AS (
+          SELECT event_type, bucket, p_cur, p_base,
+                 (greatest(p_cur, 1e-6) - greatest(p_base, 1e-6))
+                 * ln(greatest(p_cur, 1e-6) / greatest(p_base, 1e-6))
+                   AS psi_contrib
+          FROM j
+        ), r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(psi_contrib) DESC, bucket ASC) AS rank
+          FROM c
+        )
+        SELECT event_type, bucket,
+               round(p_cur, 6) AS p_cur, round(p_base, 6) AS p_base,
+               round(psi_contrib, 6) AS psi_contrib,
+               CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 3
     """,
     "drift_chi2": """
         WITH b AS (

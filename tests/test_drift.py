@@ -202,3 +202,31 @@ def test_chi2_bucket_empty_on_one_side(spark):
         exp += (b - n_base * pooled) ** 2 / (n_base * pooled)
     assert abs(row.chi2 - exp) < 1e-9
     assert row.dof == 2
+
+
+def test_jsd_bounds_and_symmetry(spark):
+    from anomalydetection_spark.operators.drift import jsd_from_histograms
+
+    a = _hist(spark, [100, 0, 0, 0])
+    b = _hist(spark, [0, 0, 0, 100])
+    import math
+
+    # disjoint supports → maximum ln 2; identical → 0; symmetric
+    assert abs(jsd_from_histograms(a, b, ["kind"]).first().jsd
+               - math.log(2)) < 1e-12
+    assert abs(jsd_from_histograms(a, a, ["kind"]).first().jsd) < 1e-12
+    ab = jsd_from_histograms(_hist(spark, [80, 20]),
+                             _hist(spark, [50, 50]), ["kind"]).first().jsd
+    ba = jsd_from_histograms(_hist(spark, [50, 50]),
+                             _hist(spark, [80, 20]), ["kind"]).first().jsd
+    assert abs(ab - ba) < 1e-12
+
+
+def test_psi_explain_ranks_moved_bucket_first(spark):
+    from anomalydetection_spark.operators.drift import psi_explain
+
+    cur = _hist(spark, [10, 80, 10])   # bucket 1 ballooned
+    base = _hist(spark, [40, 20, 40])
+    rows = psi_explain(cur, base, ["kind"], k=2).collect()
+    assert [r.bucket for r in sorted(rows, key=lambda r: r.rank)][0] == 1
+    assert len(rows) == 2
