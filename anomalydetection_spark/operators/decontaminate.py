@@ -52,11 +52,14 @@ def word_ngrams(text_col, n: int) -> Column:
 
 
 def benchmark_grams(
-    benchmark: DataFrame, text_col: str = "text", n: int = 4
+    benchmark: DataFrame, text_col="text", n: int = 4
 ) -> DataFrame:
-    """DISTINCT n-gram set of the benchmark side — the broadcast side."""
+    """DISTINCT n-gram set of the benchmark side — the broadcast side.
+    ``text_col`` may be a column name or an expression (e.g. the
+    concatenated text spans of the interleaved documents table)."""
+    tc = F.col(text_col) if isinstance(text_col, str) else text_col
     return benchmark.select(
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        F.explode(word_ngrams(tc, n)).alias("gram")
     ).distinct()
 
 
@@ -75,9 +78,10 @@ def contaminated_docs(
     bench = benchmark_grams(benchmark, text_col, n)
     if broadcast_grams:
         bench = F.broadcast(bench)
+    tc = F.col(text_col) if isinstance(text_col, str) else text_col
     grams = corpus.select(
         F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        F.explode(word_ngrams(tc, n)).alias("gram"),
     )
     return grams.join(bench, "gram").groupBy(id_col).agg(
         F.count("*").alias("n_matched_grams")

@@ -68,3 +68,49 @@ def pii_scan(
         )
         > 0,
     )
+
+
+def text_of_spans(spans_col: str = "spans") -> Column:
+    """Concatenated text payload of a doc's text spans, span order
+    preserved (array order IS document order per the span-sequence
+    invariant — no re-sort needed)."""
+    return F.array_join(
+        F.transform(
+            F.filter(spans_col, lambda s: s["kind"] == "text"),
+            lambda s: F.coalesce(s["text"], F.lit("")),
+        ),
+        " ",
+    )
+
+
+def hygiene_report(docs: DataFrame) -> DataFrame:
+    """Per-partition PII audit of the interleaved documents table:
+    match counts per class over the concatenated text spans, affected
+    doc counts/rates, and the redaction character delta. Row-local
+    expressions + one metadata-scale rollup — the audit adds one
+    narrow pass however large the table."""
+    t = text_of_spans()
+    per_doc = docs.select(
+        "partition_id",
+        *pii_counts(t),
+        (F.length(t) - F.length(redact_pii(t))).alias("chars_delta"),
+    )
+    any_hit = (
+        (F.col("email_hits") > 0)
+        | (F.col("ipv4_hits") > 0)
+        | (F.col("phone_hits") > 0)
+    )
+    return (
+        per_doc.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("email_hits").cast("long").alias("email_hits"),
+            F.sum("ipv4_hits").cast("long").alias("ipv4_hits"),
+            F.sum("phone_hits").cast("long").alias("phone_hits"),
+            F.sum(any_hit.cast("int")).cast("long").alias("n_pii_docs"),
+            F.sum("chars_delta").cast("long").alias("chars_delta"),
+        )
+        .withColumn(
+            "pii_doc_rate", F.col("n_pii_docs") / F.col("n_docs")
+        )
+    )

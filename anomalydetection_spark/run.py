@@ -86,6 +86,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    "sample, Wilson CI — still reads every file) or "
                    "'partitions' (whole-partition cluster sample, "
                    "partition-pruned IO, cluster-variance CI)")
+    p.add_argument("--hygiene", action="store_true",
+                   help="write a per-partition PII audit of the text "
+                        "spans (match counts per class, affected-doc "
+                        "rate, redaction char delta)")
+    p.add_argument("--decontaminate-against", metavar="BENCH_PARQUET",
+                   help="documents-schema parquet of an eval/benchmark "
+                        "set; writes corpus doc_ids sharing any word "
+                        "4-gram of text-span content with it")
     p.add_argument("--max-violation-exemplars", type=int, default=None,
                    metavar="K",
                    help="cap the violations sink at K exemplar rows per "
@@ -239,6 +247,24 @@ def one_round(spark, args, run_id: str) -> dict:
             docs, res.violations,
             os.path.join(args.out, "quarantine", run_id),
         )
+    hygiene_out = None
+    if args.hygiene:
+        from .operators.pii import hygiene_report
+
+        hygiene_out = os.path.join(args.out, "hygiene", run_id)
+        hygiene_report(docs).write.mode("overwrite").parquet(hygiene_out)
+    contamination_out = None
+    if args.decontaminate_against:
+        from .operators.decontaminate import contaminated_docs
+        from .operators.pii import text_of_spans
+
+        bench = read_table(spark, args.decontaminate_against)
+        contamination_out = os.path.join(
+            args.out, "contamination", run_id
+        )
+        contaminated_docs(
+            docs, bench, id_col="doc_id", text_col=text_of_spans()
+        ).write.mode("overwrite").parquet(contamination_out)
     profile_out = None
     if args.profile:
         from .operators.profile import profile_table
@@ -249,6 +275,8 @@ def one_round(spark, args, run_id: str) -> dict:
     return {
         "run_id": run_id,
         "profile": profile_out,
+        "hygiene": hygiene_out,
+        "contamination": contamination_out,
         "report": report_out,
         "baseline": baseline_action,
         "quarantine": quarantine_out,

@@ -251,3 +251,64 @@ def test_auto_baseline_lifecycle(spark, docs_path, catalog, tmp_path):
         for r in length_histogram(spark.read.parquet(docs_path)).collect()
     }
     assert stored == cur
+
+
+def test_hygiene_and_decontamination_flags(spark, docs_path, catalog, tmp_path):
+    """--hygiene writes the per-partition PII audit (planted emails in
+    a doctored copy show up); --decontaminate-against flags exactly the
+    docs sharing a 4-gram of text-span content with the benchmark."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(docs_path)
+    # doctor: plant an email into partition 0's first span texts
+    planted = docs.withColumn(
+        "spans",
+        F.when(
+            F.col("partition_id") == 0,
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    F.when(
+                        s["kind"] == "text",
+                        F.concat(
+                            F.coalesce(s["text"], F.lit("")),
+                            F.lit(" ping admin@site.io"),
+                        ),
+                    ).otherwise(s["text"]).alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ),
+        ).otherwise(F.col("spans")),
+    )
+    docs2 = str(tmp_path / "docs2")
+    planted.write.mode("overwrite").parquet(docs2)
+    # benchmark: partition 1's docs verbatim → guaranteed overlap
+    bench_path = str(tmp_path / "bench")
+    docs.filter(F.col("partition_id") == 1).limit(50).write.parquet(
+        bench_path
+    )
+    cat_path = str(tmp_path / "catalog")
+    catalog.write.mode("overwrite").parquet(cat_path)
+    out = str(tmp_path / "out")
+
+    args = parse_args(
+        [
+            "--docs", docs2,
+            "--catalog", cat_path,
+            "--out", out,
+            "--hygiene",
+            "--decontaminate-against", bench_path,
+        ]
+    )
+    s = one_round(spark, args, "r1")
+    hyg = spark.read.parquet(s["hygiene"])
+    rows = {r.partition_id: r for r in hyg.collect()}
+    assert rows[0].email_hits > 0 and rows[0].pii_doc_rate > 0
+    assert all(
+        r.email_hits == 0 for p, r in rows.items() if p != 0
+    )
+    cont = spark.read.parquet(s["contamination"])
+    assert cont.count() >= 50  # the benchmark docs themselves overlap
+    assert cont.filter(F.col("n_matched_grams") <= 0).count() == 0
