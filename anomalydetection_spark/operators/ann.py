@@ -361,3 +361,37 @@ def lloyd_iteration(
             lambda x: x["c"],
         ).alias("sv")
     ).select(F.col("seed_id").alias("sid"), "sv")
+
+
+def refine_ivf_centroids(
+    vectors: DataFrame,
+    cent,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 1,
+):
+    """Full-corpus polish of a sample-trained quantizer: each iteration
+    runs the distributed Lloyd update (``lloyd_iteration`` — k × dims
+    shuffle rows however big the corpus), then re-normalizes to the
+    unit sphere (spherical k-means, matching train_ivf_centroids).
+    Cells that attract no members keep their previous centroid instead
+    of vanishing, so cell ids stay stable for a persisted index
+    (save_ivf_centroids). This is the FAISS-style split: sample-train
+    on the driver, refine at corpus scale on the cluster.
+    """
+    import numpy as _np
+
+    spark = vectors.sparkSession
+    cent = _np.asarray(cent, dtype=_np.float64)
+    for _ in range(iterations):
+        seeds = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in enumerate(cent)],
+            "sid long, sv array<double>",
+        )
+        rows = lloyd_iteration(vectors, seeds, id_col, vec_col).collect()
+        new = _np.array(cent, copy=True)
+        for r in rows:
+            v = _np.asarray(r.sv, dtype=_np.float64)
+            new[int(r.sid)] = v / max(_np.linalg.norm(v), 1e-12)
+        cent = new
+    return cent

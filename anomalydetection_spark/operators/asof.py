@@ -1,0 +1,86 @@
+"""As-of (point-in-time) join — the classic operator Spark's join
+zoo lacks, built as a composition of existing DataFrame ops.
+
+For every left row, attach the most recent right row with
+``right_time <= left_time`` within the same key (ties at equal time
+match inclusively, like DuckDB/kdb ASOF semantics). The naive
+formulation is a range join (``l.t >= r.t`` inequality) whose pair
+space explodes quadratically per key; the scalable shape used here is
+the union-sort-fill plan:
+
+    union both sides (right rows tagged 0, left rows tagged 1)
+    → ONE shuffle on the key
+    → per-key sort by (time, tag)   [right sorts before left at ties]
+    → last(value, ignorenulls) over the running window
+    → keep left rows
+
+Cost: one hash exchange + an in-partition sort — the same bill as any
+groupBy over the union, independent of how many right rows precede
+each left row. Skewed keys degrade to a big sort within one task, not
+a quadratic blowup; AQE skew handling applies because the exchange is
+an ordinary hash partitioning.
+
+The DuckDB oracle replays it with a native ASOF LEFT JOIN
+(queries.py::asof_join_events), so the engine's window formulation is
+hash-checked against an independent implementation of the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Attach each ``value_cols`` of the latest right row at or before
+    the left row's time, per ``on`` key. Unmatched left rows keep
+    nulls. Output: all left columns + ``<value>_asof`` columns +
+    ``<right_time><suffix>`` (the matched row's time)."""
+    tagged_r = right.select(
+        F.col(on),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col(right_time).alias(f"{right_time}{suffix}"),
+    )
+    left_cols = left.columns
+    tagged_l = left.select(
+        "*",
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+    )
+    for c in value_cols:
+        tagged_l = tagged_l.withColumn(
+            f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType)
+        )
+    tagged_l = tagged_l.withColumn(
+        f"{right_time}{suffix}",
+        F.lit(None).cast(right.schema[right_time].dataType),
+    )
+    u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    # right rows (_is_left=0) sort before left rows at equal time →
+    # inclusive (<=) match, matching ASOF JOIN semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_t", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fill_cols = [f"{c}{suffix}" for c in value_cols] + [
+        f"{right_time}{suffix}"
+    ]
+    filled = u
+    for c in fill_cols:
+        filled = filled.withColumn(
+            c, F.last(c, ignorenulls=True).over(w)
+        )
+    return filled.filter(F.col("_is_left") == 1).select(
+        *left_cols, *fill_cols
+    )

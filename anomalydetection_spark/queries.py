@@ -644,6 +644,39 @@ def q_token_bpe_counts(spark, sf_dir):
     )
 
 
+def q_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition quality signal: per doc, the duplicated
+    fraction of word 3-grams (1 − distinct/total) — high values mean
+    boilerplate/looping text, a standard pretraining drop rule. Output
+    per source: mean ratio and the count of docs above the 0.2 drop
+    threshold. Row-local array math + one rollup shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), " ")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(
+        total > 0, 1.0 - distinct / total
+    ).otherwise(F.lit(0.0))
+    return (
+        d.select("source", ratio.alias("r"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("r"), 6).alias("mean_repetition"),
+            F.sum((F.col("r") > 0.2).cast("int"))
+            .cast("long")
+            .alias("n_repetitive"),
+        )
+    )
+
+
 def q_text_quality(spark, sf_dir):
     """Per-doc quality scoring: token count, mean token length,
     uniqueness ratio (doc_id < 100)."""
@@ -921,6 +954,40 @@ def q_kmeans_refine(spark, sf_dir):
         F.count("*").alias("cluster_size"),
         F.round(F.sum("seed_cos"), 4).alias("sum_cos"),
         F.round(F.max("seed_cos"), 6).alias("max_cos"),
+    )
+
+
+def q_asof_join_events(spark, sf_dir):
+    """Point-in-time (as-of) join (operators/asof.py): odd event_ids
+    act as trades, even as quotes; every trade picks up the latest
+    quote at-or-before it per user on the unique event_id axis, via
+    the union → one-shuffle → sort → last(ignorenulls) plan (no range
+    explosion). Oracle: DuckDB's native ASOF LEFT JOIN — an
+    independent implementation of the same semantics."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    trades = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_id", "value"
+    )
+    quotes = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "event_id", "value"
+    )
+    j = asof_join(
+        trades,
+        quotes,
+        on="user_id",
+        left_time="event_id",
+        right_time="event_id",
+        value_cols=["value"],
+    )
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_trades"),
+        F.sum(F.col("event_id_asof").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_matched"),
+        F.sum("event_id_asof").cast("long").alias("sum_quote_id"),
+        F.round(F.sum("value_asof"), 4).alias("sum_quote_value"),
     )
 
 
@@ -1699,6 +1766,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_bpe_counts": q_token_bpe_counts,
     "drift_jsd": q_drift_jsd,
     "drift_explain": q_drift_explain,
+    "asof_join_events": q_asof_join_events,
+    "repetition_ratio": q_repetition_ratio,
 }
 
 _LOGLINES_SQL = """
@@ -2011,6 +2080,51 @@ ORACLES: dict[str, str] = {
                round(CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END)
                      AS DOUBLE) / count(*), 6) AS dup_rate
         FROM best WHERE rn = 1 GROUP BY sid
+    """,
+    "repetition_ratio": """
+        WITH toks AS (
+          SELECT doc_id, source,
+                 string_split(lower(trim(text)), ' ') AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id, source,
+                 array_to_string(t[i:i+2], ' ') AS gram
+          FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+          WHERE len(t) >= 3
+        ), per_doc AS (
+          SELECT doc_id, source,
+                 1.0 - count(DISTINCT gram) * 1.0 / count(*) AS r
+          FROM g GROUP BY doc_id, source
+        ), all_docs AS (
+          SELECT d.source, coalesce(p.r, 0.0) AS r
+          FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(r), 6) AS mean_repetition,
+               CAST(sum(CASE WHEN r > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_repetitive
+        FROM all_docs GROUP BY source
+    """,
+    "asof_join_events": """
+        WITH trades AS (
+          SELECT user_id, event_id, value FROM events
+          WHERE user_id < 50 AND event_id % 2 = 1
+        ), quotes AS (
+          SELECT user_id, event_id, value FROM events
+          WHERE user_id < 50 AND event_id % 2 = 0
+        ), j AS (
+          SELECT t.user_id, q.event_id AS qid, q.value AS qv
+          FROM trades t ASOF LEFT JOIN quotes q
+            ON t.user_id = q.user_id AND t.event_id >= q.event_id
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_trades,
+               CAST(sum(CASE WHEN qid IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched,
+               CAST(sum(qid) AS BIGINT) AS sum_quote_id,
+               round(sum(qv), 4) AS sum_quote_value
+        FROM j GROUP BY user_id
     """,
     "drift_jsd": """
         WITH b AS (

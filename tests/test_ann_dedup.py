@@ -257,3 +257,47 @@ def test_lloyd_iteration_converges_on_separated_clusters(spark):
     assert all(v == 1 for k, v in p1.items() if k >= 100)
     s2 = lloyd_iteration(df, s1)
     assert partition(s2) == p1  # fixed point
+
+
+def test_refine_ivf_centroids_geometry_and_empty_cells(spark):
+    """Full-corpus refinement pulls centroids onto the true cluster
+    means (unit-normalized), keeps ids stable, and an empty cell
+    retains its previous centroid instead of vanishing."""
+    import numpy as np
+
+    from anomalydetection_spark.operators.ann import refine_ivf_centroids
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 5) * 0.1, float(i % 3) * 0.1]))
+        rows.append((100 + i, [float(i % 3) * 0.1, 10.0 + (i % 5) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # cell 2 points away from all data → must stay exactly as given
+    cent0 = np.asarray([[0.9, 0.1], [0.1, 0.9], [-1.0, 0.0]])
+    cent0 /= np.linalg.norm(cent0, axis=1, keepdims=True)
+    cent = refine_ivf_centroids(df, cent0, iterations=2)
+    assert cent.shape == cent0.shape
+    assert np.allclose(np.linalg.norm(cent[:2], axis=1), 1.0)
+    # cluster A hugs +x, cluster B hugs +y
+    assert cent[0][0] > 0.95 and cent[1][1] > 0.95
+    assert np.allclose(cent[2], cent0[2])
+
+
+def test_refined_centroids_preserve_ivf_recall(spark):
+    """One corpus-scale refinement pass must not degrade IVF recall@3
+    below the sample-trained quantizer's band on sf0.1."""
+    from anomalydetection_spark.operators.ann import (
+        refine_ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = _topk_pairs(cosine_topk_exact(e, q, k=3))
+    cent = train_ivf_centroids(e, n_centroids=64)
+    refined = refine_ivf_centroids(e, cent, iterations=1)
+    base = _topk_pairs(ivf_topk(e, q, k=3, centroids=cent))
+    ref = _topk_pairs(ivf_topk(e, q, k=3, centroids=refined))
+    r_base = len(base & exact) / len(exact)
+    r_ref = len(ref & exact) / len(exact)
+    assert r_ref >= r_base - 0.1, (r_base, r_ref)
