@@ -84,3 +84,48 @@ def asof_join(
     return filled.filter(F.col("_is_left") == 1).select(
         *left_cols, *fill_cols
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval join without the pair explosion: the naive
+    ``p BETWEEN lo AND hi`` inequality join degenerates to a
+    broadcast-nested-loop / cartesian product. Here both sides are
+    binned to ``bucket_width``-sized buckets — each interval explodes
+    to ceil(span/width)+1 bucket rows (pick the width near the typical
+    span so that's ~2), each point to exactly one — and the join runs
+    as an ordinary HASH equi-join on the bucket id with the BETWEEN
+    predicate as a post-filter. A (point, interval) pair can only meet
+    in the point's single bucket, so no dedup pass is needed.
+
+    Cost: one hash shuffle each side on the bucket id (or a broadcast
+    if the exploded interval side is small), candidate pairs bounded by
+    per-bucket density instead of |points| × |intervals|. Buckets are
+    plain integer arithmetic → the DuckDB oracle replays the whole
+    thing with a native BETWEEN join (queries.py::range_join_events).
+    """
+    b_pt = F.floor(F.col(point_col) / bucket_width).alias("_bucket")
+    p = points.select("*", b_pt)
+    iv = intervals.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width),
+                F.floor(F.col(hi_col) / bucket_width),
+            )
+        ).alias("_bucket"),
+    )
+    return (
+        p.join(iv, "_bucket")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_bucket")
+    )

@@ -991,6 +991,51 @@ def q_asof_join_events(spark, sf_dir):
     )
 
 
+def q_range_join_events(spark, sf_dir):
+    """Bucketed range join (operators/asof.py::range_join): integer
+    intervals derived from orders ([37·key mod 950, +49]) matched
+    against lineitem part-key points — BETWEEN semantics executed as a
+    hash equi-join on 50-wide buckets + post-filter (no nested-loop
+    pair explosion). Oracle: DuckDB native BETWEEN join."""
+    from .operators.asof import range_join
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            ((F.col("o_orderkey") * 37) % 950).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + 49)
+    )
+    p = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select(
+            "l_orderkey",
+            (F.col("l_partkey") % 1000).alias("point"),
+        )
+    )
+    j = range_join(p, o, "point", "lo", "hi", bucket_width=50)
+    return j.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_points"),
+        F.sum("point").cast("long").alias("sum_points"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic exact-k stratified sampling
+    (operators/sample.py): 5 docs per source by md5(doc_id) order —
+    the reproducible mixture-control primitive (sampleBy is binomial/
+    approximate; this is exact and engine-replayable)."""
+    from .operators.sample import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "source", "doc_id", 5).select(
+        "source", "doc_id", "sample_rank"
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: wide aggregate with pushed-down date filter."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1768,6 +1813,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_explain": q_drift_explain,
     "asof_join_events": q_asof_join_events,
     "repetition_ratio": q_repetition_ratio,
+    "range_join_events": q_range_join_events,
+    "stratified_sample": q_stratified_sample,
 }
 
 _LOGLINES_SQL = """
@@ -2080,6 +2127,31 @@ ORACLES: dict[str, str] = {
                round(CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END)
                      AS DOUBLE) / count(*), 6) AS dup_rate
         FROM best WHERE rn = 1 GROUP BY sid
+    """,
+    "range_join_events": """
+        WITH iv AS (
+          SELECT o_orderkey, (o_orderkey * 37) % 950 AS lo,
+                 (o_orderkey * 37) % 950 + 49 AS hi
+          FROM orders WHERE o_orderkey < 100
+        ), pt AS (
+          SELECT l_orderkey, l_partkey % 1000 AS point
+          FROM lineitem WHERE l_orderkey < 2000
+        )
+        SELECT iv.o_orderkey,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(pt.point) AS BIGINT) AS sum_points
+        FROM pt JOIN iv ON pt.point BETWEEN iv.lo AND iv.hi
+        GROUP BY iv.o_orderkey
+    """,
+    "stratified_sample": """
+        SELECT source, doc_id, CAST(rn AS INT) AS sample_rank
+        FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= 5
     """,
     "repetition_ratio": """
         WITH toks AS (

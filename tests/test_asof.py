@@ -51,3 +51,60 @@ def test_asof_single_shuffle_plan(spark):
         .toString()
     )
     assert plan.count("hashpartitioning") == 1
+
+
+def test_range_join_matches_naive_between(spark):
+    """Bucketed plan == naive BETWEEN join on a fixture whose
+    intervals straddle bucket boundaries (incl. zero-match interval),
+    and the physical plan is a hash join, not a nested loop."""
+    from anomalydetection_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 49, 50, 99, 100, 149, 777])],
+        "pid long, v long",
+    )
+    iv = spark.createDataFrame(
+        [(1, 40, 89), (2, 0, 49), (3, 900, 949), (4, 95, 144)],
+        "iid long, lo long, hi long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(points, iv, "v", "lo", "hi", 50).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in points.join(
+            iv, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        ).collect()
+    }
+    assert got == naive and got  # non-empty and identical
+    plan = (
+        range_join(points, iv, "v", "lo", "hi", 50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from anomalydetection_spark.operators.sample import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)] + [(1000, "tiny")],
+        "doc_id long, source string",
+    )
+    out = stratified_sample(df, "source", "doc_id", 7)
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"s0": 7, "s1": 7, "s2": 7, "tiny": 1}
+    a = sorted((r.source, r.doc_id, r.sample_rank) for r in out.collect())
+    b = sorted(
+        (r.source, r.doc_id, r.sample_rank)
+        for r in stratified_sample(
+            df.repartition(7), "source", "doc_id", 7
+        ).collect()
+    )
+    assert a == b  # partitioning-independent selection
