@@ -109,3 +109,57 @@ def test_preflight_on_empty_table(spark, catalog):
         assert rows["uniqueness"].verdict == "pass"
         sampled = [r for n, r in rows.items() if n != "uniqueness"]
         assert sampled and all(r.verdict == "inconclusive" for r in sampled)
+
+
+def test_round2d_operators_empty(spark):
+    """Every round-2d operator returns empty/identity on empty frames."""
+    from anomalydetection_spark.operators.asof import asof_join, range_join
+    from anomalydetection_spark.operators.decontaminate import (
+        contaminated_docs,
+    )
+    from anomalydetection_spark.operators.dedup import seed_assign
+    from anomalydetection_spark.operators.pii import pii_scan
+    from anomalydetection_spark.operators.sample import stratified_sample
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "sid long, sv array<double>"
+    )
+    some_vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    pts = spark.createDataFrame([], "pid long, v long")
+    iv = spark.createDataFrame([(1, 0, 9)], "iid long, lo long, hi long")
+
+    assert pii_scan(docs).count() == 0
+    assert contaminated_docs(docs, docs).count() == 0
+    # empty corpus against a real benchmark, and vice versa
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    assert contaminated_docs(docs, bench).count() == 0
+    assert contaminated_docs(bench, docs).count() == 0
+    assert seed_assign(vecs, seeds).count() == 0
+    assert stratified_sample(docs, "text", "doc_id", 3).count() == 0
+    assert range_join(pts, iv, "v", "lo", "hi", 10).count() == 0
+    # as-of with an EMPTY right side: left survives, asof cols all null
+    trades = spark.createDataFrame([(1, 5)], "uid long, t long")
+    quotes = spark.createDataFrame([], "uid long, t long, px double")
+    rows = asof_join(trades, quotes, "uid", "t", "t", ["px"]).collect()
+    assert len(rows) == 1 and rows[0].px_asof is None
+
+
+def test_seed_assign_empty_seed_set_yields_null_assignment(spark):
+    """No seeds → no winner: seed_id/seed_cos must be null, not a
+    crash (aggregate over an empty seed array keeps the init value,
+    which the operator maps to null)."""
+    from anomalydetection_spark.operators.dedup import seed_assign
+
+    seeds = spark.createDataFrame([], "sid long, sv array<double>")
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = seed_assign(vecs, seeds).collect()
+    assert len(rows) == 1
+    assert rows[0].seed_id is None and rows[0].seed_cos is None
