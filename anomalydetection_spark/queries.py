@@ -698,6 +698,60 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_quality_filter(spark, sf_dir):
+    """The composite pretraining keep/drop decision (C4/Gopher-style):
+    per doc, four independent rules — token count in [20, 2000], token
+    uniqueness ≥ 0.3, mean token length in [2, 12], duplicated-3-gram
+    fraction ≤ 0.2 — rolled up per source as kept count, per-rule
+    violation counts, and keep rate. One narrow pass; all rules are
+    row-local array math inside codegen."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), " ")
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks)) / n
+    mean_len = (
+        F.aggregate(
+            toks, F.lit(0.0), lambda s, t: s + F.length(t)
+        )
+        / n
+    )
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rep = F.when(
+        F.size(grams) > 0,
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(F.lit(0.0))
+    rules = {
+        "bad_len": ~n.between(20, 2000),
+        "bad_uniq": uniq < 0.3,
+        "bad_tok_len": ~mean_len.between(2.0, 12.0),
+        "bad_rep": rep > 0.2,
+    }
+    rows = d.select(
+        "source", *[v.cast("int").alias(k) for k, v in rules.items()]
+    )
+    kept = (
+        (F.col("bad_len") + F.col("bad_uniq")
+         + F.col("bad_tok_len") + F.col("bad_rep")) == 0
+    )
+    return rows.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        *[
+            F.sum(k).cast("long").alias(k)
+            for k in ("bad_len", "bad_uniq", "bad_tok_len", "bad_rep")
+        ],
+        F.round(F.sum(kept.cast("int")) / F.count("*"), 6).alias(
+            "keep_rate"
+        ),
+    )
+
+
 def q_doc_fingerprints(spark, sf_dir):
     """Document fingerprint: 64-bit md5 prefix of normalized text."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -1815,6 +1869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_ratio": q_repetition_ratio,
     "range_join_events": q_range_join_events,
     "stratified_sample": q_stratified_sample,
+    "quality_filter": q_quality_filter,
 }
 
 _LOGLINES_SQL = """
@@ -2127,6 +2182,54 @@ ORACLES: dict[str, str] = {
                round(CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END)
                      AS DOUBLE) / count(*), 6) AS dup_rate
         FROM best WHERE rn = 1 GROUP BY sid
+    """,
+    "quality_filter": """
+        WITH t AS (
+          SELECT doc_id, source,
+                 string_split(lower(trim(text)), ' ') AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 count(*) AS n_grams,
+                 count(DISTINCT array_to_string(toks[i:i+2], ' '))
+                   AS n_distinct
+          FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+          WHERE len(toks) >= 3
+          GROUP BY doc_id
+        ), m AS (
+          SELECT t.source,
+                 len(t.toks) AS n,
+                 len(list_distinct(t.toks)) * 1.0 / len(t.toks) AS uniq,
+                 list_aggregate(list_transform(t.toks,
+                   x -> CAST(len(x) AS DOUBLE)), 'sum') / len(t.toks)
+                   AS mean_len,
+                 CASE WHEN g.n_grams > 0
+                      THEN 1.0 - g.n_distinct * 1.0 / g.n_grams
+                      ELSE 0.0 END AS rep
+          FROM t LEFT JOIN g USING (doc_id)
+        ), f AS (
+          SELECT source,
+                 CASE WHEN n BETWEEN 20 AND 2000 THEN 0 ELSE 1 END
+                   AS bad_len,
+                 CASE WHEN uniq < 0.3 THEN 1 ELSE 0 END AS bad_uniq,
+                 CASE WHEN mean_len BETWEEN 2.0 AND 12.0 THEN 0 ELSE 1 END
+                   AS bad_tok_len,
+                 CASE WHEN rep > 0.2 THEN 1 ELSE 0 END AS bad_rep
+          FROM m
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN bad_len + bad_uniq + bad_tok_len
+                             + bad_rep = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(sum(bad_len) AS BIGINT) AS bad_len,
+               CAST(sum(bad_uniq) AS BIGINT) AS bad_uniq,
+               CAST(sum(bad_tok_len) AS BIGINT) AS bad_tok_len,
+               CAST(sum(bad_rep) AS BIGINT) AS bad_rep,
+               round(sum(CASE WHEN bad_len + bad_uniq + bad_tok_len
+                              + bad_rep = 0 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS keep_rate
+        FROM f GROUP BY source
     """,
     "range_join_events": """
         WITH iv AS (
