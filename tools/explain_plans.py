@@ -37,6 +37,14 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh_bucketed",
     "condense_multiline",
+    "semantic_dedup",
+    "kmeans_refine",
+    "decontamination",
+    "pii_scan",
+    "asof_join_events",
+    "range_join_events",
+    "stratified_sample",
+    "quality_filter",
 ]
 
 
