@@ -43,7 +43,13 @@ def asof_join(
     """Attach each ``value_cols`` of the latest right row at or before
     the left row's time, per ``on`` key. Unmatched left rows keep
     nulls. Output: all left columns + ``<value>_asof`` columns +
-    ``<right_time><suffix>`` (the matched row's time)."""
+    ``<right_time><suffix>`` (the matched row's time).
+
+    Right-side times should be unique per key: if several right rows
+    share (key, time), which one wins is sort-arbitrary — the same
+    ambiguity native ASOF JOIN implementations have. Disambiguate
+    upstream (dedupe or compose a unique ordering key) when the right
+    side can collide."""
     tagged_r = right.select(
         F.col(on),
         F.col(right_time).alias("_t"),
@@ -110,6 +116,12 @@ def range_join(
     plain integer arithmetic → the DuckDB oracle replays the whole
     thing with a native BETWEEN join (queries.py::range_join_events).
     """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            "range_join: overlapping column names on the two sides "
+            f"would be ambiguous after the join: {sorted(overlap)}"
+        )
     b_pt = F.floor(F.col(point_col) / bucket_width).alias("_bucket")
     p = points.select("*", b_pt)
     iv = intervals.select(

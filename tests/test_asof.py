@@ -108,3 +108,14 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
         ).collect()
     )
     assert a == b  # partitioning-independent selection
+
+
+def test_range_join_rejects_ambiguous_columns(spark):
+    import pytest
+
+    from anomalydetection_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame([(1, 5)], "id long, v long")
+    iv = spark.createDataFrame([(1, 0, 9)], "id long, lo long, hi long")
+    with pytest.raises(ValueError, match="overlapping column names"):
+        range_join(pts, iv, "v", "lo", "hi", 10)
