@@ -326,6 +326,7 @@ def lloyd_iteration(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 6,
+    impl: str = "arrow",
 ) -> DataFrame:
     """One fully-distributed Lloyd (k-means) update: assign every row
     to its nearest seed by cosine (dedup.py::seed_assign — shuffle-free
@@ -348,7 +349,7 @@ def lloyd_iteration(
     """
     from .dedup import seed_assign
 
-    a = seed_assign(df, seeds, id_col, vec_col)
+    a = seed_assign(df, seeds, id_col, vec_col, impl=impl)
     dims = a.select(
         "seed_id", F.posexplode(F.col(vec_col).cast("array<double>"))
     ).toDF("seed_id", "dim", "val")

@@ -869,7 +869,11 @@ def q_semantic_dedup(spark, sf_dir):
         F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")
     )
     a = seed_assign(
-        e.filter(F.col("vec_id") >= 8), seeds, "vec_id", "embedding"
+        e.filter(F.col("vec_id") >= 8),
+        seeds,
+        "vec_id",
+        "embedding",
+        impl="sql",  # the bit-exact fold the DuckDB oracle replays
     )
     return (
         a.groupBy("seed_id")
@@ -1002,8 +1006,10 @@ def q_kmeans_refine(spark, sf_dir):
         F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")
     )
     rest = e.filter(F.col("vec_id") >= 8)
-    refined = lloyd_iteration(rest, seeds, "vec_id", "embedding")
-    a = seed_assign(rest, refined, "vec_id", "embedding")
+    refined = lloyd_iteration(
+        rest, seeds, "vec_id", "embedding", impl="sql"
+    )
+    a = seed_assign(rest, refined, "vec_id", "embedding", impl="sql")
     return a.groupBy("seed_id").agg(
         F.count("*").alias("cluster_size"),
         F.round(F.sum("seed_cos"), 4).alias("sum_cos"),

@@ -301,3 +301,29 @@ def test_refined_centroids_preserve_ivf_recall(spark):
     r_base = len(base & exact) / len(exact)
     r_ref = len(ref & exact) / len(exact)
     assert r_ref >= r_base - 0.1, (r_base, r_ref)
+
+
+def test_seed_assign_arrow_matches_sql_path(spark):
+    """The GEMM fast path and the oracle-exact SQL fold must agree on
+    every assignment (cosines to 1e-9 — numpy's pairwise summation may
+    differ in the last ulp, which is why the oracle pins 'sql')."""
+    from anomalydetection_spark.operators.dedup import seed_assign
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("sv")
+    )
+    rest = e.filter(F.col("vec_id") >= 8)
+    sql = {
+        r.vec_id: (r.seed_id, r.seed_cos)
+        for r in seed_assign(rest, seeds, impl="sql").collect()
+    }
+    arrow = {
+        r.vec_id: (r.seed_id, r.seed_cos)
+        for r in seed_assign(rest, seeds, impl="arrow").collect()
+    }
+    assert set(sql) == set(arrow)
+    for vid, (sid, cos) in sql.items():
+        asid, acos = arrow[vid]
+        assert asid == sid, vid
+        assert abs(acos - cos) < 1e-9, vid
