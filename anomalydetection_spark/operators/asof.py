@@ -49,27 +49,44 @@ def asof_join(
     share (key, time), which one wins is sort-arbitrary — the same
     ambiguity native ASOF JOIN implementations have. Disambiguate
     upstream (dedupe or compose a unique ordering key) when the right
-    side can collide."""
-    tagged_r = right.select(
+    side can collide.
+
+    SQL-equality semantics on the key: NULL keys never match (right
+    rows with a null key are dropped; left rows with a null key come
+    back unmatched), exactly as a native ASOF JOIN's equality
+    predicate behaves.
+
+    The matched right row travels as ONE struct through the window
+    fill, so a NULL inside a matched row's value column stays NULL —
+    it is never backfilled from an older right row (per-column fills
+    would stitch together fields of different right rows)."""
+    fill_cols = [f"{c}{suffix}" for c in value_cols] + [
+        f"{right_time}{suffix}"
+    ]
+    reserved = {"_t", "_is_left", "_asof_row", *fill_cols}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left side uses reserved column names "
+            f"{sorted(clash)} — rename them or pick another suffix"
+        )
+    # NULL keys never satisfy SQL equality — drop them from the match
+    # pool (left null-key rows form their own window partition with no
+    # right rows in it, so they come back unmatched)
+    tagged_r = right.filter(F.col(on).isNotNull()).select(
         F.col(on),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-        F.col(right_time).alias(f"{right_time}{suffix}"),
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+            F.col(right_time).alias(f"{right_time}{suffix}"),
+        ).alias("_asof_row"),
     )
     left_cols = left.columns
     tagged_l = left.select(
         "*",
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
-    )
-    for c in value_cols:
-        tagged_l = tagged_l.withColumn(
-            f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType)
-        )
-    tagged_l = tagged_l.withColumn(
-        f"{right_time}{suffix}",
-        F.lit(None).cast(right.schema[right_time].dataType),
     )
     u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
     # right rows (_is_left=0) sort before left rows at equal time →
@@ -79,16 +96,12 @@ def asof_join(
         .orderBy("_t", "_is_left")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    fill_cols = [f"{c}{suffix}" for c in value_cols] + [
-        f"{right_time}{suffix}"
-    ]
-    filled = u
-    for c in fill_cols:
-        filled = filled.withColumn(
-            c, F.last(c, ignorenulls=True).over(w)
-        )
+    filled = u.withColumn(
+        "_asof_row", F.last("_asof_row", ignorenulls=True).over(w)
+    )
     return filled.filter(F.col("_is_left") == 1).select(
-        *left_cols, *fill_cols
+        *left_cols,
+        *[F.col(f"_asof_row.{c}").alias(c) for c in fill_cols],
     )
 
 

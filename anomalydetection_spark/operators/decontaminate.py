@@ -73,11 +73,20 @@ def contaminated_docs(
 ) -> DataFrame:
     """(id, n_matched_grams) for every corpus doc sharing ≥1 n-gram
     with the benchmark. ``broadcast_grams=None`` lets AQE decide;
-    True forces the broadcast hint (callers that know the benchmark
-    is eval-set-sized should pass True)."""
+    True requests the broadcast hint (callers that know the benchmark
+    is eval-set-sized should pass True) — but the hint is still capped:
+    if the DISTINCT gram set exceeds ``BROADCAST_MAX_GRAMS`` the call
+    degrades to a plain shuffled join instead of OOM-ing the driver
+    building an unbounded broadcast table. The gram count is taken on
+    the gram set itself (one narrow count over the benchmark — cheap by
+    definition of a benchmark side; it is the corpus side that is
+    big)."""
     bench = benchmark_grams(benchmark, text_col, n)
     if broadcast_grams:
-        bench = F.broadcast(bench)
+        if bench.count() <= BROADCAST_MAX_GRAMS:
+            bench = F.broadcast(bench)
+        else:
+            broadcast_grams = False  # cap: fall back to shuffled join
     tc = F.col(text_col) if isinstance(text_col, str) else text_col
     grams = corpus.select(
         F.col(id_col),

@@ -20,8 +20,6 @@ here).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -331,8 +329,16 @@ def seed_assign(
         .withColumn("_v", F.col(vec_col).cast("array<double>"))
         .withColumn("_nv", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
         .withColumn("_best", best)
-        .withColumn("seed_id", F.col("_best")["sid"])
-        .withColumn("seed_cos", F.col("_best")["cos"])
+        # degenerate-row contract shared with the arrow path: a NULL
+        # vector gets NULL assignment, never an arbitrary struct-max
+        .withColumn(
+            "seed_id",
+            F.when(F.col("_v").isNotNull(), F.col("_best")["sid"]),
+        )
+        .withColumn(
+            "seed_cos",
+            F.when(F.col("_v").isNotNull(), F.col("_best")["cos"]),
+        )
         .drop("_seeds", "_v", "_nv", "_best")
     )
 
@@ -347,7 +353,11 @@ def _seed_assign_arrow(
 ) -> DataFrame:
     """Arrow/numpy fast path for seed_assign: one GEMM per batch.
     Seeds (ordered by ascending sid so argmax tie-breaks low) ride a
-    broadcast variable; nothing shuffles."""
+    broadcast variable; nothing shuffles. Rows whose vector is NULL or
+    has the wrong dimensionality get NULL seed_id/seed_cos — the same
+    degenerate-row contract as the SQL path."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import types as T
 
     rows = seeds.orderBy(seed_id_col).select(
@@ -371,27 +381,48 @@ def _seed_assign_arrow(
         ]
     )
 
-    @F.pandas_udf(out_t)
-    def _assign(vs: pd.Series) -> pd.DataFrame:
+    def _assign(vs):
         sids_, C_, cn_ = bc.value
-        if len(sids_) == 0:
-            return pd.DataFrame(
-                {"seed_id": pd.array([None] * len(vs), dtype="Int64"),
-                 "seed_cos": [None] * len(vs)}
-            )
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        mn = np.maximum(np.linalg.norm(M, axis=1), 1e-300)
-        S = (M @ C_.T) / mn[:, None] / cn_[None, :]
-        best = np.argmax(S, axis=1)
+        out_id = [None] * len(vs)
+        out_cos = [None] * len(vs)
+        if len(sids_):
+            dim = C_.shape[1]
+            vals = [
+                np.asarray(v, dtype=np.float64)
+                if v is not None
+                else None
+                for v in vs
+            ]
+            ok = [
+                i
+                for i, v in enumerate(vals)
+                if v is not None and v.ndim == 1 and len(v) == dim
+            ]
+            if ok:
+                M = np.stack([vals[i] for i in ok])
+                mn = np.maximum(np.linalg.norm(M, axis=1), 1e-300)
+                S = (M @ C_.T) / mn[:, None] / cn_[None, :]
+                best = np.argmax(S, axis=1)
+                for j, i in enumerate(ok):
+                    out_id[i] = int(sids_[best[j]])
+                    out_cos[i] = float(S[j, best[j]])
         return pd.DataFrame(
             {
-                "seed_id": sids_[best],
-                "seed_cos": S[np.arange(len(M)), best],
+                "seed_id": pd.array(out_id, dtype="Int64"),
+                "seed_cos": pd.array(out_cos, dtype="Float64"),
             }
         )
 
+    # real type objects (not strings): the module uses
+    # `from __future__ import annotations`, under which inline hints
+    # would be unresolvable strings inside pyspark's hint inference
+    _assign.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
+    assign_udf = F.pandas_udf(out_t)(_assign)
+
     return (
-        df.withColumn("_a", _assign(F.col(vec_col).cast("array<double>")))
+        df.withColumn(
+            "_a", assign_udf(F.col(vec_col).cast("array<double>"))
+        )
         .withColumn("seed_id", F.col("_a.seed_id"))
         .withColumn("seed_cos", F.col("_a.seed_cos"))
         .drop("_a")

@@ -90,23 +90,21 @@ def hygiene_report(docs: DataFrame) -> DataFrame:
     expressions + one metadata-scale rollup — the audit adds one
     narrow pass however large the table."""
     t = text_of_spans()
+    hit_cols = [f"{n}_hits" for n in PII_PATTERNS]
     per_doc = docs.select(
         "partition_id",
         *pii_counts(t),
         (F.length(t) - F.length(redact_pii(t))).alias("chars_delta"),
     )
-    any_hit = (
-        (F.col("email_hits") > 0)
-        | (F.col("ipv4_hits") > 0)
-        | (F.col("phone_hits") > 0)
-    )
+    any_hit = None
+    for c in hit_cols:
+        cond = F.col(c) > 0
+        any_hit = cond if any_hit is None else (any_hit | cond)
     return (
         per_doc.groupBy("partition_id")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("email_hits").cast("long").alias("email_hits"),
-            F.sum("ipv4_hits").cast("long").alias("ipv4_hits"),
-            F.sum("phone_hits").cast("long").alias("phone_hits"),
+            *[F.sum(c).cast("long").alias(c) for c in hit_cols],
             F.sum(any_hit.cast("int")).cast("long").alias("n_pii_docs"),
             F.sum("chars_delta").cast("long").alias("chars_delta"),
         )

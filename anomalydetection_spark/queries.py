@@ -470,6 +470,28 @@ def _tokens(col="text"):
     return F.array_distinct(F.split(F.lower(F.trim(col)), " "))
 
 
+REPETITION_DROP_THRESHOLD = 0.2
+
+
+def _repetition_ratio(toks):
+    """Duplicated fraction of word 3-grams (1 − distinct/total); 0.0
+    for docs too short to have a 3-gram. Shared by repetition_ratio
+    and quality_filter so the drop rule and the reported signal can
+    never desynchronize (the DISTINCT-gram variant for decontamination
+    lives in operators/decontaminate.py::word_ngrams)."""
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.when(
+        F.size(grams) > 0,
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(F.lit(0.0))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by token-set Jaccard ≥ 0.8 within a lang, over a
     bounded sample (doc_id < 2000). Exact all-pairs Jaccard is O(n²) —
@@ -651,26 +673,16 @@ def q_repetition_ratio(spark, sf_dir):
     per source: mean ratio and the count of docs above the 0.2 drop
     threshold. Row-local array math + one rollup shuffle."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), " ")
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    ratio = F.when(
-        total > 0, 1.0 - distinct / total
-    ).otherwise(F.lit(0.0))
+    ratio = _repetition_ratio(F.split(F.lower(F.trim("text")), " "))
     return (
         d.select("source", ratio.alias("r"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg("r"), 6).alias("mean_repetition"),
-            F.sum((F.col("r") > 0.2).cast("int"))
+            F.sum(
+                (F.col("r") > REPETITION_DROP_THRESHOLD).cast("int")
+            )
             .cast("long")
             .alias("n_repetitive"),
         )
@@ -715,22 +727,12 @@ def q_quality_filter(spark, sf_dir):
         )
         / n
     )
-    grams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    rep = F.when(
-        F.size(grams) > 0,
-        1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
-    ).otherwise(F.lit(0.0))
+    rep = _repetition_ratio(toks)
     rules = {
         "bad_len": ~n.between(20, 2000),
         "bad_uniq": uniq < 0.3,
         "bad_tok_len": ~mean_len.between(2.0, 12.0),
-        "bad_rep": rep > 0.2,
+        "bad_rep": rep > REPETITION_DROP_THRESHOLD,
     }
     rows = d.select(
         "source", *[v.cast("int").alias(k) for k, v in rules.items()]

@@ -119,3 +119,36 @@ def test_range_join_rejects_ambiguous_columns(spark):
     iv = spark.createDataFrame([(1, 0, 9)], "id long, lo long, hi long")
     with pytest.raises(ValueError, match="overlapping column names"):
         range_join(pts, iv, "v", "lo", "hi", 10)
+
+
+def test_asof_null_value_in_matched_row_stays_null(spark):
+    """The matched right row travels as one struct: a NULL px inside
+    the winning row must NOT be backfilled from an older right row."""
+    trades = spark.createDataFrame([(1, 6)], "uid long, t long")
+    quotes = spark.createDataFrame(
+        [(1, 3, 7.0), (1, 5, None)], "uid long, t long, px double"
+    )
+    r = asof_join(trades, quotes, "uid", "t", "t", ["px"]).first()
+    assert r.t_asof == 5 and r.px_asof is None
+
+
+def test_asof_null_keys_never_match(spark):
+    trades = spark.createDataFrame(
+        [(None, 10), (1, 10)], "uid long, t long"
+    )
+    quotes = spark.createDataFrame(
+        [(None, 5, 1.0), (1, 5, 2.0)], "uid long, t long, px double"
+    )
+    out = {r.uid: r.px_asof for r in
+           asof_join(trades, quotes, "uid", "t", "t", ["px"]).collect()}
+    assert out[1] == 2.0
+    assert out[None] is None  # null key: unmatched, like SQL equality
+
+
+def test_asof_rejects_reserved_left_columns(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 5, 0.0)], "uid long, t long, px_asof double")
+    right = spark.createDataFrame([(1, 3, 1.0)], "uid long, t long, px double")
+    with pytest.raises(ValueError, match="reserved column names"):
+        asof_join(left, right, "uid", "t", "t", ["px"])
