@@ -327,3 +327,27 @@ def test_seed_assign_arrow_matches_sql_path(spark):
         asid, acos = arrow[vid]
         assert asid == sid, vid
         assert abs(acos - cos) < 1e-9, vid
+
+
+def test_seed_assign_null_embedding_both_impls(spark):
+    """A NULL (or wrong-dim) vector gets NULL assignment on BOTH
+    implementations — neither crashes the task nor emits an arbitrary
+    struct-max winner."""
+    from anomalydetection_spark.operators.dedup import seed_assign
+
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "sid long, sv array<double>"
+    )
+    rows = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, None), (3, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for impl in ("sql", "arrow"):
+        out = {
+            r.vec_id: (r.seed_id, r.seed_cos)
+            for r in seed_assign(rows, seeds, impl=impl).collect()
+        }
+        assert out[1][0] == 0, impl
+        assert out[2] == (None, None), impl
+        if impl == "arrow":  # wrong dim: null on the GEMM path
+            assert out[3] == (None, None)
