@@ -221,23 +221,50 @@ def drift_verdicts(
     psi_threshold: float,
     ks_threshold: float,
     check_prefix: str = "drift",
+    chi2_threshold: float | None = None,
+    jsd_threshold: float | None = None,
 ) -> DataFrame:
     """PSI + KS verdict rows per group (VERDICTS_SCHEMA shape; the
-    group's first key is surfaced as partition_id when integer-like).
+    group's first key is surfaced as partition_id when integer-like),
+    plus optional chi-squared and Jensen-Shannon rows when their
+    thresholds are given — all four statistics derive from the SAME
+    bounded histogram pair, so extra metrics cost extra bounded joins,
+    never another table scan.
 
-    The normalized-shares join is built ONCE and feeds both metrics —
+    The normalized-shares join is built ONCE and feeds PSI/KS/JSD —
     one fewer histogram join + normalization pass per drift stage."""
     shares = _joined_shares(current_hist, baseline_hist, keys, "bucket")
     p = _psi_from_shares(shares, keys)
     k = _ks_from_shares(shares, keys, "bucket")
     j = p.join(k, keys, "full_outer").fillna(0.0, subset=["psi", "ks"])
+    metrics = [("psi", psi_threshold), ("ks", ks_threshold)]
+    if chi2_threshold is not None:
+        c = chi2_from_histograms(
+            current_hist, baseline_hist, keys
+        ).drop("dof")
+        j = j.join(c, keys, "full_outer").fillna(0.0, subset=["chi2"])
+        metrics.append(("chi2", chi2_threshold))
+    if jsd_threshold is not None:
+        m = (F.col("p_cur") + F.col("p_base")) / 2
+        kl_p = F.when(
+            F.col("p_cur") > 0, F.col("p_cur") * F.log(F.col("p_cur") / m)
+        ).otherwise(0.0)
+        kl_q = F.when(
+            F.col("p_base") > 0,
+            F.col("p_base") * F.log(F.col("p_base") / m),
+        ).otherwise(0.0)
+        jd = shares.groupBy(*keys).agg(
+            F.sum((kl_p + kl_q) / 2).alias("jsd")
+        )
+        j = j.join(jd, keys, "full_outer").fillna(0.0, subset=["jsd"])
+        metrics.append(("jsd", jsd_threshold))
     pid = (
         F.col(keys[0]).cast("int")
         if keys and keys[0] == "partition_id"
         else F.lit(None).cast("int")
     )
     rows = []
-    for metric, thresh in (("psi", psi_threshold), ("ks", ks_threshold)):
+    for metric, thresh in metrics:
         rows.append(
             j.select(
                 F.concat_ws(

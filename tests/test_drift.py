@@ -230,3 +230,35 @@ def test_psi_explain_ranks_moved_bucket_first(spark):
     rows = psi_explain(cur, base, ["kind"], k=2).collect()
     assert [r.bucket for r in sorted(rows, key=lambda r: r.rank)][0] == 1
     assert len(rows) == 2
+
+
+def test_drift_verdicts_optional_chi2_jsd_rows(spark):
+    """chi2/jsd thresholds add verdict rows from the same histogram
+    pair; omitted thresholds keep the legacy 2-row shape."""
+    from anomalydetection_spark.operators.drift import drift_verdicts
+
+    cur = _hist(spark, [100, 0, 0, 0])
+    base = _hist(spark, [25, 25, 25, 25])
+    legacy = drift_verdicts(cur, base, ["kind"], 0.2, 0.2)
+    assert {r.check for r in legacy.collect()} == {
+        "drift_psi_k", "drift_ks_k",
+    }
+    full = drift_verdicts(
+        cur, base, ["kind"], 0.2, 0.2,
+        chi2_threshold=10.0, jsd_threshold=0.2,
+    ).collect()
+    by_check = {r.check: r for r in full}
+    assert set(by_check) == {
+        "drift_psi_k", "drift_ks_k", "drift_chi2_k", "drift_jsd_k",
+    }
+    # strong divergence trips every rule
+    assert all(r.verdict == "fail" for r in full), full
+    from anomalydetection_spark.operators.drift import jsd_from_histograms
+
+    expected_jsd = jsd_from_histograms(cur, base, ["kind"]).first().jsd
+    assert abs(by_check["drift_jsd_k"].score - expected_jsd) < 1e-12
+    identical = drift_verdicts(
+        cur, cur, ["kind"], 0.2, 0.2,
+        chi2_threshold=10.0, jsd_threshold=0.2,
+    )
+    assert all(r.verdict == "pass" for r in identical.collect())
