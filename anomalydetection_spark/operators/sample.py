@@ -38,3 +38,50 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sliding-window chunking — the context-window prep step of a
+    training pipeline: each document becomes ceil(n_tokens/stride)
+    chunks of ≤ ``chunk_tokens`` whitespace tokens starting every
+    ``stride`` tokens (default non-overlapping: stride =
+    chunk_tokens). Output: (id, chunk_idx, chunk_text, n_tokens).
+
+    Entirely row-local array math (split → windowed slices →
+    posexplode) — chunking 10^12 docs is a narrow pass that fuses into
+    the surrounding scan; no shuffle, no Python. Deterministic:
+    chunk boundaries depend only on the token sequence.
+    """
+    stride = chunk_tokens if stride is None else stride
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(
+                " ", F.slice(toks, s + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.size(toks) - s).alias(
+                "n_tokens"
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_c"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+    )

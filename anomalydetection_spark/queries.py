@@ -1098,6 +1098,23 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (operators/sample.py::chunk_documents):
+    docs < 100 into 16-token windows at stride 8 (50% overlap).
+    Chunk text travels as md5 so the compared output stays narrow
+    while still pinning every chunk's exact content."""
+    from .operators.sample import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    c = chunk_documents(d, "doc_id", "text", chunk_tokens=16, stride=8)
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: wide aggregate with pushed-down date filter."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1878,6 +1895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_events": q_range_join_events,
     "stratified_sample": q_stratified_sample,
     "quality_filter": q_quality_filter,
+    "chunk_documents": q_chunk_documents,
 }
 
 _LOGLINES_SQL = """
@@ -2190,6 +2208,22 @@ ORACLES: dict[str, str] = {
                round(CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END)
                      AS DOUBLE) / count(*), 6) AS dup_rate
         FROM best WHERE rn = 1 GROUP BY sid
+    """,
+    "chunk_documents": """
+        WITH t AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS toks
+          FROM documents WHERE doc_id < 100
+        ), s AS (
+          SELECT doc_id, toks, CAST(r.s AS INT) AS start,
+                 CAST(r.s // 8 AS INT) AS chunk_idx
+          FROM t, unnest(range(0, greatest(len(toks) - 1, 0) + 1, 8))
+                    AS r(s)
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(least(16, len(toks) - start) AS BIGINT) AS n_tokens,
+               md5(array_to_string(toks[start+1:start+16], ' '))
+                 AS chunk_hash
+        FROM s
     """,
     "quality_filter": """
         WITH t AS (

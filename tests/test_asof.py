@@ -152,3 +152,32 @@ def test_asof_rejects_reserved_left_columns(spark):
     right = spark.createDataFrame([(1, 3, 1.0)], "uid long, t long, px double")
     with pytest.raises(ValueError, match="reserved column names"):
         asof_join(left, right, "uid", "t", "t", ["px"])
+
+
+def test_chunk_documents_windows_and_reconstruction(spark):
+    """Non-overlapping chunks concatenate back to the original text;
+    overlapping stride produces the expected window starts/lengths."""
+    from anomalydetection_spark.operators.sample import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x")], "doc_id long, text string"
+    )
+    solid = chunk_documents(df, chunk_tokens=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in solid:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    one = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_text for r in one] == ["a b c", "d e f", "g"]
+    assert [r.n_tokens for r in one] == [3, 3, 1]
+    assert " ".join(r.chunk_text for r in one) == "a b c d e f g"
+    assert [(r.chunk_text, r.n_tokens) for r in by_doc[2]] == [("x", 1)]
+
+    sliding = sorted(
+        (r.chunk_idx, r.chunk_text)
+        for r in chunk_documents(
+            df.filter(F.col("doc_id") == 1), chunk_tokens=4, stride=2
+        ).collect()
+    )
+    assert sliding == [
+        (0, "a b c d"), (1, "c d e f"), (2, "e f g"), (3, "g"),
+    ]
