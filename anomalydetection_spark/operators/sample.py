@@ -85,3 +85,43 @@ def chunk_documents(
         F.col("_c.chunk_text").alias("chunk_text"),
         F.col("_c.n_tokens").alias("n_tokens"),
     )
+
+
+def stratified_sample_frac(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict,
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum fractional sampling — the mixture-
+    weights form of stratified_sample (and the reproducible analog of
+    ``DataFrame.sampleBy``): a row survives iff its md5-derived
+    uniform in [0, 1) falls below its stratum's fraction. Selection
+    depends only on (id, fraction) — identical across runs, partition
+    layouts, and engines (the md5 arithmetic replays in SQL) — and is
+    MONOTONE in the fraction: raising a stratum's weight only ADDS
+    rows, never reshuffles the ones already selected (the property
+    that makes dataset-mixture experiments comparable run over run).
+
+    Zero shuffle: the filter is row-local; strata not in ``fractions``
+    fall back to ``default`` (0.0 = drop)."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("double")
+        / F.lit(float(16 ** 15))
+    )
+    frac = None
+    for s, f in fractions.items():
+        cond = F.col(strata_col) == s
+        frac = (
+            F.when(cond, float(f))
+            if frac is None
+            else frac.when(cond, float(f))
+        )
+    frac = (
+        frac.otherwise(float(default))
+        if frac is not None
+        else F.lit(float(default))
+    )
+    return df.filter(u < frac)

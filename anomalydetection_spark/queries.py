@@ -1098,6 +1098,25 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic mixture weighting
+    (operators/sample.py::stratified_sample_frac): keep 40% of src0,
+    10% of src1, 100% of src2, drop the rest — by md5-derived uniform,
+    so the selection is engine-replayable and monotone in the weight.
+    Output: per-source kept counts (exact, not binomial)."""
+    from .operators.sample import stratified_sample_frac
+
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_sample_frac(
+        d, "source", "doc_id",
+        {"src0": 0.4, "src1": 0.1, "src2": 1.0},
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     """Context-window chunking (operators/sample.py::chunk_documents):
     docs < 100 into 16-token windows at stride 8 (50% overlap).
@@ -1896,6 +1915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "quality_filter": q_quality_filter,
     "chunk_documents": q_chunk_documents,
+    "mixture_sample": q_mixture_sample,
 }
 
 _LOGLINES_SQL = """
@@ -2208,6 +2228,24 @@ ORACLES: dict[str, str] = {
                round(CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END)
                      AS DOUBLE) / count(*), 6) AS dup_rate
         FROM best WHERE rn = 1 GROUP BY sid
+    """,
+    "mixture_sample": """
+        WITH u AS (
+          SELECT source, doc_id,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) / CAST(power(16, 15) AS DOUBLE) AS r
+          FROM documents
+        ), k AS (
+          SELECT source, doc_id FROM u
+          WHERE r < CASE source WHEN 'src0' THEN 0.4
+                                WHEN 'src1' THEN 0.1
+                                WHEN 'src2' THEN 1.0
+                                ELSE 0.0 END
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM k GROUP BY source
     """,
     "chunk_documents": """
         WITH t AS (

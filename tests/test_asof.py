@@ -181,3 +181,30 @@ def test_chunk_documents_windows_and_reconstruction(spark):
     assert sliding == [
         (0, "a b c d"), (1, "c d e f"), (2, "e f g"), (3, "g"),
     ]
+
+
+def test_mixture_sample_monotone_and_deterministic(spark):
+    """Raising a stratum's fraction only ADDS rows (monotone
+    selection), 1.0 keeps everything, 0.0/default drops everything,
+    and the selection is reproducible."""
+    from anomalydetection_spark.operators.sample import (
+        stratified_sample_frac,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+        "doc_id long, source string",
+    )
+    lo = {r.doc_id for r in
+          stratified_sample_frac(df, "source", "doc_id", {"a": 0.2}).collect()}
+    hi = {r.doc_id for r in
+          stratified_sample_frac(df, "source", "doc_id", {"a": 0.6}).collect()}
+    assert lo <= hi and 0 < len(lo) < len(hi) < 200
+    assert all(i % 2 == 0 for i in hi)  # stratum b defaulted to 0.0
+    full = stratified_sample_frac(
+        df, "source", "doc_id", {"a": 1.0, "b": 1.0}
+    ).count()
+    assert full == 400
+    again = {r.doc_id for r in
+             stratified_sample_frac(df, "source", "doc_id", {"a": 0.2}).collect()}
+    assert again == lo
