@@ -28,6 +28,11 @@ class DriftConfig:
     psi_threshold_global: float = 0.10      # stricter at table level
     ks_threshold_partition: float = 0.15
     ks_threshold_global: float = 0.10
+    # optional extra statistics over the SAME histogram pair (None =
+    # off, the default — chi2 scales with sample size, so its
+    # threshold is deployment-specific; jsd ∈ [0, ln 2])
+    chi2_threshold_global: float | None = None
+    jsd_threshold_global: float | None = None
     ema_alpha: float = 0.3                  # EMA smoothing for metric history
     sigma_k: float = 3.0                    # the 3-sigma rule
     min_history: int = 5                    # windows needed before 3-sigma fires

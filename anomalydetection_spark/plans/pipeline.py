@@ -577,6 +577,8 @@ def run_validation(
             psi_threshold=cfg.drift.psi_threshold_global,
             ks_threshold=cfg.drift.ks_threshold_global,
             check_prefix="drift_len",
+            chi2_threshold=cfg.drift.chi2_threshold_global,
+            jsd_threshold=cfg.drift.jsd_threshold_global,
         )
         verdicts = verdicts.unionByName(dv)
 

@@ -160,6 +160,34 @@ def test_drift_stage_in_pipeline(spark, docs, catalog):
     assert drift_rows
     # current == baseline ⇒ all drift checks pass
     assert all(r.verdict == "pass" for r in drift_rows)
+    # default config: chi2/jsd off → only psi/ks rows
+    kinds = {r.check.split("_")[2] for r in drift_rows}
+    assert kinds == {"psi", "ks"}
+
+
+def test_drift_stage_optional_chi2_jsd(spark, docs, catalog):
+    import dataclasses
+
+    from anomalydetection_spark.config import DEFAULT_CONFIG
+
+    baseline = length_histogram(docs, bins=64, bin_width=8)
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        drift=dataclasses.replace(
+            DEFAULT_CONFIG.drift,
+            chi2_threshold_global=100.0,
+            jsd_threshold_global=0.2,
+        ),
+    )
+    res = run_validation(
+        spark, docs, catalog=catalog, baseline_hist=baseline, cfg=cfg
+    )
+    drift_rows = [
+        r for r in res.verdicts.collect() if r.check.startswith("drift_len")
+    ]
+    kinds = {r.check.split("_")[2] for r in drift_rows}
+    assert kinds == {"psi", "ks", "chi2", "jsd"}
+    assert all(r.verdict == "pass" for r in drift_rows)  # self vs self
 
 
 def test_resume_skips_validated(spark, docs, catalog, tmp_path):
