@@ -125,3 +125,52 @@ def stratified_sample_frac(
         else F.lit(float(default))
     )
     return df.filter(u < frac)
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+) -> DataFrame:
+    """Greedy in-order sequence packing: within each ``group_col``
+    partition, walk the chunks in ``order_cols`` order and assign
+    ``pack_id`` s.t. each pack's token total stays ≤ ``budget`` (a
+    chunk alone bigger than the budget gets its own pack). This is the
+    batch-assembly step after chunk_documents — training examples are
+    packs, not raw chunks.
+
+    Like the Drain template miner, the scan is ORDER-DEPENDENT and
+    stateful (pack boundaries depend on the running total), so there
+    is no shuffle-free relational form — it runs as Arrow-batched
+    applyInPandas per group: one hash exchange on the group key, a
+    per-group sort, and a vectorizable linear walk. Groups should be
+    chosen so each fits a task (source, date-bucket, shard id);
+    determinism follows from the explicit ordering.
+    """
+    import pandas as pd  # noqa: F401 (Arrow path dependency)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(chunks.schema.fields)
+        + [T.StructField("pack_id", T.LongType(), False)]
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        ids = []
+        run, pid = 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if run > 0 and run + t > budget:
+                pid += 1
+                run = 0
+            run += t
+            ids.append(pid)
+        pdf["pack_id"] = ids
+        return pdf
+
+    return chunks.groupBy(group_col).applyInPandas(_pack, out_schema)

@@ -1134,6 +1134,28 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+def q_pack_chunks(spark, sf_dir):
+    """Sequence packing after chunking
+    (operators/sample.py::pack_chunks): 16-token chunks of docs < 100
+    packed greedily per source into ≤64-token training examples.
+    Rows-only by design: pack boundaries depend on a stateful in-order
+    scan (like the Drain miner), which has no SQL form — budget and
+    conservation invariants are pinned in tests instead."""
+    from .operators.sample import chunk_documents, pack_chunks
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    chunks = chunk_documents(d, "doc_id", "text", chunk_tokens=16).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    packed = pack_chunks(
+        chunks, "source", ["doc_id", "chunk_idx"], budget=64
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: wide aggregate with pushed-down date filter."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1916,6 +1938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "chunk_documents": q_chunk_documents,
     "mixture_sample": q_mixture_sample,
+    "pack_chunks": q_pack_chunks,
 }
 
 _LOGLINES_SQL = """

@@ -208,3 +208,39 @@ def test_mixture_sample_monotone_and_deterministic(spark):
     again = {r.doc_id for r in
              stratified_sample_frac(df, "source", "doc_id", {"a": 0.2}).collect()}
     assert again == lo
+
+
+def test_pack_chunks_budget_and_conservation(spark):
+    from anomalydetection_spark.operators.sample import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), "w " * (5 + i % 7)) for i in range(40)],
+        "doc_id long, grp string, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=4).join(
+        docs.select("doc_id", "grp"), "doc_id"
+    )
+    packed = pack_chunks(
+        chunks, "grp", ["doc_id", "chunk_idx"], budget=10
+    )
+    rows = packed.collect()
+    assert len(rows) == chunks.count()  # every chunk packed exactly once
+    sums: dict = {}
+    for r in rows:
+        sums.setdefault((r.grp, r.pack_id), []).append(r.n_tokens)
+    for (_, _), toks in sums.items():
+        assert sum(toks) <= 10 or len(toks) == 1  # budget or lone giant
+    # deterministic
+    again = {
+        (r.grp, r.doc_id, r.chunk_idx): r.pack_id
+        for r in pack_chunks(
+            chunks.repartition(5), "grp", ["doc_id", "chunk_idx"], budget=10
+        ).collect()
+    }
+    first = {
+        (r.grp, r.doc_id, r.chunk_idx): r.pack_id for r in rows
+    }
+    assert again == first
