@@ -244,3 +244,82 @@ def test_pack_chunks_budget_and_conservation(spark):
         (r.grp, r.doc_id, r.chunk_idx): r.pack_id for r in rows
     }
     assert again == first
+
+
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Randomized cross-check against pandas.merge_asof (an
+    independent third implementation of as-of semantics, beside the
+    DuckDB ASOF oracle): 4 seeded datasets with collisions between
+    keys, out-of-range times, and unmatched keys."""
+    import numpy as np
+    import pandas as pd
+
+    for seed in (0, 1, 2, 3):
+        rng = np.random.RandomState(seed)
+        n_l, n_r = 120, 90
+        lt = pd.DataFrame(
+            {
+                "uid": rng.randint(0, 8, n_l),
+                "t": rng.randint(0, 1000, n_l),
+            }
+        )
+        lt["lid"] = np.arange(n_l)
+        rt = pd.DataFrame(
+            {
+                "uid": rng.randint(0, 10, n_r),
+                "t": rng.randint(0, 1000, n_r),
+                "px": rng.rand(n_r).round(6),
+            }
+        ).drop_duplicates(["uid", "t"])  # unique right times per key
+        expected = pd.merge_asof(
+            lt.sort_values("t", kind="mergesort"),
+            rt.sort_values("t", kind="mergesort"),
+            on="t",
+            by="uid",
+            direction="backward",
+            suffixes=("", "_r"),
+        ).set_index("lid")
+        got = {
+            r.lid: r.px_asof
+            for r in asof_join(
+                spark.createDataFrame(lt, "uid long, t long, lid long"),
+                spark.createDataFrame(rt, "uid long, t long, px double"),
+                "uid", "t", "t", ["px"],
+            ).collect()
+        }
+        assert len(got) == n_l, seed
+        for lid, exp_px in expected["px"].items():
+            g = got[lid]
+            if pd.isna(exp_px):
+                assert g is None, (seed, lid)
+            else:
+                assert g is not None and abs(g - exp_px) < 1e-12, (seed, lid)
+
+
+def test_range_join_matches_naive_randomized(spark):
+    """Randomized bucketed-vs-naive BETWEEN equivalence across bucket
+    widths that divide, straddle, and exceed the interval spans."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    pts = [(int(i), int(v)) for i, v in enumerate(rng.randint(0, 500, 300))]
+    ivs = []
+    for i in range(60):
+        lo = int(rng.randint(0, 480))
+        ivs.append((i, lo, lo + int(rng.randint(0, 90))))
+    from anomalydetection_spark.operators.asof import range_join
+
+    p = spark.createDataFrame(pts, "pid long, v long")
+    iv = spark.createDataFrame(ivs, "iid long, lo long, hi long")
+    naive = {
+        (r.pid, r.iid)
+        for r in p.join(
+            iv, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        ).collect()
+    }
+    for width in (7, 50, 128, 1000):
+        got = {
+            (r.pid, r.iid)
+            for r in range_join(p, iv, "v", "lo", "hi", width).collect()
+        }
+        assert got == naive, width
