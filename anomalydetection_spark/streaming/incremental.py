@@ -52,6 +52,10 @@ def _batch_verdicts(
     orphan_udf=None,
     max_violation_exemplars: int | None = None,
     violations_out: str | None = None,
+    psi_threshold: float = 0.25,
+    ks_threshold: float = 0.2,
+    chi2_threshold: float | None = None,
+    jsd_threshold: float | None = None,
 ) -> DataFrame:
     """Micro-batch validation via the SAME one-wide-scan violation
     machinery as the batch pipeline (plans/pipeline.py::_all_violations):
@@ -151,9 +155,11 @@ def _batch_verdicts(
             stats_ops.length_histogram(batch),
             baseline_hist,
             keys=["kind"],
-            psi_threshold=0.25,
-            ks_threshold=0.2,
+            psi_threshold=psi_threshold,
+            ks_threshold=ks_threshold,
             check_prefix="drift_len_batch",
+            chi2_threshold=chi2_threshold,
+            jsd_threshold=jsd_threshold,
         )
         out = out.unionByName(dv)
     return out
