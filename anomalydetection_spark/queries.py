@@ -1494,6 +1494,21 @@ def q_param_extraction(spark, sf_dir):
 # feature family additions: A1 TF-IDF, A7 vector align, A10 Levenshtein
 # --------------------------------------------------------------------------
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact top-20 tokens by frequency via the bounded-shuffle
+    two-pass (functions/heavy.py): per-partition Misra-Gries candidate
+    pruning (no shuffle) + exact counts over the candidate union. The
+    output is exact, so the oracle is a plain GROUP BY / LIMIT."""
+    from .functions.heavy import heavy_hitters
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", k=64, top=20).select(
+        "value", F.col("count").cast("long").alias("count"), "rank"
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """A1 TF-IDF re-expressed relationally (model_manager.py:154-198):
     tf = in-doc term count, idf = ln(N/df), top-3 terms per doc."""
@@ -1939,6 +1954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "mixture_sample": q_mixture_sample,
     "pack_chunks": q_pack_chunks,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 _LOGLINES_SQL = """
@@ -2251,6 +2267,20 @@ ORACLES: dict[str, str] = {
                round(CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END)
                      AS DOUBLE) / count(*), 6) AS dup_rate
         FROM best WHERE rn = 1 GROUP BY sid
+    """,
+    "heavy_hitters": """
+        WITH t AS (
+          SELECT unnest(string_split(lower(trim(text)), ' ')) AS value
+          FROM documents
+        ), c AS (
+          SELECT value, CAST(count(*) AS BIGINT) AS count
+          FROM t GROUP BY value
+        )
+        SELECT value, count, CAST(rn AS INT) AS rank FROM (
+          SELECT *, row_number() OVER (
+                   ORDER BY count DESC, value ASC) AS rn
+          FROM c
+        ) WHERE rn <= 20
     """,
     "mixture_sample": """
         WITH u AS (

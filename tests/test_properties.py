@@ -154,3 +154,54 @@ def test_t_quantile_expansion_accuracy():
     seq = [t_quantile(2.5758, nu) for nu in (3, 5, 10, 50, 1000)]
     assert seq == sorted(seq, reverse=True)
     assert abs(seq[-1] - 2.5758) < 0.01
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+             max_size=3000),
+    st.integers(min_value=2, max_value=16),
+)
+def test_misra_gries_retention_guarantee(values, k):
+    """Any value with true count > n/(k+1) MUST hold a counter, and
+    estimates never exceed truth by construction (underestimate-only)."""
+    from collections import Counter
+
+    from anomalydetection_spark.functions.heavy import mg_summarize
+
+    s = mg_summarize(values, k)
+    assert len(s) <= k
+    truth = Counter(values)
+    floor = len(values) / (k + 1)
+    for v, c in truth.items():
+        if c > floor:
+            assert v in s, (v, c, floor)
+    for v, est in s.items():
+        assert est <= truth[v]
+        assert est >= truth[v] - floor - 1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.lists(st.integers(min_value=0, max_value=20),
+                      min_size=1, max_size=500),
+             min_size=2, max_size=5),
+    st.integers(min_value=3, max_value=12),
+)
+def test_misra_gries_merge_keeps_guarantee(parts, k):
+    """Merged partition summaries retain every global heavy hitter."""
+    from collections import Counter
+
+    from anomalydetection_spark.functions.heavy import (
+        mg_merge,
+        mg_summarize,
+    )
+
+    merged = mg_merge([mg_summarize(p, k) for p in parts], k)
+    assert len(merged) <= k
+    allv = [v for p in parts for v in p]
+    truth = Counter(allv)
+    floor = 2 * len(allv) / (k + 1)  # summarize + merge error budgets
+    for v, c in truth.items():
+        if c > floor:
+            assert v in merged, (v, c, floor)
