@@ -90,10 +90,18 @@ def heavy_hitters(
         .collect()
     )
     candidates = [r.candidate for r in cand_rows]
-    exact = (
-        df.filter(F.col(col).isin(candidates))
-        .groupBy(F.col(col).alias("value"))
-        .agg(F.count("*").alias("count"))
+    if len(candidates) <= 10_000:
+        scoped = df.filter(F.col(col).isin(candidates))
+    else:
+        # k × partitions can reach millions on a big cluster — as plan
+        # literals that bloats the query; ship them as a broadcast
+        # semi-join instead
+        cand_df = df.sparkSession.createDataFrame(
+            [(c,) for c in candidates], f"{col} string"
+        )
+        scoped = df.join(F.broadcast(cand_df), col, "left_semi")
+    exact = scoped.groupBy(F.col(col).alias("value")).agg(
+        F.count("*").alias("count")
     )
     w = Window.orderBy(F.desc("count"), F.asc("value"))
     return (
