@@ -145,11 +145,11 @@ def _validation_run_mode(ncores: int) -> None:
     sandbox host shows 2-3x noisy-neighbor variance on single shots and
     that noise is strictly additive, so min-of-repeats is the least
     contaminated estimate of the engine's own cost at each level."""
-    # 3 since the row-local referential change: each pass got ~25%
-    # faster, so 3 repeats now fit the same per-round window 2 did
-    # before, and the min-of-repeats estimate tightens against the
-    # host's 2-3x noisy-neighbor variance
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    # 4 repeats: the host's noisy-neighbor variance showed sustained
+    # multi-minute load windows (round-2d: all four local[2] repeats
+    # 145-155s vs the 116.7s historical min), so one extra draw per
+    # level is cheap insurance for the min-of-repeats estimator
+    repeats = int(os.environ.get("BENCH_REPEATS", "4"))
     spark = _fresh_spark(ncores)
     docs_path, cat_path, base_path = _materialize_bench_tables(spark)
     _run_validation_pass(spark, docs_path, cat_path, base_path)  # warm
