@@ -754,6 +754,39 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+def q_token_entropy(spark, sf_dir):
+    """Shannon token entropy per doc (nats) — the information-
+    theoretic member of the quality family (low entropy = repetitive/
+    spam text; complements uniq_ratio and repetition_ratio). Entirely
+    row-local: per-doc term counts via aggregate over the distinct
+    tokens, entropy as −Σ p·ln p. Per-source rollup: mean entropy and
+    low-entropy doc count."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), " ")
+    n = F.size(toks)
+    # per-distinct-token count inside one row: for each distinct tok,
+    # count occurrences in the full token array
+    ent = F.aggregate(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        ),
+        F.lit(0.0),
+        lambda acc, c: acc - (c / n) * F.log(c / n),
+    )
+    return (
+        d.select("source", ent.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("h"), 6).alias("mean_entropy"),
+            F.sum((F.col("h") < 2.0).cast("int"))
+            .cast("long")
+            .alias("n_low_entropy"),
+        )
+    )
+
+
 def q_doc_fingerprints(spark, sf_dir):
     """Document fingerprint: 64-bit md5 prefix of normalized text."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -1955,6 +1988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "pack_chunks": q_pack_chunks,
     "heavy_hitters": q_heavy_hitters,
+    "token_entropy": q_token_entropy,
 }
 
 _LOGLINES_SQL = """
@@ -2267,6 +2301,28 @@ ORACLES: dict[str, str] = {
                round(CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END)
                      AS DOUBLE) / count(*), 6) AS dup_rate
         FROM best WHERE rn = 1 GROUP BY sid
+    """,
+    "token_entropy": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(lower(trim(text)), ' '))
+                 AS t
+          FROM documents
+        ), n AS (
+          SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+        ), c AS (
+          SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+        ), h AS (
+          SELECT c.doc_id,
+                 -sum((c.c * 1.0 / n.n) * ln(c.c * 1.0 / n.n)) AS h
+          FROM c JOIN n USING (doc_id) GROUP BY c.doc_id
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(h.h), 6) AS mean_entropy,
+               CAST(sum(CASE WHEN h.h < 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_low_entropy
+        FROM documents d JOIN h USING (doc_id)
+        GROUP BY d.source
     """,
     "heavy_hitters": """
         WITH t AS (
