@@ -1251,6 +1251,28 @@ def q_inactive_customers(spark, sf_dir):
     return inactive.groupBy("c_nationkey").agg(F.count("*").alias("n_inactive"))
 
 
+def q_dedup_time_window(spark, sf_dir):
+    """Time-windowed dedup: an event is a duplicate if the SAME
+    (user, event_type) fired within the previous 600 s — the batch
+    form of streaming dedup-with-watermark (retry storms, double
+    sends). One window per key group, no self-join. Per-user rollup:
+    events, duplicates, surviving count."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "is_dup", F.when(gap <= 600, 1).otherwise(0)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        (F.count("*") - F.sum("is_dup")).cast("long").alias("n_kept"),
+    )
+
+
 def q_sessionization(spark, sf_dir):
     """C1-style stateful sequence op: session = gap > 30 min, per user
     (user_id < 20); window lag + running sum of gap flags."""
@@ -1989,6 +2011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_chunks": q_pack_chunks,
     "heavy_hitters": q_heavy_hitters,
     "token_entropy": q_token_entropy,
+    "dedup_time_window": q_dedup_time_window,
 }
 
 _LOGLINES_SQL = """
@@ -2301,6 +2324,21 @@ ORACLES: dict[str, str] = {
                round(CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END)
                      AS DOUBLE) / count(*), 6) AS dup_rate
         FROM best WHERE rn = 1 GROUP BY sid
+    """,
+    "dedup_time_window": """
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) <= 600
+                      THEN 1 ELSE 0 END AS is_dup
+          FROM events WHERE user_id < 50
+          WINDOW w AS (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(is_dup) AS BIGINT) AS n_dups,
+               CAST(count(*) - sum(is_dup) AS BIGINT) AS n_kept
+        FROM g GROUP BY user_id
     """,
     "token_entropy": """
         WITH tok AS (
