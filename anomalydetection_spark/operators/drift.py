@@ -386,3 +386,71 @@ def manifest_history_drift(
         "zscore",
         "is_anomaly",
     )
+
+
+def verdict_regressions(
+    spark,
+    manifest,
+    v_old: int | None = None,
+    v_new: int | None = None,
+) -> DataFrame:
+    """Per-partition verdict diff between two manifest versions
+    (default: previous vs latest) — the question an on-call asks first
+    when a round fails: WHICH partitions regressed, which recovered,
+    which appeared/vanished, and how the violation counts moved.
+
+    Output (changed partitions only): partition_id, change ∈
+    {regression, recovery, new_partition, missing_partition},
+    old/new verdicts and violation counts, delta_violations. Metadata
+    scale: versions are full snapshots, so this is a join of two
+    partition-count-sized frames regardless of table size."""
+    cur = manifest.current_version()
+    if v_new is None:
+        v_new = cur
+    if v_old is None:
+        v_old = v_new - 1
+    if v_old < 1 or v_new > cur or v_old >= v_new:
+        raise ValueError(
+            f"verdict_regressions: need 1 <= v_old < v_new <= {cur}, "
+            f"got ({v_old}, {v_new})"
+        )
+    h = manifest.history_df(spark)
+    a = h.filter(F.col("version") == v_old).select(
+        "partition_id",
+        F.col("verdict").alias("old_verdict"),
+        F.col("n_violations").alias("old_violations"),
+    )
+    b = h.filter(F.col("version") == v_new).select(
+        "partition_id",
+        F.col("verdict").alias("new_verdict"),
+        F.col("n_violations").alias("new_violations"),
+    )
+    j = a.join(b, "partition_id", "full_outer")
+    change = (
+        F.when(F.col("old_verdict").isNull(), "new_partition")
+        .when(F.col("new_verdict").isNull(), "missing_partition")
+        .when(
+            (F.col("old_verdict") == "pass")
+            & (F.col("new_verdict") == "fail"),
+            "regression",
+        )
+        .when(
+            (F.col("old_verdict") == "fail")
+            & (F.col("new_verdict") == "pass"),
+            "recovery",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change") != "unchanged")
+        .withColumn(
+            "delta_violations",
+            F.coalesce("new_violations", F.lit(0))
+            - F.coalesce("old_violations", F.lit(0)),
+        )
+        .select(
+            "partition_id", "change", "old_verdict", "new_verdict",
+            "old_violations", "new_violations", "delta_violations",
+        )
+    )

@@ -193,3 +193,38 @@ def test_hash_scheme_upgrade_revalidates_explicitly(spark, docs, tmp_path):
     m.commit_validated(records, "r2", "t1")
     assert m.stored_hash_version() != 1
     assert m.pending_partitions(snaps) == []
+
+
+def test_verdict_regressions_between_versions(spark, tmp_path):
+    """v1: p0 pass, p1 fail, p2 pass. v2: p0 fail (regression),
+    p1 pass (recovery), p2 unchanged, p3 appears. The diff reports
+    exactly the changed partitions with violation deltas."""
+    from anomalydetection_spark.operators.drift import verdict_regressions
+    from anomalydetection_spark.sources.manifest import Manifest
+
+    m = Manifest(str(tmp_path / "m"))
+    def rec(pid, verdict, nv):
+        return {
+            "partition_id": pid, "snapshot_hash": f"h{pid}",
+            "n_rows": 100, "n_violations": nv, "verdict": verdict,
+            "metrics": {},
+        }
+    m.commit_validated(
+        [rec(0, "pass", 0), rec(1, "fail", 9), rec(2, "pass", 0)],
+        "r1", "t0",
+    )
+    m.commit_validated(
+        [rec(0, "fail", 4), rec(1, "pass", 0), rec(2, "pass", 0),
+         rec(3, "fail", 7)],
+        "r2", "t1",
+    )
+    rows = {r.partition_id: r for r in
+            verdict_regressions(spark, m).collect()}
+    assert set(rows) == {0, 1, 3}  # p2 unchanged → absent
+    assert rows[0].change == "regression" and rows[0].delta_violations == 4
+    assert rows[1].change == "recovery" and rows[1].delta_violations == -9
+    assert rows[3].change == "new_partition" and rows[3].new_violations == 7
+
+    import pytest
+    with pytest.raises(ValueError, match="need 1 <= v_old"):
+        verdict_regressions(spark, m, v_old=2, v_new=2)
