@@ -403,18 +403,37 @@ def verdict_regressions(
     {regression, recovery, new_partition, missing_partition},
     old/new verdicts and violation counts, delta_violations. Metadata
     scale: versions are full snapshots, so this is a join of two
-    partition-count-sized frames regardless of table size."""
+    partition-count-sized frames regardless of table size.
+
+    Defaults compare the two latest VERDICT-BEARING versions — lease
+    commits also advance the manifest version but carry no verdicts
+    and are skipped. Raises ValueError when fewer than two such
+    versions exist (or explicit versions are inconsistent)."""
     cur = manifest.current_version()
-    if v_new is None:
-        v_new = cur
-    if v_old is None:
-        v_old = v_new - 1
+    h = manifest.history_df(spark).filter(F.col("verdict").isNotNull())
+    if v_new is None or v_old is None:
+        vs = sorted(
+            r.version for r in h.select("version").distinct().collect()
+        )
+        if v_new is None:
+            if not vs:
+                raise ValueError(
+                    "verdict_regressions: no verdict-bearing versions"
+                )
+            v_new = vs[-1]
+        if v_old is None:
+            older = [v for v in vs if v < v_new]
+            if not older:
+                raise ValueError(
+                    "verdict_regressions: need two verdict-bearing "
+                    f"versions, have {vs}"
+                )
+            v_old = older[-1]
     if v_old < 1 or v_new > cur or v_old >= v_new:
         raise ValueError(
             f"verdict_regressions: need 1 <= v_old < v_new <= {cur}, "
             f"got ({v_old}, {v_new})"
         )
-    h = manifest.history_df(spark)
     a = h.filter(F.col("version") == v_old).select(
         "partition_id",
         F.col("verdict").alias("old_verdict"),

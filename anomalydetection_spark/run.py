@@ -86,6 +86,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    "sample, Wilson CI — still reads every file) or "
                    "'partitions' (whole-partition cluster sample, "
                    "partition-pruned IO, cluster-variance CI)")
+    p.add_argument("--diff-last", action="store_true",
+                   help="after the round, report partitions whose "
+                        "verdict changed vs the previous manifest "
+                        "version (regressions/recoveries/new/missing)")
     p.add_argument("--hygiene", action="store_true",
                    help="write a per-partition PII audit of the text "
                         "spans (match counts per class, affected-doc "
@@ -247,6 +251,20 @@ def one_round(spark, args, run_id: str) -> dict:
             docs, res.violations,
             os.path.join(args.out, "quarantine", run_id),
         )
+    regressions = None
+    if args.diff_last and args.manifest_dir:
+        from .operators.drift import verdict_regressions
+        from .sources.manifest import Manifest
+
+        try:
+            regressions = [
+                r.asDict()
+                for r in verdict_regressions(
+                    spark, Manifest(args.manifest_dir)
+                ).collect()
+            ]
+        except ValueError:
+            regressions = None  # fewer than two verdict-bearing versions
     hygiene_out = None
     if args.hygiene:
         from .operators.pii import hygiene_report
@@ -277,6 +295,7 @@ def one_round(spark, args, run_id: str) -> dict:
         "profile": profile_out,
         "hygiene": hygiene_out,
         "contamination": contamination_out,
+        "regressions": regressions,
         "report": report_out,
         "baseline": baseline_action,
         "quarantine": quarantine_out,

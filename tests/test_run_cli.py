@@ -312,3 +312,54 @@ def test_hygiene_and_decontamination_flags(spark, docs_path, catalog, tmp_path):
     cont = spark.read.parquet(s["contamination"])
     assert cont.count() >= 50  # the benchmark docs themselves overlap
     assert cont.filter(F.col("n_matched_grams") <= 0).count() == 0
+
+
+def test_diff_last_flag_plumbing(spark, docs_path, catalog, tmp_path):
+    """--diff-last: second round over a changed snapshot reports the
+    verdict diff vs the previous manifest version (semantics unit-
+    tested in test_manifest; this pins the CLI plumbing + JSON shape)."""
+    from pyspark.sql import functions as F
+
+    cat_path = str(tmp_path / "catalog")
+    catalog.write.mode("overwrite").parquet(cat_path)
+    out = str(tmp_path / "out")
+    mdir = str(tmp_path / "manifest")
+    args = parse_args(
+        [
+            "--docs", docs_path,
+            "--catalog", cat_path,
+            "--manifest-dir", mdir,
+            "--out", out,
+            "--diff-last",
+        ]
+    )
+    s1 = one_round(spark, args, "r1")
+    assert s1["regressions"] is None  # only one version yet
+    # change every partition's snapshot (append one clean doc per
+    # partition) so round 2 revalidates and commits version 2
+    docs = spark.read.parquet(docs_path)
+    extra = docs.groupBy("partition_id").agg(
+        F.first("doc_id").alias("doc_id"), F.first("spans").alias("spans")
+    ).select(
+        F.concat(F.lit("fresh_"), F.col("doc_id")).alias("doc_id"),
+        "partition_id", "spans",
+    )
+    docs2 = str(tmp_path / "docs2")
+    docs.unionByName(extra).write.parquet(docs2)
+    args2 = parse_args(
+        [
+            "--docs", docs2,
+            "--catalog", cat_path,
+            "--manifest-dir", mdir,
+            "--out", out,
+            "--diff-last",
+        ]
+    )
+    s2 = one_round(spark, args2, "r2")
+    assert s2["regressions"] is not None
+    import json as _json
+    _json.dumps(s2)  # summary stays JSON-serializable
+    for r in s2["regressions"]:
+        assert r["change"] in (
+            "regression", "recovery", "new_partition", "missing_partition"
+        )
