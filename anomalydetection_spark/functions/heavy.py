@@ -58,6 +58,23 @@ def mg_merge(summaries, k: int) -> dict:
     return total
 
 
+def mg_fold_counts(ser, vc, k: int):
+    """Fold an exact per-batch count Series ``vc`` (value_counts
+    output) into a running Misra-Gries summary Series ``ser`` of at
+    most ``k`` counters, fully vectorized: index-aligned add, then the
+    mergeable-summaries reduction (keep the top k counts, subtract the
+    (k+1)-th count, evict non-positives). Equivalent to a sequence of
+    MG min-decrements, so est[v] ≥ true[v] − n/(k+1) holds across any
+    fold order (Agarwal et al., Mergeable Summaries)."""
+    ser = vc if ser is None else ser.add(vc, fill_value=0)
+    if len(ser) > k:
+        ser = ser.sort_values(ascending=False, kind="stable")
+        thresh = ser.iloc[k]
+        ser = ser.iloc[:k] - thresh
+        ser = ser[ser > 0]
+    return ser
+
+
 def heavy_hitters(
     df: DataFrame, col: str, k: int = 64, top: int = 20
 ) -> DataFrame:
@@ -69,23 +86,26 @@ def heavy_hitters(
     import pandas as pd
 
     def _partials(batches):
-        counters: dict = {}
+        # Vectorized MG fold: per Arrow batch, count uniques at C speed
+        # (value_counts), then reduce the running summary with the
+        # standard mergeable-summaries step — add counts, keep the top
+        # k, subtract the (k+1)-th count from the survivors (equivalent
+        # to a sequence of min-decrements, so the est ≥ true − n/(k+1)
+        # retention bound is preserved). Python work per batch is
+        # O(uniques log uniques), never O(rows).
+        ser = None
         for pdf in batches:
-            for v in pdf[col].dropna():
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    for key in list(counters):
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            del counters[key]
-        yield pd.DataFrame({"candidate": list(counters.keys())})
+            vc = pdf[col].dropna().value_counts()
+            if not vc.empty:
+                ser = mg_fold_counts(ser, vc, k)
+        yield pd.DataFrame(
+            {"candidate": list(ser.index) if ser is not None else []}
+        )
 
+    col_type = df.schema[col].dataType.simpleString()
     cand_rows = (
         df.select(col)
-        .mapInPandas(_partials, schema="candidate string")
+        .mapInPandas(_partials, schema=f"candidate {col_type}")
         .distinct()
         .collect()
     )
@@ -97,8 +117,8 @@ def heavy_hitters(
         # literals that bloats the query; ship them as a broadcast
         # semi-join instead
         cand_df = df.sparkSession.createDataFrame(
-            [(c,) for c in candidates], f"{col} string"
-        )
+            [(c,) for c in candidates], f"candidate {col_type}"
+        ).withColumnRenamed("candidate", col)
         scoped = df.join(F.broadcast(cand_df), col, "left_semi")
     exact = scoped.groupBy(F.col(col).alias("value")).agg(
         F.count("*").alias("count")

@@ -349,7 +349,11 @@ def lloyd_iteration(
     """
     from .dedup import seed_assign
 
-    a = seed_assign(df, seeds, id_col, vec_col, impl=impl)
+    # rows seed_assign could not place (NULL / wrong-dimension vectors
+    # get seed_id NULL) must not feed a sid=NULL centroid row
+    a = seed_assign(df, seeds, id_col, vec_col, impl=impl).filter(
+        F.col("seed_id").isNotNull()
+    )
     dims = a.select(
         "seed_id", F.posexplode(F.col(vec_col).cast("array<double>"))
     ).toDF("seed_id", "dim", "val")

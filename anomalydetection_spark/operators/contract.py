@@ -129,6 +129,15 @@ def contract_violation_counts(df: DataFrame, contract: Contract) -> DataFrame:
         add("*", f"expr:{name}",
             ~F.coalesce(F.expr(er.expr), F.lit(False)))
 
+    if not keys:
+        # dtype-only contract: no data rules at all — stack(0, ...) is a
+        # ParseException, so return an empty typed frame and let
+        # contract_verdicts emit structural rows only
+        return df.sparkSession.createDataFrame(
+            [],
+            "column string, rule string, n_violations long,"
+            " violation_rate double",
+        )
     one = df.agg(*aggs)
     triples = ", ".join(
         f"'{c}', '{r}', cast(`{c}::{r}` as double)" for c, r in keys

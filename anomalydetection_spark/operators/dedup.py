@@ -20,6 +20,8 @@ here).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -252,6 +254,89 @@ def duplicate_clusters(
     )
 
 
+def write_dedup_split(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col="text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    tokenizer=None,
+    max_bucket_size: int | None = None,
+) -> dict:
+    """End-to-end near-duplicate removal — the pipeline a training-data
+    user actually runs (the reference flags anomalous rows one at a
+    time, /root/reference/database_manager.py:51-58; at corpus scale
+    the decision has to be materialized once, not re-derived per
+    consumer):
+
+        minhash_lsh_pairs → duplicate_clusters → keep-min-id canonical
+        → ONE partitioned write routing kept vs duplicate rows.
+
+    cluster_id is the component's min doc id (duplicate_clusters
+    contract), so the canonical survivor of every cluster is the row
+    with doc_id == cluster_id: exactly one survivor per cluster, and
+    docs in no cluster are kept untouched. The duplicate-id set is the
+    LSH output's node set minus one per cluster — orders of magnitude
+    smaller than the corpus — so it attaches by broadcast when it fits
+    (quarantine.py's size-aware pattern); the kept/duplicate routing is
+    a single ``partitionBy`` write of one corpus scan, never two
+    passes.
+
+    Returns {"kept": path, "duplicates": path, "n_kept", "n_duplicates",
+    "n_clusters", "max_cluster_size", "mean_cluster_size"} — the stats
+    run.py stamps into the manifest.
+    """
+    from ..plans.pipeline import BROADCAST_MAX_ROWS
+
+    # docs with an empty text payload are not near-duplicates of each
+    # other (they'd all collide at Jaccard 1.0 and form one giant
+    # cluster) — exclude them from pairing; they are always kept
+    text_expr = text_col if isinstance(text_col, Column) else F.col(text_col)
+    corpus = docs.filter(F.length(F.trim(text_expr)) > 0)
+    pairs = minhash_lsh_pairs(
+        corpus, id_col, text_col, n_hashes, bands, threshold,
+        tokenizer, max_bucket_size,
+    )
+    clusters = duplicate_clusters(pairs).cache()
+    cstats = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("sz")
+    ).agg(
+        F.count("*").alias("n_clusters"),
+        F.coalesce(F.max("sz"), F.lit(0)).alias("max_sz"),
+        F.coalesce(F.round(F.avg("sz"), 4), F.lit(0.0)).alias("mean_sz"),
+    ).collect()[0]
+    dup_ids = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id").withColumn("__duplicate", F.lit(True))
+    n_dups = dup_ids.count()
+    clusters.unpersist()
+    keys = F.broadcast(dup_ids) if n_dups <= BROADCAST_MAX_ROWS else dup_ids
+    flagged = docs.join(
+        keys.withColumnRenamed("doc_id", id_col), [id_col], "left"
+    ).withColumn("__duplicate", F.coalesce("__duplicate", F.lit(False)))
+    flagged.write.mode("overwrite").partitionBy("__duplicate").parquet(
+        out_dir
+    )
+    spark = docs.sparkSession
+    # partition-dir values read back as strings — normalize before keying
+    counts = {
+        str(r["__duplicate"]).lower() == "true": r["n"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("__duplicate").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "kept": os.path.join(out_dir, "__duplicate=false"),
+        "duplicates": os.path.join(out_dir, "__duplicate=true"),
+        "n_kept": int(counts.get(False, 0)),
+        "n_duplicates": int(counts.get(True, 0)),
+        "n_clusters": int(cstats.n_clusters),
+        "max_cluster_size": int(cstats.max_sz),
+        "mean_cluster_size": float(cstats.mean_sz),
+    }
+
+
 def seed_assign(
     df: DataFrame,
     seeds: DataFrame,
@@ -329,15 +414,25 @@ def seed_assign(
         .withColumn("_v", F.col(vec_col).cast("array<double>"))
         .withColumn("_nv", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
         .withColumn("_best", best)
-        # degenerate-row contract shared with the arrow path: a NULL
-        # vector gets NULL assignment, never an arbitrary struct-max
+        # degenerate-row contract shared with the arrow path: a NULL or
+        # wrong-dimension vector (cos NULL against every seed, since
+        # zip_with pads the short side with NULLs) gets NULL assignment,
+        # never an arbitrary struct-max
         .withColumn(
             "seed_id",
-            F.when(F.col("_v").isNotNull(), F.col("_best")["sid"]),
+            F.when(
+                F.col("_v").isNotNull()
+                & F.col("_best")["cos"].isNotNull(),
+                F.col("_best")["sid"],
+            ),
         )
         .withColumn(
             "seed_cos",
-            F.when(F.col("_v").isNotNull(), F.col("_best")["cos"]),
+            F.when(
+                F.col("_v").isNotNull()
+                & F.col("_best")["cos"].isNotNull(),
+                F.col("_best")["cos"],
+            ),
         )
         .drop("_seeds", "_v", "_nv", "_best")
     )

@@ -98,6 +98,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="documents-schema parquet of an eval/benchmark "
                         "set; writes corpus doc_ids sharing any word "
                         "4-gram of text-span content with it")
+    p.add_argument("--dedup", action="store_true",
+                   help="near-duplicate removal pass: MinHash-LSH pairs -> "
+                        "connected components -> keep-min-id canonical; "
+                        "writes <out>/dedup/<run_id>/__duplicate=false|true "
+                        "and stamps cluster stats into the manifest")
+    p.add_argument("--dedup-threshold", type=float, default=0.8,
+                   help="token-Jaccard threshold for near-dup pairs "
+                        "(default 0.8)")
+    p.add_argument("--dedup-max-bucket", type=int, default=None,
+                   help="drop LSH buckets larger than this before the "
+                        "candidate self-join (hot-bucket skew guard)")
     p.add_argument("--max-violation-exemplars", type=int, default=None,
                    metavar="K",
                    help="cap the violations sink at K exemplar rows per "
@@ -283,6 +294,28 @@ def one_round(spark, args, run_id: str) -> dict:
         contaminated_docs(
             docs, bench, id_col="doc_id", text_col=text_of_spans()
         ).write.mode("overwrite").parquet(contamination_out)
+    dedup_out = None
+    if args.dedup:
+        from .operators.dedup import write_dedup_split
+        from .operators.pii import text_of_spans
+
+        text = F.col("text") if "text" in docs.columns else text_of_spans()
+        dedup_out = write_dedup_split(
+            docs,
+            os.path.join(args.out, "dedup", run_id),
+            text_col=text,
+            threshold=args.dedup_threshold,
+            max_bucket_size=args.dedup_max_bucket,
+        )
+        if args.manifest_dir:
+            from .sources.manifest import Manifest
+
+            Manifest(args.manifest_dir).stamp_stats(
+                "dedup_stats",
+                {k: v for k, v in dedup_out.items()
+                 if k not in ("kept", "duplicates")},
+                run_id,
+            )
     profile_out = None
     if args.profile:
         from .operators.profile import profile_table
@@ -292,6 +325,7 @@ def one_round(spark, args, run_id: str) -> dict:
     n_fail = res.verdicts.filter(F.col("verdict") == "fail").count()
     return {
         "run_id": run_id,
+        "dedup": dedup_out,
         "profile": profile_out,
         "hygiene": hygiene_out,
         "contamination": contamination_out,

@@ -94,26 +94,50 @@ class Manifest:
 
     # ---- writes ----
 
-    def _commit_state(self, state: dict[str, dict], run_id: str) -> int:
+    def _commit_state(
+        self, state: dict[str, dict], run_id: str,
+        extras: dict | None = None,
+    ) -> int:
         v = self.current_version() + 1
         fname = f"v{v}.json"
         tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
+        payload = {
+            "version": v,
+            "run_id": run_id,
+            "hash_version": SNAPSHOT_HASH_VERSION,
+            "partitions": state,
+        }
+        if extras:
+            payload.update(extras)
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": v,
-                    "run_id": run_id,
-                    "hash_version": SNAPSHOT_HASH_VERSION,
-                    "partitions": state,
-                },
-                f,
-            )
+            json.dump(payload, f)
         os.rename(tmp, os.path.join(self.path, fname))
         tmp2 = os.path.join(self.path, f"_tmpcur_{uuid.uuid4().hex}")
         with open(tmp2, "w") as f:
             f.write(fname)
         os.rename(tmp2, os.path.join(self.path, "CURRENT"))
         return v
+
+    def stamp_stats(self, key: str, stats: dict, run_id: str) -> int:
+        """Commit a new manifest version whose partition state is
+        unchanged but which carries ``{key: stats}`` at the top level —
+        e.g. the dedup pipeline's cluster stats. Readable back via
+        ``get_stats``."""
+        return self._commit_state(self.load(), run_id, extras={key: stats})
+
+    def get_stats(self, key: str) -> dict | None:
+        """Latest top-level stats stamped under ``key`` (walks versions
+        newest-first so an intervening validation commit doesn't hide
+        an older stamp)."""
+        for v in range(self.current_version(), 0, -1):
+            p = os.path.join(self.path, f"v{v}.json")
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                doc = json.load(f)
+            if key in doc:
+                return doc[key]
+        return None
 
     def acquire_leases(
         self, partition_ids: list[int], run_id: str, now: str

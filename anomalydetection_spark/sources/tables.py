@@ -19,6 +19,8 @@ in both modes.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 ICEBERG_SOURCE = "iceberg"
@@ -35,13 +37,32 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_DATA_FILE_EXTS = (
+    ".parquet", ".orc", ".avro", ".csv", ".tsv", ".json", ".jsonl",
+    ".txt", ".log",
+)
+
+_IDENT_SEGMENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def is_table_identifier(ref: str) -> bool:
-    """catalog.db.table identifiers vs filesystem/URI paths."""
-    return (
-        "/" not in ref
-        and "\\" not in ref
-        and not ref.startswith(("s3:", "gs:", "abfs:", "hdfs:", "file:"))
-        and "." in ref
+    """catalog.db.table identifiers vs filesystem/URI paths.
+
+    A relative filename like ``data.parquet`` is slash-free and dotted
+    but must NOT route to the catalog reader: require 2-3
+    identifier-shaped dot-separated segments and reject known data-file
+    extensions.
+    """
+    if (
+        "/" in ref
+        or "\\" in ref
+        or ref.startswith(("s3:", "gs:", "abfs:", "hdfs:", "file:"))
+        or ref.lower().endswith(_DATA_FILE_EXTS)
+    ):
+        return False
+    parts = ref.split(".")
+    return 2 <= len(parts) <= 3 and all(
+        _IDENT_SEGMENT.match(p) for p in parts
     )
 
 

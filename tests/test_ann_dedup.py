@@ -349,5 +349,31 @@ def test_seed_assign_null_embedding_both_impls(spark):
         }
         assert out[1][0] == 0, impl
         assert out[2] == (None, None), impl
-        if impl == "arrow":  # wrong dim: null on the GEMM path
-            assert out[3] == (None, None)
+        # wrong dim: NULL on both paths (arrow via the GEMM dim check,
+        # sql via the _best.cos IS NULL gate — zip_with pads the short
+        # side with NULLs, so cos is NULL against every seed)
+        assert out[3] == (None, None), impl
+
+
+def test_lloyd_iteration_skips_unassignable_vectors(spark):
+    """Wrong-dim / NULL vectors (seed_id NULL from seed_assign) must
+    not produce a sid=NULL centroid row or crash refine_ivf_centroids
+    with int(None)."""
+    from anomalydetection_spark.operators.ann import (
+        lloyd_iteration,
+        refine_ivf_centroids,
+    )
+
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "sid long, sv array<double>"
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0, 5.0]),
+         (4, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = lloyd_iteration(vecs, seeds)
+    sids = [r.sid for r in out.collect()]
+    assert sorted(sids) == [0, 1]
+    cent = refine_ivf_centroids(vecs, [[1.0, 0.0], [0.0, 1.0]])
+    assert cent.shape == (2, 2)

@@ -92,6 +92,37 @@ def test_pipeline_contract_integration(spark, docs, catalog):
     assert any(k == "uniqueness" for k in rows)
 
 
+def test_dtype_only_contract_structural_only(spark):
+    """A contract with only structural expectations (dtype-only
+    columns, no data rules) must not crash the agg pass with
+    stack(0, ) — counts come back empty-typed and verdicts carry the
+    structural rows alone."""
+    from anomalydetection_spark.operators.contract import (
+        ColumnRule,
+        Contract,
+        contract_verdicts,
+        contract_violation_counts,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    ok = Contract(columns={
+        "id": ColumnRule(dtype="bigint"),
+        "name": ColumnRule(dtype="string"),
+    })
+    cnt = contract_violation_counts(df, ok)
+    assert cnt.columns == [
+        "column", "rule", "n_violations", "violation_rate"
+    ]
+    assert cnt.count() == 0
+    assert contract_verdicts(df, ok).count() == 0
+
+    bad = Contract(columns={"id": ColumnRule(dtype="string")})
+    rows = contract_verdicts(df, bad).collect()
+    assert len(rows) == 1
+    assert rows[0].check.startswith("schema:")
+    assert rows[0].verdict == "fail"
+
+
 def test_expression_rules_cross_column(spark):
     """Named cross-column SQL rules compile into the same single agg
     pass: violations = rows where the expr is false OR null; budget

@@ -88,7 +88,13 @@ def test_read_table_dispatch(spark, docs_path):
 
     assert not is_table_identifier(docs_path)
     assert is_table_identifier("prod.validation.documents")
+    assert is_table_identifier("db.tbl")
     assert not is_table_identifier("s3://bucket/path")
+    # relative data filenames are slash-free and dotted but must stay
+    # on the parquet reader even when the Iceberg jar is present
+    assert not is_table_identifier("data.parquet")
+    assert not is_table_identifier("logs.2024.csv")
+    assert not is_table_identifier("a.b.c.d")
     assert read_table(spark, docs_path).count() > 0
     assert iceberg_available(spark) is False  # no jar in this sandbox
 
@@ -312,6 +318,72 @@ def test_hygiene_and_decontamination_flags(spark, docs_path, catalog, tmp_path):
     cont = spark.read.parquet(s["contamination"])
     assert cont.count() >= 50  # the benchmark docs themselves overlap
     assert cont.filter(F.col("n_matched_grams") <= 0).count() == 0
+
+
+def test_dedup_flag_round_trip(spark, docs_path, catalog, tmp_path):
+    """--dedup end to end: planted near-dup copies (same span text,
+    fresh doc ids) are routed to the duplicate partition with exactly
+    one survivor per cluster in kept; cluster stats land in the
+    manifest."""
+    from pyspark.sql import functions as F
+
+    from anomalydetection_spark.sources.manifest import Manifest
+
+    docs = spark.read.parquet(docs_path)
+    # plant: verbatim text copies of 12 docs under fresh ids — each
+    # (original, copy) pair is a Jaccard-1.0 near-dup cluster of size 2.
+    # "doc..." < "dupcopy..." lexicographically, so keep-min-id always
+    # keeps the original.
+    originals = (
+        docs.filter(
+            F.expr("CAST(substring(doc_id, 4) AS BIGINT) % 331 = 5")
+            & F.exists(
+                "spans",
+                lambda s: (s["kind"] == "text") & s["text"].isNotNull(),
+            )
+        )
+        .orderBy("doc_id")
+        .limit(12)
+    )
+    copies = originals.withColumn(
+        "doc_id", F.concat(F.lit("dupcopy"), F.col("doc_id"))
+    )
+    planted_ids = [r.doc_id for r in originals.select("doc_id").collect()]
+    assert len(planted_ids) == 12
+    docs3 = str(tmp_path / "docs_neardup")
+    docs.unionByName(copies).write.mode("overwrite").parquet(docs3)
+
+    cat_path = str(tmp_path / "catalog")
+    catalog.write.mode("overwrite").parquet(cat_path)
+    out = str(tmp_path / "out")
+    mdir = str(tmp_path / "manifest")
+    args = parse_args(
+        [
+            "--docs", docs3,
+            "--catalog", cat_path,
+            "--manifest-dir", mdir,
+            "--out", out,
+            "--dedup",
+        ]
+    )
+    s = one_round(spark, args, "r1")
+    d = s["dedup"]
+    assert d["n_clusters"] >= 12
+    assert d["n_duplicates"] >= 12
+    assert d["n_kept"] + d["n_duplicates"] == spark.read.parquet(docs3).count()
+    kept = spark.read.parquet(d["kept"])
+    dups = spark.read.parquet(d["duplicates"])
+    # keep-min-id: every planted original survives, every copy is routed out
+    kept_ids = {r.doc_id for r in kept.select("doc_id").distinct().collect()}
+    dup_ids = {r.doc_id for r in dups.select("doc_id").distinct().collect()}
+    for oid in planted_ids:
+        assert oid in kept_ids, oid
+        assert "dupcopy" + oid in dup_ids, oid
+        assert "dupcopy" + oid not in kept_ids, oid
+    # stats stamped into the manifest and readable back
+    st = Manifest(mdir).get_stats("dedup_stats")
+    assert st is not None and st["n_clusters"] == d["n_clusters"]
+    json.dumps(s)
 
 
 def test_diff_last_flag_plumbing(spark, docs_path, catalog, tmp_path):
