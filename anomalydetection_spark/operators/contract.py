@@ -45,6 +45,28 @@ class ColumnRule:
 
 
 @dataclass(frozen=True)
+class ElementRule:
+    """Per-element expectations for a nested field of an
+    ``array<struct>`` column — the engine's own payload shape
+    (``spans: array<struct>``). Declared under ``Contract.elements``
+    keyed by path ``"array_col.field"`` (e.g. ``"spans.kind"``).
+
+    Violations are counted per ELEMENT via ``size(filter(arr, ...))``
+    inside the SAME single aggregation pass as the row rules — never an
+    explode (an explode would shuffle rows × mean-array-width at
+    corpus scale; this stays one map-side-combinable scan). The
+    violation-rate denominator is the column's total element count
+    (NULL arrays contribute 0), not the row count."""
+
+    nullable: bool = True              # False -> null elements violate
+    max_null_rate: float | None = None
+    allowed: tuple | None = None       # closed value set
+    min_value: float | None = None
+    max_value: float | None = None
+    rlike: str | None = None           # format regex (strings)
+
+
+@dataclass(frozen=True)
 class ExpressionRule:
     """Cross-column row rule: a SQL boolean that must hold per row.
     A row violates when the expression is false OR null (three-valued
@@ -63,6 +85,46 @@ class Contract:
     # named cross-column rules, e.g.
     # {"span_order": ExpressionRule("size(spans) = 0 OR spans[0].offset >= 0")}
     expressions: dict[str, ExpressionRule] = field(default_factory=dict)
+    # per-element rules keyed "array_col.field", e.g.
+    # {"spans.kind": ElementRule(allowed=("text", "image", ...)),
+    #  "spans.text": ElementRule(max_null_rate=0.01)}
+    elements: dict[str, ElementRule] = field(default_factory=dict)
+
+
+def _element_paths(
+    observed: T.StructType, contract: Contract
+) -> tuple[dict[str, tuple[str, str]], list[dict]]:
+    """Validate element-rule paths against the observed schema.
+    Returns (valid: path -> (array_col, field), issues: structural
+    dicts for invalid paths)."""
+    valid: dict[str, tuple[str, str]] = {}
+    issues: list[dict] = []
+    seen = {f.name: f for f in observed.fields}
+
+    def bad(path: str, detail: str) -> None:
+        issues.append({"column": path, "issue": "invalid_element_rule",
+                       "detail": detail})
+
+    for path in contract.elements:
+        if "." not in path:
+            bad(path, "expected 'array_col.field'")
+            continue
+        a, fld = path.split(".", 1)
+        f = seen.get(a)
+        if f is None:
+            bad(path, f"column {a} absent")
+            continue
+        dt = f.dataType
+        if not isinstance(dt, T.ArrayType) or not isinstance(
+            dt.elementType, T.StructType
+        ):
+            bad(path, f"{a} is {dt.simpleString()}, not array<struct>")
+            continue
+        if fld not in dt.elementType.fieldNames():
+            bad(path, f"no field {fld} in {a} elements")
+            continue
+        valid[path] = (a, fld)
+    return valid, issues
 
 
 def schema_diff(observed: T.StructType, contract: Contract) -> list[dict]:
@@ -91,6 +153,7 @@ def schema_diff(observed: T.StructType, contract: Contract) -> list[dict]:
             if name not in contract.columns:
                 issues.append({"column": name, "issue": "unexpected_column",
                                "detail": "table is closed"})
+    issues.extend(_element_paths(observed, contract)[1])
     return issues
 
 
@@ -98,14 +161,15 @@ def contract_violation_counts(df: DataFrame, contract: Contract) -> DataFrame:
     """Data tier: ONE agg pass → long-form (column, rule, n_violations,
     violation_rate). Only rules for columns present in ``df`` compile."""
     present = set(df.columns)
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    keys: list[tuple[str, str]] = []
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    # (column label, rule, denominator agg alias)
+    keys: list[tuple[str, str, str]] = []
 
     def add(c: str, rule: str, cond) -> None:
         aggs.append(
             F.sum(F.when(cond, 1).otherwise(0)).alias(f"{c}::{rule}")
         )
-        keys.append((c, rule))
+        keys.append((c, rule, "__n"))
 
     for c, rule in contract.columns.items():
         if c not in present:
@@ -129,6 +193,65 @@ def contract_violation_counts(df: DataFrame, contract: Contract) -> DataFrame:
         add("*", f"expr:{name}",
             ~F.coalesce(F.expr(er.expr), F.lit(False)))
 
+    # element rules: size(filter(arr, ...)) counting — still the one
+    # agg pass, no explode; invalid paths are structural issues and
+    # skipped here
+    elem_ok, _ = _element_paths(df.schema, contract)
+    denoms: dict[str, str] = {}
+    for path, er in contract.elements.items():
+        if path not in elem_ok:
+            continue
+        a, fld = elem_ok[path]
+        arr = F.col(a)
+        if a not in denoms:
+            alias = f"__elems::{a}"
+            aggs.append(
+                F.sum(
+                    F.when(arr.isNull(), 0).otherwise(F.size(arr))
+                ).cast("double").alias(alias)
+            )
+            denoms[a] = alias
+        label = f"{a}[*].{fld}"
+
+        def eadd(rule: str, cond) -> None:
+            aggs.append(
+                F.sum(
+                    F.when(arr.isNull(), 0).otherwise(
+                        F.size(F.filter(arr, cond))
+                    )
+                ).alias(f"{label}::{rule}")
+            )
+            keys.append((label, rule, denoms[a]))
+
+        # single-parameter lambdas only: pyspark's higher-order-function
+        # bridge derives the SQL lambda arity from the Python signature,
+        # so closure state must come from factories, not default args
+        def _null(f):
+            return lambda s: s[f].isNull()
+
+        def _allowed(f, al):
+            return lambda s: s[f].isNotNull() & ~s[f].isin(*al)
+
+        def _min(f, v):
+            return lambda s: s[f] < F.lit(v)
+
+        def _max(f, v):
+            return lambda s: s[f] > F.lit(v)
+
+        def _rlike(f, rx):
+            return lambda s: s[f].isNotNull() & ~s[f].rlike(rx)
+
+        if not er.nullable or er.max_null_rate is not None:
+            eadd("null", _null(fld))
+        if er.allowed is not None:
+            eadd("allowed", _allowed(fld, er.allowed))
+        if er.min_value is not None:
+            eadd("min_value", _min(fld, er.min_value))
+        if er.max_value is not None:
+            eadd("max_value", _max(fld, er.max_value))
+        if er.rlike is not None:
+            eadd("rlike", _rlike(fld, er.rlike))
+
     if not keys:
         # dtype-only contract: no data rules at all — stack(0, ...) is a
         # ParseException, so return an empty typed frame and let
@@ -139,16 +262,18 @@ def contract_violation_counts(df: DataFrame, contract: Contract) -> DataFrame:
             " violation_rate double",
         )
     one = df.agg(*aggs)
-    triples = ", ".join(
-        f"'{c}', '{r}', cast(`{c}::{r}` as double)" for c, r in keys
+    quads = ", ".join(
+        f"'{c}', '{r}', cast(`{c}::{r}` as double), `{d}`"
+        for c, r, d in keys
     )
     return one.selectExpr(
-        "__n", f"stack({len(keys)}, {triples}) as (column, rule, n_violations)"
+        f"stack({len(keys)}, {quads})"
+        " as (column, rule, n_violations, __denom)"
     ).select(
         "column",
         "rule",
         F.col("n_violations").cast("long").alias("n_violations"),
-        F.round(F.col("n_violations") / F.col("__n"), 6).alias(
+        F.round(F.col("n_violations") / F.col("__denom"), 6).alias(
             "violation_rate"
         ),
     )
@@ -192,14 +317,27 @@ def contract_verdicts(df: DataFrame, contract: Contract) -> DataFrame:
         r = contract.columns[c].max_null_rate
         return r if r is not None else 0.0
 
+    # null-rate budgets: column names for row rules, "a[*].fld" labels
+    # for element rules — no collision between the two key spaces
+    elem_ok, _ = _element_paths(df.schema, contract)
+    budget_entries = [
+        (c, budget(c)) for c in contract.columns
+    ] + [
+        (
+            f"{elem_ok[p][0]}[*].{elem_ok[p][1]}",
+            er.max_null_rate if er.max_null_rate is not None else 0.0,
+        )
+        for p, er in contract.elements.items()
+        if p in elem_ok
+    ]
     # empty create_map() is VOID-keyed (unkeyable) — fall back to a
     # typed null lookup when a rule family is absent
     budget_lookup = (
         F.create_map(
-            *[x for c in contract.columns
-              for x in (F.lit(c), F.lit(budget(c)))]
+            *[x for c, b in budget_entries
+              for x in (F.lit(c), F.lit(b))]
         )[F.col("column")]
-        if contract.columns
+        if budget_entries
         else F.lit(None).cast("double")
     )
     expr_budget_lookup = (
@@ -263,9 +401,17 @@ def contract_from_dict(d: dict) -> Contract:
         )
         for name, er in (d.get("expressions") or {}).items()
     }
-    extra = set(d) - {"columns", "expressions", "closed"}
+    elems = {
+        path: _build(ElementRule, er if isinstance(er, dict) else {})
+        for path, er in (d.get("elements") or {}).items()
+    }
+    for path, er in elems.items():
+        if er.allowed is not None:
+            elems[path] = _replace(er, allowed=tuple(er.allowed))
+    extra = set(d) - {"columns", "expressions", "elements", "closed"}
     if extra:
         raise ValueError(f"unknown Contract keys: {sorted(extra)}")
     return Contract(
-        columns=cols, closed=bool(d.get("closed", False)), expressions=exprs
+        columns=cols, closed=bool(d.get("closed", False)),
+        expressions=exprs, elements=elems,
     )

@@ -368,15 +368,30 @@ def q_schema_contract(spark, sf_dir):
     """Declarative schema-contract validation over events
     (operators/contract.py): structural tier (missing column +
     type mismatch, zero scans) and data tier (null / allowed-set /
-    range / regex rules, ONE agg pass) unioned as verdict rows."""
+    range / regex rules + per-ELEMENT rules over an array<struct>
+    column, ONE agg pass — size(filter(...)), never an explode)
+    unioned as verdict rows."""
     from .operators.contract import (
         ColumnRule,
         Contract,
+        ElementRule,
         ExpressionRule,
         contract_verdicts,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        # deterministic array<struct> payload derived from the flat
+        # table (testdata has no nested columns): 1-3 elements per
+        # event; kind NULL every 5th slot, out-of-set every 3rd
+        "items",
+        F.expr(
+            "transform(sequence(1, 1 + int(event_id % 3)), i -> struct("
+            " CASE WHEN (event_id + i) % 5 = 0 THEN NULL"
+            "      WHEN (event_id + i) % 3 = 0 THEN 'bogus'"
+            "      ELSE 'click' END AS kind,"
+            " value * i AS v))"
+        ),
+    )
     contract = Contract(
         columns={
             "event_id": ColumnRule(dtype="bigint", max_null_rate=0.0),
@@ -396,6 +411,15 @@ def q_schema_contract(spark, sf_dir):
                 "event_type <> 'purchase' OR value > 0",
                 max_violation_rate=0.25,
             ),
+        },
+        elements={
+            # per-element rules: null-rate budget + closed value set on
+            # items[*].kind, non-negative items[*].v
+            "items.kind": ElementRule(
+                max_null_rate=0.25,
+                allowed=("click", "view", "purchase", "signup"),
+            ),
+            "items.v": ElementRule(min_value=0.0),
         },
     )
     return contract_verdicts(ev, contract)
@@ -470,26 +494,12 @@ def _tokens(col="text"):
     return F.array_distinct(F.split(F.lower(F.trim(col)), " "))
 
 
-REPETITION_DROP_THRESHOLD = 0.2
-
-
-def _repetition_ratio(toks):
-    """Duplicated fraction of word 3-grams (1 − distinct/total); 0.0
-    for docs too short to have a 3-gram. Shared by repetition_ratio
-    and quality_filter so the drop rule and the reported signal can
-    never desynchronize (the DISTINCT-gram variant for decontamination
-    lives in operators/decontaminate.py::word_ngrams)."""
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.when(
-        F.size(grams) > 0,
-        1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
-    ).otherwise(F.lit(0.0))
+# canonical definitions live in operators/quality.py (first-class
+# module); these aliases keep the query bodies below unchanged
+from .operators.quality import (  # noqa: E402
+    REPETITION_DROP_THRESHOLD,
+    repetition_ratio as _repetition_ratio,
+)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -711,43 +721,27 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_quality_filter(spark, sf_dir):
-    """The composite pretraining keep/drop decision (C4/Gopher-style):
-    per doc, four independent rules — token count in [20, 2000], token
-    uniqueness ≥ 0.3, mean token length in [2, 12], duplicated-3-gram
-    fraction ≤ 0.2 — rolled up per source as kept count, per-rule
-    violation counts, and keep rate. One narrow pass; all rules are
+    """The composite pretraining keep/drop decision — the FULL
+    Gopher/C4 rule set (operators/quality.py::quality_flags): token
+    count band, token uniqueness, mean token length band,
+    duplicated-3-gram fraction, '#'/ellipsis symbol-to-word ratios,
+    bullet-line and ellipsis-line fractions, and the ≥2-of-8 common-
+    word stopword gate — rolled up per source as kept count, per-rule
+    violation counts, and keep rate. One narrow pass; every rule is
     row-local array math inside codegen."""
+    from .operators.quality import quality_flags
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), " ")
-    n = F.size(toks)
-    uniq = F.size(F.array_distinct(toks)) / n
-    mean_len = (
-        F.aggregate(
-            toks, F.lit(0.0), lambda s, t: s + F.length(t)
-        )
-        / n
-    )
-    rep = _repetition_ratio(toks)
-    rules = {
-        "bad_len": ~n.between(20, 2000),
-        "bad_uniq": uniq < 0.3,
-        "bad_tok_len": ~mean_len.between(2.0, 12.0),
-        "bad_rep": rep > REPETITION_DROP_THRESHOLD,
-    }
+    rules = quality_flags("text")
+    names = list(rules)
     rows = d.select(
         "source", *[v.cast("int").alias(k) for k, v in rules.items()]
     )
-    kept = (
-        (F.col("bad_len") + F.col("bad_uniq")
-         + F.col("bad_tok_len") + F.col("bad_rep")) == 0
-    )
+    kept = sum((F.col(k) for k in names[1:]), F.col(names[0])) == 0
     return rows.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(kept.cast("int")).cast("long").alias("n_kept"),
-        *[
-            F.sum(k).cast("long").alias(k)
-            for k in ("bad_len", "bad_uniq", "bad_tok_len", "bad_rep")
-        ],
+        *[F.sum(k).cast("long").alias(k) for k in names],
         F.round(F.sum(kept.cast("int")) / F.count("*"), 6).alias(
             "keep_rate"
         ),
@@ -2418,7 +2412,7 @@ ORACLES: dict[str, str] = {
     """,
     "quality_filter": """
         WITH t AS (
-          SELECT doc_id, source,
+          SELECT doc_id, source, text,
                  string_split(lower(trim(text)), ' ') AS toks
           FROM documents
         ), g AS (
@@ -2431,6 +2425,8 @@ ORACLES: dict[str, str] = {
           GROUP BY doc_id
         ), m AS (
           SELECT t.source,
+                 t.text,
+                 t.toks,
                  len(t.toks) AS n,
                  len(list_distinct(t.toks)) * 1.0 / len(t.toks) AS uniq,
                  list_aggregate(list_transform(t.toks,
@@ -2438,7 +2434,8 @@ ORACLES: dict[str, str] = {
                    AS mean_len,
                  CASE WHEN g.n_grams > 0
                       THEN 1.0 - g.n_distinct * 1.0 / g.n_grams
-                      ELSE 0.0 END AS rep
+                      ELSE 0.0 END AS rep,
+                 string_split(t.text, chr(10)) AS lines
           FROM t LEFT JOIN g USING (doc_id)
         ), f AS (
           SELECT source,
@@ -2447,20 +2444,54 @@ ORACLES: dict[str, str] = {
                  CASE WHEN uniq < 0.3 THEN 1 ELSE 0 END AS bad_uniq,
                  CASE WHEN mean_len BETWEEN 2.0 AND 12.0 THEN 0 ELSE 1 END
                    AS bad_tok_len,
-                 CASE WHEN rep > 0.2 THEN 1 ELSE 0 END AS bad_rep
+                 CASE WHEN rep > 0.2 THEN 1 ELSE 0 END AS bad_rep,
+                 CASE WHEN
+                   (length(text) - length(replace(text, '#', '')))
+                     * 1.0 / n > 0.1
+                   OR ((length(text) - length(replace(text, '...', '')))
+                         / 3.0
+                       + (length(text) - length(replace(text, '…', ''))))
+                     * 1.0 / n > 0.1
+                 THEN 1 ELSE 0 END AS bad_symbol,
+                 CASE WHEN
+                   len(list_filter(lines, l ->
+                     starts_with(ltrim(l), '-')
+                     OR starts_with(ltrim(l), '*')
+                     OR starts_with(ltrim(l), '•')))
+                     * 1.0 / len(lines) > 0.9
+                 THEN 1 ELSE 0 END AS bad_bullet,
+                 CASE WHEN
+                   len(list_filter(lines, l ->
+                     ends_with(rtrim(l), '...')
+                     OR ends_with(rtrim(l), '…')))
+                     * 1.0 / len(lines) > 0.3
+                 THEN 1 ELSE 0 END AS bad_ellipsis,
+                 CASE WHEN
+                   len(list_filter(
+                     ['the','be','to','of','and','that','have','with'],
+                     s -> list_contains(toks, s))) < 2
+                 THEN 1 ELSE 0 END AS bad_stopword
           FROM m
         )
         SELECT source,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(CASE WHEN bad_len + bad_uniq + bad_tok_len
-                             + bad_rep = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                             + bad_rep + bad_symbol + bad_bullet
+                             + bad_ellipsis + bad_stopword = 0
+                        THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_kept,
                CAST(sum(bad_len) AS BIGINT) AS bad_len,
                CAST(sum(bad_uniq) AS BIGINT) AS bad_uniq,
                CAST(sum(bad_tok_len) AS BIGINT) AS bad_tok_len,
                CAST(sum(bad_rep) AS BIGINT) AS bad_rep,
+               CAST(sum(bad_symbol) AS BIGINT) AS bad_symbol,
+               CAST(sum(bad_bullet) AS BIGINT) AS bad_bullet,
+               CAST(sum(bad_ellipsis) AS BIGINT) AS bad_ellipsis,
+               CAST(sum(bad_stopword) AS BIGINT) AS bad_stopword,
                round(sum(CASE WHEN bad_len + bad_uniq + bad_tok_len
-                              + bad_rep = 0 THEN 1 ELSE 0 END) * 1.0
+                              + bad_rep + bad_symbol + bad_bullet
+                              + bad_ellipsis + bad_stopword = 0
+                         THEN 1 ELSE 0 END) * 1.0
                      / count(*), 6) AS keep_rate
         FROM f GROUP BY source
     """,
@@ -2798,7 +2829,51 @@ ORACLES: dict[str, str] = {
         FROM j
     """,
     "schema_contract": """
-        WITH n AS (SELECT count(*)::DOUBLE AS total FROM events)
+        WITH n AS (SELECT count(*)::DOUBLE AS total FROM events),
+        it AS (
+          SELECT list_transform(
+                   range(1, 2 + CAST(event_id % 3 AS BIGINT)),
+                   i -> struct_pack(
+                     kind := CASE WHEN (event_id + i) % 5 = 0 THEN NULL
+                                  WHEN (event_id + i) % 3 = 0 THEN 'bogus'
+                                  ELSE 'click' END,
+                     v := value * i)) AS items
+          FROM events
+        ),
+        e2 AS (
+          SELECT
+            CASE WHEN items IS NULL THEN 0 ELSE len(items) END AS n_el,
+            CASE WHEN items IS NULL THEN 0 ELSE
+              len(list_filter(items, s -> s.kind IS NULL)) END AS k_null,
+            CASE WHEN items IS NULL THEN 0 ELSE
+              len(list_filter(items, s -> s.kind IS NOT NULL AND s.kind
+                NOT IN ('click','view','purchase','signup'))) END AS k_bad,
+            CASE WHEN items IS NULL THEN 0 ELSE
+              len(list_filter(items, s -> s.v < 0.0)) END AS v_neg
+          FROM it
+        )
+        SELECT 'rule:null' AS check, 'items[*].kind' AS "column",
+               CAST(sum(k_null) AS BIGINT) AS n_violations,
+               round(sum(k_null) * 1.0 / sum(n_el), 6) AS violation_rate,
+               CASE WHEN round(sum(k_null) * 1.0 / sum(n_el), 6) <= 0.25
+                    THEN 'pass' ELSE 'fail' END AS verdict,
+               CAST(NULL AS VARCHAR) AS detail
+        FROM e2
+        UNION ALL
+        SELECT 'rule:allowed', 'items[*].kind',
+               CAST(sum(k_bad) AS BIGINT),
+               round(sum(k_bad) * 1.0 / sum(n_el), 6),
+               CASE WHEN sum(k_bad) = 0 THEN 'pass' ELSE 'fail' END,
+               NULL
+        FROM e2
+        UNION ALL
+        SELECT 'rule:min_value', 'items[*].v',
+               CAST(sum(v_neg) AS BIGINT),
+               round(sum(v_neg) * 1.0 / sum(n_el), 6),
+               CASE WHEN sum(v_neg) = 0 THEN 'pass' ELSE 'fail' END,
+               NULL
+        FROM e2
+        UNION ALL
         SELECT 'schema:missing_column' AS check, 'session_id' AS "column",
                CAST(NULL AS BIGINT) AS n_violations,
                CAST(NULL AS DOUBLE) AS violation_rate,

@@ -123,6 +123,66 @@ def test_dtype_only_contract_structural_only(spark):
     assert rows[0].verdict == "fail"
 
 
+def test_element_rules_nested_spans(spark):
+    """Per-element rules over array<struct> (the engine's own spans
+    payload): counted per element in the same single agg pass, rate
+    denominator = total elements (NULL arrays contribute 0); budget /
+    strict verdict branches and invalid-path structural fallback all
+    pinned."""
+    from anomalydetection_spark.operators.contract import (
+        contract_from_dict,
+        contract_verdicts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [("text", "hi", 0), ("image", None, 5)]),
+            (2, [("bogus", None, -1)]),
+            (3, None),
+            (4, []),
+        ],
+        "id bigint,"
+        " spans array<struct<kind string, text string, offset int>>",
+    )
+    c = contract_from_dict({
+        "elements": {
+            "spans.kind": {
+                "allowed": ["text", "image", "audio", "video"],
+            },
+            # 2 of 3 elements have null text -> 0.667 > 0.5 budget
+            "spans.text": {"max_null_rate": 0.5},
+            # offsets must be >= 0; one planted -1
+            "spans.offset": {"min_value": 0},
+            # invalid paths -> structural failures, not crashes
+            "spans.nope": {"max_null_rate": 0},
+            "id.x": {"max_null_rate": 0},
+        },
+    })
+    rows = {
+        (r.check, r.column): r
+        for r in contract_verdicts(df, c).collect()
+    }
+    allowed = rows[("rule:allowed", "spans[*].kind")]
+    assert allowed.n_violations == 1
+    assert abs(allowed.violation_rate - round(1 / 3, 6)) < 1e-9
+    assert allowed.verdict == "fail"
+    nulls = rows[("rule:null", "spans[*].text")]
+    assert nulls.n_violations == 2 and nulls.verdict == "fail"
+    off = rows[("rule:min_value", "spans[*].offset")]
+    assert off.n_violations == 1 and off.verdict == "fail"
+    assert rows[("schema:invalid_element_rule", "spans.nope")].verdict == "fail"
+    assert rows[("schema:invalid_element_rule", "id.x")].verdict == "fail"
+
+    # budget pass branch: raise the text budget above the observed rate
+    c2 = contract_from_dict(
+        {"elements": {"spans.text": {"max_null_rate": 0.7}}}
+    )
+    r2 = {
+        (r.check, r.column): r for r in contract_verdicts(df, c2).collect()
+    }
+    assert r2[("rule:null", "spans[*].text")].verdict == "pass"
+
+
 def test_expression_rules_cross_column(spark):
     """Named cross-column SQL rules compile into the same single agg
     pass: violations = rows where the expr is false OR null; budget
