@@ -37,6 +37,79 @@ def test_multi_table_recall_amplification(spark):
     assert r[(16, 4)] >= 0.9, r
 
 
+def test_lsh_recall_vs_formula_table(spark):
+    """The (bits, tables) tuning formula in ann.py's docstring is
+    EVIDENCE, not prose: for each config, measured recall@3 on sf0.1
+    tracks the per-pair prediction mean(1 − (1 − p^b)^L) with
+    p = 1 − θ/π, and recall is monotone in L (OR-amplification) and
+    antitone in b (stricter buckets). Also emits the measured
+    recall / scan-fraction table the README points at.
+
+    (b=8, L=16 is NOT in the grid: axis-aligned tables need
+    n_tables × bits ≤ dim = 64.)"""
+    import math
+
+    import numpy as np
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_exact(e, q, k=3)
+    pairs = exact.collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in pairs}
+
+    # scan fraction per config, computed from the actual bucketing
+    emb = np.array(
+        [r.embedding for r in e.select("embedding").collect()]
+    )
+    qids = sorted({r.query_id for r in pairs})
+    vid = [r.vec_id for r in e.select("vec_id").collect()]
+    qidx = [vid.index(i) for i in qids]
+    n = emb.shape[0]
+
+    def scan_fraction(b, L):
+        signs = emb > 0
+        cand = np.zeros((len(qidx), n), dtype=bool)
+        for t in range(L):
+            sl = signs[:, t * b:(t + 1) * b]
+            codes = sl.dot(1 << np.arange(b))
+            cand |= codes[qidx][:, None] == codes[None, :]
+        return cand.sum() / (len(qidx) * n)
+
+    table = {}
+    for b, L in ((4, 4), (4, 16), (8, 4), (8, 8)):
+        got = _topk_pairs(
+            ann_lsh_topk(e, q, k=3, n_tables=L, bits_per_table=b)
+        )
+        recall = len(got & exact_set) / len(exact_set)
+        pred = float(
+            np.mean(
+                [
+                    1.0
+                    - (1.0 - (1.0 - math.acos(
+                        max(-1.0, min(1.0, r.cos_sim))) / math.pi) ** b)
+                    ** L
+                    for r in pairs
+                ]
+            )
+        )
+        table[(b, L)] = (recall, pred, scan_fraction(b, L))
+
+    print("\n  b   L   recall  predicted  scan_frac")
+    for (b, L), (rec, pred, sf) in sorted(table.items()):
+        print(f"  {b}  {L:>2}   {rec:.3f}   {pred:.3f}      {sf:.3f}")
+
+    for (b, L), (rec, pred, _) in table.items():
+        # axis-aligned signs on this synthetic corpus track the random-
+        # hyperplane formula within a wide-but-meaningful band
+        assert abs(rec - pred) <= 0.2, (b, L, rec, pred)
+    # monotone in L at fixed b; antitone in b at fixed L
+    assert table[(4, 16)][0] >= table[(4, 4)][0]
+    assert table[(8, 8)][0] >= table[(8, 4)][0]
+    assert table[(4, 4)][0] >= table[(8, 4)][0]
+    # more tables buy recall with more scan: the cost side is real too
+    assert table[(4, 16)][2] >= table[(4, 4)][2]
+
+
 def test_ivf_recall_at_bounded_scan(spark):
     """IVF (64 cells, 8 probes ≈ 12.5% scan) beats same-cost LSH on
     this diffuse corpus: recall@3 ≥ 0.55 (0.62 measured in the numpy

@@ -219,6 +219,136 @@ def test_stream_violations_sink_and_exemplar_cap(spark, docs, catalog, tmp_path)
     assert verdict_counts(out_cap) == verdict_counts(out_full)
 
 
+def test_windowed_event_time_drift_watermark_bounds_late_rows(
+    spark, tmp_path
+):
+    """Event-time windowed drift (windowed_event_time_drift): a window
+    is finalized ONCE when the watermark passes its end, a row arriving
+    later than the watermark is dropped (bounded state), and the
+    finalized window's scores equal the batch path's drift_verdicts on
+    the on-time rows alone."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from anomalydetection_spark.operators import drift as drift_ops
+    from anomalydetection_spark.operators import stats as stats_ops
+    from anomalydetection_spark.streaming.incremental import (
+        windowed_event_time_drift,
+    )
+
+    span_t = ("array<struct<kind string, text string, media_ref string,"
+              " offset int>>")
+    schema = f"doc_id string, spans {span_t}, partition_id int," \
+             " event_ts timestamp"
+
+    def doc(i, ts, kind="text", textlen=24):
+        return (
+            f"d{i}",
+            [(kind, "x" * textlen if kind == "text" else None,
+              None if kind == "text" else "m1", 0)],
+            0,
+            ts,
+        )
+
+    from datetime import datetime
+
+    T0 = datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(h, m):
+        return T0.replace(hour=h, minute=m)
+
+    # batch 0: W1=[10:00,11:00) on-time rows
+    f1 = [doc(i, at(10, 5 + i), textlen=16 + 8 * i) for i in range(4)]
+    # batch 1: W2 rows at 12:30 -> watermark will pass 11:00
+    f2 = [doc(10 + i, at(12, 30)) for i in range(2)]
+    # batch 2: 13:30 row -> W1 is finalized in this batch (eviction
+    # watermark 12:20 >= 11:00)
+    f3 = [doc(20, at(13, 30))]
+    # batch 3: a LATE W1 row (10:15 image, far older than the 12:20
+    # input watermark) — must be DROPPED, never re-opening W1 state —
+    # plus a 15:00 row that closes W2
+    f4 = [doc(99, at(10, 15), kind="image"), doc(30, at(15, 0))]
+
+    inp = str(tmp_path / "in")
+    import os as _os
+
+    _os.makedirs(inp, exist_ok=True)
+    for n, rows in enumerate([f1, f2, f3, f4]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"stage{n}"))
+        import shutil
+
+        for fn in _os.listdir(str(tmp_path / f"stage{n}")):
+            if fn.endswith(".parquet"):
+                shutil.copy(
+                    str(tmp_path / f"stage{n}" / fn), f"{inp}/f{n}.parquet"
+                )
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    # baseline: uniform histogram over the same bucket grid
+    baseline = spark.createDataFrame(
+        [("text", b, 10) for b in range(8)]
+        + [("image", 0, 10)],
+        "kind string, bucket int, count long",
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = str(tmp_path / "drift_out")
+    q = windowed_event_time_drift(
+        spark,
+        stream,
+        baseline,
+        out,
+        str(tmp_path / "ckpt_wm"),
+        ts_col="event_ts",
+        watermark="10 minutes",
+        window="1 hour",
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    w1 = got.filter(F.col("window_start") == at(10, 0)).collect()
+    # W1 finalized EXACTLY ONCE (one batch_id, one row per check): the
+    # late 10:15 image row arriving after finalization was dropped by
+    # the watermark — had it re-opened W1 state, a second W1 emission
+    # (image-skewed scores, later batch_id) would appear here
+    assert w1, "W1 window never finalized"
+    assert len({r.batch_id for r in w1}) == 1
+    checks = sorted(r.check for r in w1)
+    assert len(checks) == len(set(checks))
+    # scores equal the batch path's drift_verdicts over the ON-TIME
+    # rows alone (image rows appear via the baseline side of the
+    # full-outer share join in BOTH paths, with identical scores)
+    ontime = spark.createDataFrame(f1, schema)
+    expected = {
+        r.check: r.score
+        for r in drift_ops.drift_verdicts(
+            stats_ops.length_histogram(ontime),
+            baseline,
+            keys=["kind"],
+            psi_threshold=0.25,
+            ks_threshold=0.2,
+            check_prefix="drift_len_win",
+        ).collect()
+    }
+    len_checks = [r for r in w1 if r.check.startswith("drift_len_win")]
+    assert sorted(r.check for r in len_checks) == sorted(expected)
+    for r in len_checks:
+        assert abs(r.score - expected[r.check]) < 1e-9, r
+    # kind-mix rows present for W1
+    assert {r.check for r in w1} >= {
+        "drift_kind_win_psi_mix", "drift_kind_win_ks_mix"
+    }
+    # W2 finalized exactly once as well
+    w2 = got.filter(F.col("window_start") == at(12, 0)).collect()
+    assert w2 and len({r.batch_id for r in w2}) == 1
+
+
 def test_stateful_cross_batch_dups(spark, tmp_path):
     """Per-bucket Bloom state carried across micro-batches: keys
     repeated from an earlier batch are flagged probable_prior, repeats
