@@ -95,3 +95,52 @@ def contaminated_docs(
     return grams.join(bench, "gram").groupBy(id_col).agg(
         F.count("*").alias("n_matched_grams")
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col="text",
+    n: int = 4,
+) -> DataFrame:
+    """Cross-split leakage matrix: for every ordered pair of sources,
+    how many distinct word n-grams they share and what fraction of the
+    left source's gram set that is — the sweep a corpus owner runs
+    before trusting train/eval splits drawn from different sources
+    (the pairwise generalization of ``contaminated_docs``' one-vs-
+    benchmark check).
+
+    Scale shape: ONE distinct (source, gram) reduction, then a
+    groupBy(gram) → collect_set(source) whose arrays are bounded by
+    the number of sources (handfuls, never rows), exploded to ordered
+    pairs and counted — no gram-keyed self-join, so the shuffle is the
+    distinct + one bounded-array aggregation however large the corpus.
+    Output: (source_a, source_b, n_shared, n_grams_a, overlap_frac);
+    pairs sharing zero grams are absent.
+    """
+    tc = F.col(text_col) if isinstance(text_col, str) else text_col
+    g = docs.select(
+        F.col(group_col).alias("src"),
+        F.explode(word_ngrams(tc, n)).alias("gram"),
+    ).distinct()
+    per = g.groupBy("src").agg(F.count("*").alias("n_grams_a"))
+    pairs = (
+        g.groupBy("gram")
+        .agg(F.collect_set("src").alias("ss"))
+        .select(F.explode("ss").alias("source_a"), "ss")
+        .select("source_a", F.explode("ss").alias("source_b"))
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return pairs.join(
+        per.withColumnRenamed("src", "source_a"), "source_a"
+    ).select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        F.col("n_grams_a").cast("long").alias("n_grams_a"),
+        F.round(F.col("n_shared") / F.col("n_grams_a"), 6).alias(
+            "overlap_frac"
+        ),
+    )

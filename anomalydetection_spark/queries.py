@@ -682,6 +682,46 @@ def q_windowed_kind_drift(spark, sf_dir):
     )
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-split leakage matrix (operators/decontaminate.py::
+    source_overlap): distinct shared word-4-grams per ordered source
+    pair and the fraction of the left source's gram set they cover —
+    the pre-split hygiene sweep. Bounded doc slice keeps the oracle's
+    all-gram self-join affordable; the Spark path's collect_set shape
+    never self-joins on gram."""
+    from .operators.decontaminate import source_overlap
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return source_overlap(d, "source", "text", n=4)
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Embedding-column hygiene profile: one agg pass over the vectors
+    giving count, dimension consistency bounds, exact interpolated
+    norm percentiles (Spark percentile ≡ DuckDB quantile_cont), mean
+    norm, and zero-vector count — the preflight a similarity-search
+    index build runs before trusting an embedding table."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x)
+    )
+    d = e.select(F.size("embedding").alias("dim"), norm.alias("norm"))
+    return d.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.round(F.expr("percentile(norm, 0.5D)"), 6).alias("norm_p50"),
+        F.round(F.expr("percentile(norm, 0.9D)"), 6).alias("norm_p90"),
+        F.round(F.avg("norm"), 6).alias("norm_mean"),
+        F.sum((F.col("norm") < 1e-12).cast("int")).cast("long").alias(
+            "n_zero"
+        ),
+    )
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     """16-bit SimHash per doc (doc_id < 100): per-bit ±1 vote over
     md5-hashed distinct tokens, fingerprint = Σ 2^j·[vote_j > 0]."""
@@ -2037,6 +2077,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors": q_dedup_survivors,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "windowed_kind_drift": q_windowed_kind_drift,
+    "source_overlap": q_source_overlap,
+    "embedding_stats": q_embedding_stats,
     "dedup_clusters": q_dedup_clusters,
     "drift_wasserstein": q_drift_wasserstein,
     "table_profile": q_table_profile,
@@ -3723,6 +3765,50 @@ ORACLES["dedup_survivors"] = f"""
            CAST(count(*) AS BIGINT) AS cluster_size,
            CAST(count(*) - 1 AS BIGINT) AS n_dropped
     FROM comp GROUP BY cluster_id
+"""
+
+ORACLES["source_overlap"] = """
+    WITH t AS (
+      SELECT source,
+             string_split(lower(trim(text)), ' ') AS toks
+      FROM documents WHERE doc_id < 300
+    ), g AS (
+      SELECT DISTINCT source,
+             array_to_string(toks[i:i+3], ' ') AS gram
+      FROM t, unnest(range(1, len(toks) - 2)) AS r(i)
+      WHERE len(toks) >= 4
+    ), per AS (
+      SELECT source, count(*) AS n_grams FROM g GROUP BY 1
+    ), sh AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source <> b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(p.n_grams AS BIGINT) AS n_grams_a,
+           round(n_shared * 1.0 / p.n_grams, 6) AS overlap_frac
+    FROM sh JOIN per p ON p.source = sh.source_a
+"""
+
+ORACLES["embedding_stats"] = """
+    WITH d AS (
+      SELECT len(embedding) AS dim,
+             sqrt(list_aggregate(list_transform(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               x -> x * x), 'sum')) AS norm
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(dim) AS INT) AS dim_min,
+           CAST(max(dim) AS INT) AS dim_max,
+           round(quantile_cont(norm, 0.5), 6) AS norm_p50,
+           round(quantile_cont(norm, 0.9), 6) AS norm_p90,
+           round(avg(norm), 6) AS norm_mean,
+           CAST(sum(CASE WHEN norm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero
+    FROM d
 """
 
 ORACLES["minhash_jaccard_estimate"] = """

@@ -63,3 +63,34 @@ def test_broadcast_hint_reaches_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_source_overlap_matrix(spark):
+    """Planted cross-source leakage: sources A and B share one 4-gram
+    sentence, C shares nothing. The matrix reports the (A,B)/(B,A)
+    pair with symmetric shared counts and per-left-source fractions;
+    C appears in no pair."""
+    from anomalydetection_spark.operators.decontaminate import (
+        source_overlap,
+    )
+
+    shared = "alpha beta gamma delta"
+    rows = [
+        ("A", shared + " one two three"),
+        ("A", "completely different words here now"),
+        ("B", shared + " nine ten"),
+        ("C", "nothing in common with anyone at all"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap(df, "source", "text", n=4).collect()
+    }
+    assert set(out) == {("A", "B"), ("B", "A")}
+    ab, ba = out[("A", "B")], out[("B", "A")]
+    assert ab.n_shared == ba.n_shared == 1  # exactly the planted gram
+    # fraction denominators are per LEFT source
+    assert ab.n_grams_a > ba.n_grams_a  # A has more distinct grams
+    # overlap_frac is rounded to 6dp by the operator
+    assert ab.overlap_frac == round(1.0 / ab.n_grams_a, 6)
+    assert ba.overlap_frac == round(1.0 / ba.n_grams_a, 6)
