@@ -700,7 +700,13 @@ def q_embedding_stats(spark, sf_dir):
     giving count, dimension consistency bounds, exact interpolated
     norm percentiles (Spark percentile ≡ DuckDB quantile_cont), mean
     norm, and zero-vector count — the preflight a similarity-search
-    index build runs before trusting an embedding table."""
+    index build runs before trusting an embedding table.
+
+    Exact percentile buffers norm values per partition
+    (ObjectHashAggregate) — the right trade for a cross-engine-exact
+    profile; at 100 TB swap in the catalog's mergeable t-digest
+    (functions/tdigest.py, tolerance-band oracle) for the quantile
+    columns."""
     e = _t(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )

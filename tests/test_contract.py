@@ -211,3 +211,35 @@ def test_expression_rules_cross_column(spark):
     assert budget.n_violations == 2 and budget.verdict == "pass"  # 0.4 <= 0.5
     invalid = rows["schema:invalid_expression/bad"]
     assert invalid.verdict == "fail" and invalid.detail
+
+
+def test_example_contract_config_parses_and_runs(spark):
+    """examples/contract.json (the README's documented surface) parses
+    through the same path as --config and validates the fixture docs
+    schema without structural failures on the declared columns."""
+    import json
+    import os
+
+    from anomalydetection_spark.config import config_from_dict
+    from anomalydetection_spark.operators.contract import (
+        contract_from_dict,
+        contract_verdicts,
+    )
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "contract.json",
+    )
+    with open(path) as f:
+        d = json.load(f)
+    config_from_dict(d["validation"])  # must not raise
+    c = contract_from_dict(d["contract"])
+    assert set(c.elements) == {"spans.kind", "spans.offset", "spans.text"}
+    df = spark.createDataFrame(
+        [("d1", [("text", "hello", None, 0)], 0)],
+        "doc_id string,"
+        " spans array<struct<kind string, text string,"
+        " media_ref string, offset int>>, partition_id int",
+    )
+    rows = contract_verdicts(df, c).collect()
+    assert all(not r.check.startswith("schema:") for r in rows), rows

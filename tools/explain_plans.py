@@ -42,6 +42,11 @@ HEADLINE = [
     "decontamination",
     "pii_scan",
     "asof_join_events",
+    "quality_filter",
+    "schema_contract",
+    "source_overlap",
+    "windowed_kind_drift",
+    "embedding_stats",
     "range_join_events",
     "stratified_sample",
     "quality_filter",
