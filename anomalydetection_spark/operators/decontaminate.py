@@ -144,3 +144,45 @@ def source_overlap(
             "overlap_frac"
         ),
     )
+
+
+def contaminated_docs_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """The documented degradation path, working: when the benchmark
+    gram set is too large to broadcast OR the corpus side is too
+    expensive to shuffle on gram, probe a Bloom filter built over the
+    benchmark grams (functions/bloom.py — treeAggregate-merged,
+    broadcast once per executor) instead of joining at all.
+
+    The fpp becomes an over-flagging rate, which decontamination
+    tolerates by construction: dropping a clean doc costs one doc,
+    keeping a contaminated one poisons an eval. Output matches
+    ``contaminated_docs`` (id, n_matched_grams) but n_matched_grams
+    counts BLOOM hits (>= the true count; exact path is the
+    verification tier — containment pinned in tests).
+
+    Scale shape: the corpus side never shuffles — grams explode,
+    probe row-locally inside the scan, and the per-doc count is a
+    map-side-combinable groupBy on the doc id."""
+    from ..functions.bloom import build_bloom, might_contain_udf
+
+    bench = benchmark_grams(benchmark, text_col, n)
+    n_grams = bench.count()
+    bits, k, m = build_bloom(bench, "gram", n_grams, fpp)
+    probe = might_contain_udf(corpus.sparkSession, bits, k, m)
+    tc = F.col(text_col) if isinstance(text_col, str) else text_col
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_ngrams(tc, n)).alias("gram"),
+    )
+    return (
+        grams.filter(probe(F.col("gram")))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched_grams"))
+    )

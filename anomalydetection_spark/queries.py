@@ -682,6 +682,48 @@ def q_windowed_kind_drift(spark, sf_dir):
     )
 
 
+def q_duplicated_text_fraction(spark, sf_dir):
+    """Cross-document duplicated-text fraction (the metric of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): per source, what fraction of documents' distinct word
+    8-grams also appear in at least one OTHER document — the corpus-
+    level signal that exact-substring dedup would act on.
+
+    Scale shape: distinct (doc_id, gram) → gram-keyed count of
+    distinct docs (one shuffle, map-side combinable) → broadcast-free
+    join back on gram → per-doc then per-source rollup. No pair
+    materialization anywhere."""
+    from .operators.decontaminate import word_ngrams
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    g = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_ngrams(F.col("text"), 8)).alias("gram"),
+    ).distinct()  # planted duplicate doc_ids: one gram set per doc id
+    gcount = g.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_gram")
+    )
+    per_doc = (
+        g.join(gcount, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("n_docs_with_gram") >= 2).cast("int")
+            ).alias("n_dup_grams"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("n_grams"),
+        F.sum("n_dup_grams").cast("long").alias("n_dup_grams"),
+        F.round(F.sum("n_dup_grams") / F.sum("n_grams"), 6).alias(
+            "dup_fraction"
+        ),
+    )
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-split leakage matrix (operators/decontaminate.py::
     source_overlap): distinct shared word-4-grams per ordered source
@@ -2085,6 +2127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_kind_drift": q_windowed_kind_drift,
     "source_overlap": q_source_overlap,
     "embedding_stats": q_embedding_stats,
+    "duplicated_text_fraction": q_duplicated_text_fraction,
     "dedup_clusters": q_dedup_clusters,
     "drift_wasserstein": q_drift_wasserstein,
     "table_profile": q_table_profile,
@@ -3771,6 +3814,36 @@ ORACLES["dedup_survivors"] = f"""
            CAST(count(*) AS BIGINT) AS cluster_size,
            CAST(count(*) - 1 AS BIGINT) AS n_dropped
     FROM comp GROUP BY cluster_id
+"""
+
+ORACLES["duplicated_text_fraction"] = """
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split(lower(trim(text)), ' ') AS toks
+      FROM documents WHERE doc_id < 2000
+    ), g AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t, unnest(range(1, len(toks) - 6)) AS r(i)
+      WHERE len(toks) >= 8
+    ), gc AS (
+      SELECT gram, count(DISTINCT doc_id) AS n_docs_with_gram
+      FROM g GROUP BY 1
+    ), per_doc AS (
+      SELECT g.doc_id, g.source,
+             count(*) AS n_grams,
+             sum(CASE WHEN gc.n_docs_with_gram >= 2 THEN 1 ELSE 0 END)
+               AS n_dup_grams
+      FROM g JOIN gc USING (gram)
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS n_grams,
+           CAST(sum(n_dup_grams) AS BIGINT) AS n_dup_grams,
+           round(sum(n_dup_grams) * 1.0 / sum(n_grams), 6)
+             AS dup_fraction
+    FROM per_doc GROUP BY source
 """
 
 ORACLES["source_overlap"] = """

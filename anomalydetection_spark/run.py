@@ -98,6 +98,19 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="documents-schema parquet of an eval/benchmark "
                         "set; writes corpus doc_ids sharing any word "
                         "4-gram of text-span content with it")
+    p.add_argument("--stream", action="store_true",
+                   help="Structured Streaming mode: treat --docs as a "
+                        "growing directory, drain the pending backlog "
+                        "once (availableNow) through the same per-batch "
+                        "validation as the batch pipeline, append "
+                        "verdicts under <out>/stream; exactly-once "
+                        "resume via --stream-checkpoint")
+    p.add_argument("--stream-checkpoint", metavar="DIR", default=None,
+                   help="streaming checkpoint dir (default: "
+                        "<out>/stream_checkpoint)")
+    p.add_argument("--stream-violations", action="store_true",
+                   help="also write per-batch violation rows under "
+                        "<out>/stream/violations/batch_id=N")
     p.add_argument("--dedup", action="store_true",
                    help="near-duplicate removal pass: MinHash-LSH pairs -> "
                         "connected components -> keep-min-id canonical; "
@@ -155,6 +168,62 @@ def feedback_round(spark, args) -> dict:
         "n_failed_checks": n_fail,
         "n_feedback_marked": res.violations.filter(~F.col("is_anomaly")).count(),
         "verdicts": verdicts_out,
+    }
+
+
+def stream_round(spark, args) -> dict:
+    """--stream: drain the pending backlog of the --docs directory once
+    (availableNow) through the same per-batch validation the batch
+    pipeline runs; verdicts append under <out>/stream/verdicts with a
+    batch_id column. Exactly-once across invocations via the streaming
+    checkpoint: re-running after new files arrive validates ONLY the
+    new files — the streaming analog of the manifest resume path."""
+    from .sources.tables import read_table
+    from .streaming.incremental import stream_validate
+
+    catalog = read_table(spark, args.catalog) if args.catalog else None
+    baseline = (
+        read_table(spark, args.baseline_hist)
+        if args.baseline_hist
+        else None
+    )
+    out_dir = os.path.join(args.out, "stream")
+    ckpt = args.stream_checkpoint or os.path.join(
+        args.out, "stream_checkpoint"
+    )
+    t0 = time.time()
+    q = stream_validate(
+        spark,
+        args.docs,
+        out_dir,
+        ckpt,
+        catalog=catalog,
+        baseline_hist=baseline,
+        emit_violations=args.stream_violations,
+        max_violation_exemplars=args.max_violation_exemplars,
+    )
+    q.awaitTermination()
+    verdicts_dir = os.path.join(out_dir, "verdicts")
+    n_verdicts = 0
+    n_batches = 0
+    if os.path.isdir(verdicts_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(verdicts_dir)
+    ):
+        v = spark.read.parquet(verdicts_dir)
+        n_verdicts = v.count()
+        n_batches = v.select("batch_id").distinct().count()
+    return {
+        "mode": "stream",
+        "batches_drained": n_batches,
+        "n_verdict_rows": n_verdicts,
+        "verdicts": verdicts_dir,
+        "violations": (
+            os.path.join(out_dir, "violations")
+            if args.stream_violations
+            else None
+        ),
+        "checkpoint": ckpt,
+        "seconds": round(time.time() - t0, 2),
     }
 
 
@@ -376,6 +445,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.apply_feedback:
         try:
             print(json.dumps(feedback_round(spark, args)))
+            return 0
+        finally:
+            spark.stop()
+    if args.stream:
+        try:
+            print(json.dumps(stream_round(spark, args)))
             return 0
         finally:
             spark.stop()

@@ -94,3 +94,38 @@ def test_source_overlap_matrix(spark):
     # overlap_frac is rounded to 6dp by the operator
     assert ab.overlap_frac == round(1.0 / ab.n_grams_a, 6)
     assert ba.overlap_frac == round(1.0 / ba.n_grams_a, 6)
+
+
+def test_bloom_path_superset_of_exact(spark):
+    """contaminated_docs_bloom flags a SUPERSET of the exact join path
+    (fpp = over-flagging only, never a miss), and per-doc bloom counts
+    are >= the exact matched-gram counts."""
+    from anomalydetection_spark.operators.decontaminate import (
+        contaminated_docs,
+        contaminated_docs_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tail{i} x y z") for i in range(40)]
+        + [(100 + i, f"clean{i} words only here nothing shared at all")
+           for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "id bigint, text string"
+    )
+    exact = {
+        r.doc_id: r.n_matched_grams
+        for r in contaminated_docs(corpus, bench).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_matched_grams
+        for r in contaminated_docs_bloom(
+            corpus, bench, fpp=0.01
+        ).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for d, c in exact.items():
+        assert bloom[d] >= c, (d, bloom[d], c)
+    # the planted contaminated docs are all flagged on both paths
+    assert all(i in exact for i in range(40))

@@ -386,6 +386,49 @@ def test_dedup_flag_round_trip(spark, docs_path, catalog, tmp_path):
     json.dumps(s)
 
 
+def test_stream_flag_drains_and_resumes(spark, docs, catalog, tmp_path):
+    """--stream: first drain validates the backlog; a second invocation
+    with the SAME checkpoint and no new files drains zero batches
+    (exactly-once); dropping a new file and re-running validates only
+    it."""
+    from anomalydetection_spark.run import stream_round
+
+    inp = str(tmp_path / "stream_in")
+    docs.limit(500).coalesce(2).write.mode("overwrite").parquet(inp)
+    cat_path = str(tmp_path / "catalog")
+    catalog.write.mode("overwrite").parquet(cat_path)
+    out = str(tmp_path / "out")
+
+    args = parse_args(
+        ["--docs", inp, "--catalog", cat_path, "--out", out, "--stream"]
+    )
+    s1 = stream_round(spark, args)
+    assert s1["batches_drained"] >= 1
+    assert s1["n_verdict_rows"] > 0
+    json.dumps(s1)
+
+    s2 = stream_round(spark, args)  # nothing new -> nothing validated
+    assert s2["batches_drained"] == s1["batches_drained"]
+    assert s2["n_verdict_rows"] == s1["n_verdict_rows"]
+
+    # new file arrives -> exactly the new data is validated
+    extra = str(tmp_path / "extra")
+    docs.limit(120).coalesce(1).write.mode("overwrite").parquet(extra)
+    import shutil
+
+    nparq = 0
+    for fn in os.listdir(extra):
+        if fn.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(extra, fn), os.path.join(inp, f"late_{fn}")
+            )
+            nparq += 1
+    assert nparq == 1
+    s3 = stream_round(spark, args)
+    assert s3["batches_drained"] > s1["batches_drained"]
+    assert s3["n_verdict_rows"] > s1["n_verdict_rows"]
+
+
 def test_diff_last_flag_plumbing(spark, docs_path, catalog, tmp_path):
     """--diff-last: second round over a changed snapshot reports the
     verdict diff vs the previous manifest version (semantics unit-
