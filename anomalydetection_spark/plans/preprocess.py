@@ -1,0 +1,116 @@
+"""End-to-end training-data preprocessing funnel: quality filter →
+near-dup removal → benchmark decontamination, with per-stage attrition
+accounting.
+
+This is the pipeline a pretraining-data owner actually runs over a raw
+corpus, composed from the catalog's first-class operators
+(operators/quality.py, operators/dedup.py, operators/decontaminate.py)
+in the canonical order: row-local rules first (cheapest per doc —
+everything they drop never reaches the shuffle-bearing stages), then
+LSH dedup among the survivors, then the benchmark n-gram probe. The
+reference has no pipeline layer at all (its main loop wires one model
+per log file, /root/reference/main.py:55-160); this is the
+corpus-scale generalization.
+
+Scale shape:
+- quality: pure Column expressions inside the scan, zero shuffle;
+- dedup: LSH banding (bucketed candidate join) + components on the
+  PAIR graph, duplicate-id set attaches by broadcast below the size
+  gate;
+- decontamination: DISTINCT benchmark gram set, broadcast probe
+  (or the Bloom path for oversized gram sets);
+- the funnel counts are one action per stage boundary over a cached
+  id+flag frame — never a second scan of the wide corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PreprocessResult:
+    kept: DataFrame                     # surviving docs, full rows
+    funnel: list = field(default_factory=list)
+    # [{stage, n_in, n_dropped, n_out}, ...] in execution order
+
+
+def run_preprocess(
+    spark,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col="text",
+    quality: bool = True,
+    dedup: bool = True,
+    dedup_threshold: float = 0.8,
+    dedup_max_bucket: int | None = None,
+    benchmark: DataFrame | None = None,
+    bench_text_col: str = "text",
+    ngram: int = 4,
+) -> PreprocessResult:
+    """Run the funnel; every stage is optional. Returns the kept
+    DataFrame (lazy — caller writes it) plus the attrition funnel."""
+    from ..operators.decontaminate import contaminated_docs
+    from ..operators.dedup import duplicate_clusters, minhash_lsh_pairs
+    from ..operators.quality import quality_flags
+
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    funnel: list = []
+    cur = docs
+    n_in = cur.count()
+
+    if quality:
+        flags = quality_flags(text)
+        bad = None
+        for c in flags.values():
+            bad = c if bad is None else (bad | c)
+        # null text fails closed (a doc whose rules can't evaluate is
+        # not a keep)
+        cur = cur.filter(~F.coalesce(bad, F.lit(True))).cache()
+        n_q = cur.count()
+        funnel.append({"stage": "quality", "n_in": n_in,
+                       "n_dropped": n_in - n_q, "n_out": n_q})
+        n_in = n_q
+
+    if dedup:
+        corpus = cur.filter(F.length(F.trim(text)) > 0)
+        pairs = minhash_lsh_pairs(
+            corpus, id_col, text, n_hashes=8, bands=4,
+            threshold=dedup_threshold, max_bucket_size=dedup_max_bucket,
+        )
+        dup_ids = duplicate_clusters(pairs).filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select(F.col("doc_id").alias(id_col))
+        n_dup = dup_ids.count()
+        from .pipeline import BROADCAST_MAX_ROWS
+
+        key = (
+            F.broadcast(dup_ids)
+            if n_dup <= BROADCAST_MAX_ROWS
+            else dup_ids
+        )
+        cur = cur.join(key, [id_col], "left_anti").cache()
+        n_d = cur.count()
+        funnel.append({"stage": "dedup", "n_in": n_in,
+                       "n_dropped": n_in - n_d, "n_out": n_d})
+        n_in = n_d
+
+    if benchmark is not None:
+        bm = benchmark
+        if isinstance(text_col, str) and bench_text_col != text_col:
+            # contaminated_docs applies ONE text accessor to both
+            # sides — align the benchmark's column name to it
+            bm = benchmark.withColumnRenamed(bench_text_col, text_col)
+        contaminated = contaminated_docs(
+            cur, bm, id_col=id_col, text_col=text,
+            n=ngram, broadcast_grams=True,
+        ).select(id_col)
+        cur = cur.join(contaminated, [id_col], "left_anti").cache()
+        n_c = cur.count()
+        funnel.append({"stage": "decontaminate", "n_in": n_in,
+                       "n_dropped": n_in - n_c, "n_out": n_c})
+
+    return PreprocessResult(kept=cur, funnel=funnel)

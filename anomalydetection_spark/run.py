@@ -98,6 +98,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="documents-schema parquet of an eval/benchmark "
                         "set; writes corpus doc_ids sharing any word "
                         "4-gram of text-span content with it")
+    p.add_argument("--preprocess", action="store_true",
+                   help="training-data preprocessing funnel instead of "
+                        "a validation round: quality filter -> near-dup "
+                        "removal -> (with --decontaminate-against) "
+                        "benchmark decontamination; writes the kept "
+                        "corpus under <out>/preprocess/<run_id>/kept "
+                        "and reports per-stage attrition")
     p.add_argument("--stream", action="store_true",
                    help="Structured Streaming mode: treat --docs as a "
                         "growing directory, drain the pending backlog "
@@ -223,6 +230,51 @@ def stream_round(spark, args) -> dict:
             else None
         ),
         "checkpoint": ckpt,
+        "seconds": round(time.time() - t0, 2),
+    }
+
+
+def preprocess_round(spark, args, run_id: str) -> dict:
+    """--preprocess: run the quality → dedup → decontamination funnel
+    (plans/preprocess.py) over --docs, write the kept corpus, stamp
+    the funnel into the manifest."""
+    from pyspark.sql import functions as F
+
+    from .operators.pii import text_of_spans
+    from .plans.preprocess import run_preprocess
+    from .sources.tables import read_table
+
+    docs = read_table(spark, args.docs)
+    text = F.col("text") if "text" in docs.columns else text_of_spans()
+    bench = (
+        read_table(spark, args.decontaminate_against)
+        if args.decontaminate_against
+        else None
+    )
+    t0 = time.time()
+    res = run_preprocess(
+        spark,
+        docs,
+        text_col=text,
+        dedup_threshold=args.dedup_threshold,
+        dedup_max_bucket=args.dedup_max_bucket,
+        benchmark=bench,
+        bench_text_col="text",
+    )
+    kept_out = os.path.join(args.out, "preprocess", run_id, "kept")
+    res.kept.write.mode("overwrite").parquet(kept_out)
+    if args.manifest_dir:
+        from .sources.manifest import Manifest
+
+        Manifest(args.manifest_dir).stamp_stats(
+            "preprocess_funnel", {"stages": res.funnel}, run_id
+        )
+    return {
+        "run_id": run_id,
+        "mode": "preprocess",
+        "funnel": res.funnel,
+        "kept": kept_out,
+        "n_kept": res.funnel[-1]["n_out"] if res.funnel else None,
         "seconds": round(time.time() - t0, 2),
     }
 
@@ -451,6 +503,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.stream:
         try:
             print(json.dumps(stream_round(spark, args)))
+            return 0
+        finally:
+            spark.stop()
+    if args.preprocess:
+        try:
+            rid = args.run_id or f"pre{int(time.time())}"
+            print(json.dumps(preprocess_round(spark, args, rid)))
             return 0
         finally:
             spark.stop()

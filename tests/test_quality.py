@@ -92,3 +92,77 @@ def test_keep_decision_requires_all_rules_pass(spark):
     )
     got = {r.name: r.keep for r in kept.collect()}
     assert got == {"a": True, "b": False}
+
+
+def _py_flags(text: str) -> dict:
+    """Pure-Python replica of quality_flags' semantics (differential
+    reference for the Column implementation)."""
+    toks = text.strip(" ").lower().split(" ")
+    n = len(toks)
+    uniq = len(set(toks)) / n
+    mean_len = sum(len(t) for t in toks) / n
+    if n >= 3:
+        grams = [" ".join(toks[i:i + 3]) for i in range(n - 2)]
+        rep = 1.0 - len(set(grams)) / len(grams)
+    else:
+        rep = 0.0
+    n_hash = text.count("#")
+    n_ell = text.count("...") + text.count("…")
+    lines = text.split("\n")
+    bullet = sum(
+        1 for l in lines if l.lstrip(" ").startswith(("-", "*", "•"))
+    ) / len(lines)
+    ell_lines = sum(
+        1 for l in lines
+        if l.rstrip(" ").endswith("...") or l.rstrip(" ").endswith("…")
+    ) / len(lines)
+    stops = sum(
+        1 for s in ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+        if s in set(toks)
+    )
+    return {
+        "bad_len": not (20 <= n <= 2000),
+        "bad_uniq": uniq < 0.3,
+        "bad_tok_len": not (2.0 <= mean_len <= 12.0),
+        "bad_rep": rep > 0.2,
+        "bad_symbol": (n_hash / n > 0.1) or (n_ell / n > 0.1),
+        "bad_bullet": bullet > 0.9,
+        "bad_ellipsis": ell_lines > 0.3,
+        "bad_stopword": stops < 2,
+    }
+
+
+def test_quality_flags_differential_random_corpus(spark):
+    """All 8 Column rules agree with the pure-Python replica on a
+    seeded random corpus mixing words, bullets, hashes, ellipses,
+    newlines, repeated runs, and double spaces — one Spark job."""
+    import random
+
+    rng = random.Random(1234)
+    words = ["the", "of", "and", "word", "alpha", "beta", "x", "##",
+             "longishtokenhere", "…", "...", "-", "*", "a"]
+    docs = []
+    for i in range(200):
+        n = rng.randint(1, 60)
+        parts = [rng.choice(words) for _ in range(n)]
+        if rng.random() < 0.3:  # repeated run -> rep/uniq pressure
+            parts += [parts[0]] * rng.randint(3, 20)
+        sep = "\n" if rng.random() < 0.3 else " "
+        txt = sep.join(
+            (" " if rng.random() < 0.2 else "") + p for p in parts
+        )
+        if rng.random() < 0.2:
+            txt += "..."
+        docs.append((i, txt))
+    df = spark.createDataFrame(docs, "i long, text string")
+    flags = quality_flags("text")
+    got = {
+        r.i: {k: bool(r[k]) for k in flags}
+        for r in df.select(
+            "i", *[v.alias(k) for k, v in flags.items()]
+        ).collect()
+    }
+    for i, txt in docs:
+        assert got[i] == _py_flags(txt), (i, repr(txt), got[i],
+                                          _py_flags(txt))
