@@ -163,3 +163,40 @@ def test_seed_assign_empty_seed_set_yields_null_assignment(spark):
     rows = seed_assign(vecs, seeds).collect()
     assert len(rows) == 1
     assert rows[0].seed_id is None and rows[0].seed_cos is None
+
+
+def test_round3_operators_empty_and_degenerate(spark, tmp_path):
+    """Round-3 surfaces on empty/degenerate inputs: a dup-free corpus
+    splits to kept-only, a single-source corpus yields an empty overlap
+    matrix, the preprocess funnel on an empty table keeps nothing and
+    still reports well-formed stages."""
+    from pyspark.sql import functions as F
+
+    from anomalydetection_spark.operators.decontaminate import (
+        source_overlap,
+    )
+    from anomalydetection_spark.operators.dedup import write_dedup_split
+    from anomalydetection_spark.plans.preprocess import run_preprocess
+
+    # dup-free corpus -> zero duplicates, everything kept
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} words here for doc {i} only now then")
+         for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    d = write_dedup_split(docs, str(tmp_path / "split"))
+    assert d["n_duplicates"] == 0 and d["n_kept"] == 12
+    assert d["n_clusters"] == 0 and d["max_cluster_size"] == 0
+
+    # one source -> no cross-source pairs
+    one = docs.withColumn("source", F.lit("only"))
+    assert source_overlap(one, "source", "text", n=4).count() == 0
+
+    # empty corpus through the full funnel
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    res = run_preprocess(spark, empty, benchmark=docs.select("text"))
+    assert [s["stage"] for s in res.funnel] == [
+        "quality", "dedup", "decontaminate"
+    ]
+    assert all(s["n_in"] == 0 and s["n_out"] == 0 for s in res.funnel)
+    assert res.kept.count() == 0

@@ -142,3 +142,65 @@ def test_capped_violations_single_extra_exchange(spark, docs, catalog):
     assert len(non_broadcast) <= 2, non_broadcast
     window_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert window_lines, "expected a Window operator in the capped plan"
+
+
+def test_quality_filter_stays_jvm_side_single_agg(spark):
+    """All 8 Gopher/C4 rules are row-local Column math: no Python /
+    Arrow stage anywhere, one partial-agg exchange to the source
+    rollup, and the scan reads only (source, text)."""
+    plan = _plan(spark, "quality_filter")
+    for marker in ("ArrowEvalPython", "FlatMapGroupsInPandas",
+                   "MapInPandas", "BatchEvalPython"):
+        assert marker not in plan, marker
+    assert "partial_" in plan  # map-side combine
+    assert "ReadSchema: struct<text:string,source:string>" in plan \
+        or "ReadSchema: struct<source:string,text:string>" in plan
+
+
+def test_duplicated_text_fraction_no_pair_blowup(spark):
+    """The Lee-et-al metric never materializes doc pairs: no cartesian
+    / nested-loop join; gram counting is a hash aggregation."""
+    plan = _plan(spark, "duplicated_text_fraction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_element_contract_rules_single_agg_no_explode(spark):
+    """Nested ElementRules compile into the one contract agg pass:
+    no Generate/Explode node, no Python stage."""
+    from anomalydetection_spark.operators.contract import (
+        contract_from_dict,
+        contract_violation_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [("text", "hi", 0)])],
+        "id bigint,"
+        " spans array<struct<kind string, text string, offset int>>",
+    )
+    c = contract_from_dict({
+        "columns": {"id": {"max_null_rate": 0}},
+        "elements": {
+            "spans.kind": {"allowed": ["text"]},
+            "spans.text": {"max_null_rate": 0.5},
+        },
+    })
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        contract_violation_counts(df, c).explain("formatted")
+    plan = buf.getvalue()
+    # element counting happens INSIDE the partial agg functions
+    # (size(filter(...)) under partial_sum), not via a pre-agg explode:
+    # the only Generate in the plan is the stack() reshape ABOVE the
+    # final HashAggregate, operating on the single aggregated row
+    assert "size(filter(spans" in plan
+    assert "partial_sum(CASE WHEN isnull(spans" in plan
+    tree = plan.split("(1) Scan")[0]
+    agg_pos = tree.find("HashAggregate (2)")
+    gen_pos = tree.find("Generate")
+    assert agg_pos != -1 and gen_pos != -1
+    assert gen_pos < agg_pos  # Generate sits above the agg, never below
+    assert "ArrowEvalPython" not in plan
+    # one aggregation boundary (partial -> final single row)
+    assert plan.count("Exchange (") <= 1
