@@ -478,3 +478,45 @@ def test_diff_last_flag_plumbing(spark, docs_path, catalog, tmp_path):
         assert r["change"] in (
             "regression", "recovery", "new_partition", "missing_partition"
         )
+
+
+def test_ann_cli_build_and_query(spark, tmp_path):
+    """ann_cli round-trip: build persists a stable quantizer, query
+    serves top-k through it, --exact gives the brute-force baseline,
+    and IVF hits are a subset of the corpus with sane ranks."""
+    from anomalydetection_spark.ann_cli import (
+        build_index,
+        parse_args as ann_parse,
+        query_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vec_path = str(tmp_path / "vecs")
+    emb.write.mode("overwrite").parquet(vec_path)
+    from pyspark.sql import functions as F
+
+    q_path = str(tmp_path / "queries")
+    emb.filter(F.col("vec_id") < 10).write.mode("overwrite").parquet(
+        q_path
+    )
+    idx = str(tmp_path / "index")
+    b = build_index(spark, ann_parse(
+        ["build", "--vectors", vec_path, "--index", idx,
+         "--centroids", "16", "--refine-iters", "1"]
+    ))
+    assert b["n_centroids"] == 16 and b["dim"] == 64
+    out = str(tmp_path / "hits")
+    s = query_index(spark, ann_parse(
+        ["query", "--vectors", vec_path, "--queries", q_path,
+         "--index", idx, "--out", out, "--k", "3", "--nprobe", "4"]
+    ))
+    assert s["n_queries"] == 10
+    hits = spark.read.parquet(out)
+    assert {r.rank for r in hits.collect()} <= {1, 2, 3}
+    # exact tier through the same CLI
+    out2 = str(tmp_path / "hits_exact")
+    s2 = query_index(spark, ann_parse(
+        ["query", "--vectors", vec_path, "--queries", q_path,
+         "--out", out2, "--k", "3", "--exact"]
+    ))
+    assert s2["n_queries"] == 10 and s2["n_hits"] == 30
