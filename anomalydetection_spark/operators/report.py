@@ -108,3 +108,65 @@ def render_report(
                 f" {r.detail}: {r.exemplar}"
             )
     return "\n".join(lines)
+
+
+def render_template_tree(
+    templates: DataFrame,
+    max_depth: int = 4,
+    max_templates: int = 200,
+) -> str:
+    """ASCII prefix-tree view of a mined template dictionary — the
+    text re-expression of the reference's Rich tree/cluster console
+    rendering (/root/reference/log_parser.py:84-142): templates from
+    ``mine_templates`` (cluster_id, template, size) grouped by their
+    first ``max_depth`` tokens, sizes rolled up per prefix node, leaves
+    showing the full template.
+
+    Driver-side by design: the template dictionary is bounded
+    (≤ max_clusters rows — metadata scale, like the verdict sets), and
+    a console tree is a driver artifact. ``max_templates`` caps the
+    render (largest first), never the mining.
+    """
+    rows = (
+        templates.orderBy(F.desc("size"), "template")
+        .limit(max_templates)
+        .collect()
+    )
+    root: dict = {"children": {}, "size": 0, "leaves": []}
+    for r in rows:
+        toks = r.template.split()
+        node = root
+        node["size"] += r.size
+        for t in toks[:max_depth]:
+            node = node["children"].setdefault(
+                t, {"children": {}, "size": 0, "leaves": []}
+            )
+            node["size"] += r.size
+        node["leaves"].append((r.cluster_id, r.template, r.size))
+
+    lines = [f"templates ({len(rows)} clusters, {root['size']} lines)"]
+
+    def walk(node: dict, prefix: str) -> None:
+        kids = sorted(
+            node["children"].items(),
+            key=lambda kv: (-kv[1]["size"], kv[0]),
+        )
+        leaves = sorted(node["leaves"], key=lambda x: (-x[2], x[1]))
+        entries = [("node", k, v) for k, v in kids] + [
+            ("leaf", None, leaf) for leaf in leaves
+        ]
+        for i, (kind, key, v) in enumerate(entries):
+            last = i == len(entries) - 1
+            branch = "`- " if last else "|- "
+            cont = "   " if last else "|  "
+            if kind == "node":
+                lines.append(f"{prefix}{branch}{key} ({v['size']})")
+                walk(v, prefix + cont)
+            else:
+                cid, tpl, size = v
+                lines.append(
+                    f"{prefix}{branch}[{cid}] {tpl}  x{size}"
+                )
+
+    walk(root, "")
+    return "\n".join(lines)

@@ -89,3 +89,36 @@ def test_vs_masking_approximation(spark):
     # and 'connected to <NUM>.<NUM>...' both collapse; the point the
     # test pins: miner count ≤ masked count (strictly more general).
     assert mined.count() <= masked.count()
+
+
+def test_render_template_tree(spark):
+    """ASCII prefix-tree over a mined dictionary: sizes roll up per
+    prefix node, leaves carry cluster id + full template + size,
+    largest branches first (reference console tree re-expressed,
+    log_parser.py:84-142)."""
+    from anomalydetection_spark.operators.report import (
+        render_template_tree,
+    )
+    from anomalydetection_spark.operators.templates import mine_templates
+
+    lines = (
+        [(f"connect user u{i} from host{i}",) for i in range(6)]
+        + [(f"connect user u{i} timeout",) for i in range(3)]
+        + [("disconnect all",)] * 2
+    )
+    df = spark.createDataFrame(lines, "text string")
+    t = mine_templates(df, "text")
+    out = render_template_tree(t, max_depth=2)
+    tree_lines = out.splitlines()
+    assert tree_lines[0].startswith("templates (")
+    assert "11 lines)" in tree_lines[0]
+    # top branch is the biggest prefix ("connect", 9 lines) and sits
+    # above "disconnect" (2)
+    c = next(i for i, l in enumerate(tree_lines) if "connect (9)" in l)
+    d = next(i for i, l in enumerate(tree_lines) if "disconnect (2)" in l)
+    assert c < d
+    # leaves show cluster ids and sizes
+    assert any("x2" in l and "[" in l for l in tree_lines)
+    # every mined template appears as a leaf
+    for r in t.collect():
+        assert any(r.template in l for l in tree_lines), r.template
