@@ -273,9 +273,11 @@ def contract_violation_counts(df: DataFrame, contract: Contract) -> DataFrame:
         "column",
         "rule",
         F.col("n_violations").cast("long").alias("n_violations"),
-        F.round(F.col("n_violations") / F.col("__denom"), 6).alias(
-            "violation_rate"
-        ),
+        # try_divide: an element-ruled array column whose arrays are all
+        # empty/NULL has denominator 0 — rate is NULL, not a DIVIDE_BY_ZERO
+        # crash under Spark 4 ANSI defaults
+        F.round(F.try_divide(F.col("n_violations"), F.col("__denom")), 6)
+        .alias("violation_rate"),
     )
 
 
@@ -401,8 +403,14 @@ def contract_from_dict(d: dict) -> Contract:
         )
         for name, er in (d.get("expressions") or {}).items()
     }
+    for path, er in (d.get("elements") or {}).items():
+        if not isinstance(er, dict):
+            raise ValueError(
+                f"element rule for {path!r} must be a dict of rule"
+                f" fields, got {type(er).__name__}"
+            )
     elems = {
-        path: _build(ElementRule, er if isinstance(er, dict) else {})
+        path: _build(ElementRule, er)
         for path, er in (d.get("elements") or {}).items()
     }
     for path, er in elems.items():

@@ -326,11 +326,22 @@ def write_dedup_split(
         for r in spark.read.parquet(out_dir)
         .groupBy("__duplicate").agg(F.count("*").alias("n")).collect()
     }
+    n_kept = int(counts.get(False, 0))
+    n_duplicates = int(counts.get(True, 0))
+    # partitionBy only writes dirs for values that occur: a dup-free
+    # corpus has no __duplicate=true dir (and vice versa) — advertise
+    # None instead of a path that AnalysisExceptions on read
     return {
-        "kept": os.path.join(out_dir, "__duplicate=false"),
-        "duplicates": os.path.join(out_dir, "__duplicate=true"),
-        "n_kept": int(counts.get(False, 0)),
-        "n_duplicates": int(counts.get(True, 0)),
+        "kept": (
+            os.path.join(out_dir, "__duplicate=false") if n_kept else None
+        ),
+        "duplicates": (
+            os.path.join(out_dir, "__duplicate=true")
+            if n_duplicates
+            else None
+        ),
+        "n_kept": n_kept,
+        "n_duplicates": n_duplicates,
         "n_clusters": int(cstats.n_clusters),
         "max_cluster_size": int(cstats.max_sz),
         "mean_cluster_size": float(cstats.mean_sz),
@@ -394,7 +405,13 @@ def seed_assign(
                 F.struct(
                     F.col(seed_id_col).cast("long").alias("sid"),
                     sv.alias("sv"),
-                    F.sqrt(_dot(sv, sv)).alias("ns"),
+                    # norms floored at 1e-300 like the arrow path: a
+                    # zero vector gets cos 0.0 (first seed wins), never
+                    # an ANSI DIVIDE_BY_ZERO or a NULL-vs-assigned
+                    # divergence between the two impls
+                    F.greatest(
+                        F.sqrt(_dot(sv, sv)), F.lit(1e-300)
+                    ).alias("ns"),
                 )
             )
         ).alias("_seeds")
@@ -412,7 +429,12 @@ def seed_assign(
     return (
         df.crossJoin(F.broadcast(seeds_row))
         .withColumn("_v", F.col(vec_col).cast("array<double>"))
-        .withColumn("_nv", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+        .withColumn(
+            "_nv",
+            F.greatest(
+                F.sqrt(_dot(F.col("_v"), F.col("_v"))), F.lit(1e-300)
+            ),
+        )
         .withColumn("_best", best)
         # degenerate-row contract shared with the arrow path: a NULL or
         # wrong-dimension vector (cos NULL against every seed, since

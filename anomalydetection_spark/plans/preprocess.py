@@ -69,8 +69,11 @@ def run_preprocess(
             bad = c if bad is None else (bad | c)
         # null text fails closed (a doc whose rules can't evaluate is
         # not a keep)
+        prev = cur
         cur = cur.filter(~F.coalesce(bad, F.lit(True))).cache()
         n_q = cur.count()
+        if prev is not docs:
+            prev.unpersist()
         funnel.append({"stage": "quality", "n_in": n_in,
                        "n_dropped": n_in - n_q, "n_out": n_q})
         n_in = n_q
@@ -92,8 +95,11 @@ def run_preprocess(
             if n_dup <= BROADCAST_MAX_ROWS
             else dup_ids
         )
+        prev = cur
         cur = cur.join(key, [id_col], "left_anti").cache()
         n_d = cur.count()
+        if prev is not docs:
+            prev.unpersist()
         funnel.append({"stage": "dedup", "n_in": n_in,
                        "n_dropped": n_in - n_d, "n_out": n_d})
         n_in = n_d
@@ -108,8 +114,11 @@ def run_preprocess(
             cur, bm, id_col=id_col, text_col=text,
             n=ngram, broadcast_grams=True,
         ).select(id_col)
+        prev = cur
         cur = cur.join(contaminated, [id_col], "left_anti").cache()
         n_c = cur.count()
+        if prev is not docs:
+            prev.unpersist()
         funnel.append({"stage": "decontaminate", "n_in": n_in,
                        "n_dropped": n_in - n_c, "n_out": n_c})
 

@@ -30,6 +30,8 @@ import os
 import sys
 import time
 
+from pyspark.errors import AnalysisException
+
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="validation engine batch round")
@@ -213,12 +215,14 @@ def stream_round(spark, args) -> dict:
     verdicts_dir = os.path.join(out_dir, "verdicts")
     n_verdicts = 0
     n_batches = 0
-    if os.path.isdir(verdicts_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(verdicts_dir)
-    ):
+    try:
+        # spark.read, not os.listdir: --out may be a non-local URI
+        # (s3://, hdfs://) where driver-local FS checks always say no
         v = spark.read.parquet(verdicts_dir)
         n_verdicts = v.count()
         n_batches = v.select("batch_id").distinct().count()
+    except AnalysisException:
+        pass  # no batch ever produced verdicts
     return {
         "mode": "stream",
         "batches_drained": n_batches,

@@ -97,6 +97,7 @@ class Manifest:
     def _commit_state(
         self, state: dict[str, dict], run_id: str,
         extras: dict | None = None,
+        hash_version: int | None = None,
     ) -> int:
         v = self.current_version() + 1
         fname = f"v{v}.json"
@@ -104,7 +105,11 @@ class Manifest:
         payload = {
             "version": v,
             "run_id": run_id,
-            "hash_version": SNAPSHOT_HASH_VERSION,
+            "hash_version": (
+                SNAPSHOT_HASH_VERSION
+                if hash_version is None
+                else hash_version
+            ),
             "partitions": state,
         }
         if extras:
@@ -123,7 +128,13 @@ class Manifest:
         unchanged but which carries ``{key: stats}`` at the top level —
         e.g. the dedup pipeline's cluster stats. Readable back via
         ``get_stats``."""
-        return self._commit_state(self.load(), run_id, extras={key: stats})
+        # carried-forward state keeps the version its hashes were written
+        # under — stamping stats must not relabel old-scheme hashes as
+        # current-scheme and defeat the upgrade-revalidation path
+        return self._commit_state(
+            self.load(), run_id, extras={key: stats},
+            hash_version=self.stored_hash_version(),
+        )
 
     def get_stats(self, key: str) -> dict | None:
         """Latest top-level stats stamped under ``key`` (walks versions

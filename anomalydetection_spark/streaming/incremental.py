@@ -381,10 +381,17 @@ def windowed_event_time_drift(
             )
             part = dv.unionByName(kv).withColumn(
                 "window_start", F.lit(w)
-            ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+            )
             out = part if out is None else out.unionByName(part)
         if out is not None:
-            out.write.mode("append").parquet(output_dir)
+            # overwrite under batch_id=N: a micro-batch replayed after
+            # a crash (write succeeded, checkpoint commit didn't)
+            # rewrites the same dir instead of duplicating finalized
+            # windows — same idempotency contract as the violations
+            # sink above; batch_id surfaces as a partition column
+            out.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"batch_id={batch_id}")
+            )
         batch.unpersist()
 
     writer = (

@@ -428,6 +428,29 @@ def test_seed_assign_null_embedding_both_impls(spark):
         assert out[3] == (None, None), impl
 
 
+def test_seed_assign_zero_norm_vector_both_impls(spark):
+    """An all-zeros embedding (cos undefined) must not crash the SQL
+    path with an ANSI DIVIDE_BY_ZERO, and must agree with the arrow
+    path: norms floored at 1e-300 give cos 0.0, so the lowest seed id
+    wins deterministically on both."""
+    from anomalydetection_spark.operators.dedup import seed_assign
+
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "sid long, sv array<double>"
+    )
+    rows = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    for impl in ("sql", "arrow"):
+        out = {
+            r.vec_id: (r.seed_id, r.seed_cos)
+            for r in seed_assign(rows, seeds, impl=impl).collect()
+        }
+        assert out[1][0] == 0 and abs(out[1][1]) < 1e-12, impl
+        assert out[2][0] == 1, impl
+
+
 def test_lloyd_iteration_skips_unassignable_vectors(spark):
     """Wrong-dim / NULL vectors (seed_id NULL from seed_assign) must
     not produce a sid=NULL centroid row or crash refine_ivf_centroids

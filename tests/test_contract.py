@@ -183,6 +183,47 @@ def test_element_rules_nested_spans(spark):
     assert r2[("rule:null", "spans[*].text")].verdict == "pass"
 
 
+def test_element_rules_zero_element_denominator(spark):
+    """Element rules over a table whose ruled arrays are ALL empty or
+    NULL: the rate denominator is 0 — verdicts must come back (rate
+    NULL, 0 violations, pass) instead of an ANSI DIVIDE_BY_ZERO crash."""
+    from anomalydetection_spark.operators.contract import (
+        contract_from_dict,
+        contract_verdicts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, []), (2, None)],
+        "id bigint,"
+        " spans array<struct<kind string, text string, offset int>>",
+    )
+    c = contract_from_dict(
+        {"elements": {"spans.kind": {"max_null_rate": 0.1}}}
+    )
+    rows = {
+        (r.check, r.column): r
+        for r in contract_verdicts(df, c).collect()
+    }
+    r = rows[("rule:null", "spans[*].kind")]
+    assert r.n_violations == 0
+    assert r.violation_rate is None
+    assert r.verdict == "pass"
+
+
+def test_element_rule_non_dict_body_raises(spark):
+    """A config typo like {'spans.kind': ['text']} (list where a dict
+    of rule fields belongs) must fail loudly, not silently compile an
+    ElementRule that validates nothing."""
+    import pytest
+
+    from anomalydetection_spark.operators.contract import (
+        contract_from_dict,
+    )
+
+    with pytest.raises(ValueError, match="spans.kind"):
+        contract_from_dict({"elements": {"spans.kind": ["text"]}})
+
+
 def test_expression_rules_cross_column(spark):
     """Named cross-column SQL rules compile into the same single agg
     pass: violations = rows where the expr is false OR null; budget

@@ -187,6 +187,10 @@ def test_round3_operators_empty_and_degenerate(spark, tmp_path):
     d = write_dedup_split(docs, str(tmp_path / "split"))
     assert d["n_duplicates"] == 0 and d["n_kept"] == 12
     assert d["n_clusters"] == 0 and d["max_cluster_size"] == 0
+    # no __duplicate=true dir was written -> the advertised path is
+    # None, not a dangling path that AnalysisExceptions on read
+    assert d["duplicates"] is None
+    assert spark.read.parquet(d["kept"]).count() == 12
 
     # one source -> no cross-source pairs
     one = docs.withColumn("source", F.lit("only"))

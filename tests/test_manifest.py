@@ -195,6 +195,46 @@ def test_hash_scheme_upgrade_revalidates_explicitly(spark, docs, tmp_path):
     assert m.pending_partitions(snaps) == []
 
 
+def test_stamp_stats_preserves_stored_hash_version(spark, docs, tmp_path):
+    """stamp_stats carries partition state forward unchanged — it must
+    also carry the hash scheme those hashes were written under, or a
+    stats stamp on a v1 manifest would silently relabel old-scheme
+    hashes as current and defeat the upgrade-revalidation warning."""
+    import json
+
+    from anomalydetection_spark.sources.manifest import (
+        SNAPSHOT_HASH_VERSION,
+        partition_snapshots,
+    )
+
+    m = Manifest(str(tmp_path / "manifest"))
+    snaps = partition_snapshots(docs)
+    records = [
+        {
+            "partition_id": r.partition_id,
+            "snapshot_hash": r.snapshot_hash,
+            "n_rows": r.n_rows,
+            "verdict": "pass",
+        }
+        for r in snaps.collect()
+    ]
+    m.commit_validated(records, "r1", "t0")
+    fpath = os.path.join(m.path, f"v{m.current_version()}.json")
+    with open(fpath) as f:
+        doc = json.load(f)
+    doc["hash_version"] = 1
+    with open(fpath, "w") as f:
+        json.dump(doc, f)
+
+    m.stamp_stats("dedup", {"n_clusters": 3}, "r2")
+    assert m.get_stats("dedup") == {"n_clusters": 3}
+    assert m.stored_hash_version() == 1  # NOT relabeled
+
+    # a real validation commit re-hashes and upgrades the scheme
+    m.commit_validated(records, "r3", "t1")
+    assert m.stored_hash_version() == SNAPSHOT_HASH_VERSION
+
+
 def test_verdict_regressions_between_versions(spark, tmp_path):
     """v1: p0 pass, p1 fail, p2 pass. v2: p0 fail (regression),
     p1 pass (recovery), p2 unchanged, p3 appears. The diff reports

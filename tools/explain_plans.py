@@ -49,7 +49,6 @@ HEADLINE = [
     "embedding_stats",
     "range_join_events",
     "stratified_sample",
-    "quality_filter",
 ]
 
 
