@@ -65,28 +65,19 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def _lsh_candidate_pairs(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_hashes: int = 8,
-    bands: int = 4,
-    threshold: float = 0.8,
-    tokenizer=None,
-    max_bucket_size: int | None = None,
+    id_col: str,
+    text_col,
+    n_hashes: int,
+    bands: int,
+    tokenizer,
+    max_bucket_size: int | None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (a_id, b_id, jaccard ≥ threshold).
-
-    n_hashes/bands rows per band; a pair is a candidate iff it collides
-    in ≥1 band; exact token-Jaccard re-ranks candidates only. With r
-    rows per band and b bands, match probability is the standard LSH
-    S-curve 1-(1-j^r)^b.
-
-    ``max_bucket_size``: drop buckets larger than this before the
-    self-join (hot-bucket skew guard — a bucket of size m contributes
-    m² candidate pairs; at web scale one boilerplate bucket can exceed
-    the rest of the job combined).
-    """
+    """Shared LSH plumbing: banded signature buckets → skew-guarded
+    bucket self-join → distinct candidate pairs carrying both token
+    sets (a_id, b_id, a_toks, b_toks). Jaccard / containment re-rank
+    layers sit on top."""
     rows_per_band = n_hashes // bands
     if rows_per_band * bands != n_hashes:
         raise ValueError("bands must divide n_hashes")
@@ -136,11 +127,38 @@ def minhash_lsh_pairs(
         "band",
         "bucket",
     )
-    pairs = (
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "a_toks", "b_toks")
         .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    tokenizer=None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs (a_id, b_id, jaccard ≥ threshold).
+
+    n_hashes/bands rows per band; a pair is a candidate iff it collides
+    in ≥1 band; exact token-Jaccard re-ranks candidates only. With r
+    rows per band and b bands, match probability is the standard LSH
+    S-curve 1-(1-j^r)^b.
+
+    ``max_bucket_size``: drop buckets larger than this before the
+    self-join (hot-bucket skew guard — a bucket of size m contributes
+    m² candidate pairs; at web scale one boilerplate bucket can exceed
+    the rest of the job combined).
+    """
+    pairs = _lsh_candidate_pairs(
+        df, id_col, text_col, n_hashes, bands, tokenizer, max_bucket_size
     )
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
     uni = F.size(F.array_union("a_toks", "b_toks"))
@@ -149,6 +167,183 @@ def minhash_lsh_pairs(
         "b_id",
         F.round(inter.cast("double") / uni, 4).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.9,
+    tokenizer=None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by token-set CONTAINMENT
+    c(A→B) = |A∩B| / |A| — the measure that catches a short document
+    embedded verbatim in a long one, where Jaccard (normalized by the
+    union) stays far below any dedup threshold. Broder's containment
+    companion to resemblance; the standard boilerplate/quote-expansion
+    detector in pretraining dedup.
+
+    Emits (contained_id, container_id, containment ≥ threshold,
+    jaccard) — direction normalized so the SMALLER token set (ties:
+    lower id) is the contained side. Candidate generation shares the
+    banded-LSH plumbing (and its skew guard); note LSH recall follows
+    Jaccard, so high-containment/low-Jaccard pairs with extreme size
+    ratios need more bands or a shingle tokenizer — documented recall
+    semantics, same as the reference-free MinHash tier.
+    """
+    pairs = _lsh_candidate_pairs(
+        df, id_col, text_col, n_hashes, bands, tokenizer, max_bucket_size
+    )
+    inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
+    sa = F.size("a_toks")
+    sb = F.size("b_toks")
+    uni = F.size(F.array_union("a_toks", "b_toks"))
+    a_contained = (sa < sb) | ((sa == sb) & (F.col("a_id") < F.col("b_id")))
+    return (
+        pairs.select(
+            F.when(a_contained, F.col("a_id"))
+            .otherwise(F.col("b_id"))
+            .alias("contained_id"),
+            F.when(a_contained, F.col("b_id"))
+            .otherwise(F.col("a_id"))
+            .alias("container_id"),
+            F.round(inter / F.least(sa, sb), 4).alias("containment"),
+            F.round(inter / uni, 4).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    tokenizer=None,
+) -> DataFrame:
+    """(doc_id, simhash) — one ``bits``-wide SimHash fingerprint per
+    document (Charikar 2002): every distinct token votes ±1 on each bit
+    of its 60-bit md5-derived hash; bit j of the fingerprint is set iff
+    the vote sum is positive. Near-identical token sets flip only a few
+    votes, so Hamming distance on fingerprints tracks edit proximity.
+
+    Pure integer arithmetic (shiftleft, no float pow) so the value is
+    bit-exact in any engine; reference analog: none — this is the
+    training-pipeline extension beside MinHash (cited in SURVEY §2
+    additions). The whole computation is two map-side-combinable
+    aggregations (token explode → per-(doc, bit) vote sum → per-doc
+    fold); nothing shuffles wider than doc_id."""
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60] (md5 prefix width)")
+    toks = (tokenizer or default_tokenizer)(text_col)
+    votes = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        )
+        .withColumn("vote", F.expr("(shiftright(h, j) & 1) * 2 - 1"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    tokenizer=None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs (a_id, b_id, hamming ≤ max_hamming) via
+    Hamming-band LSH over SimHash fingerprints.
+
+    Pigeonhole recall guarantee: with ``bands`` = max_hamming + 1
+    (default), two fingerprints within Hamming distance max_hamming
+    differ in at most max_hamming bands, so at least one band is equal
+    — every true pair lands in some bucket (recall 1.0 at the
+    threshold; contrast MinHash's probabilistic S-curve). The bucket
+    self-join shuffles on the band key (Σ|bucket|², never n²), the
+    exact bit_count(xor) verify runs on candidates only, and
+    ``max_bucket_size`` is the same hot-bucket skew guard as
+    minhash_lsh_pairs.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    width = bits // bands
+    if width * bands != bits:
+        raise ValueError("bands must divide bits")
+    fps = simhash_fingerprints(df, id_col, text_col, bits, tokenizer)
+    mask = (1 << width) - 1
+    bands_df = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {b * width})"
+                            f" & {mask}L"
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        bands_df = bands_df.withColumn(
+            "_bsz", F.count("*").over(w)
+        ).filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    a = bands_df.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("simhash").alias("a_fp"),
+        "band",
+        "bucket",
+    )
+    b = bands_df.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("simhash").alias("b_fp"),
+        "band",
+        "bucket",
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_fp", "b_fp")
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn(
+            "hamming", F.expr("bit_count(a_fp ^ b_fp)").cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
 
 
 DRIVER_UNION_FIND_MAX_PAIRS = 5_000_000

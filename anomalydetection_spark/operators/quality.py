@@ -126,3 +126,43 @@ def quality_flags(text_col="text") -> dict[str, Column]:
         # Gopher stopword gate: must contain >=2 of the 8 common words
         "bad_stopword": n_stopwords_present < 2,
     }
+
+
+def unigram_logprob(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+):
+    """Per-document unigram bits-per-token against the corpus's own
+    unigram distribution — the CCNet-style (Wenzek et al. 2020)
+    perplexity proxy used to head/middle/tail-bucket web text, with the
+    corpus itself standing in for the external LM (no model files in a
+    hermetic pipeline; swapping in a fixed table of (token, logp) is a
+    join-for-join replacement).
+
+    bits_per_token = mean over ALL token occurrences of
+    -log2(count(token) / total_tokens). Repetitive, low-entropy docs
+    score low; rare-vocabulary docs score high.
+
+    Scale shape: the term table is vocabulary-sized (zipf: ~sqrt of
+    corpus) and joins back broadcast-style; per-doc aggregation is the
+    only corpus-wide shuffle. No Python anywhere."""
+    toks = F.split(F.lower(F.trim(text_col)), " ")
+    t = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    ).filter(F.length("tok") > 0)
+    freq = t.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    logp = freq.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (-(F.log2(F.col("cnt") / F.col("total")))).alias("bits"),
+    )
+    return (
+        t.join(F.broadcast(logp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("bits"), round_to).alias("bits_per_token"),
+        )
+    )

@@ -794,6 +794,150 @@ def q_simhash_fingerprints(spark, sf_dir):
     )
 
 
+def q_revenue_rollup(spark, sf_dir):
+    """Hierarchical revenue subtotals via ROLLUP(region, nation) —
+    grouping-sets coverage: per-nation rows, per-region subtotals, and
+    the grand total in ONE aggregation pass (Catalyst expands the
+    grouping sets map-side; no re-scan per level). Levels are labeled
+    with grouping() so subtotal NULLs are distinguishable from data
+    NULLs."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            # grouping() is only legal inside the rollup agg itself
+            (F.grouping("r_name") * 2 + F.grouping("n_name"))
+            .cast("int")
+            .alias("lvl"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("r_name", "n_name", "lvl", "n_orders", "revenue")
+    )
+
+
+def q_span_kind_transitions(spark, sf_dir):
+    """Interleaved-payload composition profile: the kind→kind
+    transition matrix of the spans sequence, per source — the
+    structure stat a multimodal-corpus owner reads before training
+    (how often does text hand off to an image mid-document?). Spans
+    are synthesized with the engine's standard arithmetic (variable
+    length 1-4 via doc_id % 4); transitions walk the ORDERED array
+    with element_at (never an unordered explode), honoring the
+    span-sequence invariant. Row-local until one (source, from, to)
+    aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    spans = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int")),
+        lambda i: F.struct(
+            F.when(
+                ((F.col("doc_id") % 1000003) * 31 + i * 7) % 97 < 60,
+                "text",
+            )
+            .otherwise("image")
+            .alias("kind"),
+            (i * 10).cast("int").alias("offset"),
+        ),
+    )
+    docs = d.select("doc_id", "source", spans.alias("spans"))
+    # single-span docs contribute no transitions — and sequence(1, 0)
+    # would DESCEND, not be empty, so they must not reach the transform
+    trans = docs.filter(F.size("spans") >= 2).select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("spans") - 1),
+                lambda j: F.struct(
+                    F.element_at("spans", j)["kind"].alias("from_kind"),
+                    F.element_at("spans", j + 1)["kind"].alias("to_kind"),
+                ),
+            )
+        ).alias("t"),
+    )
+    return (
+        trans.groupBy(
+            "source",
+            F.col("t.from_kind").alias("from_kind"),
+            F.col("t.to_kind").alias("to_kind"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup
+    (operators/dedup.py::containment_pairs): |A∩B|/|A| over the LSH
+    candidate set, direction-normalized so the smaller token set is
+    the contained side — catches short-doc-inside-long-doc duplication
+    that union-normalized Jaccard misses."""
+    from .operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, "doc_id", "text", threshold=0.9)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-5 retrieval (operators/retrieval.py::bm25_topk) for
+    three fixed probe queries over the documents corpus — the sparse
+    first-stage retriever beside the ANN family; rank is computed on
+    the 4dp-rounded score with doc_id tie-break so it is
+    engine-deterministic."""
+    from .operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [
+            (0, ["spark", "shuffle", "partition"]),
+            (1, ["hash", "join", "broadcast"]),
+            (2, ["window", "sort", "merge"]),
+        ],
+        "query_id int, terms array<string>",
+    )
+    return bm25_topk(d, qs, k=5)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style perplexity-proxy quality scoring
+    (operators/quality.py::unigram_logprob): per-doc mean
+    -log2 p(token) under the corpus's own unigram distribution, plus
+    the head/middle/tail bucketing CCNet uses to stratify web text
+    (fixed thresholds, not quantiles, so the verdict is row-local).
+    Docs < 200 for a bounded oracle-side join."""
+    from .operators.quality import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob(d.filter(F.col("doc_id") < 200))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "bits_per_token",
+        F.when(F.col("bits_per_token") < 6.1, "head")
+        .when(F.col("bits_per_token") < 6.35, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup candidate pairs over the full documents table
+    (operators/dedup.py::simhash_pairs): 32-bit fingerprints, Hamming-
+    band LSH with the pigeonhole guarantee (4 bands -> recall 1.0 at
+    Hamming <= 3), exact bit_count(xor) verify on candidates only. The
+    deterministic complement to MinHash's probabilistic S-curve."""
+    from .operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", bits=32, max_hamming=3)
+
+
 # --------------------------------------------------------------------------
 # similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -2155,6 +2299,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "token_entropy": q_token_entropy,
     "dedup_time_window": q_dedup_time_window,
+    "simhash_neardup": q_simhash_neardup,
+    "unigram_logprob": q_unigram_logprob,
+    "bm25_topk": q_bm25_topk,
+    "containment_pairs": q_containment_pairs,
+    "span_kind_transitions": q_span_kind_transitions,
+    "revenue_rollup": q_revenue_rollup,
     # --- driver-attested in CORRECTNESS_r02 (all hash-exact) ---
     "uniqueness_dup_keys": q_uniqueness_dup_keys,
     "referential_orphans": q_referential_orphans,
@@ -3789,6 +3939,197 @@ ORACLES: dict[str, str] = {
 # Connected components over the SAME candidate pairs the
 # minhash_lsh_candidates oracle derives: recursive reachability,
 # component id = min reachable label.
+ORACLES["revenue_rollup"] = """
+    SELECT r_name, n_name,
+           CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS lvl,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+"""
+
+ORACLES["span_kind_transitions"] = """
+    WITH pos AS (
+      SELECT d.doc_id, d.source, i
+      FROM documents d,
+           unnest(generate_series(0, CAST(d.doc_id % 4 AS INT))) AS g(i)
+    ), kinds AS (
+      SELECT doc_id, source, i,
+             CASE WHEN ((doc_id % 1000003) * 31 + i * 7) % 97 < 60
+                  THEN 'text' ELSE 'image' END AS kind
+      FROM pos
+    ), trans AS (
+      SELECT a.source, a.kind AS from_kind, b.kind AS to_kind
+      FROM kinds a JOIN kinds b
+        ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    )
+    SELECT source, from_kind, to_kind, count(*) AS n
+    FROM trans GROUP BY source, from_kind, to_kind
+"""
+
+ORACLES["containment_pairs"] = """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, toks,
+        list_aggregate(list_transform(toks,
+          x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)), 'min') AS s0,
+        list_aggregate(list_transform(toks,
+          x -> CAST(('0x' || substr(md5('1:' || x), 1, 15)) AS BIGINT)), 'min') AS s1,
+        list_aggregate(list_transform(toks,
+          x -> CAST(('0x' || substr(md5('2:' || x), 1, 15)) AS BIGINT)), 'min') AS s2,
+        list_aggregate(list_transform(toks,
+          x -> CAST(('0x' || substr(md5('3:' || x), 1, 15)) AS BIGINT)), 'min') AS s3,
+        list_aggregate(list_transform(toks,
+          x -> CAST(('0x' || substr(md5('4:' || x), 1, 15)) AS BIGINT)), 'min') AS s4,
+        list_aggregate(list_transform(toks,
+          x -> CAST(('0x' || substr(md5('5:' || x), 1, 15)) AS BIGINT)), 'min') AS s5,
+        list_aggregate(list_transform(toks,
+          x -> CAST(('0x' || substr(md5('6:' || x), 1, 15)) AS BIGINT)), 'min') AS s6,
+        list_aggregate(list_transform(toks,
+          x -> CAST(('0x' || substr(md5('7:' || x), 1, 15)) AS BIGINT)), 'min') AS s7
+      FROM t
+    ), bands AS (
+      SELECT doc_id, toks, 0 AS band, md5(s0 || ':' || s1) AS bucket FROM sigs
+      UNION ALL
+      SELECT doc_id, toks, 1, md5(s2 || ':' || s3) FROM sigs
+      UNION ALL
+      SELECT doc_id, toks, 2, md5(s4 || ':' || s5) FROM sigs
+      UNION ALL
+      SELECT doc_id, toks, 3, md5(s6 || ':' || s7) FROM sigs
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.toks AS a_toks, b.toks AS b_toks
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+    ), measured AS (
+      SELECT
+        CASE WHEN len(a_toks) < len(b_toks)
+               OR (len(a_toks) = len(b_toks) AND a_id < b_id)
+             THEN a_id ELSE b_id END AS contained_id,
+        CASE WHEN len(a_toks) < len(b_toks)
+               OR (len(a_toks) = len(b_toks) AND a_id < b_id)
+             THEN b_id ELSE a_id END AS container_id,
+        round(CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
+              / least(len(a_toks), len(b_toks)), 4) AS containment,
+        round(CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a_toks, b_toks))), 4)
+          AS jaccard
+      FROM pairs
+    )
+    SELECT * FROM measured WHERE containment >= 0.9
+"""
+
+ORACLES["bm25_topk"] = """
+    WITH tok AS (
+      SELECT doc_id, t AS tok
+      FROM documents,
+           unnest(string_split(lower(trim(text)), ' ')) AS u(t)
+      WHERE length(t) > 0
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), dfreq AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ), qt AS (
+      SELECT * FROM (VALUES
+        (0, 'spark'), (0, 'shuffle'), (0, 'partition'),
+        (1, 'hash'), (1, 'join'), (1, 'broadcast'),
+        (2, 'window'), (2, 'sort'), (2, 'merge')
+      ) AS q(query_id, tok)
+    ), scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(
+               ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                        / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             ), 4) AS score
+      FROM tf
+      JOIN qt USING (tok)
+      JOIN dfreq USING (tok)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY qt.query_id, tf.doc_id
+    ), ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+    FROM ranked WHERE rank <= 5
+"""
+
+ORACLES["unigram_logprob"] = """
+    WITH tok AS (
+      SELECT doc_id, t AS tok
+      FROM documents,
+           unnest(string_split(lower(trim(text)), ' ')) AS u(t)
+      WHERE length(t) > 0 AND doc_id < 200
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+    ), total AS (
+      SELECT sum(cnt) AS total FROM freq
+    ), logp AS (
+      SELECT tok, -log2(cnt / total) AS bits FROM freq, total
+    ), scored AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             round(avg(l.bits), 4) AS bits_per_token
+      FROM tok t JOIN logp l USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, bits_per_token,
+           CASE WHEN bits_per_token < 6.1 THEN 'head'
+                WHEN bits_per_token < 6.35 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored
+"""
+
+ORACLES["simhash_neardup"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(lower(trim(text)), ' ')))
+               AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+      FROM h, (SELECT unnest(generate_series(0, 31)) AS j)
+      GROUP BY doc_id, j
+    ), fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0
+                           THEN (CAST(1 AS BIGINT) << j)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, simhash, b,
+             (simhash >> (b * 8)) & 255 AS bucket
+      FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.simhash AS a_fp, b.simhash AS b_fp
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(a_fp, b_fp)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(a_fp, b_fp)) <= 3
+"""
+
 ORACLES["dedup_clusters"] = f"""
     WITH RECURSIVE
     cand AS ({ORACLES["minhash_lsh_candidates"]}),

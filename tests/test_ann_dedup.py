@@ -451,6 +451,85 @@ def test_seed_assign_zero_norm_vector_both_impls(spark):
         assert out[2][0] == 1, impl
 
 
+def test_simhash_pairs_pigeonhole_recall(spark):
+    """bands = max_hamming + 1 guarantees recall 1.0: simhash_pairs
+    output must equal the brute-force all-pairs set at the same
+    Hamming threshold (no bucketing miss), including a planted
+    near-identical pair."""
+    from anomalydetection_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i} end")
+        for i in range(20)
+    ]
+    rows.append((100, "alpha beta gamma delta epsilon zeta token1 end "
+                      "extra"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_pairs(docs, bits=32, max_hamming=3).collect()
+    }
+    fps = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(docs, bits=32).collect()
+    }
+    ids = sorted(fps)
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == brute
+    assert any(100 in (a, b) for a, b, _ in got)  # planted near-dup found
+
+
+def test_simhash_pairs_skew_guard_and_validation(spark):
+    import pytest
+
+    from anomalydetection_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "same exact text every row") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    # identical docs -> every band bucket holds all 10; guard drops them
+    assert simhash_pairs(docs, max_bucket_size=5).count() == 0
+    assert simhash_pairs(docs).count() == 45
+    with pytest.raises(ValueError, match="bands must divide"):
+        simhash_pairs(docs, bits=32, bands=5)
+
+
+def test_containment_pairs_short_doc_inside_long(spark):
+    """A short doc fully embedded in a long one: containment 1.0 while
+    Jaccard is far below any dedup threshold — direction normalized to
+    (contained, container)."""
+    from anomalydetection_spark.operators.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, short_text)],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r.contained_id, r.container_id): (r.containment, r.jaccard)
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    # 2 and 3 are identical (ties -> lower id contained); both sit
+    # inside 1. LSH bands on 8-slot signatures: identical docs always
+    # collide; (short, long) collides when shared tokens dominate the
+    # min-hash slots — assert on the pairs that MUST be present.
+    assert out[(2, 3)] == (1.0, 1.0)
+    for k in ((2, 1), (3, 1)):
+        if k in out:
+            c, j = out[k]
+            assert c == 1.0 and j == round(8 / 40, 4)
+
+
 def test_lloyd_iteration_skips_unassignable_vectors(spark):
     """Wrong-dim / NULL vectors (seed_id NULL from seed_assign) must
     not produce a sid=NULL centroid row or crash refine_ivf_centroids

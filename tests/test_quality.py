@@ -166,3 +166,30 @@ def test_quality_flags_differential_random_corpus(spark):
     for i, txt in docs:
         assert got[i] == _py_flags(txt), (i, repr(txt), got[i],
                                           _py_flags(txt))
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus with closed-form bits: tokens {a:2, b:1, c:1},
+    total 4 -> p(a)=.5, p(b)=p(c)=.25; doc1 'a a b' = (1+1+2)/3,
+    doc2 'c' = 2.0."""
+    from anomalydetection_spark.operators.quality import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert out[1].n_tokens == 3
+    assert abs(out[1].bits_per_token - round(4 / 3, 4)) < 1e-9
+    assert out[2].n_tokens == 1
+    assert out[2].bits_per_token == 2.0
+
+
+def test_unigram_logprob_repetitive_doc_scores_lower(spark):
+    from anomalydetection_spark.operators.quality import unigram_logprob
+
+    rows = [(i, f"word{i} word{i+100} word{i+200} varied text")
+            for i in range(20)]
+    rows.append((999, "varied varied varied varied varied"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.bits_per_token for r in unigram_logprob(df).collect()}
+    assert out[999] < min(v for k, v in out.items() if k != 999)

@@ -49,6 +49,11 @@ HEADLINE = [
     "embedding_stats",
     "range_join_events",
     "stratified_sample",
+    "simhash_neardup",
+    "bm25_topk",
+    "containment_pairs",
+    "unigram_logprob",
+    "revenue_rollup",
 ]
 
 
