@@ -2256,11 +2256,102 @@ def q_span_roundtrip(spark, sf_dir):
     )
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase over the
+    events stream (reference analog: the per-cluster sequence stats of
+    /root/reference/log_parser.py:84-142, re-expressed as a
+    distributed funnel). ONE shuffle: groupBy(user_id) collects each
+    stage's sorted timestamp array; stage progression is then
+    row-local array HOFs — the stage-k hit is the minimum stage-k
+    timestamp strictly AFTER the stage-(k-1) hit. No self-joins, no
+    global window: per-user event counts are bounded, so the fold is
+    O(events/user) per row and the plan is a single hash aggregate
+    that survives 100x scale-up."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage_ts(kind):
+        return F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == kind, F.col("ts"))
+            )
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        stage_ts("view").alias("v"),
+        stage_ts("click").alias("c"),
+        stage_ts("purchase").alias("p"),
+    )
+    t1 = F.element_at("v", 1)
+    staged = per_user.withColumn("t1", t1).withColumn(
+        "t2",
+        F.array_min(F.filter("c", lambda x: x > F.col("t1"))),
+    )
+    staged = staged.withColumn(
+        "t3",
+        F.array_min(F.filter("p", lambda x: x > F.col("t2"))),
+    )
+    tot = staged.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    # one row per funnel stage; conversion vs the previous stage is
+    # ANSI-safe (nullif) — an empty stage yields NULL, not a crash.
+    return tot.selectExpr(
+        """stack(3,
+             1, 'view', n1, round(n1 / nullif(n_users, 0), 6),
+             2, 'click', n2, round(n2 / nullif(n1, 0), 6),
+             3, 'purchase', n3, round(n3 / nullif(n2, 0), 6)
+           ) AS (stage, stage_name, n_reached, conv_from_prev)"""
+    ).selectExpr(
+        "CAST(stage AS INT) AS stage",
+        "stage_name",
+        "CAST(n_reached AS BIGINT) AS n_reached",
+        "CAST(conv_from_prev AS DOUBLE) AS conv_from_prev",
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: cohort = ISO week of a user's first
+    event; retention(k) = share of the cohort active k weeks later.
+    Two shuffles total (first-event agg; distinct-activity agg), then
+    a user_id equi-join Catalyst co-partitions with the aggregates;
+    final state is (cohorts x offsets) rows — independent of event
+    volume, so the plan is scale-stable. Week buckets use Monday
+    date_trunc('week'), identical in Spark and DuckDB."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = ev.select("user_id", wk.alias("week")).distinct()
+    joined = activity.join(firsts, "user_id")
+    res = joined.groupBy(
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7)
+        .cast("int")
+        .alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return res.join(sizes, "cohort_week").select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        F.col("week_offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.round(
+            F.col("n_active") / F.nullif(F.col("cohort_size"), F.lit(0)),
+            6,
+        ).alias("retention"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
     # Entries least-recently attested by the driver's correctness gate come
     # FIRST (the gate records the leading entries of this dict; round-2's
     # file recorded exactly the first 50, so the round-3 additions and the
@@ -4292,4 +4383,63 @@ ORACLES["windowed_kind_drift"] = """
            CASE WHEN sum((p - q) * ln(p / q)) > 0.25
                 THEN 'fail' ELSE 'pass' END AS verdict
     FROM j GROUP BY window_start
+"""
+
+# Ordered funnel: min view ts, then min click strictly after it, then
+# min purchase strictly after that — list HOFs mirror the Spark array
+# HOFs exactly (empty-list min and NULL comparands both yield NULL).
+ORACLES["event_funnel"] = """
+    WITH pu AS (
+      SELECT user_id,
+             list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS v,
+             list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS c,
+             list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS p
+      FROM events GROUP BY user_id
+    ), st AS (
+      SELECT v[1] AS t1,
+             list_min(list_filter(c, x -> x > v[1])) AS t2,
+             list_min(list_filter(p, x -> x >
+               list_min(list_filter(c, y -> y > v[1])))) AS t3
+      FROM pu
+    ), tot AS (
+      SELECT count(*) AS n_users, count(t1) AS n1,
+             count(t2) AS n2, count(t3) AS n3
+      FROM st
+    )
+    SELECT CAST(stage AS INT) AS stage, stage_name,
+           CAST(n_reached AS BIGINT) AS n_reached,
+           CAST(conv AS DOUBLE) AS conv_from_prev
+    FROM (
+      SELECT 1 AS stage, 'view' AS stage_name, n1 AS n_reached,
+             round(n1 * 1.0 / nullif(n_users, 0), 6) AS conv FROM tot
+      UNION ALL
+      SELECT 2, 'click', n2, round(n2 * 1.0 / nullif(n1, 0), 6) FROM tot
+      UNION ALL
+      SELECT 3, 'purchase', n3, round(n3 * 1.0 / nullif(n2, 0), 6) FROM tot
+    )
+"""
+
+# Weekly cohort retention; date_trunc('week') is Monday-based in both
+# engines, so offsets are exact multiples of 7 days.
+ORACLES["cohort_retention"] = """
+    WITH ev AS (
+      SELECT user_id, date_trunc('week', ts)::DATE AS week
+      FROM events WHERE ts IS NOT NULL
+    ), f AS (
+      SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id, week FROM ev
+    ), r AS (
+      SELECT f.cohort_week,
+             CAST((a.week - f.cohort_week) / 7 AS INT) AS week_offset,
+             count(DISTINCT a.user_id) AS n_active
+      FROM a JOIN f USING (user_id) GROUP BY 1, 2
+    ), s AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1
+    )
+    SELECT r.cohort_week, r.week_offset,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           round(r.n_active * 1.0 / nullif(s.cohort_size, 0), 6)
+             AS retention
+    FROM r JOIN s USING (cohort_week)
 """

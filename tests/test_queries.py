@@ -90,3 +90,55 @@ def test_span_roundtrip_invariant_holds_and_detects_corruption(spark):
         (F.to_json("spans") == F.to_json("rebuilt")).alias("ok")
     )
     assert broken.first().ok is False
+
+
+def test_event_funnel_monotone_and_ordered(spark):
+    """Funnel counts must be monotone non-increasing (stage k requires a
+    strictly-later stage-(k-1) hit), and a planted user whose purchase
+    precedes every click must NOT count at stage 3."""
+    from anomalydetection_spark.queries import q_event_funnel
+
+    rows = q_event_funnel(spark, SF).orderBy("stage").collect()
+    assert [r["stage_name"] for r in rows] == ["view", "click", "purchase"]
+    ns = [r["n_reached"] for r in rows]
+    assert ns[0] >= ns[1] >= ns[2] >= 0
+    assert all(
+        r["conv_from_prev"] is None or 0.0 <= r["conv_from_prev"] <= 1.0
+        for r in rows
+    )
+
+    # planted ordering violation: purchase BEFORE any click -> stage 2 max
+    import pyspark.sql.functions as SF_
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "view", 0.0, ""),
+            (2, "2024-01-01 00:00:01", 7, "purchase", 0.0, ""),
+            (3, "2024-01-01 00:00:02", 7, "click", 0.0, ""),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", SF_.to_timestamp("ts"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = {
+            r["stage_name"]: r["n_reached"]
+            for r in q_event_funnel(spark, d).collect()
+        }
+    assert out == {"view": 1, "click": 1, "purchase": 0}
+
+
+def test_cohort_retention_offset0_is_full(spark):
+    """Offset 0 is the cohort week itself: retention must be 1.0 for
+    every cohort, and all retentions lie in (0, 1]."""
+    from anomalydetection_spark.queries import q_cohort_retention
+
+    rows = q_cohort_retention(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["retention"] <= 1.0
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0
+        assert r["week_offset"] >= 0
