@@ -2345,6 +2345,55 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal (hour-of-day) residual anomaly scoring of the hourly
+    per-type event-count series — the seasonal sibling of
+    q_rolling_3sigma and the batch analog of the reference's
+    per-cluster rate alarms (/root/reference/anomaly_model.py scores
+    deviations from a learned baseline; here the baseline is the
+    24-slot hour-of-day profile). Two aggregations (hourly series,
+    then the |types| x 24-row seasonal baseline) + one broadcast join;
+    no window over the full series, so the plan needs no global sort
+    and is scale-stable (the baseline stays tiny at any data volume).
+    Slots with < 5 observations are excluded (stddev unstable).
+    NB: a single spike inside its own n-point baseline has
+    z <= (n-1)/sqrt(n) (it inflates the slot's stddev), so the 3-sigma
+    gate only bites once a slot has >= ~11 observations — by design:
+    thin history should not alarm."""
+    ev = _t(spark, sf_dir, "events")
+    # tz-free NTZ hour truncation (see q_rolling_3sigma)
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_timestamp_ntz(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00")
+        ).alias("bucket_ts"),
+    ).agg(F.count("*").cast("double").alias("n"))
+    base = hourly.groupBy(
+        "event_type", F.hour("bucket_ts").alias("hod")
+    ).agg(
+        F.avg("n").alias("mu"),
+        F.stddev_samp("n").alias("sd"),
+        F.count("*").alias("n_obs"),
+    ).filter(F.col("n_obs") >= 5)
+    z = F.round(
+        F.when(F.col("sd") < 1e-9, 0.0).otherwise(
+            F.abs(F.col("n") - F.col("mu")) / F.col("sd")
+        ),
+        4,
+    )
+    return (
+        hourly.withColumn("hod", F.hour("bucket_ts"))
+        .join(F.broadcast(base), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "bucket_ts",
+            F.col("n").cast("long").alias("n"),
+            z.alias("zscore"),
+            (z > 3.0).alias("is_anomaly"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -2352,6 +2401,7 @@ def q_cohort_retention(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
+    "seasonal_anomaly": q_seasonal_anomaly,
     # Entries least-recently attested by the driver's correctness gate come
     # FIRST (the gate records the leading entries of this dict; round-2's
     # file recorded exactly the first 50, so the round-3 additions and the
@@ -4442,4 +4492,29 @@ ORACLES["cohort_retention"] = """
            round(r.n_active * 1.0 / nullif(s.cohort_size, 0), 6)
              AS retention
     FROM r JOIN s USING (cohort_week)
+"""
+
+# Hour-of-day seasonal baseline (avg/stddev over the hourly series per
+# (event_type, hod) slot), residual z-score rounded to 4dp BEFORE the
+# >3 comparison so the anomaly flag is boundary-stable cross-engine.
+ORACLES["seasonal_anomaly"] = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             count(*) * 1.0 AS n
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type, hour(bucket_ts) AS hod,
+             avg(n) AS mu, stddev_samp(n) AS sd, count(*) AS n_obs
+      FROM hourly GROUP BY 1, 2
+      HAVING count(*) >= 5
+    )
+    SELECT h.event_type, h.bucket_ts, CAST(h.n AS BIGINT) AS n,
+           round(CASE WHEN b.sd < 1e-9 THEN 0.0
+                      ELSE abs(h.n - b.mu) / b.sd END, 4) AS zscore,
+           round(CASE WHEN b.sd < 1e-9 THEN 0.0
+                      ELSE abs(h.n - b.mu) / b.sd END, 4) > 3.0
+             AS is_anomaly
+    FROM hourly h
+    JOIN base b ON b.event_type = h.event_type
+               AND b.hod = hour(h.bucket_ts)
 """

@@ -204,3 +204,30 @@ def test_element_contract_rules_single_agg_no_explode(spark):
     assert "ArrowEvalPython" not in plan
     # one aggregation boundary (partial -> final single row)
     assert plan.count("Exchange (") <= 1
+
+
+def test_event_funnel_single_shuffle_no_join(spark):
+    """The funnel is ONE hash aggregate over user_id + a scalar rollup:
+    no join, no window sort over the full table."""
+    plan = _plan(spark, "event_funnel")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # exactly one row-data exchange (user_id) + the final single-
+    # partition rollup exchange (4 scalar counters)
+    assert plan.count("hashpartitioning(") == 1
+    assert "SinglePartition" in plan
+
+
+def test_seasonal_anomaly_broadcasts_baseline(spark):
+    """The 24-slot seasonal baseline joins back as a broadcast —
+    never a sort-merge of the hourly series."""
+    plan = _plan(spark, "seasonal_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cohort_retention_no_sort_merge(spark):
+    """Cohort sizes and activity join on aggregate outputs (tiny);
+    AQE/broadcast keeps row data out of sort-merge joins."""
+    plan = _plan(spark, "cohort_retention")
+    assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>" in plan

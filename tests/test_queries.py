@@ -142,3 +142,35 @@ def test_cohort_retention_offset0_is_full(spark):
         if r["week_offset"] == 0:
             assert r["retention"] == 1.0
         assert r["week_offset"] >= 0
+
+
+def test_seasonal_anomaly_flags_planted_spike(spark):
+    """A 10x count spike in one hour must be flagged against its
+    hour-of-day baseline; quiet hours must not be."""
+    import tempfile
+
+    import pyspark.sql.functions as SF_
+    from anomalydetection_spark.queries import q_seasonal_anomaly
+
+    rows = []
+    eid = 0
+    # 20 days of a flat 5-events-per-day profile at hour 09 (a spike
+    # inside its own n-point baseline has z <= (n-1)/sqrt(n), so 10
+    # days could never cross 3 sigma; 20 days caps at ~4.25) ...
+    for day in range(1, 21):
+        n = 50 if day == 7 else 5  # ... with a day-7 spike
+        for i in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-{day:02d} 09:00:{i % 60:02d}",
+                         1, "click", 0.0, ""))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", SF_.to_timestamp_ntz("ts"))
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = q_seasonal_anomaly(spark, d).collect()
+    flagged = {r["bucket_ts"].day for r in out if r["is_anomaly"]}
+    assert flagged == {7}
+    assert len(out) == 20
