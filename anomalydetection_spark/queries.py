@@ -2394,6 +2394,98 @@ def q_seasonal_anomaly(spark, sf_dir):
     )
 
 
+def q_fd_violations(spark, sf_dir):
+    """Functional-dependency conformance (Deequ-class validation
+    primitive the reference's schema checks imply but never compute):
+    for each candidate FD lhs -> rhs, the share of lhs groups with
+    more than one distinct rhs. One map-side-combinable two-level agg
+    per FD (groupBy lhs countDistinct rhs, then a scalar rollup) —
+    the shuffle carries (lhs, rhs) pairs pre-deduplicated by the
+    partial agg, and the result is ONE row per FD at any scale."""
+
+    def fd(df, lhs, rhs):
+        g = df.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        return g.agg(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.count("*").alias("n_lhs"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.round(
+                F.avg(F.when(F.col("n_rhs") > 1, 1.0).otherwise(0.0)), 6
+            ).alias("violation_rate"),
+        ).withColumn("holds", F.col("n_violating") == 0)
+
+    part = _t(spark, sf_dir, "part")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        fd(part, "p_partkey", "p_brand")       # key FD: holds
+        .unionByName(fd(cust, "c_nationkey", "c_mktsegment"))  # fails
+        .unionByName(fd(li, "l_orderkey", "l_returnflag"))     # fails
+    )
+
+
+def q_benford_deviation(spark, sf_dir):
+    """Benford's-law first-significant-digit profile of
+    l_extendedprice — the classic fabricated-data / unit-mixup alarm
+    for financial columns. Row-local digit extraction + a 9-row
+    aggregate; expected mass is log10(1 + 1/d). Scale-stable: the
+    only shuffle carries <= 9 partial-count rows per task."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    digit = F.substring(
+        F.col("l_extendedprice").cast("string"), 1, 1
+    ).cast("int")
+    per = li.groupBy(digit.alias("digit")).agg(
+        F.count("*").alias("n")
+    )
+    tot = per.agg(F.sum("n").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("total"), 6).alias("p_obs"),
+            F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("p_benford"),
+            F.round(
+                F.abs(
+                    F.col("n") / F.col("total")
+                    - F.log10(1 + 1 / F.col("digit"))
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+    )
+
+
+def q_numeric_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem numeric columns
+    (Deequ-style multi-column profile). ALL six pairs compute in ONE
+    aggregation pass (each corr is a set of mergeable moments), then a
+    stack() reshape of the single result row — never six scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    aggs = [
+        F.round(F.corr(F.col(a).cast("double"), F.col(b).cast("double")), 6)
+        .alias(f"{a}__{b}")
+        for a, b in pairs
+    ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', {a}__{b}" for a, b in pairs
+    )
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, pearson_r)"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -2402,6 +2494,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "seasonal_anomaly": q_seasonal_anomaly,
+    "fd_violations": q_fd_violations,
+    "benford_deviation": q_benford_deviation,
+    "numeric_correlations": q_numeric_correlations,
     # Entries least-recently attested by the driver's correctness gate come
     # FIRST (the gate records the leading entries of this dict; round-2's
     # file recorded exactly the first 50, so the round-3 additions and the
@@ -4517,4 +4612,65 @@ ORACLES["seasonal_anomaly"] = """
     FROM hourly h
     JOIN base b ON b.event_type = h.event_type
                AND b.hod = hour(h.bucket_ts)
+"""
+
+ORACLES["fd_violations"] = """
+    WITH fd1 AS (
+      SELECT 'p_partkey->p_brand' AS fd, count(*) AS n_lhs,
+             CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             round(avg(CASE WHEN n_rhs > 1 THEN 1.0 ELSE 0.0 END), 6)
+               AS violation_rate
+      FROM (SELECT p_partkey, count(DISTINCT p_brand) AS n_rhs
+            FROM part GROUP BY p_partkey)
+    ), fd2 AS (
+      SELECT 'c_nationkey->c_mktsegment', count(*),
+             CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             round(avg(CASE WHEN n_rhs > 1 THEN 1.0 ELSE 0.0 END), 6)
+      FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_rhs
+            FROM customer GROUP BY c_nationkey)
+    ), fd3 AS (
+      SELECT 'l_orderkey->l_returnflag', count(*),
+             CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             round(avg(CASE WHEN n_rhs > 1 THEN 1.0 ELSE 0.0 END), 6)
+      FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS n_rhs
+            FROM lineitem GROUP BY l_orderkey)
+    )
+    SELECT *, n_violating = 0 AS holds FROM (
+      SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+      UNION ALL SELECT * FROM fd3
+    )
+"""
+
+ORACLES["benford_deviation"] = """
+    WITH per AS (
+      SELECT CAST(substr(CAST(l_extendedprice AS VARCHAR), 1, 1) AS INT)
+               AS digit,
+             count(*) AS n
+      FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1
+    ), tot AS (SELECT sum(n) AS total FROM per)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n / total, 6) AS p_obs,
+           round(log10(1 + 1.0 / digit), 6) AS p_benford,
+           round(abs(n / total - log10(1 + 1.0 / digit)), 6) AS abs_dev
+    FROM per CROSS JOIN tot
+"""
+
+ORACLES["numeric_correlations"] = """
+    WITH one AS (
+      SELECT
+        round(corr(l_quantity, l_extendedprice), 6) AS c1,
+        round(corr(l_quantity, l_discount), 6) AS c2,
+        round(corr(l_quantity, l_tax), 6) AS c3,
+        round(corr(l_extendedprice, l_discount), 6) AS c4,
+        round(corr(l_extendedprice, l_tax), 6) AS c5,
+        round(corr(l_discount, l_tax), 6) AS c6
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c1 AS pearson_r FROM one
+    UNION ALL SELECT 'l_quantity', 'l_discount', c2 FROM one
+    UNION ALL SELECT 'l_quantity', 'l_tax', c3 FROM one
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', c4 FROM one
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', c5 FROM one
+    UNION ALL SELECT 'l_discount', 'l_tax', c6 FROM one
 """

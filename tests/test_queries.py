@@ -174,3 +174,35 @@ def test_seasonal_anomaly_flags_planted_spike(spark):
     flagged = {r["bucket_ts"].day for r in out if r["is_anomaly"]}
     assert flagged == {7}
     assert len(out) == 20
+
+
+def test_fd_violations_key_fd_holds(spark):
+    """A key FD must hold with rate 0; non-FDs must report a rate in
+    (0, 1]; rates and counts are internally consistent."""
+    from anomalydetection_spark.queries import q_fd_violations
+
+    rows = {r["fd"]: r for r in q_fd_violations(spark, SF).collect()}
+    assert rows["p_partkey->p_brand"]["holds"] is True
+    assert rows["p_partkey->p_brand"]["violation_rate"] == 0.0
+    for name, r in rows.items():
+        assert (r["n_violating"] == 0) == r["holds"]
+        assert 0 <= r["n_violating"] <= r["n_lhs"]
+
+
+def test_benford_covers_all_digits_and_sums_to_one(spark):
+    from anomalydetection_spark.queries import q_benford_deviation
+
+    rows = q_benford_deviation(spark, SF).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    assert abs(sum(r["p_obs"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["p_benford"] for r in rows) - 1.0) < 1e-4
+
+
+def test_numeric_correlations_bounded_and_complete(spark):
+    from anomalydetection_spark.queries import q_numeric_correlations
+
+    rows = q_numeric_correlations(spark, SF).collect()
+    assert len(rows) == 6
+    assert len({(r["col_a"], r["col_b"]) for r in rows}) == 6
+    for r in rows:
+        assert r["pearson_r"] is None or -1.0 <= r["pearson_r"] <= 1.0
