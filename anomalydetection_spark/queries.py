@@ -2440,8 +2440,12 @@ def q_benford_deviation(spark, sf_dir):
     digit = F.substring(
         F.col("l_extendedprice").cast("string"), 1, 1
     ).cast("int")
-    per = li.groupBy(digit.alias("digit")).agg(
-        F.count("*").alias("n")
+    # guard: a price in (0,1) yields first char '0' — keep the ANSI
+    # division/log10 domain safe by scoping to significant digits 1-9
+    per = (
+        li.groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("digit").between(1, 9))
     )
     tot = per.agg(F.sum("n").alias("total"))
     return (
@@ -4648,12 +4652,13 @@ ORACLES["benford_deviation"] = """
                AS digit,
              count(*) AS n
       FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1
-    ), tot AS (SELECT sum(n) AS total FROM per)
+    ), perd AS (SELECT * FROM per WHERE digit BETWEEN 1 AND 9
+    ), tot AS (SELECT sum(n) AS total FROM perd)
     SELECT digit, CAST(n AS BIGINT) AS n,
            round(n / total, 6) AS p_obs,
            round(log10(1 + 1.0 / digit), 6) AS p_benford,
            round(abs(n / total - log10(1 + 1.0 / digit)), 6) AS abs_dev
-    FROM per CROSS JOIN tot
+    FROM perd AS per CROSS JOIN tot
 """
 
 ORACLES["numeric_correlations"] = """

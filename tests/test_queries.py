@@ -206,3 +206,21 @@ def test_numeric_correlations_bounded_and_complete(spark):
     assert len({(r["col_a"], r["col_b"]) for r in rows}) == 6
     for r in rows:
         assert r["pearson_r"] is None or -1.0 <= r["pearson_r"] <= 1.0
+
+
+def test_benford_subunit_prices_do_not_crash(spark):
+    """Prices in (0,1) have first significant char '0'; the digit guard
+    must drop them without an ANSI divide-by-zero."""
+    import tempfile
+
+    from anomalydetection_spark.queries import q_benford_deviation
+
+    li = spark.createDataFrame(
+        [(1, 0.5), (2, 12.0), (3, 905.0), (4, 0.07)],
+        "l_orderkey long, l_extendedprice double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(f"{d}/lineitem.parquet")
+        rows = q_benford_deviation(spark, d).collect()
+    assert sorted(r["digit"] for r in rows) == [1, 9]
+    assert abs(sum(r["p_obs"] for r in rows) - 1.0) < 1e-9
