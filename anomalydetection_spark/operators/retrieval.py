@@ -14,7 +14,10 @@ corpus-wide scan is one tokenize + groupBy; the per-(query, doc) score
 aggregation shuffles on (query_id, doc_id) which is bounded by postings
 of the query terms, not the corpus; top-k is a window per query_id
 (WindowGroupLimit pushes the limit into the sort). Term statistics
-(df, idf) live in a vocabulary-sized table that broadcasts. Zero
+(df, idf) are computed corpus-wide but semi-joined down to the query
+terms BEFORE broadcasting — the full vocabulary table grows with the
+corpus (Heaps' law) and must never broadcast. The doc-length join
+shuffles (doc_id, dl) pairs — narrow, corpus-row-count-bounded. Zero
 Python in the plan.
 """
 
@@ -62,9 +65,15 @@ def bm25_topk(
         F.col(query_id_col).alias("query_id"),
         F.explode(terms_col).alias("tok"),
     ).distinct()
+    # df stats restricted to query terms BEFORE the broadcast: the full
+    # dfreq table is vocabulary-sized (grows with the corpus, Heaps'
+    # law), but only |query terms| rows of it can ever contribute.
+    dfreq_q = dfreq.join(
+        F.broadcast(qt.select("tok").distinct()), "tok", "left_semi"
+    )
     scored = (
         tf.join(F.broadcast(qt), "tok")
-        .join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(dfreq_q), "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(n_stats))
         .withColumn(
