@@ -2490,11 +2490,50 @@ def q_numeric_correlations(spark, sf_dir):
     )
 
 
+def q_profile_from_partials(spark, sf_dir):
+    """Incremental-profiling merge algebra
+    (operators/incremental_profile.py): per-partition mergeable moments
+    (n, n_null, sum, sumsq, min, max) over lineitem partitioned by
+    l_returnflag, folded into the table-level profile — the exact
+    two-level computation an incremental profiler replays from stored
+    partials state without rescanning unchanged partitions. The oracle
+    runs the SAME two-level algebra in DuckDB, so a hash match proves
+    the merge is computation-order-independent. Distinct sketches are
+    excluded here (DataSketches HLL has no cross-engine twin); their
+    lossless register-max merge is pinned in test_incremental_profile.
+    Reference analog: the per-file stats the reference refits from
+    scratch every poll loop (/root/reference/model_manager.py:154-198).
+    """
+    from .operators.incremental_profile import (
+        merge_partials,
+        profile_partials,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = profile_partials(
+        li,
+        "l_returnflag",
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        with_distinct=False,
+    )
+    return merge_partials(p, with_distinct=False).select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        "null_rate",
+        "min",
+        "max",
+        "avg",
+        "stddev",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "profile_from_partials": q_profile_from_partials,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "seasonal_anomaly": q_seasonal_anomaly,
@@ -4537,6 +4576,36 @@ ORACLES["windowed_kind_drift"] = """
 # Ordered funnel: min view ts, then min click strictly after it, then
 # min purchase strictly after that — list HOFs mirror the Spark array
 # HOFs exactly (empty-list min and NULL comparands both yield NULL).
+ORACLES["profile_from_partials"] = """
+WITH partials AS (
+  SELECT 'l_quantity' AS col, count(*) AS n, count(l_quantity) AS m,
+         sum(l_quantity) AS s, sum(l_quantity * l_quantity) AS ss,
+         min(l_quantity) AS mn, max(l_quantity) AS mx
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+         sum(l_extendedprice), sum(l_extendedprice * l_extendedprice),
+         min(l_extendedprice), max(l_extendedprice)
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT 'l_discount', count(*), count(l_discount),
+         sum(l_discount), sum(l_discount * l_discount),
+         min(l_discount), max(l_discount)
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT col AS column,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(n) - sum(m) AS BIGINT) AS n_null,
+       round((sum(n) - sum(m)) / sum(n), 6) AS null_rate,
+       min(mn) AS min,
+       max(mx) AS max,
+       round(sum(s) / sum(m), 6) AS avg,
+       round(sqrt(greatest(
+           (sum(ss) - sum(s) * sum(s) / sum(m)) / (sum(m) - 1), 0)), 6)
+           AS stddev
+FROM partials GROUP BY col
+"""
+
 ORACLES["event_funnel"] = """
     WITH pu AS (
       SELECT user_id,

@@ -1,0 +1,171 @@
+"""Incremental profiling: mergeable partials == direct computation,
+and the state store scans only new/changed partitions."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from anomalydetection_spark.operators.incremental_profile import (
+    IncrementalProfiler,
+    merge_partials,
+    profile_partials,
+)
+
+
+def _docs(spark, n, pid_mod=4, start=0):
+    return (
+        spark.range(start, start + n)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % pid_mod).cast("int").alias("pid"),
+            F.concat(F.lit("text-"), F.col("id")).alias("text"),
+            F.when(F.col("id") % 10 == 0, None)
+            .otherwise((F.col("id") % 97).cast("double"))
+            .alias("score"),
+        )
+    )
+
+
+def test_merge_equals_direct(spark):
+    df = _docs(spark, 2000)
+    prof = {
+        r["column"]: r
+        for r in merge_partials(profile_partials(df, "pid")).collect()
+    }
+    d = df.agg(
+        F.count("*").alias("n"),
+        F.count("score").alias("m"),
+        F.round(F.avg("score"), 6).alias("avg"),
+        F.round(F.stddev_samp("score"), 6).alias("std"),
+        F.min("score").alias("mn"),
+        F.max("score").alias("mx"),
+    ).first()
+    s = prof["score"]
+    assert s["n_rows"] == d["n"] == 2000
+    assert s["n_null"] == d["n"] - d["m"] == 200
+    assert s["avg"] == d["avg"]
+    assert s["stddev"] == d["std"]
+    assert (s["min"], s["max"]) == (d["mn"], d["mx"])
+    # string column profiles by length
+    t = prof["text"]
+    assert t["n_null"] == 0
+    assert t["min"] == len("text-0") and t["max"] == len("text-1999")
+
+
+def test_hll_merge_is_lossless(spark):
+    """Register-max merge: estimate from merged per-partition sketches
+    == estimate from one direct sketch over the whole column."""
+    df = _docs(spark, 5000, pid_mod=8)
+    merged = {
+        r["column"]: r["n_distinct"]
+        for r in merge_partials(profile_partials(df, "pid")).collect()
+    }
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("doc_id")).alias("d"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("score").cast("string"))
+        ).alias("s"),
+    ).first()
+    assert merged["doc_id"] == direct["d"]
+    assert merged["score"] == direct["s"]
+    # and the estimate tracks truth (5000 distinct ids, default lgK)
+    assert abs(merged["doc_id"] - 5000) / 5000 < 0.05
+
+
+def test_incremental_scans_only_new_partitions(spark, tmp_path):
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    base = _docs(spark, 1000, pid_mod=4)
+    r1 = ip.update(base, "pid", run_id="r1")
+    assert r1["profiled_partitions"] == ["0", "1", "2", "3"]
+    assert r1["reused_partitions"] == []
+
+    # unchanged table → nothing profiled, profile identical
+    r2 = ip.update(base, "pid", run_id="r2")
+    assert r2["profiled_partitions"] == []
+    assert len(r2["reused_partitions"]) == 4
+
+    # two appended partitions → only they are profiled
+    more = base.unionByName(
+        _docs(spark, 500, pid_mod=4, start=1000).withColumn(
+            "pid", (F.col("doc_id") % 2 + 4).cast("int")
+        )
+    )
+    r3 = ip.update(more, "pid", run_id="r3")
+    assert r3["profiled_partitions"] == ["4", "5"]
+    assert len(r3["reused_partitions"]) == 4
+
+    # merged profile == full recompute on the grown table
+    inc = {
+        (r["column"]): (r["n_rows"], r["n_null"], r["avg"], r["stddev"],
+                        r["min"], r["max"])
+        for r in r3["profile"].collect()
+    }
+    full = {
+        (r["column"]): (r["n_rows"], r["n_null"], r["avg"], r["stddev"],
+                        r["min"], r["max"])
+        for r in merge_partials(profile_partials(more, "pid")).collect()
+    }
+    assert inc == full
+
+    # zero-scan read-back of the committed state
+    again = {
+        (r["column"]): (r["n_rows"], r["n_null"])
+        for r in ip.profile(spark).collect()
+    }
+    assert again["doc_id"] == (1500, 0)
+
+
+def test_changed_partition_reprofiled_hash_mode(spark, tmp_path):
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    base = _docs(spark, 800, pid_mod=4)
+    ip.update(base, "pid", run_id="r1")
+    # rewrite partition 2 in place (score shifted)
+    mutated = base.withColumn(
+        "score",
+        F.when(F.col("pid") == 2, F.col("score") + 1000.0).otherwise(
+            F.col("score")
+        ),
+    )
+    r2 = ip.update(mutated, "pid", run_id="r2")
+    assert r2["profiled_partitions"] == ["2"]
+    prof = {r["column"]: r for r in r2["profile"].collect()}
+    assert prof["score"]["max"] > 1000  # the rewrite is visible
+
+    # partition_ids mode trusts stored partitions: same mutation invisible
+    ip2 = IncrementalProfiler(str(tmp_path / "state2"))
+    ip2.update(base, "pid", run_id="r1", change_detection="partition_ids")
+    r = ip2.update(
+        mutated, "pid", run_id="r2", change_detection="partition_ids"
+    )
+    assert r["profiled_partitions"] == []
+
+
+def test_removed_partition_drops_out(spark, tmp_path):
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    base = _docs(spark, 1000, pid_mod=4)
+    ip.update(base, "pid", run_id="r1")
+    shrunk = base.filter(F.col("pid") != 3)
+    r = ip.update(shrunk, "pid", run_id="r2")
+    assert r["removed_partitions"] == ["3"]
+    assert r["profiled_partitions"] == []
+    n = {x["column"]: x["n_rows"] for x in r["profile"].collect()}
+    assert n["doc_id"] == shrunk.count()
+
+
+def test_unsupported_dtype_gets_null_block_only(spark, tmp_path):
+    df = _docs(spark, 100).withColumn(
+        "meta", F.struct(F.lit("a").alias("k"))
+    )
+    prof = {
+        r["column"]: r
+        for r in merge_partials(profile_partials(df, "pid")).collect()
+    }
+    m = prof["meta"]
+    assert m["n_rows"] == 100 and m["n_null"] == 0
+    assert m["avg"] is None and m["min"] is None
+    assert m["n_distinct"] == 1  # struct sketched via to_json
+
+
+def test_bad_change_detection_raises(spark, tmp_path):
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    with pytest.raises(ValueError, match="change_detection"):
+        ip.update(_docs(spark, 10), "pid", change_detection="nope")
