@@ -2528,11 +2528,28 @@ def q_profile_from_partials(spark, sf_dir):
     )
 
 
+def q_suggested_contract_rules(spark, sf_dir):
+    """Deequ-style constraint suggestion (operators/suggest.py) over
+    the events table: null budgets from measured null rates, numeric
+    ranges with 10% slack, closed value sets for low-cardinality
+    strings, uniqueness candidates from exact distinct counts. The
+    oracle re-derives every rule from the same statistics in SQL, so a
+    hash match proves the suggestion arithmetic (incl. the
+    half-away-from-zero rounding) is engine-portable. exact_distinct
+    so the gates are deterministic; the 10^12-doc default uses the
+    sketch path (test_suggest covers its error-band gate)."""
+    from .operators.suggest import suggest_rules
+
+    ev = _t(spark, sf_dir, "events")
+    return suggest_rules(ev, exact_distinct=True)
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "suggested_contract_rules": q_suggested_contract_rules,
     "profile_from_partials": q_profile_from_partials,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
@@ -4576,6 +4593,61 @@ ORACLES["windowed_kind_drift"] = """
 # Ordered funnel: min view ts, then min click strictly after it, then
 # min purchase strictly after that — list HOFs mirror the Spark array
 # HOFs exactly (empty-list min and NULL comparands both yield NULL).
+ORACLES["suggested_contract_rules"] = """
+WITH s AS (
+  SELECT 'event_id' AS col, count(*) AS n, count(event_id) AS nn,
+         count(DISTINCT event_id) AS nd,
+         round(CAST(min(event_id) AS DOUBLE), 4) AS mn,
+         round(CAST(max(event_id) AS DOUBLE), 4) AS mx,
+         TRUE AS is_num, CAST(NULL AS VARCHAR) AS vals, 0 AS has_comma
+  FROM events
+  UNION ALL
+  SELECT 'ts', count(*), count(ts), count(DISTINCT ts),
+         NULL, NULL, FALSE, NULL, 0 FROM events
+  UNION ALL
+  SELECT 'user_id', count(*), count(user_id), count(DISTINCT user_id),
+         round(CAST(min(user_id) AS DOUBLE), 4),
+         round(CAST(max(user_id) AS DOUBLE), 4), TRUE, NULL, 0 FROM events
+  UNION ALL
+  SELECT 'event_type', count(*), count(event_type),
+         count(DISTINCT event_type), NULL, NULL, FALSE,
+         string_agg(DISTINCT event_type, ',' ORDER BY event_type),
+         max(CASE WHEN contains(event_type, ',') THEN 1 ELSE 0 END)
+  FROM events
+  UNION ALL
+  SELECT 'value', count(*), count(value), count(DISTINCT value),
+         round(min(value), 4), round(max(value), 4), TRUE, NULL, 0
+  FROM events
+  UNION ALL
+  SELECT 'props', count(*), count(props), count(DISTINCT props),
+         NULL, NULL, FALSE,
+         string_agg(DISTINCT props, ',' ORDER BY props),
+         max(CASE WHEN contains(props, ',') THEN 1 ELSE 0 END)
+  FROM events
+)
+SELECT col AS column,
+       CASE WHEN nn = n THEN 'not_null' ELSE 'max_null_rate' END AS rule,
+       CASE WHEN nn = n THEN 0.0
+            ELSE round(least(1.0,
+                 round((n - nn) / CAST(n AS DOUBLE), 6) * 2), 6)
+       END AS num_value,
+       CAST(NULL AS VARCHAR) AS str_value
+FROM s
+UNION ALL
+SELECT col, 'min_value',
+       CASE WHEN mn >= 0 THEN 0.0
+            ELSE round(mn - 0.1 * (mx - mn), 6) END, NULL
+FROM s WHERE is_num AND mn IS NOT NULL
+UNION ALL
+SELECT col, 'max_value', round(mx + 0.1 * (mx - mn), 6), NULL
+FROM s WHERE is_num AND mx IS NOT NULL
+UNION ALL
+SELECT col, 'allowed', NULL, vals
+FROM s WHERE vals IS NOT NULL AND nd BETWEEN 1 AND 16 AND has_comma = 0
+UNION ALL
+SELECT col, 'unique_candidate', NULL, NULL FROM s WHERE nd = n
+"""
+
 ORACLES["profile_from_partials"] = """
 WITH partials AS (
   SELECT 'l_quantity' AS col, count(*) AS n, count(l_quantity) AS m,

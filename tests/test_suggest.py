@@ -1,0 +1,76 @@
+"""Constraint suggestion: rules derive from observed data, and the
+profiled table passes its own suggested contract by construction."""
+
+import pyspark.sql.functions as F
+
+from anomalydetection_spark.operators.contract import (
+    contract_from_dict,
+    contract_verdicts,
+)
+from anomalydetection_spark.operators.suggest import (
+    suggest_contract,
+    suggest_rules,
+)
+
+
+def _tbl(spark):
+    return spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        F.element_at(
+            F.array(F.lit("click"), F.lit("view"), F.lit("purchase")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        F.when(F.col("id") % 20 == 0, None)
+        .otherwise((F.col("id") % 50).cast("double"))
+        .alias("value"),
+        F.concat(F.lit("u"), F.col("id") % 100).alias("user"),
+    )
+
+
+def test_rules_derive_from_data(spark):
+    sug = {
+        (r["column"], r["rule"]): r
+        for r in suggest_rules(_tbl(spark), exact_distinct=True).collect()
+    }
+    # no nulls in event_id -> not_null; value has 5% nulls -> 2x budget
+    assert ("event_id", "not_null") in sug
+    v = sug[("value", "max_null_rate")]
+    assert v["num_value"] == 0.1
+    # numeric range: non-negative -> min 0; max gets 10% slack
+    assert sug[("value", "min_value")]["num_value"] == 0.0
+    assert sug[("value", "max_value")]["num_value"] == 49.0 + 4.9
+    assert sug[("event_id", "min_value")]["num_value"] == 0.0
+    # low-cardinality string -> sorted closed set; 100-distinct user: none
+    assert sug[("event_type", "allowed")]["str_value"] == "click,purchase,view"
+    assert ("user", "allowed") not in sug
+    # exact-distinct uniqueness gate: only the id column
+    uniques = [c for (c, rule) in sug if rule == "unique_candidate"]
+    assert uniques == ["event_id"]
+
+
+def test_suggested_contract_self_validates(spark):
+    df = _tbl(spark)
+    d, unique = suggest_contract(df, exact_distinct=True)
+    assert unique == ["event_id"]
+    contract = contract_from_dict(d)
+    verdicts = contract_verdicts(df, contract).collect()
+    assert verdicts, "expected structural+data verdict rows"
+    assert all(r["verdict"] == "pass" for r in verdicts), [
+        (r["column"], r["rule"]) for r in verdicts if r["verdict"] != "pass"
+    ]
+
+
+def test_comma_valued_set_is_skipped(spark):
+    df = spark.range(10).select(
+        F.lit("a,b").alias("weird"), F.lit("ok").alias("fine")
+    )
+    sug = {(r["column"], r["rule"]) for r in suggest_rules(df).collect()}
+    assert ("weird", "allowed") not in sug
+    assert ("fine", "allowed") in sug
+
+
+def test_sketched_unique_gate_uses_error_band(spark):
+    # 10k distinct ids through the approx sketch: still flagged unique
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    sug = {(r["column"], r["rule"]) for r in suggest_rules(df).collect()}
+    assert ("k", "unique_candidate") in sug
