@@ -125,12 +125,17 @@ def suggest_rules(
         p = prof[c]
         n = p["n_rows"]
         null_rate = p["null_rate"] or 0.0
-        if null_rate == 0.0:
+        # gate on the EXACT null count, not the 6dp-rounded rate: at
+        # 10^12 rows a 1e-9 null rate rounds to 0.0 and would suggest a
+        # not_null rule the table itself violates; symmetric floor on
+        # the budget so rounding can't under-budget an ultra-rare rate
+        if p["n_null"] == 0:
             rows.append((c, "not_null", 0.0, None))
         else:
             rows.append(
                 (c, "max_null_rate",
-                 _r6(min(1.0, null_rate * null_rate_slack)), None)
+                 max(_r6(min(1.0, null_rate * null_rate_slack)), 1e-6),
+                 None)
             )
         if isinstance(schema[c], _NUMERIC) and p.get("min") is not None:
             rng = p["max"] - p["min"]

@@ -4628,8 +4628,9 @@ WITH s AS (
 SELECT col AS column,
        CASE WHEN nn = n THEN 'not_null' ELSE 'max_null_rate' END AS rule,
        CASE WHEN nn = n THEN 0.0
-            ELSE round(least(1.0,
-                 round((n - nn) / CAST(n AS DOUBLE), 6) * 2), 6)
+            ELSE greatest(round(least(1.0,
+                 round((n - nn) / CAST(n AS DOUBLE), 6) * 2), 6),
+                 0.000001)
        END AS num_value,
        CAST(NULL AS VARCHAR) AS str_value
 FROM s

@@ -136,7 +136,33 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="cap the violations sink at K exemplar rows per "
                    "(check, partition); verdict counts stay exact. "
                    "Default: emit every violation row")
+    p.add_argument("--suggest-contract", metavar="OUT_JSON",
+                   help="instead of a validation round, profile --docs "
+                        "and write a --config-compatible JSON whose "
+                        "contract section is suggested from the data "
+                        "(null budgets, slack ranges, closed value "
+                        "sets); uniqueness candidates are reported on "
+                        "stdout for the uniqueness operator, not "
+                        "written as per-row rules")
     return p.parse_args(argv)
+
+
+def suggest_round(spark, args) -> dict:
+    """--suggest-contract: profile --docs, write a --config-compatible
+    JSON with the suggested contract; uniqueness candidates go to the
+    summary (they belong to the uniqueness operator, not row rules)."""
+    from .operators.suggest import suggest_contract
+    from .sources.tables import read_table
+
+    docs = read_table(spark, args.docs)
+    contract, unique = suggest_contract(docs)
+    with open(args.suggest_contract, "w") as f:
+        json.dump({"contract": contract}, f, indent=2)
+    return {
+        "suggest_contract": args.suggest_contract,
+        "n_columns": len(contract["columns"]),
+        "unique_candidates": unique,
+    }
 
 
 def feedback_round(spark, args) -> dict:
@@ -495,6 +521,12 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 "checks": rows,
             }))
+            return 0
+        finally:
+            spark.stop()
+    if args.suggest_contract:
+        try:
+            print(json.dumps(suggest_round(spark, args)))
             return 0
         finally:
             spark.stop()

@@ -520,3 +520,41 @@ def test_ann_cli_build_and_query(spark, tmp_path):
          "--out", out2, "--k", "3", "--exact"]
     ))
     assert s2["n_queries"] == 10 and s2["n_hits"] == 30
+
+
+def test_suggest_contract_flag_round_trip(spark, docs_path, catalog, tmp_path):
+    """--suggest-contract writes a --config-compatible JSON; a
+    validation round configured with it runs, and the suggested
+    contract's own rules pass on the table they were derived from."""
+    from anomalydetection_spark.operators.contract import (
+        contract_from_dict,
+        contract_verdicts,
+    )
+    from anomalydetection_spark.run import suggest_round
+
+    cfg_path = str(tmp_path / "suggested.json")
+    args = parse_args(
+        ["--docs", docs_path, "--out", str(tmp_path / "o"),
+         "--suggest-contract", cfg_path]
+    )
+    s = suggest_round(spark, args)
+    assert s["n_columns"] >= 3
+    assert "doc_id" in s["unique_candidates"] or s["unique_candidates"] == []
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    contract = contract_from_dict(cfg["contract"])
+    docs = spark.read.parquet(docs_path)
+    verdicts = contract_verdicts(docs, contract).collect()
+    assert verdicts
+    assert all(r["verdict"] == "pass" for r in verdicts), [
+        (r["column"], r["rule"]) for r in verdicts if r["verdict"] != "pass"
+    ]
+
+    cat_path = str(tmp_path / "cat")
+    catalog.write.mode("overwrite").parquet(cat_path)
+    run_args = parse_args(
+        ["--docs", docs_path, "--catalog", cat_path,
+         "--out", str(tmp_path / "out2"), "--config", cfg_path]
+    )
+    s2 = one_round(spark, run_args, "r1")
+    assert s2["n_failed_checks"] > 0  # planted pipeline violations still fire

@@ -74,3 +74,19 @@ def test_sketched_unique_gate_uses_error_band(spark):
     df = spark.range(10_000).select(F.col("id").alias("k"))
     sug = {(r["column"], r["rule"]) for r in suggest_rules(df).collect()}
     assert ("k", "unique_candidate") in sug
+
+
+def test_ultra_rare_null_not_marked_not_null(spark):
+    """1 null in 10k rows: the 6dp-rounded rate stays nonzero here, but
+    the gate must use the exact count and the budget must floor at
+    1e-6 — the suggested contract may never fail on its own table."""
+    df = spark.range(10_000).select(
+        F.when(F.col("id") == 7, None).otherwise(F.col("id")).alias("v")
+    )
+    sug = {
+        (r["column"], r["rule"]): r for r in suggest_rules(df).collect()
+    }
+    assert ("v", "not_null") not in sug
+    budget = sug[("v", "max_null_rate")]["num_value"]
+    assert budget >= 1e-6
+    assert budget >= 1.0 / 10_000  # actual rate fits the budget
