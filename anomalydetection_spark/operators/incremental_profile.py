@@ -48,6 +48,7 @@ from pyspark.sql import types as T
 __all__ = [
     "profile_partials",
     "merge_partials",
+    "merge_quantiles",
     "IncrementalProfiler",
 ]
 
@@ -176,6 +177,89 @@ def merge_partials(
     return out
 
 
+def _per_partition_digests(
+    df: DataFrame,
+    partition_col: str,
+    cols: list[str],
+    delta: float,
+) -> DataFrame:
+    """(partition, column, centroid_means, centroid_weights) — ONE
+    t-digest per (logical partition, column): physical-partition
+    partials (mapInPandas streaming pass, bounded memory) merged per
+    logical partition. Small output: partitions x columns rows."""
+    from ..functions import tdigest as td
+
+    import pandas as pd
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m, w = td.merge(
+            zip(
+                (np.asarray(x) for x in pdf["centroid_means"]),
+                (np.asarray(x) for x in pdf["centroid_weights"]),
+            ),
+            delta,
+        )
+        return pd.DataFrame(
+            [{
+                "partition": pdf["partition"].iloc[0],
+                "column": pdf["column"].iloc[0],
+                "centroid_means": m.tolist(),
+                "centroid_weights": w.tolist(),
+            }]
+        )
+
+    out = None
+    for c in cols:
+        p = (
+            td.tdigest_partials(df, c, [partition_col], delta)
+            .withColumnRenamed(partition_col, "partition")
+            .withColumn("partition", F.col("partition").cast("string"))
+            .withColumn("column", F.lit(c))
+        )
+        merged = p.groupBy("partition", "column").applyInPandas(
+            merge_group,
+            schema=(
+                "partition string, column string,"
+                " centroid_means array<double>,"
+                " centroid_weights array<double>"
+            ),
+        )
+        out = merged if out is None else out.unionByName(merged)
+    return out
+
+
+def merge_quantiles(
+    digests: DataFrame, qs: list[float], delta: float = 100.0
+) -> DataFrame:
+    """Fold stored per-partition digests into table-level quantiles —
+    long form (column, q, value). Operates on partitions x columns
+    rows, never data."""
+    import pandas as pd
+
+    from ..functions import tdigest as td
+
+    def merge_col(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m, w = td.merge(
+            zip(
+                (np.asarray(x) for x in pdf["centroid_means"]),
+                (np.asarray(x) for x in pdf["centroid_weights"]),
+            ),
+            delta,
+        )
+        vals = td.quantile(m, w, qs)
+        return pd.DataFrame(
+            {"column": pdf["column"].iloc[0], "q": qs, "value": vals}
+        )
+
+    return digests.groupBy("column").applyInPandas(
+        merge_col, schema="column string, q double, value double"
+    )
+
+
 def _snapshot_hashes(
     df: DataFrame, partition_col: str, hash_cols: list[str] | None = None
 ) -> DataFrame:
@@ -220,9 +304,20 @@ class IncrementalProfiler:
     def _partials_path(self, v: int) -> str:
         return os.path.join(self.path, f"partials_v{v}")
 
-    def _commit(self, partials: DataFrame, snapshots: dict, run_id: str) -> int:
+    def _digests_path(self, v: int) -> str:
+        return os.path.join(self.path, f"digests_v{v}")
+
+    def _commit(
+        self,
+        partials: DataFrame,
+        snapshots: dict,
+        run_id: str,
+        digests: DataFrame | None = None,
+    ) -> int:
         v = self.current_version() + 1
         partials.write.mode("overwrite").parquet(self._partials_path(v))
+        if digests is not None:
+            digests.write.mode("overwrite").parquet(self._digests_path(v))
         tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump({"version": v, "run_id": run_id, "snapshots": snapshots}, f)
@@ -242,6 +337,9 @@ class IncrementalProfiler:
         hash_cols: list[str] | None = None,
         change_detection: str = "hash",
         run_id: str = "",
+        quantile_cols: list[str] | None = None,
+        quantiles: list[float] | None = None,
+        tdigest_delta: float = 100.0,
     ) -> dict:
         """One incremental profiling pass. Returns
         ``{"version", "profiled_partitions", "reused_partitions",
@@ -298,15 +396,69 @@ class IncrementalProfiler:
         state = parts[0]
         for p in parts[1:]:
             state = state.unionByName(p)
-        v = self._commit(state, cur, run_id)
+
+        dig_state = None
+        if quantile_cols:
+            have_digests = v0 > 0 and os.path.exists(self._digests_path(v0))
+            # quantile tracking enabled mid-history: reused partitions
+            # have moments but no digests yet — sketch them this run
+            # (one-time backfill) instead of silently dropping them
+            # from the quantile merge
+            digest_fresh = changed if have_digests else sorted(
+                set(changed) | set(reused)
+            )
+            dparts = []
+            if have_digests and reused:
+                dold = spark.read.parquet(self._digests_path(v0))
+                dparts.append(dold.filter(F.col("partition").isin(reused)))
+            if digest_fresh:
+                dparts.append(
+                    _per_partition_digests(
+                        df.filter(
+                            F.col(partition_col)
+                            .cast("string")
+                            .isin(digest_fresh)
+                        ),
+                        partition_col,
+                        quantile_cols,
+                        tdigest_delta,
+                    )
+                )
+            if dparts:
+                dig_state = dparts[0]
+                for p in dparts[1:]:
+                    dig_state = dig_state.unionByName(p)
+        v = self._commit(state, cur, run_id, digests=dig_state)
         stored = spark.read.parquet(self._partials_path(v))
-        return {
+        out = {
             "version": v,
             "profiled_partitions": changed,
             "reused_partitions": reused,
             "removed_partitions": removed,
             "profile": merge_partials(stored),
         }
+        if dig_state is not None:
+            out["quantiles"] = merge_quantiles(
+                spark.read.parquet(self._digests_path(v)),
+                quantiles or [0.5, 0.9, 0.99],
+                tdigest_delta,
+            )
+        return out
+
+    def quantiles(
+        self,
+        spark: SparkSession,
+        qs: list[float] | None = None,
+        tdigest_delta: float = 100.0,
+    ) -> DataFrame:
+        """Table quantiles from stored digests alone — zero data scan."""
+        v = self.current_version()
+        p = self._digests_path(v)
+        if v == 0 or not os.path.exists(p):
+            raise ValueError(f"no committed digest state under {self.path}")
+        return merge_quantiles(
+            spark.read.parquet(p), qs or [0.5, 0.9, 0.99], tdigest_delta
+        )
 
     def profile(self, spark: SparkSession) -> DataFrame:
         """Table profile from the stored state alone — zero data scan."""

@@ -169,3 +169,66 @@ def test_bad_change_detection_raises(spark, tmp_path):
     ip = IncrementalProfiler(str(tmp_path / "state"))
     with pytest.raises(ValueError, match="change_detection"):
         ip.update(_docs(spark, 10), "pid", change_detection="nope")
+
+
+def test_incremental_quantiles_track_exact(spark, tmp_path):
+    """t-digest state rides the same versioned store: quantiles from
+    merged per-partition digests track exact percentiles (<=1% rank
+    error band, same as functions/tdigest.py pins), the unchanged-table
+    re-run scans nothing, and an append shifts the stored quantiles."""
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    base = _docs(spark, 4000, pid_mod=4)
+    r1 = ip.update(
+        base, "pid", run_id="r1",
+        quantile_cols=["score"], quantiles=[0.5, 0.9],
+    )
+    qv = {r["q"]: r["value"] for r in r1["quantiles"].collect()}
+    exact = base.selectExpr(
+        "percentile(score, 0.5) AS m", "percentile(score, 0.9) AS h"
+    ).first()
+    # score is (id % 97): rank-1% of 3600 non-null values ~ spread of 2
+    assert abs(qv[0.5] - exact["m"]) <= 2.0
+    assert abs(qv[0.9] - exact["h"]) <= 2.0
+
+    r2 = ip.update(
+        base, "pid", run_id="r2",
+        quantile_cols=["score"], quantiles=[0.5, 0.9],
+    )
+    assert r2["profiled_partitions"] == []
+    qv2 = {r["q"]: r["value"] for r in r2["quantiles"].collect()}
+    assert qv2 == qv  # nothing recomputed, state identical
+
+    # appended heavy-tail partition pulls the p90 up; only it is scanned
+    heavy = spark.range(4000, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(9).cast("int").alias("pid"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        F.lit(500.0).alias("score"),
+    )
+    r3 = ip.update(
+        base.unionByName(heavy), "pid", run_id="r3",
+        quantile_cols=["score"], quantiles=[0.5, 0.9],
+    )
+    assert r3["profiled_partitions"] == ["9"]
+    qv3 = {r["q"]: r["value"] for r in r3["quantiles"].collect()}
+    assert qv3[0.9] > qv[0.9]
+
+    # zero-scan accessor reads the committed digests
+    again = {r["q"]: r["value"] for r in ip.quantiles(
+        spark, [0.5, 0.9]).collect()}
+    assert again == qv3
+
+
+def test_quantile_backfill_when_enabled_mid_history(spark, tmp_path):
+    """Runs 1..k without quantile_cols, then enabling it must sketch
+    the REUSED partitions too (one-time backfill), not just the delta."""
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    base = _docs(spark, 1000, pid_mod=4)
+    ip.update(base, "pid", run_id="r1")
+    r2 = ip.update(
+        base, "pid", run_id="r2", quantile_cols=["score"], quantiles=[0.5]
+    )
+    assert r2["profiled_partitions"] == []  # moments all reused
+    q = {r["column"]: r["value"] for r in r2["quantiles"].collect()}
+    exact = base.selectExpr("percentile(score, 0.5) AS m").first()["m"]
+    assert abs(q["score"] - exact) <= 2.0
