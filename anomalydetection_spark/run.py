@@ -136,6 +136,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="cap the violations sink at K exemplar rows per "
                    "(check, partition); verdict counts stay exact. "
                    "Default: emit every violation row")
+    p.add_argument("--incremental-profile", action="store_true",
+                   help="instead of a validation round, run an "
+                        "incremental profiling pass over --docs: "
+                        "per-partition mergeable partials (moments + "
+                        "HLL + t-digest centroids for the text-length "
+                        "quantiles) persist under "
+                        "<manifest-dir>/profile_state; only new/changed "
+                        "partitions are scanned, the table profile is "
+                        "merged from state and written under "
+                        "<out>/profile/<run_id>")
     p.add_argument("--suggest-contract", metavar="OUT_JSON",
                    help="instead of a validation round, profile --docs "
                         "and write a --config-compatible JSON whose "
@@ -145,6 +155,58 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "stdout for the uniqueness operator, not "
                         "written as per-row rules")
     return p.parse_args(argv)
+
+
+def incremental_profile_round(spark, args, run_id: str) -> dict:
+    """--incremental-profile: mergeable-partials profiling pass with a
+    versioned state store — only new/changed partitions are scanned
+    (operators/incremental_profile.py), plus t-digest text-length
+    quantiles from the same state."""
+    from pyspark.sql import functions as F
+
+    from .operators.incremental_profile import IncrementalProfiler
+    from .sources.tables import read_table
+
+    docs = read_table(spark, args.docs)
+    # derived per-doc text length feeds the quantile digests; change
+    # detection hashes the ORIGINAL columns only (the derivation is
+    # deterministic from spans)
+    src_cols = list(docs.columns)
+    docs = docs.withColumn(
+        "_text_len",
+        F.expr(
+            "aggregate(transform(coalesce(spans, array()),"
+            " s -> length(coalesce(s.text, ''))), 0, (a, x) -> a + x)"
+        ).cast("double"),
+    )
+    state_dir = os.path.join(
+        args.manifest_dir or args.out, "profile_state"
+    )
+    ip = IncrementalProfiler(state_dir)
+    res = ip.update(
+        docs,
+        "partition_id",
+        hash_cols=src_cols,
+        quantile_cols=["_text_len"],
+        quantiles=[0.5, 0.9, 0.99],
+        run_id=run_id,
+    )
+    out_dir = os.path.join(args.out, "profile", run_id)
+    res["profile"].write.mode("overwrite").parquet(
+        os.path.join(out_dir, "profile")
+    )
+    res["quantiles"].write.mode("overwrite").parquet(
+        os.path.join(out_dir, "quantiles")
+    )
+    return {
+        "run_id": run_id,
+        "state_version": res["version"],
+        "profiled_partitions": res["profiled_partitions"],
+        "n_reused": len(res["reused_partitions"]),
+        "n_removed": len(res["removed_partitions"]),
+        "profile": os.path.join(out_dir, "profile"),
+        "quantiles": os.path.join(out_dir, "quantiles"),
+    }
 
 
 def suggest_round(spark, args) -> dict:
@@ -527,6 +589,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.suggest_contract:
         try:
             print(json.dumps(suggest_round(spark, args)))
+            return 0
+        finally:
+            spark.stop()
+    if args.incremental_profile:
+        try:
+            rid = args.run_id or f"prof{int(time.time())}"
+            print(json.dumps(incremental_profile_round(spark, args, rid)))
             return 0
         finally:
             spark.stop()

@@ -558,3 +558,27 @@ def test_suggest_contract_flag_round_trip(spark, docs_path, catalog, tmp_path):
     )
     s2 = one_round(spark, run_args, "r1")
     assert s2["n_failed_checks"] > 0  # planted pipeline violations still fire
+
+
+def test_incremental_profile_flag(spark, docs_path, tmp_path):
+    """--incremental-profile: first run profiles every partition, the
+    unchanged re-run scans none, profile + quantiles land under out."""
+    from anomalydetection_spark.run import incremental_profile_round
+
+    args = parse_args(
+        ["--docs", docs_path, "--out", str(tmp_path / "out"),
+         "--manifest-dir", str(tmp_path / "m"), "--incremental-profile"]
+    )
+    s1 = incremental_profile_round(spark, args, "p1")
+    assert s1["state_version"] == 1
+    assert s1["profiled_partitions"] and s1["n_reused"] == 0
+    prof = spark.read.parquet(s1["profile"])
+    cols = {r["column"] for r in prof.collect()}
+    assert {"doc_id", "spans", "_text_len"} <= cols
+    q = spark.read.parquet(s1["quantiles"]).collect()
+    assert {r["q"] for r in q} == {0.5, 0.9, 0.99}
+    assert all(r["value"] > 0 for r in q)
+
+    s2 = incremental_profile_round(spark, args, "p2")
+    assert s2["profiled_partitions"] == []
+    assert s2["n_reused"] == len(s1["profiled_partitions"])
