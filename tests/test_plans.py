@@ -231,3 +231,31 @@ def test_cohort_retention_no_sort_merge(spark):
     AQE/broadcast keeps row data out of sort-merge joins."""
     plan = _plan(spark, "cohort_retention")
     assert "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>" in plan
+
+
+def test_profile_partials_bounded_exchanges_pruned_scan(spark):
+    """Incremental-profile partials + merge: scan → partial agg → one
+    exchange on the partition key → stack reshape → one exchange on
+    column — no Expand (no per-column row replication), and the scan
+    reads only the profiled columns."""
+    from anomalydetection_spark.operators.incremental_profile import (
+        merge_partials,
+        profile_partials,
+    )
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    p = profile_partials(
+        df, "l_returnflag", ["l_quantity", "l_extendedprice"],
+        with_distinct=False,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        merge_partials(p, with_distinct=False).explain("formatted")
+    plan = buf.getvalue()
+    assert "Expand" not in plan
+    assert plan.count("Exchange") <= 4  # 2 logical (tree + details)
+    assert "partial_" in plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "l_orderkey" not in rs[0] and "l_shipdate" not in rs[0]
+    for c in ("l_returnflag", "l_quantity", "l_extendedprice"):
+        assert c in rs[0]
