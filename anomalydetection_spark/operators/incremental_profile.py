@@ -313,7 +313,24 @@ class IncrementalProfiler:
         snapshots: dict,
         run_id: str,
         digests: DataFrame | None = None,
+        expected_base: int | None = None,
     ) -> int:
+        # optimistic concurrency (the Iceberg commit shape): an update
+        # computed against version B must land as B+1 — if another
+        # writer committed meanwhile, the reused partials this update
+        # carried forward are stale; fail loudly, caller re-runs. (A
+        # narrow TOCTOU window remains between this check and the
+        # rename; a catalog-backed deployment gets true CAS from the
+        # Iceberg commit protocol — SURVEY §7.0 TableIO swap point.)
+        if (
+            expected_base is not None
+            and self.current_version() != expected_base
+        ):
+            raise RuntimeError(
+                f"concurrent profiler commit detected under {self.path}: "
+                f"update based on v{expected_base} but CURRENT is "
+                f"v{self.current_version()}; re-run the update"
+            )
         v = self.current_version() + 1
         partials.write.mode("overwrite").parquet(self._partials_path(v))
         if digests is not None:
@@ -428,7 +445,9 @@ class IncrementalProfiler:
                 dig_state = dparts[0]
                 for p in dparts[1:]:
                     dig_state = dig_state.unionByName(p)
-        v = self._commit(state, cur, run_id, digests=dig_state)
+        v = self._commit(
+            state, cur, run_id, digests=dig_state, expected_base=v0
+        )
         stored = spark.read.parquet(self._partials_path(v))
         out = {
             "version": v,
@@ -460,9 +479,54 @@ class IncrementalProfiler:
             spark.read.parquet(p), qs or [0.5, 0.9, 0.99], tdigest_delta
         )
 
-    def profile(self, spark: SparkSession) -> DataFrame:
-        """Table profile from the stored state alone — zero data scan."""
-        v = self.current_version()
-        if v == 0:
-            raise ValueError(f"no committed partials state under {self.path}")
+    def profile(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Table profile from the stored state alone — zero data scan.
+        ``version`` reads a historical committed version (time travel
+        over the profile, not the data)."""
+        v = version if version is not None else self.current_version()
+        if v == 0 or not os.path.exists(self._partials_path(v)):
+            raise ValueError(
+                f"no committed partials state v{v} under {self.path}"
+            )
         return merge_partials(spark.read.parquet(self._partials_path(v)))
+
+    def profile_longform(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """The stored profile reshaped to ``profile_table``'s long form
+        (column, metric, value) so it plugs into
+        ``operators.profile.profile_drift`` unchanged."""
+        wide = self.profile(spark, version)
+        metrics = [
+            "n_rows", "n_null", "null_rate", "min", "max", "avg",
+            "stddev", "n_distinct",
+        ]
+        metrics = [m for m in metrics if m in wide.columns]
+        args = ", ".join(
+            f"'{m}', cast(`{m}` as double)" for m in metrics
+        )
+        return wide.selectExpr(
+            "column",
+            f"stack({len(metrics)}, {args}) as (metric, value)",
+        )
+
+    def drift_since(
+        self,
+        spark: SparkSession,
+        base_version: int,
+        cur_version: int | None = None,
+        **thresholds,
+    ) -> DataFrame:
+        """Per-(column, metric) drift verdicts between two committed
+        state versions — "what changed since run k" with ZERO data
+        scans: both sides are metadata-scale merges of stored partials
+        (operators/profile.py::profile_drift semantics)."""
+        from .profile import profile_drift
+
+        return profile_drift(
+            self.profile_longform(spark, cur_version),
+            self.profile_longform(spark, base_version),
+            **thresholds,
+        )

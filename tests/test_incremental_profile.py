@@ -232,3 +232,45 @@ def test_quantile_backfill_when_enabled_mid_history(spark, tmp_path):
     q = {r["column"]: r["value"] for r in r2["quantiles"].collect()}
     exact = base.selectExpr("percentile(score, 0.5) AS m").first()["m"]
     assert abs(q["score"] - exact) <= 2.0
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Optimistic concurrency: an update computed against version B
+    must fail loudly if another writer advanced CURRENT meanwhile."""
+    from anomalydetection_spark.operators.incremental_profile import (
+        profile_partials as pp,
+    )
+
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    base = _docs(spark, 200)
+    ip.update(base, "pid", run_id="r1")
+    stale = pp(base, "pid")
+    with pytest.raises(RuntimeError, match="concurrent"):
+        ip._commit(stale, {}, "r_stale", expected_base=0)
+    # correct base still commits
+    assert ip._commit(stale, {}, "r_ok", expected_base=1) == 2
+
+
+def test_drift_since_between_state_versions(spark, tmp_path):
+    """Zero-scan drift between committed profiler versions: a rewritten
+    partition's column fails, untouched columns pass."""
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    base = _docs(spark, 1000, pid_mod=4)
+    r1 = ip.update(base, "pid", run_id="r1")
+    mutated = base.withColumn(
+        "score",
+        F.when(F.col("pid") == 1, F.col("score") * 100.0).otherwise(
+            F.col("score")
+        ),
+    )
+    r2 = ip.update(mutated, "pid", run_id="r2")
+    assert r2["profiled_partitions"] == ["1"]
+    d = ip.drift_since(spark, base_version=r1["version"])
+    rows = {(r["column"], r["metric"]): r for r in d.collect()}
+    assert rows[("score", "max")]["verdict"] == "fail"   # 100x shift
+    assert rows[("doc_id", "max")]["verdict"] == "pass"  # untouched
+    assert all(
+        r["verdict"] == "pass"
+        for (c, m), r in rows.items()
+        if c == "text"
+    )
