@@ -198,7 +198,7 @@ def incremental_profile_round(spark, args, run_id: str) -> dict:
     res["quantiles"].write.mode("overwrite").parquet(
         os.path.join(out_dir, "quantiles")
     )
-    return {
+    summary = {
         "run_id": run_id,
         "state_version": res["version"],
         "profiled_partitions": res["profiled_partitions"],
@@ -207,6 +207,18 @@ def incremental_profile_round(spark, args, run_id: str) -> dict:
         "profile": os.path.join(out_dir, "profile"),
         "quantiles": os.path.join(out_dir, "quantiles"),
     }
+    if res["version"] > 1:
+        # zero-scan drift vs the previous committed state version —
+        # both sides merge from stored partials, no data touched
+        drift = ip.drift_since(spark, base_version=res["version"] - 1)
+        drift.write.mode("overwrite").parquet(os.path.join(out_dir, "drift"))
+        fails = [
+            f"{r['column']}.{r['metric']}"
+            for r in drift.filter(F.col("verdict") == "fail").collect()
+        ]
+        summary["drift"] = os.path.join(out_dir, "drift")
+        summary["drift_failures"] = sorted(fails)
+    return summary
 
 
 def suggest_round(spark, args) -> dict:

@@ -582,3 +582,8 @@ def test_incremental_profile_flag(spark, docs_path, tmp_path):
     s2 = incremental_profile_round(spark, args, "p2")
     assert s2["profiled_partitions"] == []
     assert s2["n_reused"] == len(s1["profiled_partitions"])
+    # unchanged state -> drift report exists and is all-pass
+    assert s2["drift_failures"] == []
+    d = spark.read.parquet(s2["drift"])
+    assert d.count() > 0
+    assert d.filter(d.verdict == "fail").count() == 0
