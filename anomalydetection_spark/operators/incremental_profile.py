@@ -368,6 +368,15 @@ class IncrementalProfiler:
         replace/extend the stored state; vanished partitions drop out of
         the merge (the profile tracks the table, not its history)."""
         spark = df.sparkSession
+        if quantile_cols:
+            dts = {f.name: f.dataType for f in df.schema.fields}
+            for c in quantile_cols:
+                if not isinstance(dts.get(c), T.NumericType):
+                    raise ValueError(
+                        "quantile_cols must be numeric columns; "
+                        f"{c!r} is "
+                        f"{dts[c].simpleString() if c in dts else 'absent'}"
+                    )
         if change_detection == "hash":
             cur = {
                 r["partition"]: r["snap"]

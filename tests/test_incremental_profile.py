@@ -274,3 +274,11 @@ def test_drift_since_between_state_versions(spark, tmp_path):
         for (c, m), r in rows.items()
         if c == "text"
     )
+
+
+def test_non_numeric_quantile_col_raises(spark, tmp_path):
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    with pytest.raises(ValueError, match="numeric"):
+        ip.update(_docs(spark, 10), "pid", quantile_cols=["text"])
+    with pytest.raises(ValueError, match="absent"):
+        ip.update(_docs(spark, 10), "pid", quantile_cols=["nope"])
