@@ -53,17 +53,26 @@ __all__ = [
 ]
 
 
-def _measure_expr(dt: T.DataType, col: F.Column) -> F.Column | None:
+def _measure_expr(dt: T.DataType, name: str) -> F.Column | None:
     """The double-valued measurement the moment stats run over:
     numeric → value; string → length; array → size; ts/date → epoch
     seconds; bool → 0/1; else None (null/distinct block only)."""
+    col = F.col(name)
     if isinstance(dt, T.NumericType):
         return col.cast("double")
     if isinstance(dt, T.StringType):
         return F.length(col).cast("double")
     if isinstance(dt, T.ArrayType):
         return F.size(col).cast("double")
-    if isinstance(dt, T.TimestampType) or isinstance(dt, T.TimestampNTZType):
+    if isinstance(dt, T.TimestampNTZType):
+        # pure wall-clock diff vs the NTZ epoch literal — unix_timestamp
+        # on NTZ would shift with spark.sql.session.timeZone (the same
+        # trap operators/profile.py documents)
+        return F.expr(
+            "timestampdiff(SECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', `{name}`)"
+        ).cast("double")
+    if isinstance(dt, T.TimestampType):
         return F.unix_timestamp(col).cast("double")
     if isinstance(dt, T.DateType):
         return F.unix_date(col).cast("double")
@@ -100,7 +109,7 @@ def profile_partials(
     emitted: list[str] = []
     for c in cols:
         dt = schema[c]
-        x = _measure_expr(dt, F.col(c))
+        x = _measure_expr(dt, c)
         if x is None:
             x = F.lit(None).cast("double")
         # n_nonnull counts the COLUMN's nulls, not the measurement's

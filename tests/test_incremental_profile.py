@@ -282,3 +282,29 @@ def test_non_numeric_quantile_col_raises(spark, tmp_path):
         ip.update(_docs(spark, 10), "pid", quantile_cols=["text"])
     with pytest.raises(ValueError, match="absent"):
         ip.update(_docs(spark, 10), "pid", quantile_cols=["nope"])
+
+
+def test_timestamp_columns_profile_tz_free(spark, tmp_path):
+    """NTZ timestamps must profile identically under any session
+    timezone (the unix_timestamp-on-NTZ trap)."""
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("int").alias("pid"),
+        F.to_timestamp_ntz(
+            F.concat(F.lit("2026-01-01 00:00:"), F.format_string("%02d", F.col("id") % 60))
+        ).alias("t_ntz"),
+        F.to_timestamp(
+            F.concat(F.lit("2026-01-01 00:00:"), F.format_string("%02d", F.col("id") % 60))
+        ).alias("t_inst"),
+    )
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        a = {r["column"]: (r["min"], r["max"], r["avg"]) for r in
+             merge_partials(profile_partials(df, "pid")).collect()}
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        b = {r["column"]: (r["min"], r["max"], r["avg"]) for r in
+             merge_partials(profile_partials(df, "pid")).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert a["t_ntz"] == b["t_ntz"]  # NTZ: wall-clock, tz-free
+    assert a["t_ntz"][0] > 1.7e9     # epoch-seconds scale
