@@ -233,34 +233,34 @@ def simhash_fingerprints(
     Pure integer arithmetic (shiftleft, no float pow) so the value is
     bit-exact in any engine; reference analog: none — this is the
     training-pipeline extension beside MinHash (cited in SURVEY §2
-    additions). The whole computation is two map-side-combinable
-    aggregations (token explode → per-(doc, bit) vote sum → per-doc
-    fold); nothing shuffles wider than doc_id."""
+    additions). ONE map-side-combinable aggregation: the ``bits`` vote
+    sums are parallel conditional-sum aggregates over the exploded
+    tokens — the shuffle input is the token rows, NOT tokens × bits
+    (the earlier per-(doc, bit) explode shape multiplied shuffle rows
+    by the fingerprint width; at 32 bits that's 32× the bytes for the
+    identical result)."""
     if not 1 <= bits <= 60:
         raise ValueError("bits must be in [1, 60] (md5 prefix width)")
     toks = (tokenizer or default_tokenizer)(text_col)
-    votes = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
-        .withColumn(
-            "h",
-            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
-        )
-        .select(
-            "doc_id",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        )
-        .withColumn("vote", F.expr("(shiftright(h, j) & 1) * 2 - 1"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("s"))
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"s{j}")
+            for j in range(bits)
+        ]
     )
+    fp = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(bits)
+    )
+    return sums.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_pairs(
