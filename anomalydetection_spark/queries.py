@@ -2535,6 +2535,40 @@ def q_profile_from_partials(spark, sf_dir):
     )
 
 
+def q_staleness_by_type(spark, sf_dir):
+    """Deequ-class freshness check: per event_type, how stale is the
+    newest event vs the dataset's own frontier (global max ts), with a
+    24 h verdict — the per-source data-delivery monitor every ingest
+    pipeline needs (a silently-stalled source shows up as a stale
+    group long before volume checks fire). One aggregation + a
+    broadcast of the 1-row global frontier; lag arithmetic is
+    tz-free (timestampdiff on the NTZ values, never unix_timestamp)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count("*").alias("n_events")
+    )
+    mx = ev.agg(F.max("ts").alias("frontier_ts"))
+    # truncate both instants to whole seconds BEFORE the diff: Spark's
+    # timestampdiff truncates the interval, DuckDB's date_diff counts
+    # boundary crossings — on sub-second data they disagree by 1s
+    lag_h = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', last_ts),"
+        " date_trunc('second', frontier_ts))"
+    ) / F.lit(3600.0)
+    return (
+        g.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            "n_events",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.round(lag_h, 4).alias("lag_hours"),
+            F.when(lag_h <= 24.0, F.lit("fresh"))
+            .otherwise(F.lit("stale"))
+            .alias("verdict"),
+        )
+    )
+
+
 def q_suggested_contract_rules(spark, sf_dir):
     """Deequ-style constraint suggestion (operators/suggest.py) over
     the events table: null budgets from measured null rates, numeric
@@ -2556,6 +2590,7 @@ def q_suggested_contract_rules(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "staleness_by_type": q_staleness_by_type,
     "suggested_contract_rules": q_suggested_contract_rules,
     "profile_from_partials": q_profile_from_partials,
     "event_funnel": q_event_funnel,
@@ -4604,6 +4639,23 @@ ORACLES["windowed_kind_drift"] = """
 # Ordered funnel: min view ts, then min click strictly after it, then
 # min purchase strictly after that — list HOFs mirror the Spark array
 # HOFs exactly (empty-list min and NULL comparands both yield NULL).
+ORACLES["staleness_by_type"] = """
+WITH g AS (
+  SELECT event_type, max(ts) AS last_ts, count(*) AS n_events
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT max(ts) AS frontier_ts FROM events
+)
+SELECT event_type, n_events,
+       strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       round(date_diff('second', date_trunc('second', last_ts),
+             date_trunc('second', frontier_ts)) / 3600.0, 4) AS lag_hours,
+       CASE WHEN date_diff('second', date_trunc('second', last_ts),
+            date_trunc('second', frontier_ts)) / 3600.0 <= 24.0
+            THEN 'fresh' ELSE 'stale' END AS verdict
+FROM g CROSS JOIN m
+"""
+
 ORACLES["suggested_contract_rules"] = """
 WITH s AS (
   SELECT 'event_id' AS col, count(*) AS n, count(event_id) AS nn,
