@@ -180,6 +180,14 @@ def merge_partials(
             g.select(
                 "column",
                 F.hll_sketch_estimate("u").alias("n_distinct"),
+                # distinct/nonnull ratio: the join-fanout / broken-dedup
+                # detector — row duplication halves it while null_rate
+                # and moments barely move; drift-gated as a RATE metric
+                F.round(
+                    F.hll_sketch_estimate("u")
+                    / F.nullif(F.col("m"), F.lit(0)).cast("double"),
+                    6,
+                ).alias("distinct_rate"),
             ),
             "column",
         )
@@ -519,7 +527,7 @@ class IncrementalProfiler:
         wide = self.profile(spark, version)
         metrics = [
             "n_rows", "n_null", "null_rate", "min", "max", "avg",
-            "stddev", "n_distinct",
+            "stddev", "n_distinct", "distinct_rate",
         ]
         metrics = [m for m in metrics if m in wide.columns]
         args = ", ".join(

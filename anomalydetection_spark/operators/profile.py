@@ -138,7 +138,7 @@ def profile_table(
 # informational-only (they scale with row count, so cross-snapshot
 # comparison is meaningless without normalization — their rate/shape
 # counterparts above carry the drift signal).
-RATE_METRICS = ("null_rate", "true_rate")
+RATE_METRICS = ("null_rate", "true_rate", "distinct_rate")
 INFO_METRICS = ("n_rows", "n_null", "n_distinct")
 
 

@@ -308,3 +308,20 @@ def test_timestamp_columns_profile_tz_free(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", tz0)
     assert a["t_ntz"] == b["t_ntz"]  # NTZ: wall-clock, tz-free
     assert a["t_ntz"][0] > 1.7e9     # epoch-seconds scale
+
+
+def test_distinct_rate_detects_row_duplication(spark, tmp_path):
+    """Doubling every row leaves null_rate/moments identical but halves
+    distinct_rate — drift must flag it (RATE-metric gating)."""
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    base = _docs(spark, 1000, pid_mod=4)
+    r1 = ip.update(base, "pid", run_id="r1")
+    doubled = base.unionByName(base)
+    r2 = ip.update(doubled, "pid", run_id="r2")
+    prof = {r["column"]: r for r in r2["profile"].collect()}
+    assert abs(prof["doc_id"]["distinct_rate"] - 0.5) < 0.03
+    d = {(r["column"], r["metric"]): r for r in
+         ip.drift_since(spark, base_version=r1["version"]).collect()}
+    assert d[("doc_id", "distinct_rate")]["verdict"] == "fail"
+    assert d[("doc_id", "null_rate")]["verdict"] == "pass"
+    assert d[("doc_id", "avg")]["verdict"] == "pass"
