@@ -505,6 +505,78 @@ class IncrementalProfiler:
             spark.read.parquet(p), qs or [0.5, 0.9, 0.99], tdigest_delta
         )
 
+    def quantile_drift_since(
+        self,
+        spark: SparkSession,
+        base_version: int,
+        cur_version: int | None = None,
+        threshold_rel: float = 0.1,
+        tdigest_delta: float = 100.0,
+    ) -> DataFrame:
+        """DISTRIBUTION drift between two committed digest states —
+        per column, the 1-Wasserstein distance between the merged
+        t-digests (functions/tdigest.py::wasserstein), normalized by
+        the base digest's centroid span so the verdict threshold is
+        scale-free. Zero data scans: both sides are metadata-scale
+        centroid merges. Complements ``drift_since`` (moments can sit
+        still while the shape moves — bimodal split, tail growth)."""
+        import pandas as pd
+
+        from ..functions import tdigest as td
+
+        cur_v = cur_version if cur_version is not None else (
+            self.current_version()
+        )
+        pb = self._digests_path(base_version)
+        pc = self._digests_path(cur_v)
+        for v, p in ((base_version, pb), (cur_v, pc)):
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"no digest state v{v} under {self.path}"
+                )
+        base = spark.read.parquet(pb).withColumn("side", F.lit("base"))
+        cur = spark.read.parquet(pc).withColumn("side", F.lit("cur"))
+
+        def score(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            merged = {}
+            for side, sub in pdf.groupby("side"):
+                merged[side] = td.merge(
+                    zip(
+                        (np.asarray(x) for x in sub["centroid_means"]),
+                        (np.asarray(x) for x in sub["centroid_weights"]),
+                    ),
+                    tdigest_delta,
+                )
+            col = pdf["column"].iloc[0]
+            if "base" not in merged or "cur" not in merged:
+                return pd.DataFrame(
+                    [{"column": col, "wasserstein": float("nan"),
+                      "rel_drift": float("nan"), "verdict": "fail"}]
+                )
+            bm, bw = merged["base"]
+            cm, cw = merged["cur"]
+            w = td.wasserstein(bm, bw, cm, cw)
+            span = float(bm.max() - bm.min()) if len(bm) else float("nan")
+            rel = w / span if span and span > 0 else float("inf")
+            return pd.DataFrame(
+                [{
+                    "column": col,
+                    "wasserstein": float(w),
+                    "rel_drift": float(rel),
+                    "verdict": "pass" if rel <= threshold_rel else "fail",
+                }]
+            )
+
+        return base.unionByName(cur).groupBy("column").applyInPandas(
+            score,
+            schema=(
+                "column string, wasserstein double,"
+                " rel_drift double, verdict string"
+            ),
+        )
+
     def profile(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:

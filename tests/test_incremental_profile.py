@@ -325,3 +325,32 @@ def test_distinct_rate_detects_row_duplication(spark, tmp_path):
     assert d[("doc_id", "distinct_rate")]["verdict"] == "fail"
     assert d[("doc_id", "null_rate")]["verdict"] == "pass"
     assert d[("doc_id", "avg")]["verdict"] == "pass"
+
+
+def test_quantile_drift_since_detects_shape_shift(spark, tmp_path):
+    """Distribution drift from stored digests: a mean-preserving-ish
+    spread change moves Wasserstein even though moments drift little;
+    an unchanged version pair scores ~0."""
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    base = _docs(spark, 2000, pid_mod=4)
+    r1 = ip.update(base, "pid", run_id="r1", quantile_cols=["score"])
+    r2 = ip.update(base, "pid", run_id="r2", quantile_cols=["score"])
+    same = {r["column"]: r for r in ip.quantile_drift_since(
+        spark, base_version=r1["version"], cur_version=r2["version"]
+    ).collect()}
+    assert same["score"]["verdict"] == "pass"
+    assert same["score"]["wasserstein"] < 1e-9  # identical state
+
+    shifted = base.withColumn(
+        "score",
+        F.when(F.col("pid") == 2, F.col("score") + 300.0).otherwise(
+            F.col("score")
+        ),
+    )
+    r3 = ip.update(shifted, "pid", run_id="r3", quantile_cols=["score"])
+    assert r3["profiled_partitions"] == ["2"]
+    d = {r["column"]: r for r in ip.quantile_drift_since(
+        spark, base_version=r1["version"]
+    ).collect()}
+    assert d["score"]["verdict"] == "fail"
+    assert d["score"]["wasserstein"] > 50  # ~quarter of rows moved +300
