@@ -259,3 +259,15 @@ def test_profile_partials_bounded_exchanges_pruned_scan(spark):
     assert rs and "l_orderkey" not in rs[0] and "l_shipdate" not in rs[0]
     for c in ("l_returnflag", "l_quantity", "l_extendedprice"):
         assert c in rs[0]
+
+
+def test_staleness_scan_pruned_and_broadcast(spark):
+    """Freshness check: scan reads only (ts, event_type); the 1-row
+    frontier attaches as a broadcast, never a sort-merge."""
+    plan = _plan(spark, "staleness_by_type")
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs
+    for ln in rs:
+        assert "event_id" not in ln and "props" not in ln and "value" not in ln
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
