@@ -1,0 +1,140 @@
+"""End-to-end lifecycle demo — every stage a real deployment runs,
+at toy scale (~20k docs, finishes in about a minute on local[8]):
+
+1. generate the interleaved documents fixture + media catalog
+2. SUGGEST a contract from the data (operators/suggest.py)
+3. VALIDATE: full constraint + drift pass with a checkpoint manifest
+4. RESUME: re-run validates nothing (per-partition lineage)
+5. PROFILE incrementally: second round scans only the appended
+   partitions; moment + distribution drift come from stored state
+6. DEDUP: LSH near-dup split (kept / duplicate)
+
+Usage: python examples/lifecycle.py [workdir]
+(workdir defaults to a fresh temp directory)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main(workdir: str | None = None, stop: bool = True) -> dict:
+    from pyspark.sql import functions as F
+
+    from anomalydetection_spark.fixtures import (
+        generate_documents,
+        generate_media_catalog,
+    )
+    from anomalydetection_spark.operators.dedup import write_dedup_split
+    from anomalydetection_spark.operators.incremental_profile import (
+        IncrementalProfiler,
+    )
+    from anomalydetection_spark.operators.suggest import suggest_contract
+    from anomalydetection_spark.plans.pipeline import run_validation
+    from anomalydetection_spark.session import get_spark
+
+    wd = workdir or tempfile.mkdtemp(prefix="lifecycle_")
+    os.makedirs(wd, exist_ok=True)
+    spark = get_spark(app_name="lifecycle_demo", master="local[8]")
+    summary: dict = {"workdir": wd}
+
+    # 1. fixture corpus (planted violations) + media catalog
+    docs = generate_documents(spark, 20_000, n_partitions=8, seed=7)
+    docs_path = os.path.join(wd, "documents")
+    docs.write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    catalog = generate_media_catalog(spark, 10_000, seed=7)
+
+    # 2. suggest a contract from the data itself
+    contract, unique_candidates = suggest_contract(docs)
+    summary["suggested_columns"] = sorted(contract["columns"])
+    summary["unique_candidates"] = unique_candidates
+
+    # 3. full validation round (uniqueness, referential, conformance,
+    #    drift) with a versioned manifest
+    res = run_validation(
+        spark, docs, catalog=catalog,
+        manifest_dir=os.path.join(wd, "manifest"), run_id="r1",
+    )
+    failed = (
+        res.verdicts.filter(F.col("verdict") == "fail")
+        .groupBy("check").count().collect()
+    )
+    summary["failed_checks"] = {r["check"]: r["count"] for r in failed}
+    summary["n_violations"] = res.violations.count()
+
+    # 4. resume: nothing left to validate
+    res2 = run_validation(
+        spark, docs, catalog=catalog,
+        manifest_dir=os.path.join(wd, "manifest"), run_id="r2",
+    )
+    summary["resume_validated"] = res2.validated_partitions  # == []
+
+    # 5. incremental profiling: round 1 scans all partitions, an
+    #    appended partition costs only itself; drift comes from state
+    ip = IncrementalProfiler(os.path.join(wd, "profile_state"))
+    docs_len = docs.withColumn(
+        "_text_len",
+        F.expr(
+            "aggregate(transform(coalesce(spans, array()),"
+            " s -> length(coalesce(s.text, ''))), 0, (a, x) -> a + x)"
+        ).cast("double"),
+    )
+    p1 = ip.update(
+        docs_len, "partition_id", run_id="p1", quantile_cols=["_text_len"]
+    )
+    appended = docs_len.unionByName(
+        docs_len.filter(F.col("partition_id") == 0).withColumn(
+            "partition_id", F.lit(99).cast(
+                docs_len.schema["partition_id"].dataType.simpleString()
+            )
+        ).withColumn("_text_len", F.col("_text_len") * 3)
+    )
+    p2 = ip.update(
+        appended, "partition_id", run_id="p2", quantile_cols=["_text_len"]
+    )
+    summary["profile_round2_scanned"] = p2["profiled_partitions"]
+    summary["profile_round2_reused"] = len(p2["reused_partitions"])
+    drift = ip.drift_since(spark, base_version=p1["version"])
+    summary["profile_drift_failures"] = sorted(
+        f"{r['column']}.{r['metric']}"
+        for r in drift.filter(F.col("verdict") == "fail").collect()
+    )
+    qd = ip.quantile_drift_since(spark, base_version=p1["version"])
+    summary["distribution_drift"] = {
+        r["column"]: r["verdict"] for r in qd.collect()
+    }
+
+    # 6. near-dup split on the flattened span text: kept / duplicate
+    #    partitioned write (one pass, broadcast duplicate-id set)
+    flat = docs.withColumn(
+        "text",
+        F.expr(
+            "array_join(transform(coalesce(spans, array()),"
+            " s -> coalesce(s.text, '')), ' ')"
+        ),
+    )
+    split = write_dedup_split(
+        flat, os.path.join(wd, "dedup"), id_col="doc_id", text_col="text",
+        max_bucket_size=100,
+    )
+    summary["dedup"] = {
+        k: split[k] for k in ("n_kept", "n_duplicates", "n_clusters")
+        if k in split
+    }
+
+    if stop:
+        spark.stop()
+    return summary
+
+
+if __name__ == "__main__":
+    out = main(sys.argv[1] if len(sys.argv) > 1 else None)
+    print(json.dumps(out, indent=2))

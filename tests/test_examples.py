@@ -1,0 +1,33 @@
+"""The lifecycle demo (examples/lifecycle.py) runs end to end and its
+summary tells the full story: planted violations caught, resume empty,
+incremental round scans only the appended partition, moment AND
+distribution drift flagged, dedup split conserves the corpus."""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+)
+
+
+def test_lifecycle_demo(spark, tmp_path):
+    import lifecycle
+
+    s = lifecycle.main(str(tmp_path / "wd"), stop=False)
+    # sketch-mode gate flags doc_id as a uniqueness CANDIDATE (the ~1%
+    # planted dups sit inside the HLL error band — by design the exact
+    # check is the uniqueness operator's job, which fails it below)
+    assert "doc_id" in s["unique_candidates"]
+    assert "uniqueness" in s["failed_checks"]
+    assert {"uniqueness", "referential"} <= set(s["failed_checks"])
+    assert s["n_violations"] > 0
+    assert s["resume_validated"] == []
+    assert s["profile_round2_scanned"] == ["99"]
+    assert s["profile_round2_reused"] == 8
+    assert "_text_len.avg" in s["profile_drift_failures"]
+    assert "doc_id.distinct_rate" in s["profile_drift_failures"]
+    assert s["distribution_drift"]["_text_len"] == "fail"
+    d = s["dedup"]
+    assert d["n_kept"] + d["n_duplicates"] == 20_000
+    assert d["n_duplicates"] >= d["n_clusters"] > 0
