@@ -490,6 +490,67 @@ class IncrementalProfiler:
             )
         return out
 
+    def append(
+        self,
+        df: DataFrame,
+        partition_col: str = "partition_id",
+        columns: list[str] | None = None,
+        run_id: str = "",
+        quantile_cols: list[str] | None = None,
+        tdigest_delta: float = 100.0,
+    ) -> dict:
+        """Append-only state update: ``df`` holds ONLY NEW partitions
+        (e.g. one streaming micro-batch keyed by batch id); their
+        partials are folded into the stored state, and partitions
+        absent from ``df`` are retained, not dropped (unlike
+        :meth:`update`, which tracks a table and treats absence as
+        removal). Refuses partition ids already in the state —
+        replaying a micro-batch must not double-count (the caller's
+        checkpoint provides exactly-once batch ids)."""
+        spark = df.sparkSession
+        new_ids = sorted(
+            str(r[0])
+            for r in df.select(F.col(partition_col).alias("p"))
+            .distinct()
+            .collect()
+        )
+        v0 = self.current_version()
+        prev = self._meta(v0)["snapshots"]
+        overlap = sorted(set(new_ids) & set(prev))
+        if overlap:
+            raise ValueError(
+                f"append would double-count partitions {overlap[:5]}"
+                f"{'…' if len(overlap) > 5 else ''} already in state "
+                f"v{v0} under {self.path}"
+            )
+        fresh = profile_partials(df, partition_col, columns)
+        if v0 > 0:
+            fresh = spark.read.parquet(self._partials_path(v0)).unionByName(
+                fresh
+            )
+        dig = None
+        if quantile_cols:
+            dig = _per_partition_digests(
+                df, partition_col, quantile_cols, tdigest_delta
+            )
+            if v0 > 0 and os.path.exists(self._digests_path(v0)):
+                dig = spark.read.parquet(self._digests_path(v0)).unionByName(
+                    dig
+                )
+        snapshots = dict(prev)
+        snapshots.update({p: "appended" for p in new_ids})
+        v = self._commit(
+            fresh, snapshots, run_id, digests=dig, expected_base=v0
+        )
+        return {
+            "version": v,
+            "appended_partitions": new_ids,
+            "n_total_partitions": len(snapshots),
+            "profile": merge_partials(
+                spark.read.parquet(self._partials_path(v))
+            ),
+        }
+
     def quantiles(
         self,
         spark: SparkSession,

@@ -408,6 +408,59 @@ def windowed_event_time_drift(
     return writer.start()
 
 
+def stream_profile(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    columns: list[str] | None = None,
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+):
+    """Streaming incremental profiling: each micro-batch's mergeable
+    partials (moments + HLL, operators/incremental_profile.py) fold
+    into the SAME versioned state store the batch profiler uses, keyed
+    by batch id — so a live stream accumulates a full-corpus profile
+    without ever rescanning history, and the batch-side accessors
+    (``profile``, ``profile_longform``, ``drift_since``) read it
+    directly.
+
+    Exactly-once: the file-source checkpoint assigns stable batch ids
+    and ``IncrementalProfiler.append`` REFUSES an id already in state,
+    so a replayed micro-batch after a crash is a loud no-op skip, not a
+    double count. Returns the StreamingQuery."""
+    from ..operators.incremental_profile import IncrementalProfiler
+
+    ip = IncrementalProfiler(state_dir)
+    stream = read_documents_stream(spark, input_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        keyed = batch.withColumn(
+            "_batch", F.lit(int(batch_id)).cast("long")
+        )
+        try:
+            ip.append(keyed, "_batch", columns=columns,
+                      run_id=f"batch_{batch_id}")
+        except ValueError as e:
+            if "double-count" not in str(e):
+                raise
+            # replay of a committed batch id after failure: state
+            # already holds it — idempotent skip
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def stateful_running_stats(
     stream: DataFrame,
     key_cols: list[str],

@@ -354,3 +354,23 @@ def test_quantile_drift_since_detects_shape_shift(spark, tmp_path):
     ).collect()}
     assert d["score"]["verdict"] == "fail"
     assert d["score"]["wasserstein"] > 50  # ~quarter of rows moved +300
+
+
+def test_append_mode_merges_and_refuses_replay(spark, tmp_path):
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    b1 = _docs(spark, 500).withColumn("pid", F.lit(0))
+    b2 = _docs(spark, 500, start=500).withColumn("pid", F.lit(1))
+    r1 = ip.append(b1, "pid", run_id="b0")
+    assert r1["appended_partitions"] == ["0"]
+    r2 = ip.append(b2, "pid", run_id="b1")
+    assert r2["n_total_partitions"] == 2
+    # merged state == direct profile of the union
+    inc = {r["column"]: (r["n_rows"], r["avg"]) for r in
+           r2["profile"].collect()}
+    full = {r["column"]: (r["n_rows"], r["avg"]) for r in merge_partials(
+        profile_partials(b1.unionByName(b2), "pid")).collect()}
+    assert inc == full
+    # replaying a committed batch id is refused, state unchanged
+    with pytest.raises(ValueError, match="double-count"):
+        ip.append(b2, "pid", run_id="b1_replay")
+    assert ip.current_version() == 2

@@ -428,3 +428,38 @@ def test_cross_batch_dups_nonstring_key(spark, tmp_path):
     rows = spark.sql("SELECT * FROM xbatch_long_key").collect()
     assert {r.user_id for r in rows if r.probable_prior} == {2}
     assert [r.user_id for r in rows if r.within_batch] == [4]
+
+
+def test_stream_profile_accumulates_state(spark, docs, tmp_path):
+    """Streaming incremental profiling: the availableNow drain folds
+    every micro-batch into the versioned state store; a re-run with no
+    new files appends nothing; new files extend the profile without
+    reprocessing old ones (checkpoint + append-refusal semantics)."""
+    from anomalydetection_spark.operators.incremental_profile import (
+        IncrementalProfiler,
+    )
+    from anomalydetection_spark.streaming.incremental import stream_profile
+
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, docs, inp, 0, 4)
+
+    stream_profile(spark, inp, state, ckpt).awaitTermination()
+    ip = IncrementalProfiler(state)
+    v1 = ip.current_version()
+    assert v1 >= 1
+    prof1 = {r["column"]: r["n_rows"] for r in ip.profile(spark).collect()}
+    expect1 = spark.read.parquet(inp).count()
+    assert prof1["doc_id"] == expect1
+
+    # no new files: nothing appended
+    stream_profile(spark, inp, state, ckpt).awaitTermination()
+    assert ip.current_version() == v1
+
+    # new files: state extends to the full directory count
+    _write_batch(spark, docs, inp, 4, 8)
+    stream_profile(spark, inp, state, ckpt).awaitTermination()
+    prof2 = {r["column"]: r["n_rows"] for r in ip.profile(spark).collect()}
+    assert prof2["doc_id"] == spark.read.parquet(inp).count()
+    assert prof2["doc_id"] > expect1
