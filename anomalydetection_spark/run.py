@@ -136,6 +136,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="cap the violations sink at K exemplar rows per "
                    "(check, partition); verdict counts stay exact. "
                    "Default: emit every violation row")
+    p.add_argument("--stream-profile", action="store_true",
+                   help="with --stream semantics, drain the pending "
+                        "file backlog through INCREMENTAL PROFILING "
+                        "instead of validation: per-micro-batch "
+                        "mergeable partials fold into the versioned "
+                        "state store under <manifest-dir>/profile_state "
+                        "(batch-id keyed, replay-refusing); the merged "
+                        "profile is written under <out>/profile/<run_id>")
     p.add_argument("--incremental-profile", action="store_true",
                    help="instead of a validation round, run an "
                         "incremental profiling pass over --docs: "
@@ -155,6 +163,36 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "stdout for the uniqueness operator, not "
                         "written as per-row rules")
     return p.parse_args(argv)
+
+
+def stream_profile_round(spark, args, run_id: str) -> dict:
+    """--stream-profile: availableNow drain of the --docs directory
+    through streaming incremental profiling; merged profile written
+    under <out>/profile/<run_id>."""
+    from .operators.incremental_profile import IncrementalProfiler
+    from .streaming.incremental import stream_profile
+
+    state_dir = os.path.join(
+        args.manifest_dir or args.out, "profile_state"
+    )
+    ckpt = args.stream_checkpoint or os.path.join(
+        args.out, "stream_profile_checkpoint"
+    )
+    q = stream_profile(spark, args.docs, state_dir, ckpt)
+    q.awaitTermination()
+    ip = IncrementalProfiler(state_dir)
+    out_dir = os.path.join(args.out, "profile", run_id)
+    prof = ip.profile(spark)
+    prof.write.mode("overwrite").parquet(out_dir)
+    n_rows = {
+        r["column"]: r["n_rows"] for r in prof.limit(1000).collect()
+    }
+    return {
+        "run_id": run_id,
+        "state_version": ip.current_version(),
+        "profile": out_dir,
+        "n_rows": max(n_rows.values()) if n_rows else 0,
+    }
 
 
 def incremental_profile_round(spark, args, run_id: str) -> dict:
@@ -608,6 +646,13 @@ def main(argv: list[str] | None = None) -> int:
         try:
             rid = args.run_id or f"prof{int(time.time())}"
             print(json.dumps(incremental_profile_round(spark, args, rid)))
+            return 0
+        finally:
+            spark.stop()
+    if args.stream_profile:
+        try:
+            rid = args.run_id or f"sprof{int(time.time())}"
+            print(json.dumps(stream_profile_round(spark, args, rid)))
             return 0
         finally:
             spark.stop()

@@ -587,3 +587,23 @@ def test_incremental_profile_flag(spark, docs_path, tmp_path):
     d = spark.read.parquet(s2["drift"])
     assert d.count() > 0
     assert d.filter(d.verdict == "fail").count() == 0
+
+
+def test_stream_profile_flag(spark, docs_path, tmp_path):
+    """--stream-profile: drain the docs dir through streaming
+    incremental profiling; re-run appends nothing (checkpoint)."""
+    from anomalydetection_spark.run import stream_profile_round
+
+    args = parse_args(
+        ["--docs", docs_path, "--out", str(tmp_path / "out"),
+         "--manifest-dir", str(tmp_path / "m"), "--stream-profile"]
+    )
+    s1 = stream_profile_round(spark, args, "sp1")
+    assert s1["state_version"] >= 1
+    assert s1["n_rows"] == spark.read.parquet(docs_path).count()
+    prof = spark.read.parquet(s1["profile"])
+    assert {"doc_id", "spans"} <= {r["column"] for r in prof.collect()}
+
+    s2 = stream_profile_round(spark, args, "sp2")
+    assert s2["state_version"] == s1["state_version"]  # nothing new
+    assert s2["n_rows"] == s1["n_rows"]
