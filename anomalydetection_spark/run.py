@@ -256,6 +256,19 @@ def incremental_profile_round(spark, args, run_id: str) -> dict:
         ]
         summary["drift"] = os.path.join(out_dir, "drift")
         summary["drift_failures"] = sorted(fails)
+    if args.manifest_dir:
+        # cross-link the profiling round into the validation manifest
+        # (same dir the validation rounds version) so `get_stats`
+        # surfaces the latest profile beside the verdict lineage
+        from .sources.manifest import Manifest
+
+        mv = Manifest(args.manifest_dir).stamp_stats(
+            "incremental_profile",
+            {k: v for k, v in summary.items() if k != "drift_failures"}
+            | {"n_drift_failures": len(summary.get("drift_failures", []))},
+            run_id,
+        )
+        summary["manifest_version"] = mv
     return summary
 
 

@@ -584,6 +584,12 @@ def test_incremental_profile_flag(spark, docs_path, tmp_path):
     assert s2["n_reused"] == len(s1["profiled_partitions"])
     # unchanged state -> drift report exists and is all-pass
     assert s2["drift_failures"] == []
+    # profile round is cross-linked into the validation manifest
+    from anomalydetection_spark.sources.manifest import Manifest
+
+    stats = Manifest(str(tmp_path / "m")).get_stats("incremental_profile")
+    assert stats["state_version"] == 2
+    assert stats["n_drift_failures"] == 0
     d = spark.read.parquet(s2["drift"])
     assert d.count() > 0
     assert d.filter(d.verdict == "fail").count() == 0
