@@ -551,6 +551,35 @@ class IncrementalProfiler:
             ),
         }
 
+    def vacuum(self, keep_last: int = 3) -> list[int]:
+        """Drop state versions older than the newest ``keep_last``
+        (parquet dirs + meta sidecars). CURRENT is never dropped, and
+        time travel (``profile(version=...)``, ``drift_since``) keeps
+        working across the retained window — the Iceberg
+        expire-snapshots shape. Returns the dropped version numbers."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.current_version()
+        dropped = []
+        for v in range(1, max(cur - keep_last + 1, 1)):
+            found = False
+            for p in (
+                self._partials_path(v),
+                self._digests_path(v),
+            ):
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+                    found = True
+            meta = os.path.join(self.path, f"meta_v{v}.json")
+            if os.path.exists(meta):
+                os.remove(meta)
+                found = True
+            if found:
+                dropped.append(v)
+        return dropped
+
     def quantiles(
         self,
         spark: SparkSession,

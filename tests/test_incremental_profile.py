@@ -374,3 +374,25 @@ def test_append_mode_merges_and_refuses_replay(spark, tmp_path):
     with pytest.raises(ValueError, match="double-count"):
         ip.append(b2, "pid", run_id="b1_replay")
     assert ip.current_version() == 2
+
+
+def test_vacuum_keeps_window_and_current(spark, tmp_path):
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    base = _docs(spark, 200)
+    for i in range(5):  # 5 versions (each rewrite forces a re-profile)
+        ip.update(
+            base.withColumn("score", F.col("score") + i), "pid",
+            run_id=f"r{i}",
+        )
+    assert ip.current_version() == 5
+    dropped = ip.vacuum(keep_last=2)
+    assert dropped == [1, 2, 3]
+    # retained window still serves profiles + drift
+    assert ip.profile(spark, version=4).count() > 0
+    assert ip.drift_since(spark, base_version=4).count() > 0
+    with pytest.raises(ValueError, match="no committed partials"):
+        ip.profile(spark, version=2)
+    # vacuum is idempotent and guards its arg
+    assert ip.vacuum(keep_last=2) == []
+    with pytest.raises(ValueError, match="keep_last"):
+        ip.vacuum(keep_last=0)
