@@ -459,6 +459,7 @@ def write_dedup_split(
     threshold: float = 0.8,
     tokenizer=None,
     max_bucket_size: int | None = None,
+    containment_threshold: float | None = None,
 ) -> dict:
     """End-to-end near-duplicate removal — the pipeline a training-data
     user actually runs (the reference flags anomalous rows one at a
@@ -479,9 +480,20 @@ def write_dedup_split(
     a single ``partitionBy`` write of one corpus scan, never two
     passes.
 
+    ``containment_threshold``: additionally drop docs whose token set
+    is CONTAINED (|A∩B|/|A| ≥ threshold) in another doc's — the
+    short-quote-inside-long-document duplication union-normalized
+    Jaccard misses (containment_pairs keeps the container, drops the
+    contained side). The containment tier runs on the JACCARD-TIER
+    SURVIVORS, not the raw corpus: on exact duplicates the two tiers
+    pick OPPOSITE victims (containment drops the min id, keep-min-id
+    drops the rest), and a raw-corpus union would delete every copy of
+    the content. Survivor-scoped containment guarantees a contained
+    doc is only dropped when its container is kept.
+
     Returns {"kept": path, "duplicates": path, "n_kept", "n_duplicates",
-    "n_clusters", "max_cluster_size", "mean_cluster_size"} — the stats
-    run.py stamps into the manifest.
+    "n_clusters", "max_cluster_size", "mean_cluster_size"(,
+    "n_contained")} — the stats run.py stamps into the manifest.
     """
     from ..plans.pipeline import BROADCAST_MAX_ROWS
 
@@ -504,7 +516,20 @@ def write_dedup_split(
     ).collect()[0]
     dup_ids = clusters.filter(
         F.col("doc_id") != F.col("cluster_id")
-    ).select("doc_id").withColumn("__duplicate", F.lit(True))
+    ).select("doc_id")
+    n_contained = None
+    if containment_threshold is not None:
+        survivors = corpus.join(
+            dup_ids.withColumnRenamed("doc_id", id_col), [id_col],
+            "left_anti",
+        )
+        contained = containment_pairs(
+            survivors, id_col, text_col, n_hashes, bands,
+            containment_threshold, tokenizer, max_bucket_size,
+        ).select(F.col("contained_id").alias("doc_id")).distinct()
+        n_contained = contained.count()
+        dup_ids = dup_ids.unionByName(contained).distinct()
+    dup_ids = dup_ids.withColumn("__duplicate", F.lit(True))
     n_dups = dup_ids.count()
     clusters.unpersist()
     keys = F.broadcast(dup_ids) if n_dups <= BROADCAST_MAX_ROWS else dup_ids
@@ -537,6 +562,8 @@ def write_dedup_split(
         ),
         "n_kept": n_kept,
         "n_duplicates": n_duplicates,
+        **({"n_contained": int(n_contained)} if n_contained is not None
+           else {}),
         "n_clusters": int(cstats.n_clusters),
         "max_cluster_size": int(cstats.max_sz),
         "mean_cluster_size": float(cstats.mean_sz),

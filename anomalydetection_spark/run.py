@@ -131,6 +131,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--dedup-max-bucket", type=int, default=None,
                    help="drop LSH buckets larger than this before the "
                         "candidate self-join (hot-bucket skew guard)")
+    p.add_argument("--dedup-containment", type=float, default=None,
+                   metavar="THRESH",
+                   help="with --dedup, also drop docs token-CONTAINED "
+                        "(|A∩B|/|A| >= THRESH) in another doc — the "
+                        "short-quote-inside-long-doc duplication that "
+                        "union-normalized Jaccard misses; the container "
+                        "is kept")
     p.add_argument("--max-violation-exemplars", type=int, default=None,
                    metavar="K",
                    help="cap the violations sink at K exemplar rows per "
@@ -582,6 +589,7 @@ def one_round(spark, args, run_id: str) -> dict:
             text_col=text,
             threshold=args.dedup_threshold,
             max_bucket_size=args.dedup_max_bucket,
+            containment_threshold=args.dedup_containment,
         )
         if args.manifest_dir:
             from .sources.manifest import Manifest

@@ -552,3 +552,40 @@ def test_lloyd_iteration_skips_unassignable_vectors(spark):
     assert sorted(sids) == [0, 1]
     cent = refine_ivf_centroids(vecs, [[1.0, 0.0], [0.0, 1.0]])
     assert cent.shape == (2, 2)
+
+
+def test_dedup_split_containment_tier(spark, tmp_path):
+    """containment_threshold: a short doc embedded verbatim in a long
+    one (Jaccard far below 0.8) is dropped by the containment tier, the
+    container survives, and the Jaccard-cluster tier still works."""
+    import pyspark.sql.functions as F
+
+    from anomalydetection_spark.operators.dedup import write_dedup_split
+
+    # containment recall follows the LSH S-curve on JACCARD, so an
+    # extreme size ratio needs the documented mitigation: 1-row bands
+    # (bands == n_hashes). 4 shared / 8 extra tokens at bands=8 is a
+    # deterministic collision for this fixed data.
+    short = "alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(8))
+    rows = [
+        (1, long_),
+        (2, short),                 # contained in 1, low Jaccard
+        (3, "unrelated text about sparks and shuffles"),
+        (4, "unrelated text about sparks and shuffles"),  # exact dup of 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = write_dedup_split(
+        docs, str(tmp_path / "split"),
+        containment_threshold=0.9, bands=8,
+    )
+    kept = spark.read.parquet(out["kept"])
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {1, 3}
+    assert out["n_contained"] == 1
+    assert out["n_duplicates"] == 2  # doc 2 (contained) + doc 4 (cluster)
+    # without the tier, the contained doc survives
+    out2 = write_dedup_split(docs, str(tmp_path / "split2"), bands=8)
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out2["kept"]).collect()}
+    assert kept2 == {1, 2, 3}
+    assert "n_contained" not in out2
