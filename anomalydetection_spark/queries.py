@@ -2535,6 +2535,42 @@ def q_profile_from_partials(spark, sf_dir):
     )
 
 
+def q_day_coverage(spark, sf_dir):
+    """Deequ-class temporal completeness: per event_type, days observed
+    vs the dataset's own day span — the silently-dropped-ingest-day
+    detector (a source that skipped Tuesday shows n_missing > 0 long
+    before anyone reads a dashboard). One agg for the 2-value span
+    (broadcast) + one per-type distinct-day agg; verdict 'complete'
+    iff every day in the span has rows. Planted-gap firing pinned in
+    test_queries."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    span = ev.agg(
+        (F.datediff(F.max("d"), F.min("d")) + 1)
+        .cast("long")
+        .alias("n_expected")
+    )
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("d").alias("n_observed")
+    )
+    cov = F.round(
+        F.col("n_observed") / F.col("n_expected").cast("double"), 6
+    )
+    return per.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.col("n_observed").cast("long").alias("n_observed"),
+        "n_expected",
+        (F.col("n_expected") - F.col("n_observed"))
+        .cast("long")
+        .alias("n_missing"),
+        cov.alias("coverage"),
+        F.when(F.col("n_observed") == F.col("n_expected"), F.lit("complete"))
+        .otherwise(F.lit("gaps"))
+        .alias("verdict"),
+    )
+
+
 def q_staleness_by_type(spark, sf_dir):
     """Deequ-class freshness check: per event_type, how stale is the
     newest event vs the dataset's own frontier (global max ts), with a
@@ -2590,6 +2626,7 @@ def q_suggested_contract_rules(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "day_coverage": q_day_coverage,
     "staleness_by_type": q_staleness_by_type,
     "suggested_contract_rules": q_suggested_contract_rules,
     "profile_from_partials": q_profile_from_partials,
@@ -4639,6 +4676,24 @@ ORACLES["windowed_kind_drift"] = """
 # Ordered funnel: min view ts, then min click strictly after it, then
 # min purchase strictly after that — list HOFs mirror the Spark array
 # HOFs exactly (empty-list min and NULL comparands both yield NULL).
+ORACLES["day_coverage"] = """
+WITH span AS (
+  SELECT date_diff('day', min(ts::DATE), max(ts::DATE)) + 1 AS n_expected
+  FROM events
+), per AS (
+  SELECT event_type, count(DISTINCT ts::DATE) AS n_observed
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_observed AS BIGINT) AS n_observed,
+       CAST(n_expected AS BIGINT) AS n_expected,
+       CAST(n_expected - n_observed AS BIGINT) AS n_missing,
+       round(n_observed / CAST(n_expected AS DOUBLE), 6) AS coverage,
+       CASE WHEN n_observed = n_expected THEN 'complete'
+            ELSE 'gaps' END AS verdict
+FROM per CROSS JOIN span
+"""
+
 ORACLES["staleness_by_type"] = """
 WITH g AS (
   SELECT event_type, max(ts) AS last_ts, count(*) AS n_events

@@ -224,3 +224,39 @@ def test_benford_subunit_prices_do_not_crash(spark):
         rows = q_benford_deviation(spark, d).collect()
     assert sorted(r["digit"] for r in rows) == [1, 9]
     assert abs(sum(r["p_obs"] for r in rows) - 1.0) < 1e-9
+
+
+def test_day_coverage_detects_planted_gap(spark, tmp_path):
+    """A type that skips two days inside the span reports n_missing=2
+    and verdict 'gaps'; full-coverage types stay 'complete'."""
+    import pyspark.sql.functions as F
+
+    from anomalydetection_spark.queries import q_day_coverage
+
+    ev = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b")), (F.col("id") % 2 + 1).cast("int")
+        ).alias("event_type"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2026-01-"),
+                F.format_string("%02d", ((F.col("id") / 2).cast("long") % 10) + 1),
+                F.lit(" 12:00:00"),
+            )
+        ).alias("ts"),
+        F.lit(0).alias("user_id"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).filter(
+        # type 'b' loses days 4 and 7 entirely
+        ~((F.col("event_type") == "b") & F.dayofmonth("ts").isin(4, 7))
+    )
+    d = str(tmp_path / "sf")
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    rows = {r["event_type"]: r for r in q_day_coverage(spark, d).collect()}
+    assert rows["a"]["verdict"] == "complete"
+    assert rows["a"]["n_missing"] == 0
+    assert rows["b"]["verdict"] == "gaps"
+    assert rows["b"]["n_missing"] == 2
+    assert rows["b"]["n_expected"] == 10
