@@ -935,14 +935,26 @@ def q_unigram_logprob(spark, sf_dir):
 
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup candidate pairs over the full documents table
-    (operators/dedup.py::simhash_pairs): 32-bit fingerprints, Hamming-
+    (operators/dedup.py::simhash_pairs): 60-bit fingerprints, Hamming-
     band LSH with the pigeonhole guarantee (4 bands -> recall 1.0 at
     Hamming <= 3), exact bit_count(xor) verify on candidates only. The
-    deterministic complement to MinHash's probabilistic S-curve."""
+    deterministic complement to MinHash's probabilistic S-curve.
+
+    Scale shape: 15-bit band keys give 32,768 buckets per band (the
+    earlier 32-bit config had 8-bit keys -> 256 buckets, making the
+    band self-join Sigma|bucket|^2 ~ n^2/256 — quadratic in corpus
+    size), and the hot-bucket skew guard is engaged (max_bucket_size=
+    50, same as q_containment_pairs). Recall caveat: a band bucket
+    over the cap is dropped, forfeiting the pigeonhole guarantee for
+    its members in that band only — a true pair survives unless ALL
+    of its equal bands are hot; the oracle mirrors the guard with the
+    same QUALIFY bucket-size window."""
     from .operators.dedup import simhash_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", bits=32, max_hamming=3)
+    return simhash_pairs(
+        d, "doc_id", "text", bits=60, max_hamming=3, max_bucket_size=50
+    )
 
 
 # --------------------------------------------------------------------------
@@ -4486,7 +4498,7 @@ ORACLES["simhash_neardup"] = """
       FROM toks
     ), votes AS (
       SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
-      FROM h, (SELECT unnest(generate_series(0, 31)) AS j)
+      FROM h, (SELECT unnest(generate_series(0, 59)) AS j)
       GROUP BY doc_id, j
     ), fp AS (
       SELECT doc_id,
@@ -4496,8 +4508,9 @@ ORACLES["simhash_neardup"] = """
       FROM votes GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, simhash, b,
-             (simhash >> (b * 8)) & 255 AS bucket
+             (simhash >> (b * 15)) & 32767 AS bucket
       FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)
+      QUALIFY count(*) OVER (PARTITION BY b, bucket) <= 50
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
              a.simhash AS a_fp, b.simhash AS b_fp

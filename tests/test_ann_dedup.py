@@ -487,6 +487,53 @@ def test_simhash_pairs_pigeonhole_recall(spark):
     assert any(100 in (a, b) for a, b, _ in got)  # planted near-dup found
 
 
+def test_simhash_pairs_query_config_recall(spark):
+    """The catalog config (bits=60, 4 bands -> 15-bit keys, max_bucket_
+    size=50): planted near-dups within the Hamming threshold are all
+    recovered (recall 1.0) when no band bucket exceeds the cap — the
+    pigeonhole guarantee survives the skew guard on a non-skewed
+    corpus."""
+    from anomalydetection_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i} tail{i % 7}")
+        for i in range(30)
+    ]
+    # planted near-dups of docs 1 and 2: reordered + repeated tokens
+    # (identical DISTINCT token set -> identical fingerprint -> hamming
+    # 0, guaranteed within any threshold; at 60 bits a single extra
+    # token on a short doc flips ~sqrt-n-scaled bit counts, so a
+    # token-edit plant would not be deterministically <= 3)
+    rows.append((101, "tail1 token1 zeta epsilon delta gamma beta "
+                      "alpha alpha beta"))
+    rows.append((102, "tail2 token2 zeta epsilon delta gamma beta "
+                      "alpha token2 zeta"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_pairs(
+            docs, bits=60, max_hamming=3, max_bucket_size=50
+        ).collect()
+    }
+    fps = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(docs, bits=60).collect()
+    }
+    ids = sorted(fps)
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == brute  # recall 1.0 vs brute force at the threshold
+    assert any({a, b} == {1, 101} for a, b, _ in got)
+    assert any({a, b} == {2, 102} for a, b, _ in got)
+
+
 def test_simhash_pairs_skew_guard_and_validation(spark):
     import pytest
 
