@@ -144,11 +144,15 @@ def pack_chunks(
     Like the Drain template miner, the scan is ORDER-DEPENDENT and
     stateful (pack boundaries depend on the running total), so there
     is no shuffle-free relational form — it runs as Arrow-batched
-    applyInPandas per group: one hash exchange on the group key, a
-    per-group sort, and a vectorizable linear walk. Groups should be
+    applyInPandas per group: one hash exchange on the group key and a
+    per-group sort. The walk itself is numpy, O(packs) not O(rows):
+    each pack is the maximal prefix of remaining chunks whose token
+    sum fits the budget (always ≥ 1 chunk), found by binary-searching
+    the cumulative-sum array — no per-row Python. Groups should be
     chosen so each fits a task (source, date-bucket, shard id);
     determinism follows from the explicit ordering.
     """
+    import numpy as np
     import pandas as pd  # noqa: F401 (Arrow path dependency)
     from pyspark.sql import types as T
 
@@ -161,16 +165,23 @@ def pack_chunks(
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(
             drop=True
         )
-        ids = []
-        run, pid = 0, 0
-        for t in pdf[token_col]:
-            t = int(t)
-            if run > 0 and run + t > budget:
-                pid += 1
-                run = 0
-            run += t
-            ids.append(pid)
-        pdf["pack_id"] = ids
+        cs = np.cumsum(pdf[token_col].to_numpy(dtype=np.int64))
+        n = len(cs)
+        bounds = []  # exclusive end index of each pack
+        start, base = 0, 0
+        while start < n:
+            # maximal end with sum(toks[start:end]) <= budget; an
+            # oversized single chunk still gets its own pack
+            end = int(np.searchsorted(cs, base + budget, side="right"))
+            if end <= start:
+                end = start + 1
+            bounds.append(end)
+            base = int(cs[end - 1])
+            start = end
+        sizes = np.diff(np.concatenate(([0], bounds)))
+        pdf["pack_id"] = np.repeat(
+            np.arange(len(bounds), dtype=np.int64), sizes
+        )
         return pdf
 
     return chunks.groupBy(group_col).applyInPandas(_pack, out_schema)

@@ -1516,9 +1516,11 @@ def q_pack_chunks(spark, sf_dir):
     """Sequence packing after chunking
     (operators/sample.py::pack_chunks): 16-token chunks of docs < 100
     packed greedily per source into ≤64-token training examples.
-    Rows-only by design: pack boundaries depend on a stateful in-order
-    scan (like the Drain miner), which has no SQL form — budget and
-    conservation invariants are pinned in tests instead."""
+    Greedy packing is deterministic given the explicit (doc_id,
+    chunk_idx) ordering, so the DuckDB oracle replays the stateful
+    walk exactly with a recursive CTE over row_number()-ordered chunks
+    per source (same technique as the dedup_clusters oracle) — hash-
+    exact, not rows-only."""
     from .operators.sample import chunk_documents, pack_chunks
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -3140,6 +3142,41 @@ ORACLES: dict[str, str] = {
                md5(array_to_string(toks[start+1:start+16], ' '))
                  AS chunk_hash
         FROM s
+    """,
+    # Exact replay of pack_chunks' greedy stateful walk: chunks are
+    # row_number()-ordered per source, then a recursive CTE carries the
+    # running token total — a chunk opens a new pack iff it would push
+    # the running total past the budget (the first chunk of a group
+    # never does, matching run>0 in sample.py::pack_chunks).
+    "pack_chunks": """
+        WITH RECURSIVE t AS (
+          SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+          FROM documents WHERE doc_id < 100
+        ), s AS (
+          SELECT doc_id, source, toks, CAST(r.s AS INT) AS start
+          FROM t, unnest(range(0, greatest(len(toks) - 1, 0) + 1, 16))
+                    AS r(s)
+        ), c AS (
+          SELECT source, doc_id, CAST(start // 16 AS INT) AS chunk_idx,
+                 CAST(least(16, len(toks) - start) AS BIGINT) AS nt,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY doc_id, start) AS rn
+          FROM s
+        ), walk(source, rn, nt, run, pid) AS (
+          SELECT source, rn, nt, nt, CAST(0 AS BIGINT)
+          FROM c WHERE rn = 1
+          UNION ALL
+          SELECT c.source, c.rn, c.nt,
+                 CASE WHEN w.run + c.nt > 64 THEN c.nt
+                      ELSE w.run + c.nt END,
+                 CASE WHEN w.run + c.nt > 64 THEN w.pid + 1
+                      ELSE w.pid END
+          FROM walk w JOIN c ON c.source = w.source AND c.rn = w.rn + 1
+        )
+        SELECT source, CAST(pid AS BIGINT) AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(nt) AS BIGINT) AS pack_tokens
+        FROM walk GROUP BY source, pid
     """,
     "quality_filter": """
         WITH t AS (
