@@ -443,27 +443,48 @@ class IncrementalProfiler:
         dig_state = None
         if quantile_cols:
             have_digests = v0 > 0 and os.path.exists(self._digests_path(v0))
-            # quantile tracking enabled mid-history: reused partitions
-            # have moments but no digests yet — sketch them this run
-            # (one-time backfill) instead of silently dropping them
-            # from the quantile merge
-            digest_fresh = changed if have_digests else sorted(
-                set(changed) | set(reused)
-            )
+            # Backfill is PER (column, partition), not all-or-nothing:
+            # a reused partition needs a fresh sketch for any quantile
+            # column its stored digests don't cover — tracking enabled
+            # mid-history (no digest dir) and quantile_cols GROWING
+            # across runs (digest dir exists but lacks the new column)
+            # are the same case. Coverage is read from the stored
+            # digest rows themselves (partition × column, bounded);
+            # columns no longer tracked are dropped from carried state.
             dparts = []
-            if have_digests and reused:
+            covered: dict[str, set] = {c: set() for c in quantile_cols}
+            if have_digests:
                 dold = spark.read.parquet(self._digests_path(v0))
-                dparts.append(dold.filter(F.col("partition").isin(reused)))
-            if digest_fresh:
+                if reused:
+                    keep = dold.filter(
+                        F.col("partition").isin(reused)
+                        & F.col("column").isin(list(quantile_cols))
+                    )
+                    dparts.append(keep)
+                    for r in (
+                        keep.select("partition", "column")
+                        .distinct()
+                        .collect()
+                    ):
+                        covered[r["column"]].add(r["partition"])
+            need = {}  # column -> partitions requiring a fresh sketch
+            for c in quantile_cols:
+                ps = set(changed) | (set(reused) - covered[c])
+                if ps:
+                    need[c] = frozenset(ps)
+            groups: dict[frozenset, list[str]] = {}
+            for c, ps in need.items():
+                groups.setdefault(ps, []).append(c)
+            for ps, cols_g in groups.items():
                 dparts.append(
                     _per_partition_digests(
                         df.filter(
                             F.col(partition_col)
                             .cast("string")
-                            .isin(digest_fresh)
+                            .isin(sorted(ps))
                         ),
                         partition_col,
-                        quantile_cols,
+                        cols_g,
                         tdigest_delta,
                     )
                 )
@@ -649,7 +670,15 @@ class IncrementalProfiler:
             cm, cw = merged["cur"]
             w = td.wasserstein(bm, bw, cm, cw)
             span = float(bm.max() - bm.min()) if len(bm) else float("nan")
-            rel = w / span if span and span > 0 else float("inf")
+            # constant base column -> span 0; an (near-)identical
+            # current digest (w ~ 0) is a pass, not inf rel drift —
+            # only an actual move off the constant fails
+            if w <= 1e-12:
+                rel = 0.0
+            elif span and span > 0:
+                rel = w / span
+            else:
+                rel = float("inf")
             return pd.DataFrame(
                 [{
                     "column": col,

@@ -89,11 +89,13 @@ def suggest_rules(
       plus the same slack), both rounded to 6dp.
     * string with distinct count <= ``allowed_max_cardinality``:
       ``allowed`` with str_value = the sorted value set joined by ','.
-    * ``unique_candidate`` when distinct == rows (exact mode) or
-      distinct >= (1 - 3 x rsd) x rows (sketched mode — the tolerance
-      is the estimator's own error band, documented, so id-like columns
-      are flagged for the uniqueness OPERATOR to verify exactly rather
-      than asserted unique from a sketch).
+    * ``unique_candidate`` when distinct == NON-NULL rows (exact mode)
+      or distinct >= (1 - 3 x rsd) x non-null rows (sketched mode — the
+      tolerance is the estimator's own error band, documented, so
+      id-like columns are flagged for the uniqueness OPERATOR to verify
+      exactly rather than asserted unique from a sketch). Uniqueness is
+      over non-null values (the Deequ isUnique convention — distinct
+      counts exclude NULL); the null budget is a separate rule.
 
     With ``exact_distinct=False`` (the 10^12-doc default) distinct
     counts come from the profile's HLL/approx sketch — suggestion is a
@@ -146,9 +148,14 @@ def suggest_rules(
             )
         if c in sets:
             rows.append((c, "allowed", None, ",".join(sets[c])))
+        # uniqueness is over NON-NULL values (Deequ isUnique shape):
+        # distinct counts never include NULL, so gating on total rows
+        # would bar any column with a single null from ever being
+        # flagged; the null budget is emitted independently above
         nd = p["n_distinct"]
-        if nd is not None and n and (
-            nd == n if exact_distinct else nd >= (1 - 3 * distinct_rsd) * n
+        nn = n - (p["n_null"] or 0)
+        if nd is not None and nn and (
+            nd == nn if exact_distinct else nd >= (1 - 3 * distinct_rsd) * nn
         ):
             rows.append((c, "unique_candidate", None, None))
 

@@ -4814,7 +4814,7 @@ UNION ALL
 SELECT col, 'allowed', NULL, vals
 FROM s WHERE vals IS NOT NULL AND nd BETWEEN 1 AND 16 AND has_comma = 0
 UNION ALL
-SELECT col, 'unique_candidate', NULL, NULL FROM s WHERE nd = n
+SELECT col, 'unique_candidate', NULL, NULL FROM s WHERE nd = nn AND nn > 0
 """
 
 ORACLES["profile_from_partials"] = """

@@ -188,6 +188,16 @@ def stream_profile_round(spark, args, run_id: str) -> dict:
     q = stream_profile(spark, args.docs, state_dir, ckpt)
     q.awaitTermination()
     ip = IncrementalProfiler(state_dir)
+    if ip.current_version() == 0:
+        # no pending files -> no micro-batch committed -> state still
+        # v0; report an empty round instead of crashing on profile()
+        # (mirrors stream_round's empty-verdicts handling)
+        return {
+            "run_id": run_id,
+            "state_version": 0,
+            "profile": None,
+            "n_rows": 0,
+        }
     out_dir = os.path.join(args.out, "profile", run_id)
     prof = ip.profile(spark)
     prof.write.mode("overwrite").parquet(out_dir)

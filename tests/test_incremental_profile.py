@@ -396,3 +396,55 @@ def test_vacuum_keeps_window_and_current(spark, tmp_path):
     assert ip.vacuum(keep_last=2) == []
     with pytest.raises(ValueError, match="keep_last"):
         ip.vacuum(keep_last=0)
+
+
+def test_quantile_cols_growth_backfills_per_column(spark, tmp_path):
+    """quantile_cols GROWING across runs: the new column must be
+    sketched on REUSED partitions too (per-column backfill), not only
+    on the changed delta — otherwise its table-level quantiles would
+    silently come from a subset of partitions (or be absent when
+    nothing changed)."""
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    base = _docs(spark, 1000, pid_mod=4).withColumn(
+        "score2", (F.col("doc_id") % 31).cast("double")
+    )
+    hc = ["doc_id", "text", "score", "score2"]
+    ip.update(base, "pid", run_id="r1", hash_cols=hc,
+              quantile_cols=["score"], quantiles=[0.5])
+    r2 = ip.update(base, "pid", run_id="r2", hash_cols=hc,
+                   quantile_cols=["score", "score2"], quantiles=[0.5])
+    assert r2["profiled_partitions"] == []  # moments all reused
+    q = {r["column"]: r["value"] for r in r2["quantiles"].collect()}
+    assert "score2" in q  # present at all, and from ALL partitions:
+    exact = base.selectExpr("percentile(score2, 0.5) AS m").first()["m"]
+    assert abs(q["score2"] - exact) <= 1.0
+    # the original column's digests were carried, not resketched
+    exact_s = base.selectExpr("percentile(score, 0.5) AS m").first()["m"]
+    assert abs(q["score"] - exact_s) <= 2.0
+
+
+def test_quantile_drift_constant_column_passes(spark, tmp_path):
+    """A constant column has a base digest span of 0; an identical
+    current digest (wasserstein 0) must be a pass, not the inf-rel
+    false positive — only an actual move off the constant fails."""
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    base = _docs(spark, 400, pid_mod=2).withColumn(
+        "konst", F.lit(5.0)
+    )
+    r1 = ip.update(base, "pid", run_id="r1", quantile_cols=["konst"])
+    r2 = ip.update(base, "pid", run_id="r2", quantile_cols=["konst"])
+    same = {r["column"]: r for r in ip.quantile_drift_since(
+        spark, base_version=r1["version"], cur_version=r2["version"]
+    ).collect()}
+    assert same["konst"]["verdict"] == "pass"
+    assert same["konst"]["rel_drift"] == 0.0
+
+    moved = base.withColumn(
+        "konst",
+        F.when(F.col("pid") == 1, F.lit(900.0)).otherwise(F.lit(5.0)),
+    )
+    r3 = ip.update(moved, "pid", run_id="r3", quantile_cols=["konst"])
+    d = {r["column"]: r for r in ip.quantile_drift_since(
+        spark, base_version=r1["version"], cur_version=r3["version"]
+    ).collect()}
+    assert d["konst"]["verdict"] == "fail"  # span 0 but w >> 0 -> inf rel

@@ -613,3 +613,28 @@ def test_stream_profile_flag(spark, docs_path, tmp_path):
     s2 = stream_profile_round(spark, args, "sp2")
     assert s2["state_version"] == s1["state_version"]  # nothing new
     assert s2["n_rows"] == s1["n_rows"]
+
+
+def test_stream_profile_empty_backlog_reports_empty(spark, docs_path,
+                                                    tmp_path):
+    """First --stream-profile run with NO pending files (checkpoint
+    already covers the dir, fresh state store): no micro-batch commits,
+    state stays v0 — the round reports empty instead of crashing in
+    IncrementalProfiler.profile."""
+    from anomalydetection_spark.run import stream_profile_round
+
+    args1 = parse_args(
+        ["--docs", docs_path, "--out", str(tmp_path / "out"),
+         "--manifest-dir", str(tmp_path / "m1"), "--stream-profile"]
+    )
+    s1 = stream_profile_round(spark, args1, "sp1")
+    assert s1["state_version"] >= 1
+
+    # same checkpoint (same --out), FRESH state dir -> zero pending
+    args2 = parse_args(
+        ["--docs", docs_path, "--out", str(tmp_path / "out"),
+         "--manifest-dir", str(tmp_path / "m2"), "--stream-profile"]
+    )
+    s2 = stream_profile_round(spark, args2, "sp2")
+    assert s2 == {"run_id": "sp2", "state_version": 0,
+                  "profile": None, "n_rows": 0}

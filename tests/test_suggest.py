@@ -90,3 +90,23 @@ def test_ultra_rare_null_not_marked_not_null(spark):
     budget = sug[("v", "max_null_rate")]["num_value"]
     assert budget >= 1e-6
     assert budget >= 1.0 / 10_000  # actual rate fits the budget
+
+
+def test_unique_gate_is_null_aware(spark):
+    """Uniqueness candidates are judged over NON-NULL values (Deequ
+    isUnique): a column unique among non-nulls with a few NULLs is
+    still flagged (the null budget is its own independent rule), and
+    an all-NULL column never is."""
+    df = spark.range(500).select(
+        F.when(F.col("id") % 100 == 0, None)
+        .otherwise(F.col("id"))
+        .alias("mostly_id"),
+        F.lit(None).cast("long").alias("all_null"),
+    )
+    rules = {
+        (r["column"], r["rule"])
+        for r in suggest_rules(df, exact_distinct=True).collect()
+    }
+    assert ("mostly_id", "unique_candidate") in rules
+    assert ("mostly_id", "max_null_rate") in rules  # independent rule
+    assert ("all_null", "unique_candidate") not in rules
