@@ -449,6 +449,53 @@ def duplicate_clusters(
     )
 
 
+def select_survivors(
+    clusters: DataFrame,
+    keep: str = "min_id",
+    quality: DataFrame | None = None,
+    id_col: str = "doc_id",
+    quality_col: str = "quality_score",
+) -> DataFrame:
+    """(cluster_id, survivor_id) — one canonical survivor per near-dup
+    cluster.
+
+    ``keep='min_id'``: survivor = the component's min id (== cluster_id
+    by the duplicate_clusters contract) — zero extra work.
+    ``keep='quality'``: survivor = argmax of ``quality_col`` within the
+    cluster (the copy a training pipeline actually wants to keep),
+    deterministic tie-break on min id, via a single min-of-struct
+    aggregate (NEGATED score asc, then id asc — the seed_assign trick,
+    flipped so the tie-break works for string ids too), so the
+    selection is ONE map-side-combinable agg over the cluster rows, no
+    window, no second shuffle. Docs missing a quality row rank lowest
+    (-inf)."""
+    if keep == "min_id":
+        return clusters.select("cluster_id").distinct().select(
+            "cluster_id", F.col("cluster_id").alias("survivor_id")
+        )
+    if keep != "quality":
+        raise ValueError(f"keep must be 'min_id' or 'quality', not {keep!r}")
+    if quality is None:
+        raise ValueError("keep='quality' requires a quality DataFrame")
+    q = quality.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(quality_col).cast("double").alias("_q"),
+    )
+    return (
+        clusters.join(q, "doc_id", "left")
+        .withColumn("_q", F.coalesce("_q", F.lit(float("-inf"))))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_q")).alias("_nq"), F.col("doc_id")
+                )
+            ).alias("m")
+        )
+        .select("cluster_id", F.col("m.doc_id").alias("survivor_id"))
+    )
+
+
 def write_dedup_split(
     docs: DataFrame,
     out_dir: str,
@@ -460,6 +507,9 @@ def write_dedup_split(
     tokenizer=None,
     max_bucket_size: int | None = None,
     containment_threshold: float | None = None,
+    keep: str = "min_id",
+    quality: DataFrame | None = None,
+    quality_col: str = "quality_score",
 ) -> dict:
     """End-to-end near-duplicate removal — the pipeline a training-data
     user actually runs (the reference flags anomalous rows one at a
@@ -471,9 +521,14 @@ def write_dedup_split(
         → ONE partitioned write routing kept vs duplicate rows.
 
     cluster_id is the component's min doc id (duplicate_clusters
-    contract), so the canonical survivor of every cluster is the row
-    with doc_id == cluster_id: exactly one survivor per cluster, and
-    docs in no cluster are kept untouched. The duplicate-id set is the
+    contract), so with the default ``keep='min_id'`` policy the
+    canonical survivor of every cluster is the row with doc_id ==
+    cluster_id: exactly one survivor per cluster, and docs in no
+    cluster are kept untouched. With ``keep='quality'`` the survivor is
+    instead the cluster member with the highest ``quality_col`` in the
+    supplied ``quality`` DataFrame (deterministic tie-break on min id —
+    see :func:`select_survivors`): real training pipelines keep the
+    best-quality copy, not the lowest id. The duplicate-id set is the
     LSH output's node set minus one per cluster — orders of magnitude
     smaller than the corpus — so it attaches by broadcast when it fits
     (quarantine.py's size-aware pattern); the kept/duplicate routing is
@@ -514,9 +569,18 @@ def write_dedup_split(
         F.coalesce(F.max("sz"), F.lit(0)).alias("max_sz"),
         F.coalesce(F.round(F.avg("sz"), 4), F.lit(0.0)).alias("mean_sz"),
     ).collect()[0]
-    dup_ids = clusters.filter(
-        F.col("doc_id") != F.col("cluster_id")
-    ).select("doc_id")
+    if keep == "min_id":
+        # survivor == cluster_id by contract; no join needed
+        dup_ids = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+    else:
+        surv = select_survivors(clusters, keep, quality, id_col, quality_col)
+        dup_ids = (
+            clusters.join(surv, "cluster_id")
+            .filter(F.col("doc_id") != F.col("survivor_id"))
+            .select("doc_id")
+        )
     n_contained = None
     if containment_threshold is not None:
         survivors = corpus.join(

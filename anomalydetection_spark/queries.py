@@ -605,6 +605,47 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_dedup_survivors_quality(spark, sf_dir):
+    """Quality-aware canonical selection
+    (operators/dedup.py::select_survivors, keep='quality'): per near-
+    dup cluster the survivor is the member with the HIGHEST quality
+    score (text length here as the deterministic stand-in metric; the
+    --dedup-keep-quality CLI wires the 8-rule Gopher/C4 pass count),
+    tie-break min doc_id — one max-of-struct aggregate, no window.
+    Oracle: recursive-CTE components + a row_number replay of the
+    (score desc, id asc) argmax."""
+    from .operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+        select_survivors,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=8, bands=4, threshold=0.8
+    )
+    cl = duplicate_clusters(pairs)
+    qdf = d.select(
+        "doc_id", F.length("text").cast("double").alias("quality_score")
+    )
+    surv = select_survivors(cl, "quality", qdf)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        surv.join(sizes, "cluster_id")
+        .join(
+            qdf.withColumnRenamed("doc_id", "survivor_id"), "survivor_id"
+        )
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("survivor_id").cast("long").alias("survivor_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.round("quality_score", 4).alias("survivor_quality"),
+        )
+    )
+
+
 def q_minhash_jaccard_estimate(spark, sf_dir):
     """Sketch-error measurement: MinHash-estimated Jaccard (matching
     fraction of 8 signature slots) vs exact token Jaccard per pair —
@@ -2640,6 +2681,7 @@ def q_suggested_contract_rules(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_survivors_quality": q_dedup_survivors_quality,
     "day_coverage": q_day_coverage,
     "staleness_by_type": q_staleness_by_type,
     "suggested_contract_rules": q_suggested_contract_rules,
@@ -4584,6 +4626,28 @@ ORACLES["dedup_survivors"] = f"""
            CAST(count(*) AS BIGINT) AS cluster_size,
            CAST(count(*) - 1 AS BIGINT) AS n_dropped
     FROM comp GROUP BY cluster_id
+"""
+
+# Quality-argmax canonical selection: same components, survivor =
+# (score desc, id asc) first — replays select_survivors' max-of-struct.
+ORACLES["dedup_survivors_quality"] = f"""
+    WITH comp AS ({ORACLES["dedup_clusters"]}),
+    q AS (
+      SELECT doc_id, CAST(length(text) AS DOUBLE) AS qs
+      FROM documents WHERE doc_id < 500
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.qs,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.qs DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_id) AS sz
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS survivor_id,
+           CAST(sz AS BIGINT) AS cluster_size,
+           round(qs, 4) AS survivor_quality
+    FROM ranked WHERE rn = 1
 """
 
 ORACLES["duplicated_text_fraction"] = """

@@ -131,6 +131,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--dedup-max-bucket", type=int, default=None,
                    help="drop LSH buckets larger than this before the "
                         "candidate self-join (hot-bucket skew guard)")
+    p.add_argument("--dedup-keep-quality", action="store_true",
+                   help="with --dedup, the cluster survivor is the "
+                        "member passing the most Gopher/C4 quality "
+                        "rules (tie-break: min doc_id) instead of the "
+                        "min-id copy — training pipelines keep the "
+                        "best-quality duplicate")
     p.add_argument("--dedup-containment", type=float, default=None,
                    metavar="THRESH",
                    help="with --dedup, also drop docs token-CONTAINED "
@@ -593,6 +599,22 @@ def one_round(spark, args, run_id: str) -> dict:
         from .operators.pii import text_of_spans
 
         text = F.col("text") if "text" in docs.columns else text_of_spans()
+        keep_kw = {}
+        if args.dedup_keep_quality:
+            from .operators.quality import quality_flags
+
+            # score = rules PASSED (violation flags sum negated);
+            # row-local codegen over the same corpus scan
+            flags = quality_flags(text)
+            score = F.lit(len(flags)) - sum(
+                (v.cast("int") for v in flags.values()), F.lit(0)
+            )
+            keep_kw = {
+                "keep": "quality",
+                "quality": docs.select(
+                    "doc_id", score.alias("quality_score")
+                ),
+            }
         dedup_out = write_dedup_split(
             docs,
             os.path.join(args.out, "dedup", run_id),
@@ -600,6 +622,7 @@ def one_round(spark, args, run_id: str) -> dict:
             threshold=args.dedup_threshold,
             max_bucket_size=args.dedup_max_bucket,
             containment_threshold=args.dedup_containment,
+            **keep_kw,
         )
         if args.manifest_dir:
             from .sources.manifest import Manifest

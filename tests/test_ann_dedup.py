@@ -636,3 +636,72 @@ def test_dedup_split_containment_tier(spark, tmp_path):
     kept2 = {r["doc_id"] for r in spark.read.parquet(out2["kept"]).collect()}
     assert kept2 == {1, 2, 3}
     assert "n_contained" not in out2
+
+
+def test_select_survivors_quality_argmax(spark):
+    """keep='quality': survivor is the cluster member with the highest
+    score; ties break to min id (string ids supported); docs missing a
+    quality row rank lowest; keep='min_id' stays the contract default."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from anomalydetection_spark.operators.dedup import select_survivors
+
+    clusters = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("a3", "a1"),
+         ("b1", "b1"), ("b2", "b1"),
+         ("c1", "c1"), ("c2", "c1")],
+        "doc_id string, cluster_id string",
+    )
+    quality = spark.createDataFrame(
+        [("a1", 1.0), ("a2", 9.0), ("a3", 9.0),   # tie a2/a3 -> a2
+         ("b1", 5.0),                              # b2 missing -> -inf
+         ("c2", 0.0)],                             # c1 missing
+        "doc_id string, quality_score double",
+    )
+    surv = {
+        r["cluster_id"]: r["survivor_id"]
+        for r in select_survivors(clusters, "quality", quality).collect()
+    }
+    assert surv == {"a1": "a2", "b1": "b1", "c1": "c2"}
+
+    minid = {
+        r["cluster_id"]: r["survivor_id"]
+        for r in select_survivors(clusters).collect()
+    }
+    assert minid == {"a1": "a1", "b1": "b1", "c1": "c1"}
+
+    with pytest.raises(ValueError, match="requires a quality"):
+        select_survivors(clusters, "quality", None)
+    with pytest.raises(ValueError, match="keep must be"):
+        select_survivors(clusters, "best")
+
+
+def test_dedup_split_keeps_best_quality_copy(spark, tmp_path):
+    """write_dedup_split(keep='quality'): the planted near-dup's
+    HIGHER-quality copy survives even though it has the larger id (the
+    min-id policy would have dropped it)."""
+    from anomalydetection_spark.operators.dedup import write_dedup_split
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),                      # lower quality copy, min id
+        (2, base),                      # higher quality copy
+        (3, "unrelated text about sparks and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    quality = spark.createDataFrame(
+        [(1, 2.0), (2, 7.0), (3, 5.0)],
+        "doc_id long, quality_score double",
+    )
+    out = write_dedup_split(
+        docs, str(tmp_path / "split"),
+        keep="quality", quality=quality,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out["kept"]).collect()}
+    assert kept == {2, 3}
+    assert out["n_duplicates"] == 1
+    # default policy keeps the min id instead
+    out2 = write_dedup_split(docs, str(tmp_path / "split2"))
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out2["kept"]).collect()}
+    assert kept2 == {1, 3}
