@@ -2172,6 +2172,26 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_iforest_scores(spark, sf_dir):
+    """IsolationForest parity tier (operators/iforest.py — pure-numpy
+    reimplementation of the algorithm behind
+    /root/reference/model_manager.py:90-92,200-224): sample-trained
+    seeded forest, broadcast tree arrays, Arrow-vectorized distributed
+    scoring; is_anomaly replays the reference's score < −0.04 verdict
+    (drain3.ini:111). Seeded RNG tree construction is not
+    SQL-expressible — rows-only; score↔drift-verdict rank parity and
+    the distributed-vs-driver bit-identity are pinned in
+    tests/test_iforest.py."""
+    from .operators.iforest import iforest_scores
+
+    e = _t(spark, sf_dir, "embeddings")
+    return iforest_scores(
+        e, "vec_id", "embedding", n_trees=50, max_samples=128, seed=7
+    ).select(
+        "vec_id", F.round("score", 4).alias("score"), "is_anomaly"
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal feature extraction (operators/multimodal.py): a
     deterministic 1000-blob binary table → Arrow-batched mapInPandas
@@ -2682,6 +2702,7 @@ def q_suggested_contract_rules(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors_quality": q_dedup_survivors_quality,
+    "iforest_scores": q_iforest_scores,
     "day_coverage": q_day_coverage,
     "staleness_by_type": q_staleness_by_type,
     "suggested_contract_rules": q_suggested_contract_rules,
