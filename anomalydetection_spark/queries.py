@@ -2348,50 +2348,15 @@ def q_event_funnel(spark, sf_dir):
     timestamp strictly AFTER the stage-(k-1) hit. No self-joins, no
     global window: per-user event counts are bounded, so the fold is
     O(events/user) per row and the plan is a single hash aggregate
-    that survives 100x scale-up."""
+    that survives 100x scale-up. Generalized to arbitrary stage lists
+    in operators/events.py::funnel (aggregate() HOF over the
+    array-of-stage-arrays, same one-shuffle plan — funnel(4+ stages)
+    pinned in tests/test_events.py); this query keeps the 3-stage
+    configuration its oracle replays."""
+    from .operators.events import funnel
+
     ev = _t(spark, sf_dir, "events")
-
-    def stage_ts(kind):
-        return F.sort_array(
-            F.collect_list(
-                F.when(F.col("event_type") == kind, F.col("ts"))
-            )
-        )
-
-    per_user = ev.groupBy("user_id").agg(
-        stage_ts("view").alias("v"),
-        stage_ts("click").alias("c"),
-        stage_ts("purchase").alias("p"),
-    )
-    t1 = F.element_at("v", 1)
-    staged = per_user.withColumn("t1", t1).withColumn(
-        "t2",
-        F.array_min(F.filter("c", lambda x: x > F.col("t1"))),
-    )
-    staged = staged.withColumn(
-        "t3",
-        F.array_min(F.filter("p", lambda x: x > F.col("t2"))),
-    )
-    tot = staged.agg(
-        F.count("*").alias("n_users"),
-        F.count("t1").alias("n1"),
-        F.count("t2").alias("n2"),
-        F.count("t3").alias("n3"),
-    )
-    # one row per funnel stage; conversion vs the previous stage is
-    # ANSI-safe (nullif) — an empty stage yields NULL, not a crash.
-    return tot.selectExpr(
-        """stack(3,
-             1, 'view', n1, round(n1 / nullif(n_users, 0), 6),
-             2, 'click', n2, round(n2 / nullif(n1, 0), 6),
-             3, 'purchase', n3, round(n3 / nullif(n2, 0), 6)
-           ) AS (stage, stage_name, n_reached, conv_from_prev)"""
-    ).selectExpr(
-        "CAST(stage AS INT) AS stage",
-        "stage_name",
-        "CAST(n_reached AS BIGINT) AS n_reached",
-        "CAST(conv_from_prev AS DOUBLE) AS conv_from_prev",
-    )
+    return funnel(ev, ["view", "click", "purchase"])
 
 
 def q_cohort_retention(spark, sf_dir):
