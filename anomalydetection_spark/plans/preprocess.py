@@ -36,6 +36,8 @@ class PreprocessResult:
     kept: DataFrame                     # surviving docs, full rows
     funnel: list = field(default_factory=list)
     # [{stage, n_in, n_dropped, n_out}, ...] in execution order
+    packed: DataFrame | None = None     # chunk rows + pack_id (opt-in)
+    packing: dict | None = None         # packing stats (opt-in)
 
 
 def run_preprocess(
@@ -50,6 +52,10 @@ def run_preprocess(
     benchmark: DataFrame | None = None,
     bench_text_col: str = "text",
     ngram: int = 4,
+    chunk_tokens: int | None = None,
+    chunk_stride: int | None = None,
+    pack_budget: int | None = None,
+    pack_shards: int = 32,
 ) -> PreprocessResult:
     """Run the funnel; every stage is optional. Returns the kept
     DataFrame (lazy — caller writes it) plus the attrition funnel."""
@@ -121,5 +127,70 @@ def run_preprocess(
             prev.unpersist()
         funnel.append({"stage": "decontaminate", "n_in": n_in,
                        "n_dropped": n_in - n_c, "n_out": n_c})
+        n_in = n_c
 
-    return PreprocessResult(kept=cur, funnel=funnel)
+    packed = None
+    packing = None
+    if chunk_tokens is not None:
+        # training-example assembly tail: sliding-window chunking
+        # (row-local, fuses into the scan) then greedy in-order pack
+        # assignment within deterministic hash shards (pack_chunks's
+        # one exchange; shard count bounds group size independently of
+        # corpus size — a shard is a unit of packing work, and packs
+        # never span shards so the assignment is embarrassingly
+        # parallel and reproducible across partitionings).
+        from ..operators.sample import chunk_documents, pack_chunks
+
+        chunks = chunk_documents(
+            cur.withColumn("_pp_text", text).filter(
+                F.length(F.trim("_pp_text")) > 0
+            ),
+            id_col,
+            "_pp_text",
+            chunk_tokens=chunk_tokens,
+            stride=chunk_stride,
+        )
+        # chunk/pack counts live in `packing`, NOT the funnel: the
+        # funnel is doc-attrition accounting (n_in − n_dropped ==
+        # n_out), and chunks are a different unit.
+        packing = {"chunk_tokens": chunk_tokens, "n_docs_in": n_in}
+        if pack_budget is None:
+            packing["n_chunks"] = chunks.count()
+        else:
+            sharded = chunks.withColumn(
+                "shard",
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string")),
+                    F.lit(pack_shards),
+                ),
+            )
+            packed = pack_chunks(
+                sharded,
+                "shard",
+                [id_col, "chunk_idx"],
+                budget=pack_budget,
+            )
+            stats = packed.groupBy("shard", "pack_id").agg(
+                F.sum("n_tokens").alias("pack_tokens"),
+                F.count("*").alias("n_chunks"),
+            ).agg(
+                F.count("*").alias("n_packs"),
+                F.sum("pack_tokens").alias("total_tokens"),
+                F.sum("n_chunks").alias("n_chunks"),
+                F.max("pack_tokens").alias("max_pack_tokens"),
+                F.round(
+                    F.avg(F.col("pack_tokens") / F.lit(float(pack_budget))),
+                    4,
+                ).alias("mean_fill"),
+            ).collect()[0]
+            packing.update(
+                {
+                    "budget": pack_budget,
+                    "shards": pack_shards,
+                    **{k: stats[k] for k in stats.asDict()},
+                }
+            )
+
+    return PreprocessResult(
+        kept=cur, funnel=funnel, packed=packed, packing=packing
+    )

@@ -107,6 +107,23 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "benchmark decontamination; writes the kept "
                         "corpus under <out>/preprocess/<run_id>/kept "
                         "and reports per-stage attrition")
+    p.add_argument("--chunk-tokens", type=int, default=None, metavar="N",
+                   help="with --preprocess, append training-example "
+                        "assembly: split kept docs into N-token "
+                        "sliding-window chunks (written under "
+                        "<out>/preprocess/<run_id>/packed when "
+                        "--pack-budget is also given)")
+    p.add_argument("--chunk-stride", type=int, default=None, metavar="N",
+                   help="chunk window stride (default: --chunk-tokens, "
+                        "i.e. non-overlapping)")
+    p.add_argument("--pack-budget", type=int, default=None, metavar="N",
+                   help="with --chunk-tokens, greedily pack chunks into "
+                        "training examples of <= N tokens (pack_id "
+                        "column; packing stats stamped into the "
+                        "manifest)")
+    p.add_argument("--pack-shards", type=int, default=32, metavar="N",
+                   help="deterministic hash shards for pack assembly "
+                        "(packs never span shards; default 32)")
     p.add_argument("--stream", action="store_true",
                    help="Structured Streaming mode: treat --docs as a "
                         "growing directory, drain the pending backlog "
@@ -438,16 +455,26 @@ def preprocess_round(spark, args, run_id: str) -> dict:
         dedup_max_bucket=args.dedup_max_bucket,
         benchmark=bench,
         bench_text_col="text",
+        chunk_tokens=args.chunk_tokens,
+        chunk_stride=args.chunk_stride,
+        pack_budget=args.pack_budget,
+        pack_shards=args.pack_shards,
     )
     kept_out = os.path.join(args.out, "preprocess", run_id, "kept")
     res.kept.write.mode("overwrite").parquet(kept_out)
+    packed_out = None
+    if res.packed is not None:
+        packed_out = os.path.join(args.out, "preprocess", run_id, "packed")
+        res.packed.write.mode("overwrite").parquet(packed_out)
     if args.manifest_dir:
         from .sources.manifest import Manifest
 
         Manifest(args.manifest_dir).stamp_stats(
-            "preprocess_funnel", {"stages": res.funnel}, run_id
+            "preprocess_funnel",
+            {"stages": res.funnel, "packing": res.packing},
+            run_id,
         )
-    return {
+    out = {
         "run_id": run_id,
         "mode": "preprocess",
         "funnel": res.funnel,
@@ -455,6 +482,11 @@ def preprocess_round(spark, args, run_id: str) -> dict:
         "n_kept": res.funnel[-1]["n_out"] if res.funnel else None,
         "seconds": round(time.time() - t0, 2),
     }
+    if res.packing is not None:
+        out["packing"] = res.packing
+    if packed_out is not None:
+        out["packed"] = packed_out
+    return out
 
 
 def one_round(spark, args, run_id: str) -> dict:

@@ -85,3 +85,73 @@ def test_preprocess_cli_round(spark, docs_path, tmp_path):
     assert set(kept.columns) >= {"doc_id", "spans", "partition_id"}
     st = Manifest(mdir).get_stats("preprocess_funnel")
     assert st is not None and st["stages"] == s["funnel"]
+
+
+def test_preprocess_chunk_pack_end_to_end(spark, tmp_path):
+    """--preprocess --chunk-tokens --pack-budget: the funnel's kept
+    docs are chunked and greedily packed; budget conservation holds on
+    the packed output (every pack <= budget unless it is a single
+    oversized chunk; token totals and chunk counts conserved; every
+    chunk in exactly one pack; packs never span shards)."""
+    import json
+
+    from anomalydetection_spark.run import parse_args, preprocess_round
+
+    # natural-ish corpus that SURVIVES the quality stage (docs of
+    # ~20-100 distinct-ish tokens with stopwords), plus planted
+    # near-dup copies the dedup stage removes
+    rows = []
+    for i in range(40):
+        toks = ["the", "of", "and"] + [
+            f"w{i}x{j}" for j in range(20 + (i * 7) % 80)
+        ]
+        rows.append((i, " ".join(toks)))
+    for k in range(3):
+        rows.append((2000 + k, rows[0][1]))
+    docs_pq = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).write.parquet(docs_pq)
+
+    out = str(tmp_path / "out")
+    args = parse_args(
+        ["--docs", docs_pq, "--out", out, "--preprocess",
+         "--chunk-tokens", "32", "--pack-budget", "128",
+         "--pack-shards", "8"]
+    )
+    s = preprocess_round(spark, args, "p1")
+    json.dumps(s)
+    assert s["n_kept"] == 40  # dup copies dropped, originals kept
+    assert s["packing"]["budget"] == 128 and s["packing"]["shards"] == 8
+    packed = spark.read.parquet(s["packed"])
+    assert set(packed.columns) >= {
+        "doc_id", "chunk_idx", "chunk_text", "n_tokens", "shard", "pack_id"
+    }
+
+    # chunk-count + token conservation vs an independent recount of
+    # the kept corpus
+    from anomalydetection_spark.operators.sample import chunk_documents
+
+    kept = spark.read.parquet(s["kept"])
+    expect = chunk_documents(kept, "doc_id", "text", chunk_tokens=32)
+    assert packed.count() == expect.count() == s["packing"]["n_chunks"]
+    assert packed.count() > 40  # multi-chunk docs exist
+    tok_total = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert tok_total == s["packing"]["total_tokens"]
+    assert tok_total == expect.agg(F.sum("n_tokens")).collect()[0][0]
+
+    # every chunk appears exactly once
+    assert (
+        packed.select("doc_id", "chunk_idx").distinct().count()
+        == packed.count()
+    )
+    # budget: a pack over 128 tokens must be a single oversized chunk
+    packs = packed.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n")
+    )
+    bad = packs.filter((F.col("tot") > 128) & (F.col("n") > 1)).count()
+    assert bad == 0
+    assert s["packing"]["n_packs"] == packs.count()
+    assert 0 < s["packing"]["mean_fill"] <= 1.0 or (
+        s["packing"]["max_pack_tokens"] > 128
+    )
