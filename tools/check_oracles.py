@@ -2,12 +2,19 @@
 and its DuckDB oracle at sf0.01, compare row count, column names, and an
 order-insensitive value hash (columns sorted by name, floats rounded).
 
-Usage: python tools/check_oracles.py [query ...]
+Usage: python tools/check_oracles.py [--json OUT.json] [query ...]
+
+--json writes the per-query verdicts in the driver's
+CORRECTNESS_r{N}.json record shape (plus a `seconds` field and an
+`oracle` flag) — the per-round full-catalog artifact
+(ORACLES_FULL_r{N}.json) that covers the queries rotated out of the
+driver's 50-entry window.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -56,8 +63,28 @@ def main() -> int:
 
     qs = queries()
     oracles = oracle_sql()
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = set(argv)
     failures = 0
+    records: dict[str, dict] = {}
+
+    def record(name, t0, *, srows=None, drows=None, rows_match=None,
+               schema_match=None, hash_match=None, err=None, oracle=True):
+        records[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": None if srows is None else len(srows),
+            "oracle_rows": None if drows is None else len(drows),
+            "err": err,
+            "oracle": oracle,
+            "seconds": round(time.time() - t0, 2),
+        }
 
     e = entry(spark)
     n = e.count()
@@ -73,10 +100,12 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL {name}: spark error: {str(ex)[:300]}")
+            record(name, t0, err=f"spark: {str(ex)[:200]}")
             failures += 1
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            record(name, t0, srows=srows, err="no_oracle", oracle=False)
             continue
         try:
             res = con.execute(oracles[name])
@@ -84,6 +113,7 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
+            record(name, t0, srows=srows, err=f"duckdb: {str(ex)[:200]}")
             failures += 1
             continue
         problems = []
@@ -95,6 +125,12 @@ def main() -> int:
             h1, h2 = value_hash(srows, scols), value_hash(drows, dcols)
             if h1 != h2:
                 problems.append("value-hash mismatch")
+        record(
+            name, t0, srows=srows, drows=drows,
+            rows_match=len(srows) == len(drows),
+            schema_match=sorted(scols) == sorted(dcols),
+            hash_match=not problems,
+        )
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
             if "value-hash mismatch" in problems and srows:
@@ -112,6 +148,10 @@ def main() -> int:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{failures} failures / {len(only) if only else len(qs)} queries")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(records, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(records)} records)")
     spark.stop()
     return 1 if failures else 0
 
