@@ -455,6 +455,7 @@ def select_survivors(
     quality: DataFrame | None = None,
     id_col: str = "doc_id",
     quality_col: str = "quality_score",
+    with_stats: bool = False,
 ) -> DataFrame:
     """(cluster_id, survivor_id) — one canonical survivor per near-dup
     cluster.
@@ -468,11 +469,19 @@ def select_survivors(
     flipped so the tie-break works for string ids too), so the
     selection is ONE map-side-combinable agg over the cluster rows, no
     window, no second shuffle. Docs missing a quality row rank lowest
-    (-inf)."""
+    (-inf). ``with_stats=True`` (quality mode) additionally returns
+    cluster_size and survivor_quality from the SAME aggregate — the
+    struct already carries the winning score negated, so the stats
+    cost zero extra joins or shuffles."""
     if keep == "min_id":
-        return clusters.select("cluster_id").distinct().select(
-            "cluster_id", F.col("cluster_id").alias("survivor_id")
+        out = clusters.groupBy("cluster_id").agg(
+            F.count("*").alias("cluster_size")
+        ).select(
+            "cluster_id",
+            F.col("cluster_id").alias("survivor_id"),
+            "cluster_size",
         )
+        return out if with_stats else out.drop("cluster_size")
     if keep != "quality":
         raise ValueError(f"keep must be 'min_id' or 'quality', not {keep!r}")
     if quality is None:
@@ -481,7 +490,7 @@ def select_survivors(
         F.col(id_col).alias("doc_id"),
         F.col(quality_col).cast("double").alias("_q"),
     )
-    return (
+    agg = (
         clusters.join(q, "doc_id", "left")
         .withColumn("_q", F.coalesce("_q", F.lit(float("-inf"))))
         .groupBy("cluster_id")
@@ -490,10 +499,18 @@ def select_survivors(
                 F.struct(
                     (-F.col("_q")).alias("_nq"), F.col("doc_id")
                 )
-            ).alias("m")
+            ).alias("m"),
+            F.count("*").alias("cluster_size"),
         )
-        .select("cluster_id", F.col("m.doc_id").alias("survivor_id"))
     )
+    if with_stats:
+        return agg.select(
+            "cluster_id",
+            F.col("m.doc_id").alias("survivor_id"),
+            "cluster_size",
+            (-F.col("m._nq")).alias("survivor_quality"),
+        )
+    return agg.select("cluster_id", F.col("m.doc_id").alias("survivor_id"))
 
 
 def write_dedup_split(

@@ -628,21 +628,15 @@ def q_dedup_survivors_quality(spark, sf_dir):
     qdf = d.select(
         "doc_id", F.length("text").cast("double").alias("quality_score")
     )
-    surv = select_survivors(cl, "quality", qdf)
-    sizes = cl.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size")
-    )
-    return (
-        surv.join(sizes, "cluster_id")
-        .join(
-            qdf.withColumnRenamed("doc_id", "survivor_id"), "survivor_id"
-        )
-        .select(
-            F.col("cluster_id").cast("long").alias("cluster_id"),
-            F.col("survivor_id").cast("long").alias("survivor_id"),
-            F.col("cluster_size").cast("long").alias("cluster_size"),
-            F.round("quality_score", 4).alias("survivor_quality"),
-        )
+    # with_stats: size + winning score come out of the SAME single
+    # aggregate (the struct carries the negated score) — no re-join of
+    # the cluster frame, which at bench SF was 3x the query's cost
+    surv = select_survivors(cl, "quality", qdf, with_stats=True)
+    return surv.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("survivor_id").cast("long").alias("survivor_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.round("survivor_quality", 4).alias("survivor_quality"),
     )
 
 
