@@ -185,3 +185,68 @@ def pack_chunks(
         return pdf
 
     return chunks.groupBy(group_col).applyInPandas(_pack, out_schema)
+
+
+def plan_mixture(
+    df,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture planning — the sizing step before
+    mixture_sample: given target mixture ``weights`` (source →
+    fraction of the training budget) and a total ``token_budget``,
+    compute per source how many tokens exist, how many the mixture
+    wants, and the deterministic sampling rate that delivers them.
+
+    Output per source:
+    (source, n_docs, tokens_available, weight, target_tokens,
+     sample_rate, expected_tokens, verdict)
+
+    ``sample_rate = min(1, target/available)``; ``verdict`` is
+    'short' when the source cannot fill its slice (rate capped at 1 —
+    the epoch-repeat signal a data-mixing pipeline needs), else 'ok'.
+    Sources absent from ``weights`` get weight 0 (rate 0).
+
+    Scale shape: ONE partial-aggregating groupBy on the source column
+    (the token count folds map-side); the plan arithmetic runs on the
+    |sources|-row result. Nothing else touches row data, so this
+    composes with the same scan as the quality/dedup funnel.
+    """
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), " "))
+    agg = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks.cast("long")).alias("tokens_available"),
+    )
+    weight = F.coalesce(
+        wmap[F.col(source_col)].cast("double"), F.lit(0.0)
+    )
+    target = F.round(weight * F.lit(float(token_budget))).cast("long")
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.col("target_tokens") / F.col("tokens_available"),
+        ),
+        6,
+    )
+    return (
+        agg.withColumn("weight", F.round(weight, 6))
+        .withColumn("target_tokens", target)
+        .withColumn("sample_rate", rate)
+        .withColumn(
+            "expected_tokens",
+            F.round(F.col("sample_rate") * F.col("tokens_available"))
+            .cast("long"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(
+                F.col("target_tokens") > F.col("tokens_available"),
+                F.lit("short"),
+            ).otherwise(F.lit("ok")),
+        )
+    )

@@ -2655,6 +2655,90 @@ def q_suggested_contract_rules(spark, sf_dir):
     return suggest_rules(ev, exact_distinct=True)
 
 
+def q_scrub_duplicated_spans(spark, sf_dir):
+    """Substring-level dedup (operators/scrub.py): remove every
+    8-token window occurring in ≥2 distinct documents (the
+    RefinedWeb / Lee-et-al recipe — doc-level dedup drops copies,
+    this scrubs the boilerplate SPANS shared by otherwise-distinct
+    docs). Runs the 10^12-doc shuffle shape (hash_shingles=True:
+    8-byte xxhash64 keys on the frequency exchange); test_scrub pins
+    that the hashed and string paths are identical, and the oracle
+    replays the string path. Returns per-doc token counts, removal
+    ratio, and the scrubbed text itself (order-preserving interval
+    coverage, all row-local HOFs)."""
+    from .operators.scrub import scrub_duplicated_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    r = scrub_duplicated_ngrams(
+        d, n=8, min_docs=2, hash_shingles=True
+    )
+    return r.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "removed_ratio",
+        "scrubbed_text",
+    )
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Token-budget mixture planning (operators/sample.py
+    plan_mixture): per-source available tokens vs the slice a target
+    mixture assigns, the deterministic sampling rate that delivers
+    it, and a 'short' verdict where the source cannot fill its slice
+    (the epoch-repeat signal). Weights are a deterministic function
+    of the source index ((i % 4 + 1)/50 over src0..src19, summing to
+    1) so the oracle re-derives them from the source name. ONE
+    map-side-combinable aggregate; plan arithmetic on |sources|
+    rows."""
+    from .operators.sample import plan_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    weights = {f"src{i}": (i % 4 + 1) / 50.0 for i in range(20)}
+    return plan_mixture(d, weights, token_budget=1_000_000)
+
+
+def q_robust_zscore(spark, sf_dir):
+    """Median/MAD (modified z-score) anomaly summary per event type —
+    the outlier-resistant sibling of rolling_3sigma/ema_hourly: mean
+    and sigma are themselves dragged by the anomalies they're meant
+    to flag, median and MAD are not (Iglewicz-Hoaglin modified z,
+    |0.6745·(x−med)/MAD| > 3.5). Exact percentile() parity with
+    DuckDB's quantile_cont (linear interpolation both sides). Robust
+    stats are inherently two-pass: med → MAD → flag counts, each a
+    5-row broadcast back onto the scan — 3 passes over the events
+    scan, zero row-wide shuffles."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (
+                        0.6745 * F.col("adev") / F.col("mad") > 3.5
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_flagged"),
+        )
+    )
+    return flagged
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -2667,6 +2751,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with the per-round full-catalog artifact (ORACLES_FULL_r{N}.json,
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
+    "scrub_duplicated_spans": q_scrub_duplicated_spans,
+    "mixture_plan": q_mixture_plan,
+    "robust_zscore": q_robust_zscore,
     "dedup_survivors_quality": q_dedup_survivors_quality,
     "iforest_scores": q_iforest_scores,
     "referential_orphans": q_referential_orphans,
@@ -5033,4 +5120,106 @@ ORACLES["numeric_correlations"] = """
     UNION ALL SELECT 'l_extendedprice', 'l_discount', c4 FROM one
     UNION ALL SELECT 'l_extendedprice', 'l_tax', c5 FROM one
     UNION ALL SELECT 'l_discount', 'l_tax', c6 FROM one
+"""
+
+ORACLES["scrub_duplicated_spans"] = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' ') AS arr
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+        unnest(generate_series(1, greatest(len(arr) - 7, 0))) AS start,
+        unnest(list_transform(generate_series(1, greatest(len(arr) - 7, 0)),
+            i -> array_to_string(arr[i:i+7], ' '))) AS shingle
+      FROM toks
+    ),
+    freq AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    ds AS (
+      SELECT doc_id, list_sort(list(start)) AS starts
+      FROM sh SEMI JOIN freq USING (shingle) GROUP BY doc_id
+    ),
+    j AS (
+      SELECT t.doc_id, t.arr, coalesce(ds.starts, []) AS starts
+      FROM toks t LEFT JOIN ds USING (doc_id)
+    ),
+    k AS (
+      SELECT doc_id, len(arr) AS n_tokens,
+        list_filter(list_zip(arr, generate_series(1, len(arr))),
+          z -> len(list_filter(starts,
+                 s -> s <= z[2] AND z[2] <= s + 7)) = 0) AS keptz
+      FROM j
+    )
+    SELECT doc_id,
+      CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(n_tokens - len(keptz) AS BIGINT) AS n_removed,
+      round(CAST(n_tokens - len(keptz) AS DOUBLE) / n_tokens, 6)
+        AS removed_ratio,
+      coalesce(array_to_string(list_transform(keptz, z -> z[1]), ' '), '')
+        AS scrubbed_text
+    FROM k
+"""
+
+ORACLES["mixture_plan"] = """
+    WITH agg AS (
+      SELECT source,
+        count(*) AS n_docs,
+        sum(CAST(len(regexp_split_to_array(lower(trim(text)), ' '))
+            AS BIGINT)) AS tokens_available
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *,
+        round((CAST(substr(source, 4) AS INTEGER) % 4 + 1) / 50.0, 6)
+          AS weight
+      FROM agg
+    ),
+    t AS (
+      SELECT *,
+        CAST(round(weight * 1000000.0) AS BIGINT) AS target_tokens
+      FROM w
+    ),
+    r AS (
+      SELECT *,
+        round(least(1.0, CAST(target_tokens AS DOUBLE)
+              / tokens_available), 6) AS sample_rate
+      FROM t
+    )
+    SELECT source, n_docs, tokens_available, weight, target_tokens,
+      sample_rate,
+      CAST(round(sample_rate * tokens_available) AS BIGINT)
+        AS expected_tokens,
+      CASE WHEN target_tokens > tokens_available
+           THEN 'short' ELSE 'ok' END AS verdict
+    FROM r
+"""
+
+ORACLES["robust_zscore"] = """
+    WITH ev AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM ev GROUP BY event_type
+    ),
+    dev AS (
+      SELECT ev.event_type, abs(ev.value - med.med) AS adev, med.med
+      FROM ev JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+      count(*) AS n,
+      round(min(dev.med), 6) AS med,
+      round(min(mad.mad), 6) AS mad,
+      sum(CASE WHEN mad.mad > 0
+               AND 0.6745 * dev.adev / mad.mad > 3.5
+          THEN 1 ELSE 0 END) AS n_flagged
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
 """
