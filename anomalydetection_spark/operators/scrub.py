@@ -47,11 +47,13 @@ def scrub_duplicated_ngrams(
     n: int = 8,
     min_docs: int = 2,
     hash_shingles: bool = True,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Remove every ``n``-token window that occurs in ≥ ``min_docs``
     distinct documents; return one row per document:
 
-    (id, n_tokens, n_removed, removed_ratio, scrubbed_text)
+    (id, [keep_cols...,] n_tokens, n_removed, removed_ratio,
+     scrubbed_text)
 
     ``scrubbed_text`` is the space-join of surviving tokens in their
     original order. Deterministic: depends only on the token
@@ -59,12 +61,17 @@ def scrub_duplicated_ngrams(
     xxhash64(shingle) (the 10^12-doc shuffle shape — 8-byte keys);
     ``False`` groups on the string itself (engine-portable for the
     DuckDB oracle; test_scrub pins that both paths produce identical
-    output on the fixture corpus).
+    output on the fixture corpus). ``keep_cols`` are carried through
+    the doc-side frame so a pipeline can rebuild its corpus without a
+    SECOND corpus-wide join back on the id (the doc frame already
+    travels through the starts attach — passthrough is free).
     """
     did = F.col(id_col)
+    keep_cols = list(keep_cols or [])
     toks = df.select(
         did.alias("__id"),
         F.split(F.lower(F.trim(F.col(text_col))), " ").alias("__arr"),
+        *[F.col(c) for c in keep_cols],
     )
 
     # One row per n-gram start position (1-based, matching Spark's
@@ -106,6 +113,7 @@ def scrub_duplicated_ngrams(
         "__id",
         "__arr",
         F.coalesce("__starts", F.array().cast("array<int>")).alias("__starts"),
+        *keep_cols,
     )
 
     starts_col = F.col("__starts")
@@ -124,6 +132,7 @@ def scrub_duplicated_ngrams(
     n_kept = F.size(kept)
     return joined.select(
         F.col("__id").alias(id_col),
+        *keep_cols,
         n_tokens.alias("n_tokens"),
         (n_tokens - n_kept).alias("n_removed"),
         F.round((n_tokens - n_kept) / n_tokens, 6).alias("removed_ratio"),

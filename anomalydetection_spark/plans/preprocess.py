@@ -52,6 +52,8 @@ def run_preprocess(
     benchmark: DataFrame | None = None,
     bench_text_col: str = "text",
     ngram: int = 4,
+    scrub_ngrams: int | None = None,
+    scrub_min_docs: int = 2,
     chunk_tokens: int | None = None,
     chunk_stride: int | None = None,
     pack_budget: int | None = None,
@@ -109,6 +111,79 @@ def run_preprocess(
         funnel.append({"stage": "dedup", "n_in": n_in,
                        "n_dropped": n_in - n_d, "n_out": n_d})
         n_in = n_d
+
+    if scrub_ngrams is not None:
+        # Span-level dedup between doc-level dedup and the benchmark
+        # probe: dedup drops whole near-copies, scrub removes the
+        # boilerplate SPANS shared by the surviving, otherwise-distinct
+        # docs (so decontamination and chunking see cleaned text).
+        # keep_cols passthrough rides the scrub plan's existing
+        # starts-attach — no second corpus-wide join on the id. A doc
+        # whose text is entirely frequent spans scrubs to empty and is
+        # dropped (that, not the rewrite, is the funnel attrition).
+        # Scrubbed docs' text is the tokenizer-normalized join
+        # (lowercase, single-space); untouched docs keep their bytes.
+        if not isinstance(text_col, str):
+            raise ValueError(
+                "scrub_ngrams requires text_col to be a column name"
+            )
+        from ..operators.scrub import scrub_duplicated_ngrams
+
+        others = [c for c in cur.columns if c != id_col]
+        sc = scrub_duplicated_ngrams(
+            cur,
+            id_col,
+            text_col,
+            n=scrub_ngrams,
+            min_docs=scrub_min_docs,
+            keep_cols=others,
+        )
+        rewritten = sc.select(
+            id_col,
+            *[
+                (
+                    F.when(
+                        F.col("n_removed") > 0, F.col("scrubbed_text")
+                    )
+                    .otherwise(F.col(text_col))
+                    .alias(text_col)
+                    if c == text_col
+                    else F.col(c)
+                )
+                for c in others
+            ],
+            F.col("n_removed").alias("_pp_scrub_removed"),
+        )
+        # One scrub computation: stats (over pre-drop rows, so fully-
+        # scrubbed docs still count) and the kept corpus both read the
+        # short-lived rewritten cache.
+        rewritten = rewritten.cache()
+        scrub_stats = rewritten.agg(
+            F.sum(
+                F.when(F.col("_pp_scrub_removed") > 0, 1).otherwise(0)
+            ).alias("n_docs_scrubbed"),
+            F.sum("_pp_scrub_removed").alias("tokens_removed"),
+        ).collect()[0]
+        prev = cur
+        cur = (
+            rewritten.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .drop("_pp_scrub_removed")
+            .select(*cur.columns)
+            .cache()
+        )
+        n_s = cur.count()
+        rewritten.unpersist()
+        if prev is not docs:
+            prev.unpersist()
+        funnel.append({
+            "stage": "scrub",
+            "n_in": n_in,
+            "n_dropped": n_in - n_s,
+            "n_out": n_s,
+            "n_docs_scrubbed": int(scrub_stats["n_docs_scrubbed"] or 0),
+            "tokens_removed": int(scrub_stats["tokens_removed"] or 0),
+        })
+        n_in = n_s
 
     if benchmark is not None:
         bm = benchmark

@@ -124,6 +124,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--pack-shards", type=int, default=32, metavar="N",
                    help="deterministic hash shards for pack assembly "
                         "(packs never span shards; default 32)")
+    p.add_argument("--scrub-ngrams", type=int, default=None, metavar="N",
+                   help="with --preprocess, add a span-level dedup "
+                        "stage after doc-level dedup: remove every "
+                        "N-token window occurring in >= "
+                        "--scrub-min-docs distinct docs (RefinedWeb "
+                        "boilerplate scrub); docs scrubbed to empty "
+                        "are dropped")
+    p.add_argument("--scrub-min-docs", type=int, default=2, metavar="K",
+                   help="distinct-doc threshold for --scrub-ngrams "
+                        "(default 2)")
     p.add_argument("--stream", action="store_true",
                    help="Structured Streaming mode: treat --docs as a "
                         "growing directory, drain the pending backlog "
@@ -440,7 +450,20 @@ def preprocess_round(spark, args, run_id: str) -> dict:
     from .sources.tables import read_table
 
     docs = read_table(spark, args.docs)
-    text = F.col("text") if "text" in docs.columns else text_of_spans()
+    scrub_tmp = False
+    if "text" in docs.columns:
+        # named column: every stage (incl. scrub, which rewrites it)
+        # can address it directly
+        text = "text"
+    elif args.scrub_ngrams is not None:
+        # scrub REWRITES its text column, so an expression (the
+        # interleaved spans accessor) must be materialized; the temp
+        # column is dropped before the kept corpus is written
+        docs = docs.withColumn("_pp_text", text_of_spans())
+        text = "_pp_text"
+        scrub_tmp = True
+    else:
+        text = text_of_spans()
     bench = (
         read_table(spark, args.decontaminate_against)
         if args.decontaminate_against
@@ -455,13 +478,16 @@ def preprocess_round(spark, args, run_id: str) -> dict:
         dedup_max_bucket=args.dedup_max_bucket,
         benchmark=bench,
         bench_text_col="text",
+        scrub_ngrams=args.scrub_ngrams,
+        scrub_min_docs=args.scrub_min_docs,
         chunk_tokens=args.chunk_tokens,
         chunk_stride=args.chunk_stride,
         pack_budget=args.pack_budget,
         pack_shards=args.pack_shards,
     )
     kept_out = os.path.join(args.out, "preprocess", run_id, "kept")
-    res.kept.write.mode("overwrite").parquet(kept_out)
+    kept = res.kept.drop("_pp_text") if scrub_tmp else res.kept
+    kept.write.mode("overwrite").parquet(kept_out)
     packed_out = None
     if res.packed is not None:
         packed_out = os.path.join(args.out, "preprocess", run_id, "packed")

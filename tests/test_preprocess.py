@@ -155,3 +155,81 @@ def test_preprocess_chunk_pack_end_to_end(spark, tmp_path):
     assert 0 < s["packing"]["mean_fill"] <= 1.0 or (
         s["packing"]["max_pack_tokens"] > 128
     )
+
+
+def test_preprocess_scrub_stage_rewrites_and_accounts(spark):
+    """--scrub-ngrams stage: the shared 8-token boilerplate span is
+    removed from otherwise-distinct survivors, attrition stays exact,
+    and the scrub extras (n_docs_scrubbed / tokens_removed) match the
+    plant."""
+    boiler = "all rights reserved contact the site administrator today"
+    rows = []
+    for i in range(20):
+        toks = ["the", "of"] + [f"item{i}w{j}" for j in range(22)]
+        rows.append((i, " ".join(toks)))
+    # two quality-passing docs sharing the boilerplate tail (their
+    # distinct bodies keep them far below the 0.8 dedup threshold)
+    rows.append((100, " ".join(["the", "of"] + [f"a{j}" for j in range(20)]) + " " + boiler))
+    rows.append((101, " ".join(["the", "of"] + [f"b{j}" for j in range(20)]) + " " + boiler))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    res = run_preprocess(spark, docs, scrub_ngrams=8)
+    stages = {s["stage"]: s for s in res.funnel}
+    assert list(stages) == ["quality", "dedup", "scrub"]
+    sc = stages["scrub"]
+    assert sc["n_dropped"] == 0 and sc["n_out"] == sc["n_in"]
+    assert sc["n_docs_scrubbed"] == 2
+    assert sc["tokens_removed"] == 16
+    kept = {r.doc_id: r.text for r in res.kept.collect()}
+    assert "reserved" not in kept[100] and "reserved" not in kept[101]
+    assert kept[100].endswith("a19") and kept[101].endswith("b19")
+    # untouched docs keep their original bytes
+    assert kept[0] == rows[0][1]
+
+
+def test_preprocess_scrub_drops_fully_boilerplate_docs(spark):
+    """A doc that is nothing but corpus-frequent spans scrubs to empty
+    and becomes funnel attrition (dedup off so the exact copies reach
+    the scrub stage)."""
+    boiler = "one two three four five six seven eight"
+    rows = [
+        (1, " ".join(["the", "of"] + [f"c{j}" for j in range(22)])),
+        (2, boiler + " " + " ".join(["the", "of"] + [f"d{j}" for j in range(14)])),
+        (3, boiler),
+        (4, boiler),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    res = run_preprocess(
+        spark, docs, quality=False, dedup=False, scrub_ngrams=8
+    )
+    sc = res.funnel[0]
+    assert sc["stage"] == "scrub"
+    assert sc["n_dropped"] == 2          # docs 3 and 4 scrub to empty
+    assert sc["n_docs_scrubbed"] == 3    # 2, 3, 4 all had the span
+    kept = {r.doc_id for r in res.kept.collect()}
+    assert kept == {1, 2}
+
+
+def test_preprocess_cli_scrub_on_interleaved_corpus(spark, docs_path, tmp_path):
+    """--scrub-ngrams over the spans table: the text accessor is
+    materialized for the rewrite and dropped again before the kept
+    corpus is written (schema round-trips)."""
+    import json
+
+    from anomalydetection_spark.run import parse_args, preprocess_round
+
+    out = str(tmp_path / "out")
+    args = parse_args(
+        ["--docs", docs_path, "--out", out, "--preprocess",
+         "--scrub-ngrams", "8"]
+    )
+    s = preprocess_round(spark, args, "p1")
+    json.dumps(s)
+    assert [st["stage"] for st in s["funnel"]] == [
+        "quality", "dedup", "scrub"
+    ]
+    for st in s["funnel"]:
+        assert st["n_in"] - st["n_dropped"] == st["n_out"]
+    kept = spark.read.parquet(s["kept"])
+    assert "_pp_text" not in kept.columns
+    assert kept.count() == s["n_kept"]
