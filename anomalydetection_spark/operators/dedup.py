@@ -65,24 +65,24 @@ def minhash_signatures(
     )
 
 
-def _lsh_candidate_pairs(
+def band_keys(
     df: DataFrame,
-    id_col: str,
-    text_col,
-    n_hashes: int,
-    bands: int,
-    tokenizer,
-    max_bucket_size: int | None,
+    id_col: str = "doc_id",
+    text_col="text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    tokenizer=None,
 ) -> DataFrame:
-    """Shared LSH plumbing: banded signature buckets → skew-guarded
-    bucket self-join → distinct candidate pairs carrying both token
-    sets (a_id, b_id, a_toks, b_toks). Jaccard / containment re-rank
-    layers sit on top."""
+    """Banded MinHash bucket keys: (doc_id, toks, band, bucket) — one
+    row per (doc, band). The persistable unit of an LSH index (two
+    docs are candidates iff they share a (band, bucket) key); both the
+    one-shot candidate join and the incremental DedupIndex build on
+    it."""
     rows_per_band = n_hashes // bands
     if rows_per_band * bands != n_hashes:
         raise ValueError("bands must divide n_hashes")
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, tokenizer)
-    bands_df = sigs.select(
+    return sigs.select(
         "doc_id",
         "toks",
         F.explode(
@@ -110,6 +110,22 @@ def _lsh_candidate_pairs(
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
+
+
+def _lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col,
+    n_hashes: int,
+    bands: int,
+    tokenizer,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared LSH plumbing: banded signature buckets → skew-guarded
+    bucket self-join → distinct candidate pairs carrying both token
+    sets (a_id, b_id, a_toks, b_toks). Jaccard / containment re-rank
+    layers sit on top."""
+    bands_df = band_keys(df, id_col, text_col, n_hashes, bands, tokenizer)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
         bands_df = bands_df.withColumn(

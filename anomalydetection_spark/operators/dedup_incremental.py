@@ -1,0 +1,430 @@
+"""Incremental (delta) near-dup detection: dedup a NEW batch against
+a persisted LSH index without re-pairing the historical corpus.
+
+A continuously-ingesting 10^12-doc pipeline cannot re-run corpus×
+corpus LSH per arrival. The classic index shape: persist every doc's
+banded MinHash bucket keys once; a new batch computes ITS keys, joins
+them against the stored keys, and only pairs touching a new doc are
+(re)verified — cost scales with |batch| × collision rate, never with
+|corpus|². Mirrors the incremental profiler's versioned-state design
+(operators/incremental_profile.py): ``<dir>/CURRENT`` pointer +
+``docs_v{N}`` / ``bands_v{N}`` parquet + JSON sidecar, atomic-rename
+commit with the optimistic expected-base check.
+
+Equivalence contract (pinned by test + the ``dedup_increment``
+oracle): after build(batch₁) ∘ update(batch₂) ∘ … the assignment map
+equals one-shot batch ``minhash_lsh_pairs → duplicate_clusters`` over
+the union — including the case where a new doc BRIDGES two previously
+separate clusters (the update emits the merge and relabels the stored
+assignment of the absorbed cluster). With ingestion-monotone ids the
+incremental survivors are therefore exactly the batch survivors; with
+out-of-order ids the state still converges to the batch labels, but
+documents emitted as survivors by earlier rounds are not retracted —
+the merge records in the returned result are the caller's retraction
+signal.
+
+Reference behavior anchor: the reference dedups scored anomalies only
+within one run via an in-memory seen-set
+(/root/reference/log_parser.py:61-76); cross-run persistence there is
+a SQLite table of past anomalies (database_manager.py). This operator
+is that idea rebuilt for corpus-scale near-dup state.
+
+Scale shape per update: one band-key computation over the BATCH (not
+the corpus); one join batch-bands × stored-bands on (band, bucket)
+with the same hot-bucket guard as the one-shot path (bucket sizes
+counted over old∪new); exact-Jaccard verification only on candidates;
+components over the candidate graph (LSH-output scale); ONE narrow
+rewrite of the assignment table (merge relabels join a broadcast-size
+merge map). The stored band table is append-only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import band_keys, duplicate_clusters
+
+
+class DedupIndex:
+    """Versioned LSH dedup state under ``path``.
+
+    State per version N:
+    - ``docs_v{N}``:  (doc_id, toks, cluster_id) — every indexed doc
+      with its component label (own id when unique);
+    - ``bands_v{N}``: (doc_id, band, bucket) — the append-only LSH key
+      table (narrow: id + 2 small ints/strings per band);
+    - ``meta_v{N}.json`` + ``CURRENT`` pointer (atomic rename).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        n_hashes: int = 8,
+        bands: int = 4,
+        threshold: float = 0.8,
+        max_bucket_size: int | None = None,
+    ):
+        self.path = path
+        self.n_hashes = n_hashes
+        self.bands = bands
+        self.threshold = threshold
+        self.max_bucket_size = max_bucket_size
+        os.makedirs(path, exist_ok=True)
+
+    # -- state plumbing ------------------------------------------------
+    def current_version(self) -> int:
+        cur = os.path.join(self.path, "CURRENT")
+        if not os.path.exists(cur):
+            return 0
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def _docs_path(self, v: int) -> str:
+        return os.path.join(self.path, f"docs_v{v}")
+
+    def _bands_path(self, v: int) -> str:
+        return os.path.join(self.path, f"bands_v{v}")
+
+    def _commit(
+        self,
+        docs: DataFrame,
+        bands: DataFrame,
+        run_id: str,
+        expected_base: int | None = None,
+    ) -> int:
+        if (
+            expected_base is not None
+            and self.current_version() != expected_base
+        ):
+            raise RuntimeError(
+                f"concurrent dedup-index commit under {self.path}: "
+                f"update based on v{expected_base} but CURRENT is "
+                f"v{self.current_version()}; re-run the update"
+            )
+        v = self.current_version() + 1
+        docs.write.mode("overwrite").parquet(self._docs_path(v))
+        bands.write.mode("overwrite").parquet(self._bands_path(v))
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": v,
+                    "run_id": run_id,
+                    "n_hashes": self.n_hashes,
+                    "bands": self.bands,
+                    "threshold": self.threshold,
+                },
+                f,
+            )
+        os.rename(tmp, os.path.join(self.path, f"meta_v{v}.json"))
+        tmp2 = os.path.join(self.path, f"_tmpcur_{uuid.uuid4().hex}")
+        with open(tmp2, "w") as f:
+            f.write(str(v))
+        os.rename(tmp2, os.path.join(self.path, "CURRENT"))
+        return v
+
+    def assignments(self, spark: SparkSession) -> DataFrame:
+        """(doc_id, cluster_id) for every indexed document at
+        CURRENT."""
+        v = self.current_version()
+        if v == 0:
+            raise ValueError(f"empty dedup index under {self.path}")
+        return spark.read.parquet(self._docs_path(v)).select(
+            "doc_id", "cluster_id"
+        )
+
+    # -- verification shared with the one-shot path ---------------------
+    def _verified_pairs(self, cands: DataFrame) -> DataFrame:
+        """Exact token-Jaccard gate — bit-identical to
+        minhash_lsh_pairs' re-rank (round 4dp then >= threshold)."""
+        inter = F.size(F.array_intersect("a_toks", "b_toks"))
+        uni = F.size(F.array_union("a_toks", "b_toks"))
+        return (
+            cands.withColumn(
+                "jaccard", F.round(inter.cast("double") / uni, 4)
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("a_id", "b_id")
+        )
+
+    def _guard(self, bands_df: DataFrame) -> DataFrame:
+        if self.max_bucket_size is None:
+            return bands_df
+        w = Window.partitionBy("band", "bucket")
+        return (
+            bands_df.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= self.max_bucket_size)
+            .drop("_bsz")
+        )
+
+    # -- build / update --------------------------------------------------
+    def build(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        run_id: str = "build",
+    ) -> int:
+        """Version 1 from scratch: one-shot LSH over ``docs`` (the
+        batch path), persisted as index state."""
+        if self.current_version() != 0:
+            raise ValueError(
+                f"index under {self.path} already built "
+                f"(v{self.current_version()}); use update()"
+            )
+        bk = band_keys(
+            docs, id_col, text_col, self.n_hashes, self.bands
+        ).cache()
+        guarded = self._guard(bk)
+        a = guarded.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("toks").alias("a_toks"),
+            "band",
+            "bucket",
+        )
+        b = guarded.select(
+            F.col("doc_id").alias("b_id"),
+            F.col("toks").alias("b_toks"),
+            "band",
+            "bucket",
+        )
+        cands = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "a_toks", "b_toks")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        comp = duplicate_clusters(self._verified_pairs(cands))
+        doc_rows = (
+            bk.select("doc_id", "toks")
+            .dropDuplicates(["doc_id"])
+            .join(comp.withColumnRenamed("doc_id", "_cid"),
+                  F.col("doc_id") == F.col("_cid"), "left")
+            .select(
+                "doc_id",
+                "toks",
+                F.coalesce("cluster_id", F.col("doc_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        v = self._commit(
+            doc_rows, bk.select("doc_id", "band", "bucket"), run_id
+        )
+        bk.unpersist()
+        return v
+
+    def update(
+        self,
+        new_docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        run_id: str = "update",
+    ) -> dict:
+        """Dedup ``new_docs`` against the index + each other, commit
+        version N+1, and return::
+
+            {"version": N+1,
+             "assignments": DataFrame(doc_id, cluster_id, is_duplicate),
+             "merges": [(absorbed_cluster_id, into_cluster_id), ...]}
+
+        ``merges`` are previously-distinct stored clusters that a new
+        document bridged — their stored assignments are relabeled in
+        the new version (and the caller's earlier survivor emissions
+        for the absorbed labels are now stale).
+        """
+        spark = new_docs.sparkSession
+        base = self.current_version()
+        if base == 0:
+            raise ValueError(
+                f"empty dedup index under {self.path}; build() first"
+            )
+        old_docs = spark.read.parquet(self._docs_path(base))
+        old_bands = spark.read.parquet(self._bands_path(base))
+
+        new_bk = band_keys(
+            new_docs, id_col, text_col, self.n_hashes, self.bands
+        ).cache()
+        refused = new_bk.join(
+            old_docs.select("doc_id"), "doc_id", "left_semi"
+        ).limit(1).count()
+        if refused:
+            raise ValueError(
+                "update batch contains doc_ids already indexed — "
+                "replay refused (dedup state is append-only per id)"
+            )
+
+        # hot-bucket guard over the UNION's bucket populations (a
+        # bucket that is cold in the batch but hot in history still
+        # explodes the join)
+        all_bands = old_bands.select("doc_id", "band", "bucket").unionByName(
+            new_bk.select("doc_id", "band", "bucket")
+        )
+        if self.max_bucket_size is not None:
+            hot = (
+                all_bands.groupBy("band", "bucket")
+                .agg(F.count("*").alias("_bsz"))
+                .filter(F.col("_bsz") > self.max_bucket_size)
+                .select("band", "bucket")
+            )
+            new_side = new_bk.join(
+                hot, ["band", "bucket"], "left_anti"
+            )
+            old_side = old_bands.join(
+                hot, ["band", "bucket"], "left_anti"
+            )
+        else:
+            new_side = new_bk
+            old_side = old_bands
+
+        # new × new candidates (both token sets in hand)
+        a = new_side.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("toks").alias("a_toks"),
+            "band",
+            "bucket",
+        )
+        b = new_side.select(
+            F.col("doc_id").alias("b_id"),
+            F.col("toks").alias("b_toks"),
+            "band",
+            "bucket",
+        )
+        nn = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "a_toks", "b_toks")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+
+        # new × old candidates: the old side's token sets attach by id
+        # from the docs state — candidate-count rows, not corpus rows
+        no_ids = (
+            new_side.select(
+                F.col("doc_id").alias("a_id"),
+                F.col("toks").alias("a_toks"),
+                "band",
+                "bucket",
+            )
+            .join(
+                old_side.select(
+                    F.col("doc_id").alias("b_id"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .select("a_id", "a_toks", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        no = no_ids.join(
+            old_docs.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("toks").alias("b_toks"),
+            ),
+            "b_id",
+        ).select("a_id", "b_id", "a_toks", "b_toks")
+
+        new_pairs = self._verified_pairs(nn)
+        # collapse old endpoints to their CLUSTER label before the
+        # components pass: old clusters are single nodes in the delta
+        # graph
+        old_pairs = (
+            self._verified_pairs(no)
+            .join(
+                old_docs.select(
+                    F.col("doc_id").alias("b_id"), "cluster_id"
+                ),
+                "b_id",
+            )
+            .select(
+                "a_id", F.col("cluster_id").alias("b_id")
+            )
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        # duplicate_clusters normalizes on a<b; delta edges may have
+        # a_id (new) > b_id (old cluster label)
+        edges = new_pairs.unionByName(old_pairs).select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        ).filter(F.col("a_id") != F.col("b_id"))
+
+        comp = duplicate_clusters(edges).cache()
+        comp.count()
+
+        # merges: stored cluster labels whose component label moved.
+        # A delta-graph node that IS a stored label and got a smaller
+        # component label was bridged — either into another stored
+        # cluster or under a new smaller-id doc.
+        old_labels = old_docs.select("cluster_id").distinct()
+        merges_df = (
+            comp.withColumnRenamed("cluster_id", "new_label")
+            .join(
+                old_labels,
+                F.col("doc_id") == old_labels.cluster_id,
+                "left_semi",
+            )
+            .filter(F.col("new_label") != F.col("doc_id"))
+            .select(
+                F.col("doc_id").alias("absorbed"),
+                F.col("new_label").alias("into"),
+            )
+        )
+        merges = [(r["absorbed"], r["into"]) for r in merges_df.collect()]
+
+        # new-batch assignments
+        new_assign = (
+            new_bk.select("doc_id", "toks")
+            .dropDuplicates(["doc_id"])
+            .join(
+                comp.withColumnRenamed("doc_id", "_nid").withColumnRenamed(
+                    "cluster_id", "_nlabel"
+                ),
+                F.col("doc_id") == F.col("_nid"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                "toks",
+                F.coalesce("_nlabel", F.col("doc_id")).alias("cluster_id"),
+            )
+        )
+
+        # stored assignments relabeled through the merge map
+        if merges:
+            mm = spark.createDataFrame(
+                merges, ["absorbed", "into"]
+            )
+            relabeled = (
+                old_docs.join(
+                    F.broadcast(mm),
+                    old_docs.cluster_id == mm.absorbed,
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    "toks",
+                    F.coalesce("into", "cluster_id").alias("cluster_id"),
+                )
+            )
+        else:
+            relabeled = old_docs.select("doc_id", "toks", "cluster_id")
+
+        docs_next = relabeled.unionByName(new_assign)
+        bands_next = old_bands.unionByName(
+            new_bk.select("doc_id", "band", "bucket")
+        )
+        v = self._commit(
+            docs_next, bands_next, run_id, expected_base=base
+        )
+        out = new_assign.select(
+            "doc_id",
+            "cluster_id",
+            (F.col("cluster_id") != F.col("doc_id")).alias("is_duplicate"),
+        )
+        new_bk.unpersist()
+        comp.unpersist()
+        return {"version": v, "assignments": out, "merges": merges}

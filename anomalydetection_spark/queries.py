@@ -2698,6 +2698,38 @@ def q_mixture_plan(spark, sf_dir):
     return plan_mixture(d, weights, token_budget=1_000_000)
 
 
+def q_dedup_increment(spark, sf_dir):
+    """Incremental (delta) dedup
+    (operators/dedup_incremental.py::DedupIndex): build the LSH index
+    on the docs with doc_id % 5 != 0, then dedup the % 5 == 0 batch
+    against it — pairing cost scales with the BATCH, the historical
+    corpus is only touched through its stored band keys and the
+    candidate-pruned token fetch. The oracle is ONE-SHOT batch
+    connected components over the full union (the dedup_clusters
+    recursive CTE) restricted to the new batch: a hash match proves
+    incremental == batch, including cluster-bridging merges. Bounded
+    declared tier (doc_id < 500, same as dedup_clusters — the
+    recursive-CTE oracle is the binding constraint)."""
+    import tempfile
+
+    from .operators.dedup_incremental import DedupIndex
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    # state outlives the call: the returned frame's lineage reads the
+    # committed parquet state
+    state = tempfile.mkdtemp(prefix="dedup_idx_")
+    idx = DedupIndex(state, n_hashes=8, bands=4, threshold=0.8)
+    idx.build(old)
+    res = idx.update(new)
+    return res["assignments"].select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_duplicate",
+    )
+
+
 def q_robust_zscore(spark, sf_dir):
     """Median/MAD (modified z-score) anomaly summary per event type —
     the outlier-resistant sibling of rolling_3sigma/ema_hourly: mean
@@ -2754,6 +2786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_duplicated_spans": q_scrub_duplicated_spans,
     "mixture_plan": q_mixture_plan,
     "robust_zscore": q_robust_zscore,
+    "dedup_increment": q_dedup_increment,
     "dedup_survivors_quality": q_dedup_survivors_quality,
     "iforest_scores": q_iforest_scores,
     "referential_orphans": q_referential_orphans,
@@ -5222,4 +5255,15 @@ ORACLES["robust_zscore"] = """
           THEN 1 ELSE 0 END) AS n_flagged
     FROM dev JOIN mad USING (event_type)
     GROUP BY dev.event_type
+"""
+
+# Incremental == batch: one-shot components over the union, restricted
+# to the new (% 5 == 0) batch; docs in no pair are their own cluster.
+ORACLES["dedup_increment"] = f"""
+    WITH comp AS ({ORACLES["dedup_clusters"]})
+    SELECT d.doc_id,
+      CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+      coalesce(c.cluster_id, d.doc_id) <> d.doc_id AS is_duplicate
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    WHERE d.doc_id < 500 AND d.doc_id % 5 = 0
 """
