@@ -164,6 +164,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "rules (tie-break: min doc_id) instead of the "
                         "min-id copy — training pipelines keep the "
                         "best-quality duplicate")
+    p.add_argument("--dedup-index", action="store_true",
+                   help="incremental dedup round: the first run builds "
+                        "the versioned LSH index over --docs under "
+                        "<manifest-dir|out>/dedup_index_state; every "
+                        "later run treats --docs as a NEW batch, dedups "
+                        "it against the index (batch-equivalent labels, "
+                        "cluster-bridge merges reported + relabeled) "
+                        "and writes the batch assignments under "
+                        "<out>/dedup_index/<run_id>; honors "
+                        "--dedup-threshold / --dedup-max-bucket")
     p.add_argument("--dedup-containment", type=float, default=None,
                    metavar="THRESH",
                    help="with --dedup, also drop docs token-CONTAINED "
@@ -243,6 +253,71 @@ def stream_profile_round(spark, args, run_id: str) -> dict:
         "profile": out_dir,
         "n_rows": max(n_rows.values()) if n_rows else 0,
     }
+
+
+def dedup_index_round(spark, args, run_id: str) -> dict:
+    """--dedup-index: incremental dedup with versioned LSH state
+    (operators/dedup_incremental.py). First run = build, later runs =
+    delta update whose pairing cost scales with the batch, not the
+    indexed corpus. Merges (a new doc bridging stored clusters) are
+    reported in the summary and stamped into the manifest — they are
+    the caller's signal that earlier survivor emissions went stale."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup_incremental import DedupIndex
+    from .operators.pii import text_of_spans
+    from .sources.tables import read_table
+
+    docs = read_table(spark, args.docs)
+    text = F.col("text") if "text" in docs.columns else text_of_spans()
+    state = os.path.join(
+        args.manifest_dir or args.out, "dedup_index_state"
+    )
+    idx = DedupIndex(
+        state,
+        threshold=args.dedup_threshold,
+        max_bucket_size=args.dedup_max_bucket,
+    )
+    summary: dict = {"run_id": run_id, "state": state}
+    if idx.current_version() == 0:
+        v = idx.build(docs, "doc_id", text, run_id=run_id)
+        a = idx.assignments(spark)
+        counts = a.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("cluster_id") != F.col("doc_id")).cast("int")
+            ).alias("d"),
+        ).collect()[0]
+        summary.update(
+            mode="build",
+            state_version=v,
+            n_indexed=counts["n"],
+            n_duplicates=int(counts["d"] or 0),
+        )
+    else:
+        res = idx.update(docs, "doc_id", text, run_id=run_id)
+        out_dir = os.path.join(args.out, "dedup_index", run_id)
+        res["assignments"].write.mode("overwrite").parquet(out_dir)
+        a = spark.read.parquet(out_dir)
+        counts = a.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_duplicate").cast("int")).alias("d"),
+        ).collect()[0]
+        summary.update(
+            mode="update",
+            state_version=res["version"],
+            assignments=out_dir,
+            n_batch=counts["n"],
+            n_batch_duplicates=int(counts["d"] or 0),
+            merges=[list(m) for m in res["merges"]],
+        )
+    if args.manifest_dir:
+        from .sources.manifest import Manifest
+
+        Manifest(args.manifest_dir).stamp_stats(
+            "dedup_index", summary, run_id
+        )
+    return summary
 
 
 def incremental_profile_round(spark, args, run_id: str) -> dict:
@@ -758,6 +833,13 @@ def main(argv: list[str] | None = None) -> int:
         try:
             rid = args.run_id or f"prof{int(time.time())}"
             print(json.dumps(incremental_profile_round(spark, args, rid)))
+            return 0
+        finally:
+            spark.stop()
+    if args.dedup_index:
+        try:
+            rid = args.run_id or f"didx{int(time.time())}"
+            print(json.dumps(dedup_index_round(spark, args, rid)))
             return 0
         finally:
             spark.stop()

@@ -131,3 +131,52 @@ def test_hot_bucket_guard_spans_old_and_new(spark, tmp_path):
     res = idx.update(_docs(spark, [(100, boiler)]))
     out = res["assignments"].collect()
     assert len(out) == 1 and out[0].is_duplicate is False
+
+
+def test_dedup_index_cli_build_then_update(spark, docs_path, tmp_path):
+    """--dedup-index round-trip over the interleaved fixture corpus:
+    run 1 builds the state, run 2 dedups a disjoint batch against it
+    and writes the batch assignments; both summaries stamp into the
+    manifest."""
+    import json
+
+    from anomalydetection_spark.run import dedup_index_round, parse_args
+    from anomalydetection_spark.sources.manifest import Manifest
+
+    d = spark.read.parquet(docs_path)
+    p_old = str(tmp_path / "old")
+    p_new = str(tmp_path / "new")
+    d.filter(F.crc32(F.col("doc_id")) % 4 != 0).write.parquet(p_old)
+    d.filter(F.crc32(F.col("doc_id")) % 4 == 0).write.parquet(p_new)
+
+    out = str(tmp_path / "out")
+    mdir = str(tmp_path / "manifest")
+    s1 = dedup_index_round(
+        spark,
+        parse_args(["--docs", p_old, "--out", out,
+                    "--manifest-dir", mdir, "--dedup-index"]),
+        "b1",
+    )
+    json.dumps(s1)
+    assert s1["mode"] == "build" and s1["state_version"] == 1
+    # the fixture plants duplicate doc_ids (uniqueness violations);
+    # the index keys one row per id
+    assert s1["n_indexed"] == (
+        spark.read.parquet(p_old).select("doc_id").distinct().count()
+    )
+
+    s2 = dedup_index_round(
+        spark,
+        parse_args(["--docs", p_new, "--out", out,
+                    "--manifest-dir", mdir, "--dedup-index"]),
+        "b2",
+    )
+    json.dumps(s2)
+    assert s2["mode"] == "update" and s2["state_version"] == 2
+    assert s2["n_batch"] == (
+        spark.read.parquet(p_new).select("doc_id").distinct().count()
+    )
+    a = spark.read.parquet(s2["assignments"])
+    assert set(a.columns) == {"doc_id", "cluster_id", "is_duplicate"}
+    st = Manifest(mdir).get_stats("dedup_index")
+    assert st is not None and st["mode"] == "update"
