@@ -244,6 +244,23 @@ class DedupIndex:
             raise ValueError(
                 f"empty dedup index under {self.path}; build() first"
             )
+        # stored band keys are only comparable under the parameters
+        # that produced them — refuse a reopen with different LSH
+        # config instead of silently mixing incompatible buckets
+        with open(os.path.join(self.path, f"meta_v{base}.json")) as f:
+            meta = json.load(f)
+        mine = {
+            "n_hashes": self.n_hashes,
+            "bands": self.bands,
+            "threshold": self.threshold,
+        }
+        stored = {k: meta[k] for k in mine}
+        if stored != mine:
+            raise ValueError(
+                f"dedup index under {self.path} was built with "
+                f"{stored}, reopened with {mine}; LSH band keys are "
+                "not comparable across configs"
+            )
         old_docs = spark.read.parquet(self._docs_path(base))
         old_bands = spark.read.parquet(self._bands_path(base))
 

@@ -180,3 +180,13 @@ def test_dedup_index_cli_build_then_update(spark, docs_path, tmp_path):
     assert set(a.columns) == {"doc_id", "cluster_id", "is_duplicate"}
     st = Manifest(mdir).get_stats("dedup_index")
     assert st is not None and st["mode"] == "update"
+
+
+def test_config_mismatch_refused(spark, tmp_path):
+    """Reopening the index with different LSH parameters is refused —
+    stored band keys are not comparable across configs."""
+    path = str(tmp_path / "idx")
+    DedupIndex(path).build(_docs(spark, [(1, X)]))
+    bad = DedupIndex(path, n_hashes=8, bands=2)
+    with pytest.raises(ValueError, match="not comparable"):
+        bad.update(_docs(spark, [(2, Y)]))
