@@ -392,7 +392,9 @@ class DedupIndex:
         )
         merges = [(r["absorbed"], r["into"]) for r in merges_df.collect()]
 
-        # new-batch assignments
+        # new-batch assignments — cached: consumed by the state write
+        # AND (indirectly) the returned frame; without the cache the
+        # whole band-key + verify + components chain re-runs per sink
         new_assign = (
             new_bk.select("doc_id", "toks")
             .dropDuplicates(["doc_id"])
@@ -408,6 +410,7 @@ class DedupIndex:
                 "toks",
                 F.coalesce("_nlabel", F.col("doc_id")).alias("cluster_id"),
             )
+            .cache()
         )
 
         # stored assignments relabeled through the merge map
@@ -437,11 +440,26 @@ class DedupIndex:
         v = self._commit(
             docs_next, bands_next, run_id, expected_base=base
         )
-        out = new_assign.select(
-            "doc_id",
-            "cluster_id",
-            (F.col("cluster_id") != F.col("doc_id")).alias("is_duplicate"),
+        # the returned frame READS the committed state (semi-joined to
+        # the batch ids) rather than carrying the compute lineage: it
+        # stays valid after the caches below are dropped, and a caller
+        # materializing it doesn't re-run band-keys + verify +
+        # components a second time
+        batch_ids = new_docs.select(
+            F.col(id_col).alias("doc_id")
+        ).distinct()
+        out = (
+            spark.read.parquet(self._docs_path(v))
+            .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+            .select(
+                "doc_id",
+                "cluster_id",
+                (F.col("cluster_id") != F.col("doc_id")).alias(
+                    "is_duplicate"
+                ),
+            )
         )
         new_bk.unpersist()
         comp.unpersist()
+        new_assign.unpersist()
         return {"version": v, "assignments": out, "merges": merges}
