@@ -112,6 +112,70 @@ def band_keys(
     )
 
 
+def guard_hot_buckets(
+    bands_df: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Hot-bucket skew guard shared by EVERY banded-LSH surface
+    (minhash, simhash, containment, the incremental index): drop
+    (band, bucket) groups larger than the cap before the self-join —
+    a bucket of size m contributes m² candidate pairs, and at web
+    scale one boilerplate bucket can exceed the rest of the job
+    combined. ``None`` disables the guard."""
+    if max_bucket_size is None:
+        return bands_df
+    w = Window.partitionBy("band", "bucket")
+    return (
+        bands_df.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
+def pairs_from_bands(
+    bands_df: DataFrame,
+    payload: str = "toks",
+    a_out: str = "a_toks",
+    b_out: str = "b_toks",
+) -> DataFrame:
+    """Banded bucket self-join → distinct candidate pairs carrying
+    both sides' payload: (a_id, b_id, a_out, b_out). The one place
+    the a_id < b_id normalization and the per-pair dropDuplicates
+    live — every LSH candidate generator builds on this."""
+    a = bands_df.select(
+        F.col("doc_id").alias("a_id"),
+        F.col(payload).alias(a_out),
+        "band",
+        "bucket",
+    )
+    b = bands_df.select(
+        F.col("doc_id").alias("b_id"),
+        F.col(payload).alias(b_out),
+        "band",
+        "bucket",
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", a_out, b_out)
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def verify_jaccard(cands: DataFrame, threshold: float) -> DataFrame:
+    """Exact token-Jaccard re-rank over candidate pairs carrying
+    (a_toks, b_toks) → (a_id, b_id, jaccard ≥ threshold). The
+    round-to-4dp-then-compare gate is a pinned oracle contract — this
+    is its ONLY implementation; the one-shot path and the incremental
+    DedupIndex both call it, so they cannot drift apart."""
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    uni = F.size(F.array_union("a_toks", "b_toks"))
+    return cands.select(
+        "a_id",
+        "b_id",
+        F.round(inter.cast("double") / uni, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def _lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -126,29 +190,7 @@ def _lsh_candidate_pairs(
     sets (a_id, b_id, a_toks, b_toks). Jaccard / containment re-rank
     layers sit on top."""
     bands_df = band_keys(df, id_col, text_col, n_hashes, bands, tokenizer)
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        bands_df = bands_df.withColumn(
-            "_bsz", F.count("*").over(w)
-        ).filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
-    a = bands_df.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("toks").alias("a_toks"),
-        "band",
-        "bucket",
-    )
-    b = bands_df.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("toks").alias("b_toks"),
-        "band",
-        "bucket",
-    )
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_toks", "b_toks")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    return pairs_from_bands(guard_hot_buckets(bands_df, max_bucket_size))
 
 
 def minhash_lsh_pairs(
@@ -176,13 +218,7 @@ def minhash_lsh_pairs(
     pairs = _lsh_candidate_pairs(
         df, id_col, text_col, n_hashes, bands, tokenizer, max_bucket_size
     )
-    inter = F.size(F.array_intersect("a_toks", "b_toks"))
-    uni = F.size(F.array_union("a_toks", "b_toks"))
-    return pairs.select(
-        "a_id",
-        "b_id",
-        F.round(inter.cast("double") / uni, 4).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    return verify_jaccard(pairs, threshold)
 
 
 def containment_pairs(
@@ -332,28 +368,13 @@ def simhash_pairs(
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        bands_df = bands_df.withColumn(
-            "_bsz", F.count("*").over(w)
-        ).filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
-    a = bands_df.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("simhash").alias("a_fp"),
-        "band",
-        "bucket",
-    )
-    b = bands_df.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("simhash").alias("b_fp"),
-        "band",
-        "bucket",
-    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_fp", "b_fp")
-        .dropDuplicates(["a_id", "b_id"])
+        pairs_from_bands(
+            guard_hot_buckets(bands_df, max_bucket_size),
+            payload="simhash",
+            a_out="a_fp",
+            b_out="b_fp",
+        )
         .withColumn(
             "hamming", F.expr("bit_count(a_fp ^ b_fp)").cast("int")
         )

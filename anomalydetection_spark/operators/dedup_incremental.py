@@ -12,16 +12,29 @@ them against the stored keys, and only pairs touching a new doc are
 commit with the optimistic expected-base check.
 
 Equivalence contract (pinned by test + the ``dedup_increment``
-oracle): after build(batch₁) ∘ update(batch₂) ∘ … the assignment map
-equals one-shot batch ``minhash_lsh_pairs → duplicate_clusters`` over
-the union — including the case where a new doc BRIDGES two previously
-separate clusters (the update emits the merge and relabels the stored
-assignment of the absorbed cluster). With ingestion-monotone ids the
-incremental survivors are therefore exactly the batch survivors; with
+oracle): with ``max_bucket_size=None``, after build(batch₁) ∘
+update(batch₂) ∘ … the assignment map equals one-shot batch
+``minhash_lsh_pairs → duplicate_clusters`` over the union — including
+the case where a new doc BRIDGES two previously separate clusters
+(the update emits the merge and relabels the stored assignment of the
+absorbed cluster). With ingestion-monotone ids the incremental
+survivors are therefore exactly the batch survivors; with
 out-of-order ids the state still converges to the batch labels, but
 documents emitted as survivors by earlier rounds are not retracted —
 the merge records in the returned result are the caller's retraction
 signal.
+
+With the hot-bucket guard ENGAGED the contract weakens to
+monotone-no-retraction: a cluster verified while its bucket was under
+the cap is KEPT even if later arrivals push the union's bucket
+population over the cap (one-shot batch over the union would have
+dropped the bucket in that band and may therefore report fewer
+pairs). Already-verified duplicates surviving new volume is the
+production-desirable direction; exact batch equality under the guard
+holds only when each bucket's cap decision is the same at every round
+(the ``test_hot_bucket_guard_spans_old_and_new`` shape). The guard
+setting is part of the persisted config for exactly this reason — a
+reopen with a different ``max_bucket_size`` is refused.
 
 Reference behavior anchor: the reference dedups scored anomalies only
 within one run via an in-memory seen-set
@@ -44,10 +57,16 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import band_keys, duplicate_clusters
+from .dedup import (
+    band_keys,
+    duplicate_clusters,
+    guard_hot_buckets,
+    pairs_from_bands,
+    verify_jaccard,
+)
 
 
 class DedupIndex:
@@ -118,6 +137,7 @@ class DedupIndex:
                     "n_hashes": self.n_hashes,
                     "bands": self.bands,
                     "threshold": self.threshold,
+                    "max_bucket_size": self.max_bucket_size,
                 },
                 f,
             )
@@ -140,27 +160,13 @@ class DedupIndex:
 
     # -- verification shared with the one-shot path ---------------------
     def _verified_pairs(self, cands: DataFrame) -> DataFrame:
-        """Exact token-Jaccard gate — bit-identical to
-        minhash_lsh_pairs' re-rank (round 4dp then >= threshold)."""
-        inter = F.size(F.array_intersect("a_toks", "b_toks"))
-        uni = F.size(F.array_union("a_toks", "b_toks"))
-        return (
-            cands.withColumn(
-                "jaccard", F.round(inter.cast("double") / uni, 4)
-            )
-            .filter(F.col("jaccard") >= self.threshold)
-            .select("a_id", "b_id")
-        )
+        """Exact token-Jaccard gate — THE minhash_lsh_pairs re-rank
+        (shared verify_jaccard; the round-4dp contract has exactly one
+        implementation)."""
+        return verify_jaccard(cands, self.threshold).select("a_id", "b_id")
 
     def _guard(self, bands_df: DataFrame) -> DataFrame:
-        if self.max_bucket_size is None:
-            return bands_df
-        w = Window.partitionBy("band", "bucket")
-        return (
-            bands_df.withColumn("_bsz", F.count("*").over(w))
-            .filter(F.col("_bsz") <= self.max_bucket_size)
-            .drop("_bsz")
-        )
+        return guard_hot_buckets(bands_df, self.max_bucket_size)
 
     # -- build / update --------------------------------------------------
     def build(
@@ -180,25 +186,7 @@ class DedupIndex:
         bk = band_keys(
             docs, id_col, text_col, self.n_hashes, self.bands
         ).cache()
-        guarded = self._guard(bk)
-        a = guarded.select(
-            F.col("doc_id").alias("a_id"),
-            F.col("toks").alias("a_toks"),
-            "band",
-            "bucket",
-        )
-        b = guarded.select(
-            F.col("doc_id").alias("b_id"),
-            F.col("toks").alias("b_toks"),
-            "band",
-            "bucket",
-        )
-        cands = (
-            a.join(b, ["band", "bucket"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id", "a_toks", "b_toks")
-            .dropDuplicates(["a_id", "b_id"])
-        )
+        cands = pairs_from_bands(self._guard(bk))
         comp = duplicate_clusters(self._verified_pairs(cands))
         doc_rows = (
             bk.select("doc_id", "toks")
@@ -253,8 +241,12 @@ class DedupIndex:
             "n_hashes": self.n_hashes,
             "bands": self.bands,
             "threshold": self.threshold,
+            # the guard changes which pairs are even CANDIDATES, so a
+            # reopen with a different cap silently changes semantics
+            # mid-history — refuse it like any other config drift
+            "max_bucket_size": self.max_bucket_size,
         }
-        stored = {k: meta[k] for k in mine}
+        stored = {k: meta.get(k) for k in mine}
         if stored != mine:
             raise ValueError(
                 f"dedup index under {self.path} was built with "
@@ -300,24 +292,7 @@ class DedupIndex:
             old_side = old_bands
 
         # new × new candidates (both token sets in hand)
-        a = new_side.select(
-            F.col("doc_id").alias("a_id"),
-            F.col("toks").alias("a_toks"),
-            "band",
-            "bucket",
-        )
-        b = new_side.select(
-            F.col("doc_id").alias("b_id"),
-            F.col("toks").alias("b_toks"),
-            "band",
-            "bucket",
-        )
-        nn = (
-            a.join(b, ["band", "bucket"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id", "a_toks", "b_toks")
-            .dropDuplicates(["a_id", "b_id"])
-        )
+        nn = pairs_from_bands(new_side)
 
         # new × old candidates: the old side's token sets attach by id
         # from the docs state — candidate-count rows, not corpus rows

@@ -224,7 +224,11 @@ def iforest_scores(
     forest = fit_iforest(X, n_trees, max_samples, contamination, seed)
     bc = spark.sparkContext.broadcast(forest)
 
-    out_schema = f"`{id_col}` long, score double, is_anomaly boolean"
+    # id passes through untouched — declare its REAL type (string ids
+    # are first-class across the dedup/profile operators; hardcoding
+    # long would make Arrow reject them at scoring time)
+    id_type = feats.schema["_id"].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, score double, is_anomaly boolean"
 
     def _score(batches):
         model = bc.value

@@ -2710,6 +2710,8 @@ def q_dedup_increment(spark, sf_dir):
     incremental == batch, including cluster-bridging merges. Bounded
     declared tier (doc_id < 500, same as dedup_clusters — the
     recursive-CTE oracle is the binding constraint)."""
+    import atexit
+    import shutil
     import tempfile
 
     from .operators.dedup_incremental import DedupIndex
@@ -2717,9 +2719,11 @@ def q_dedup_increment(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     old = d.filter(F.col("doc_id") % 5 != 0)
     new = d.filter(F.col("doc_id") % 5 == 0)
-    # state outlives the call: the returned frame's lineage reads the
-    # committed parquet state
+    # state outlives the call (the returned frame's lineage reads the
+    # committed parquet state) but not the process — without the atexit
+    # hook every gate/bench run would strand a parquet index in /tmp
     state = tempfile.mkdtemp(prefix="dedup_idx_")
+    atexit.register(shutil.rmtree, state, ignore_errors=True)
     idx = DedupIndex(state, n_hashes=8, bands=4, threshold=0.8)
     idx.build(old)
     res = idx.update(new)

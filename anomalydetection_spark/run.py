@@ -130,7 +130,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "N-token window occurring in >= "
                         "--scrub-min-docs distinct docs (RefinedWeb "
                         "boilerplate scrub); docs scrubbed to empty "
-                        "are dropped")
+                        "are dropped. Corpora with a text column are "
+                        "rewritten in place; interleaved spans "
+                        "corpora keep their spans as-is and gain a "
+                        "scrubbed_text column with the cleaned text")
     p.add_argument("--scrub-min-docs", type=int, default=2, metavar="K",
                    help="distinct-doc threshold for --scrub-ngrams "
                         "(default 2)")
@@ -532,8 +535,10 @@ def preprocess_round(spark, args, run_id: str) -> dict:
         text = "text"
     elif args.scrub_ngrams is not None:
         # scrub REWRITES its text column, so an expression (the
-        # interleaved spans accessor) must be materialized; the temp
-        # column is dropped before the kept corpus is written
+        # interleaved spans accessor) must be materialized; the
+        # rewritten text is KEPT in the output as `scrubbed_text`
+        # (spans retain their original bytes as provenance — dropping
+        # the rewrite would silently discard the scrub)
         docs = docs.withColumn("_pp_text", text_of_spans())
         text = "_pp_text"
         scrub_tmp = True
@@ -561,7 +566,11 @@ def preprocess_round(spark, args, run_id: str) -> dict:
         pack_shards=args.pack_shards,
     )
     kept_out = os.path.join(args.out, "preprocess", run_id, "kept")
-    kept = res.kept.drop("_pp_text") if scrub_tmp else res.kept
+    kept = (
+        res.kept.withColumnRenamed("_pp_text", "scrubbed_text")
+        if scrub_tmp
+        else res.kept
+    )
     kept.write.mode("overwrite").parquet(kept_out)
     packed_out = None
     if res.packed is not None:

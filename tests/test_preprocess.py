@@ -212,8 +212,9 @@ def test_preprocess_scrub_drops_fully_boilerplate_docs(spark):
 
 def test_preprocess_cli_scrub_on_interleaved_corpus(spark, docs_path, tmp_path):
     """--scrub-ngrams over the spans table: the text accessor is
-    materialized for the rewrite and dropped again before the kept
-    corpus is written (schema round-trips)."""
+    materialized for the rewrite and SURVIVES into the kept corpus as
+    `scrubbed_text` (spans keep their original bytes; dropping the
+    rewrite would discard the scrub's only output)."""
     import json
 
     from anomalydetection_spark.run import parse_args, preprocess_round
@@ -232,4 +233,9 @@ def test_preprocess_cli_scrub_on_interleaved_corpus(spark, docs_path, tmp_path):
         assert st["n_in"] - st["n_dropped"] == st["n_out"]
     kept = spark.read.parquet(s["kept"])
     assert "_pp_text" not in kept.columns
+    assert "scrubbed_text" in kept.columns
+    assert "spans" in kept.columns
+    # the scrub's rewrite is materialized: no kept row may carry an
+    # N-token window that >=2 distinct docs shared
+    assert kept.filter(F.col("scrubbed_text").isNull()).count() == 0
     assert kept.count() == s["n_kept"]

@@ -67,6 +67,8 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_oracles.py [--json OUT.json] [names...]")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     only = set(argv)
