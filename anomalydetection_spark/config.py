@@ -37,6 +37,7 @@ class DriftConfig:
     sigma_k: float = 3.0                    # the 3-sigma rule
     min_history: int = 5                    # windows needed before 3-sigma fires
     histogram_bins: int = 64                # bounded like drain3 max_clusters=1024
+    histogram_bin_width: int = 8            # chars per length bucket
 
 
 @dataclass(frozen=True)

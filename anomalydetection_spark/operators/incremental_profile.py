@@ -203,10 +203,58 @@ def _per_partition_digests(
     """(partition, column, centroid_means, centroid_weights) — ONE
     t-digest per (logical partition, column): physical-partition
     partials (mapInPandas streaming pass, bounded memory) merged per
-    logical partition. Small output: partitions x columns rows."""
+    logical partition. Small output: partitions x columns rows.
+
+    ONE streaming pass builds partials for EVERY requested column —
+    an earlier shape looped tdigest_partials per column, re-reading
+    the filtered partitions' data Q times; at the module's scan-only-
+    what-changed design point that multiplied the delta cost by the
+    number of quantile columns."""
     from ..functions import tdigest as td
 
     import pandas as pd
+
+    def build(batches):
+        import numpy as np
+
+        acc: dict = {}
+        for pdf in batches:
+            for part, sub in pdf.groupby(
+                partition_col, dropna=False, sort=False
+            ):
+                for c in cols:
+                    d = td.from_values(sub[c].to_numpy(), delta)
+                    prev = acc.get((part, c))
+                    acc[(part, c)] = (
+                        td.merge([prev, d], delta) if prev else d
+                    )
+        rows = []
+        for (part, c), (m, w) in acc.items():
+            rows.append(
+                {
+                    partition_col: part,
+                    "column": c,
+                    "centroid_means": m.tolist(),
+                    "centroid_weights": w.tolist(),
+                }
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    part_type = df.schema[partition_col].dataType.simpleString()
+    partials = (
+        df.select(partition_col, *cols)
+        .mapInPandas(
+            build,
+            schema=(
+                f"`{partition_col}` {part_type}, column string,"
+                " centroid_means array<double>,"
+                " centroid_weights array<double>"
+            ),
+        )
+        .withColumnRenamed(partition_col, "partition")
+        .withColumn("partition", F.col("partition").cast("string"))
+    )
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -227,24 +275,14 @@ def _per_partition_digests(
             }]
         )
 
-    out = None
-    for c in cols:
-        p = (
-            td.tdigest_partials(df, c, [partition_col], delta)
-            .withColumnRenamed(partition_col, "partition")
-            .withColumn("partition", F.col("partition").cast("string"))
-            .withColumn("column", F.lit(c))
-        )
-        merged = p.groupBy("partition", "column").applyInPandas(
-            merge_group,
-            schema=(
-                "partition string, column string,"
-                " centroid_means array<double>,"
-                " centroid_weights array<double>"
-            ),
-        )
-        out = merged if out is None else out.unionByName(merged)
-    return out
+    return partials.groupBy("partition", "column").applyInPandas(
+        merge_group,
+        schema=(
+            "partition string, column string,"
+            " centroid_means array<double>,"
+            " centroid_weights array<double>"
+        ),
+    )
 
 
 def merge_quantiles(
@@ -292,6 +330,19 @@ def _snapshot_hashes(
             16,
         ).alias("snap")
     )
+
+
+def _check_quantile_cols(df: DataFrame, quantile_cols) -> None:
+    if not quantile_cols:
+        return
+    dts = {f.name: f.dataType for f in df.schema.fields}
+    for c in quantile_cols:
+        if not isinstance(dts.get(c), T.NumericType):
+            raise ValueError(
+                "quantile_cols must be numeric columns; "
+                f"{c!r} is "
+                f"{dts[c].simpleString() if c in dts else 'absent'}"
+            )
 
 
 class IncrementalProfiler:
@@ -385,15 +436,7 @@ class IncrementalProfiler:
         replace/extend the stored state; vanished partitions drop out of
         the merge (the profile tracks the table, not its history)."""
         spark = df.sparkSession
-        if quantile_cols:
-            dts = {f.name: f.dataType for f in df.schema.fields}
-            for c in quantile_cols:
-                if not isinstance(dts.get(c), T.NumericType):
-                    raise ValueError(
-                        "quantile_cols must be numeric columns; "
-                        f"{c!r} is "
-                        f"{dts[c].simpleString() if c in dts else 'absent'}"
-                    )
+        _check_quantile_cols(df, quantile_cols)
         if change_detection == "hash":
             cur = {
                 r["partition"]: r["snap"]
@@ -529,6 +572,7 @@ class IncrementalProfiler:
         replaying a micro-batch must not double-count (the caller's
         checkpoint provides exactly-once batch ids)."""
         spark = df.sparkSession
+        _check_quantile_cols(df, quantile_cols)
         new_ids = sorted(
             str(r[0])
             for r in df.select(F.col(partition_col).alias("p"))
@@ -549,15 +593,52 @@ class IncrementalProfiler:
             fresh = spark.read.parquet(self._partials_path(v0)).unionByName(
                 fresh
             )
+        # Digest-coverage contract: unlike update(), append() can NEVER
+        # backfill — the earlier batches' rows are gone — so a
+        # quantile_cols set that GROWS (or silently disappears) would
+        # yield table quantiles computed from a subset of partitions
+        # presented as full-table values. Refuse instead; columns
+        # DROPPED from quantile_cols are removed from carried state
+        # (same as update()).
         dig = None
+        have_digests = v0 > 0 and os.path.exists(self._digests_path(v0))
+        stored_cols: set = set()
+        if have_digests:
+            dold = spark.read.parquet(self._digests_path(v0))
+            stored_cols = {
+                r["column"]
+                for r in dold.select("column").distinct().collect()
+            }
         if quantile_cols:
+            # compare against stored coverage even when NO digest dir
+            # exists — quantile tracking enabled mid-history over a
+            # state with digest-less partitions is the same
+            # unbackfillable subset
+            missing = set(quantile_cols) - stored_cols
+            if missing and prev:
+                raise ValueError(
+                    "append cannot backfill quantile digests for "
+                    f"{sorted(missing)}: the stored state under "
+                    f"{self.path} has no digests for those columns and "
+                    "earlier batches' rows are no longer available — "
+                    "track the column from the first append, or "
+                    "rebuild the state"
+                )
             dig = _per_partition_digests(
                 df, partition_col, quantile_cols, tdigest_delta
             )
-            if v0 > 0 and os.path.exists(self._digests_path(v0)):
-                dig = spark.read.parquet(self._digests_path(v0)).unionByName(
-                    dig
-                )
+            if have_digests:
+                dig = dold.filter(
+                    F.col("column").isin(list(quantile_cols))
+                ).unionByName(dig)
+        elif have_digests and stored_cols:
+            raise ValueError(
+                f"state under {self.path} tracks quantile digests for "
+                f"{sorted(stored_cols)} but this append passes no "
+                "quantile_cols — the appended partitions would be "
+                "invisible to every later quantile merge; pass the "
+                "same quantile_cols on every append"
+            )
         snapshots = dict(prev)
         snapshots.update({p: "appended" for p in new_ids})
         v = self._commit(

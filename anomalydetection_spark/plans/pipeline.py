@@ -48,6 +48,52 @@ CONF_CHECKS = (
 )
 
 
+def conformance_exprs():
+    """The five row-local conformance expressions — the ONE place the
+    check definitions live. Returns (flags, n_null_kind, n_incoherent):
+    ``flags`` maps every CONF_CHECKS name to its boolean Column (in
+    CONF_CHECKS order); the two counts are exposed separately because
+    the violation rows report them in their detail strings. Shared by
+    the full pass (_all_violations) and the sampled pre-flight
+    (preflight_estimate) so a tightened definition cannot make the
+    pre-flight disagree with the pass it predicts."""
+    null_spans = F.col("spans").isNull()
+    empty_spans = F.col("spans").isNotNull() & (F.size("spans") == 0)
+    nonmono = F.when(null_spans, F.lit(False)).otherwise(
+        ~F.expr(stats_ops.MONOTONE_EXPR)
+    )
+    n_null_kind = F.coalesce(
+        F.size(F.filter("spans", lambda s: s["kind"].isNull())), F.lit(0)
+    )
+    n_incoherent = F.coalesce(
+        F.size(F.filter("spans", stats_ops.incoherent_span_filter)),
+        F.lit(0),
+    )
+    flags = {
+        "null_spans": null_spans,
+        "empty_spans": empty_spans,
+        "offset_monotonicity": nonmono,
+        "null_span_kind": n_null_kind > 0,
+        "span_coherence": n_incoherent > 0,
+    }
+    return flags, n_null_kind, n_incoherent
+
+
+def check_gates(cfg) -> dict:
+    """check name → configured rate gate — shared by the full pass's
+    verdicts (_grid_to_verdicts) and the sampled pre-flight, so the
+    two can never gate the same check differently."""
+    return {
+        "uniqueness": cfg.max_dup_rate,
+        "referential": cfg.max_orphan_rate,
+        "null_spans": cfg.max_null_rate,
+        "empty_spans": cfg.max_null_rate,
+        "offset_monotonicity": cfg.max_type_error_rate,
+        "null_span_kind": cfg.max_type_error_rate,
+        "span_coherence": cfg.max_type_error_rate,
+    }
+
+
 @dataclass
 class ValidationResult:
     verdicts: DataFrame          # per-partition + table-level rows
@@ -75,6 +121,7 @@ def _all_violations(
     broadcast_orphans: bool = True,
     orphan_udf=None,
     broadcast_dups: bool = True,
+    unique_key="doc_id",
 ) -> DataFrame:
     """One wide scan → every violation row (VIOLATIONS_SCHEMA shape).
 
@@ -96,28 +143,22 @@ def _all_violations(
       (``broadcast_orphans``).
 
     Each violating doc emits one row per failed check, spans verbatim."""
-    null_spans = F.col("spans").isNull()
-    empty_spans = F.col("spans").isNotNull() & (F.size("spans") == 0)
-    nonmono = F.when(null_spans, F.lit(False)).otherwise(
-        ~F.expr(stats_ops.MONOTONE_EXPR)
-    )
-    n_null_kind = F.coalesce(
-        F.size(F.filter("spans", lambda s: s["kind"].isNull())), F.lit(0)
-    )
-    n_incoherent = F.coalesce(
-        F.size(F.filter("spans", stats_ops.incoherent_span_filter)), F.lit(0)
-    )
+    flags, n_null_kind, n_incoherent = conformance_exprs()
     conf_detail = F.concat_ws(
-        ",",
-        F.when(null_spans, "null_spans"),
-        F.when(empty_spans, "empty_spans"),
-        F.when(nonmono, "offset_monotonicity"),
-        F.when(n_null_kind > 0, "null_span_kind"),
-        F.when(n_incoherent > 0, "span_coherence"),
+        ",", *[F.when(expr, name) for name, expr in flags.items()]
     )
+    null_spans = flags["null_spans"]
+    empty_spans = flags["empty_spans"]
+    nonmono = flags["offset_monotonicity"]
 
     dups_b = F.broadcast(dups) if broadcast_dups else dups
-    flagged = scope.join(dups_b, "doc_id", "left")
+    # attach on the CONFIGURED uniqueness key — duplicate_keys returns
+    # (key..., dup_cnt), so the join columns must mirror cfg.unique_key
+    # (a composite key joins on every part)
+    key_cols = (
+        [unique_key] if isinstance(unique_key, str) else list(unique_key)
+    )
+    flagged = scope.join(dups_b, key_cols, "left")
     if orphan_udf is not None:
         from ..operators.referential import span_refs_column
 
@@ -246,15 +287,7 @@ def _grid_to_verdicts(
     with stack() instead of a per-check union (a 7-branch union re-ran
     the violations groupBy once per branch — 7x the work for identical
     output; measured 7.9s -> ~1s of the local[32] 16M pass)."""
-    rate_gates = {
-        "uniqueness": cfg.max_dup_rate,
-        "referential": cfg.max_orphan_rate,
-        "null_spans": cfg.max_null_rate,
-        "empty_spans": cfg.max_null_rate,
-        "offset_monotonicity": cfg.max_type_error_rate,
-        "null_span_kind": cfg.max_type_error_rate,
-        "span_coherence": cfg.max_type_error_rate,
-    }
+    rate_gates = check_gates(cfg)
     check_names = ["uniqueness", *CONF_CHECKS] + (
         ["referential"] if has_catalog else []
     )
@@ -462,7 +495,9 @@ def run_validation(
         # scan in the cached-violations path)
         if baseline_hist is not None:
             cur_hist = stats_ops.length_histogram(
-                scope, bins=cfg.drift.histogram_bins
+                scope,
+                bins=cfg.drift.histogram_bins,
+                bin_width=cfg.drift.histogram_bin_width,
             ).cache()
             fut_hist = pool.submit(cur_hist.count)
         if catalog is not None:
@@ -532,6 +567,7 @@ def run_validation(
             broadcast_orphans,
             orphan_udf=orphan_udf,
             broadcast_dups=broadcast_dups,
+            unique_key=cfg.unique_key,
         )
         capped = cfg.max_violation_exemplars is not None
         if capped:
@@ -657,6 +693,20 @@ def run_validation(
                 }
             )
         manifest_version = manifest.commit_validated(records, run_id, now)
+
+    # drop the small-input caches: violations and cur_hist are already
+    # materialized, so the dup/snapshot/orphan inputs are dead — in a
+    # long-lived session repeated passes would otherwise pin them in
+    # the block manager until eviction churn hits the caches that
+    # matter (worst case on eviction: the violations lineage recomputes
+    # from uncached inputs, which is correct, just slower)
+    dups.unpersist()
+    if snaps is not None:
+        snaps.unpersist()
+    else:
+        totals_src.unpersist()
+    if orphan_doc is not None:
+        orphan_doc.unpersist()
 
     return ValidationResult(
         verdicts, violations, pending, manifest_version, capped=capped,
@@ -811,24 +861,7 @@ def preflight_estimate(
         sample = docs.filter(F.col("partition_id").isin(chosen))
     else:
         sample = docs.sample(fraction=fraction, seed=seed)
-    null_spans = F.col("spans").isNull()
-    empty_spans = F.col("spans").isNotNull() & (F.size("spans") == 0)
-    nonmono = F.when(null_spans, F.lit(False)).otherwise(
-        ~F.expr(stats_ops.MONOTONE_EXPR)
-    )
-    n_null_kind = F.coalesce(
-        F.size(F.filter("spans", lambda s: s["kind"].isNull())), F.lit(0)
-    )
-    n_incoh = F.coalesce(
-        F.size(F.filter("spans", stats_ops.incoherent_span_filter)), F.lit(0)
-    )
-    flags = {
-        "null_spans": null_spans,
-        "empty_spans": empty_spans,
-        "offset_monotonicity": nonmono,
-        "null_span_kind": n_null_kind > 0,
-        "span_coherence": n_incoh > 0,
-    }
+    flags, _, _ = conformance_exprs()
     proj = [v.cast("long").alias(k) for k, v in flags.items()]
     ref_joined = None
     ref_in_agg = False
@@ -886,15 +919,7 @@ def preflight_estimate(
     )
     n_sample = sum(int(r["__n"]) for r in grid)
 
-    gates = {
-        "uniqueness": cfg.max_dup_rate,
-        "referential": cfg.max_orphan_rate,
-        "null_spans": cfg.max_null_rate,
-        "empty_spans": cfg.max_null_rate,
-        "offset_monotonicity": cfg.max_type_error_rate,
-        "null_span_kind": cfg.max_type_error_rate,
-        "span_coherence": cfg.max_type_error_rate,
-    }
+    gates = check_gates(cfg)
 
     def _wilson(x: int, n: int) -> tuple[float, float]:
         if n == 0:

@@ -475,6 +475,19 @@ def stream_round(spark, args) -> dict:
         if args.baseline_hist
         else None
     )
+    # the per-batch drift histogram must bin exactly like the stored
+    # baseline — honor a --config drift section the same way the batch
+    # pass does
+    from .config import DEFAULT_CONFIG
+
+    cfg = DEFAULT_CONFIG
+    if args.config:
+        from .config import config_from_dict
+
+        with open(args.config) as f:
+            file_cfg = json.load(f)
+        if file_cfg.get("validation"):
+            cfg = config_from_dict(file_cfg["validation"])
     out_dir = os.path.join(args.out, "stream")
     ckpt = args.stream_checkpoint or os.path.join(
         args.out, "stream_checkpoint"
@@ -489,6 +502,8 @@ def stream_round(spark, args) -> dict:
         baseline_hist=baseline,
         emit_violations=args.stream_violations,
         max_violation_exemplars=args.max_violation_exemplars,
+        histogram_bins=cfg.drift.histogram_bins,
+        histogram_bin_width=cfg.drift.histogram_bin_width,
     )
     q.awaitTermination()
     verdicts_dir = os.path.join(out_dir, "verdicts")
@@ -664,7 +679,9 @@ def one_round(spark, args, run_id: str) -> dict:
         if baseline is None:
             # bootstrap: one narrow histogram scan, first run only
             _stats.length_histogram(
-                docs, bins=cfg.drift.histogram_bins
+                docs,
+                bins=cfg.drift.histogram_bins,
+                bin_width=cfg.drift.histogram_bin_width,
             ).write.mode("overwrite").parquet(baseline_dir)
             baseline_action = "bootstrapped"
         elif args.refresh_baseline and res.current_hist is not None:

@@ -56,6 +56,8 @@ def _batch_verdicts(
     ks_threshold: float = 0.2,
     chi2_threshold: float | None = None,
     jsd_threshold: float | None = None,
+    histogram_bins: int = 64,
+    histogram_bin_width: int = 8,
 ) -> DataFrame:
     """Micro-batch validation via the SAME one-wide-scan violation
     machinery as the batch pipeline (plans/pipeline.py::_all_violations):
@@ -151,8 +153,13 @@ def _batch_verdicts(
         # batch size
         from ..operators import drift as drift_ops
 
+        # the batch histogram MUST use the same binning the stored
+        # baseline was built with — a 64-bin batch against a 128-bin
+        # baseline zero-fills half the buckets and fires phantom drift
         dv = drift_ops.drift_verdicts(
-            stats_ops.length_histogram(batch),
+            stats_ops.length_histogram(
+                batch, bins=histogram_bins, bin_width=histogram_bin_width
+            ),
             baseline_hist,
             keys=["kind"],
             psi_threshold=psi_threshold,
@@ -176,6 +183,8 @@ def stream_validate(
     baseline_hist: DataFrame | None = None,
     emit_violations: bool = False,
     max_violation_exemplars: int | None = None,
+    histogram_bins: int = 64,
+    histogram_bin_width: int = 8,
 ):
     """Run incremental validation over arriving document files.
 
@@ -233,10 +242,18 @@ def stream_validate(
                 if emit_violations
                 else None
             ),
-        ).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
+            histogram_bins=histogram_bins,
+            histogram_bin_width=histogram_bin_width,
         )
-        v.write.mode("append").parquet(verdicts_dir)
+        # per-batch_id dir + overwrite = idempotent on micro-batch
+        # replay, same as the violations sink below and the windowed
+        # drift sink: foreachBatch may re-run a batch id after a crash
+        # between the write and the checkpoint commit, and append to a
+        # flat dir would double that batch's verdict rows. batch_id is
+        # reconstructed from the partition path on read.
+        v.write.mode("overwrite").parquet(
+            os.path.join(verdicts_dir, f"batch_id={batch_id}")
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -447,7 +464,21 @@ def stream_profile(
             if "double-count" not in str(e):
                 raise
             # replay of a committed batch id after failure: state
-            # already holds it — idempotent skip
+            # already holds it — idempotent skip. Logged, not silent:
+            # a crash replay skips ONE batch once, but a reset
+            # checkpoint against a kept state_dir restarts ids at 0
+            # and would skip EVERY batch — the log stream is how the
+            # two are told apart.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "stream_profile: batch %s already in profiler state "
+                "under %s — replay skip (if every batch logs this, "
+                "the checkpoint was reset against an existing "
+                "state_dir and no new data is being profiled)",
+                batch_id,
+                state_dir,
+            )
 
     writer = (
         stream.writeStream.foreachBatch(process)

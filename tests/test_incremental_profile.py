@@ -376,6 +376,37 @@ def test_append_mode_merges_and_refuses_replay(spark, tmp_path):
     assert ip.current_version() == 2
 
 
+def test_append_digest_coverage_contract(spark, tmp_path):
+    """append() can never backfill (earlier batches' rows are gone), so
+    a quantile_cols set that grows mid-history — or disappears — must
+    be refused, not silently merged into subset quantiles."""
+    ip = IncrementalProfiler(str(tmp_path / "state"))
+    b1 = _docs(spark, 300).withColumn("pid", F.lit(0))
+    b2 = _docs(spark, 300, start=300).withColumn("pid", F.lit(1))
+    ip.append(b1, "pid", run_id="b0", quantile_cols=["score"])
+    # same column set every batch: fine, digests cover both partitions
+    ip.append(b2, "pid", run_id="b1", quantile_cols=["score"])
+    qs = {
+        (r["column"], r["q"]): r["value"]
+        for r in ip.quantiles(spark, [0.5]).collect()
+    }
+    assert ("score", 0.5) in qs
+    b3 = _docs(spark, 300, start=600).withColumn("pid", F.lit(2))
+    # growing the column set is unbackfillable → refused
+    with pytest.raises(ValueError, match="backfill"):
+        ip.append(b3, "pid", run_id="b2", quantile_cols=["score", "doc_id"])
+    # dropping quantile tracking entirely would orphan the stored
+    # digests (appended partitions invisible to later merges) → refused
+    with pytest.raises(ValueError, match="quantile_cols"):
+        ip.append(b3, "pid", run_id="b2")
+    # enabling tracking mid-history over digest-less partitions is the
+    # same subset: a fresh state without digests refuses a late enable
+    ip2 = IncrementalProfiler(str(tmp_path / "state2"))
+    ip2.append(b1, "pid", run_id="b0")
+    with pytest.raises(ValueError, match="backfill"):
+        ip2.append(b2, "pid", run_id="b1", quantile_cols=["score"])
+
+
 def test_vacuum_keeps_window_and_current(spark, tmp_path):
     ip = IncrementalProfiler(str(tmp_path / "state"))
     base = _docs(spark, 200)

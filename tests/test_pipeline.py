@@ -141,6 +141,38 @@ def test_rate_threshold_semantics(spark, docs, catalog):
     assert by_check_s["offset_monotonicity"].verdict == "fail"
 
 
+def test_configurable_unique_key(spark, docs, catalog):
+    """cfg.unique_key drives BOTH the dup-key scan and the violation
+    attach join — a non-default key must run (an earlier shape
+    hardcoded the attach on doc_id and crashed for any other key).
+    Keying uniqueness on partition_id makes every multi-row partition
+    a 'duplicate': the uniqueness count equals the row count of
+    partitions with >1 row."""
+    from dataclasses import replace
+
+    from anomalydetection_spark.config import DEFAULT_CONFIG
+
+    res = run_validation(
+        spark,
+        docs,
+        catalog=catalog,
+        cfg=replace(DEFAULT_CONFIG, unique_key="partition_id"),
+    )
+    uniq = [
+        r
+        for r in res.verdicts.collect()
+        if r.check == "uniqueness" and r.partition_id is None
+    ]
+    expected_dups = (
+        docs.groupBy("partition_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.sum("count"))
+        .first()[0]
+    )
+    assert uniq and uniq[0].n_violations == expected_dups
+
+
 def test_two_level_verdict(spark, docs, catalog):
     res = run_validation(spark, docs, catalog=catalog)
     table_rows = [
