@@ -83,10 +83,14 @@ def contaminated_docs(
     big)."""
     bench = benchmark_grams(benchmark, text_col, n)
     if broadcast_grams:
+        # the cap probe consumes the gram set once and the join
+        # consumes it again — cache so the tokenize→explode→distinct
+        # job over the benchmark runs once, not twice
+        bench = bench.cache()
         if bench.count() <= BROADCAST_MAX_GRAMS:
             bench = F.broadcast(bench)
-        else:
-            broadcast_grams = False  # cap: fall back to shuffled join
+        # else: over the cap — the join runs un-hinted (shuffled)
+        # rather than OOM-ing the driver with an unbounded broadcast
     tc = F.col(text_col) if isinstance(text_col, str) else text_col
     grams = corpus.select(
         F.col(id_col),
@@ -172,9 +176,13 @@ def contaminated_docs_bloom(
     map-side-combinable groupBy on the doc id."""
     from ..functions.bloom import build_bloom, might_contain_udf
 
-    bench = benchmark_grams(benchmark, text_col, n)
+    # sizing count + bloom build both consume the gram set — cache so
+    # the benchmark-side distinct job runs once; unpersist immediately
+    # (the bloom bits, not the frame, are what the probe carries)
+    bench = benchmark_grams(benchmark, text_col, n).cache()
     n_grams = bench.count()
     bits, k, m = build_bloom(bench, "gram", n_grams, fpp)
+    bench.unpersist()
     probe = might_contain_udf(corpus.sparkSession, bits, k, m)
     tc = F.col(text_col) if isinstance(text_col, str) else text_col
     grams = corpus.select(

@@ -61,10 +61,21 @@ def bm25_topk(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    qt = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(terms_col).alias("tok"),
-    ).distinct()
+    # query terms get the SAME lower/trim convention as the doc side —
+    # terms lifted from raw benchmark text carry mixed case, and an
+    # unnormalized term silently matches nothing (the leakage sweep
+    # would under-report with no error)
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(terms_col).alias("_raw_tok"),
+        )
+        .select(
+            "query_id", F.lower(F.trim("_raw_tok")).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
     # df stats restricted to query terms BEFORE the broadcast: the full
     # dfreq table is vocabulary-sized (grows with the corpus, Heaps'
     # law), but only |query terms| rows of it can ever contribute.

@@ -56,14 +56,19 @@ def chunk_documents(
     Entirely row-local array math (split → windowed slices →
     posexplode) — chunking 10^12 docs is a narrow pass that fuses into
     the surrounding scan; no shuffle, no Python. Deterministic:
-    chunk boundaries depend only on the token sequence.
+    chunk boundaries depend only on the token sequence. NULL-text
+    documents produce NO chunks (a NULL token array once leaked one
+    phantom chunk whose n_tokens claimed the full window because
+    ``least`` skips NULL operands — charging chunk_tokens of packing
+    budget per NULL doc downstream).
     """
     stride = chunk_tokens if stride is None else stride
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     toks = F.split(F.trim(F.col(text_col)), " ")
+    n_all = F.coalesce(F.size(toks), F.lit(0))
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+        F.lit(0), F.greatest(n_all - 1, F.lit(0)), F.lit(stride)
     )
     chunks = F.transform(
         starts,
@@ -71,19 +76,25 @@ def chunk_documents(
             F.concat_ws(
                 " ", F.slice(toks, s + 1, chunk_tokens)
             ).alias("chunk_text"),
-            F.least(F.lit(chunk_tokens), F.size(toks) - s).alias(
+            F.least(F.lit(chunk_tokens), n_all - s).alias(
                 "n_tokens"
             ),
         ),
     )
-    return df.select(
-        F.col(id_col),
-        F.posexplode(chunks).alias("chunk_idx", "_c"),
-    ).select(
-        id_col,
-        "chunk_idx",
-        F.col("_c.chunk_text").alias("chunk_text"),
-        F.col("_c.n_tokens").alias("n_tokens"),
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_idx", "_c"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("_c.chunk_text").alias("chunk_text"),
+            F.col("_c.n_tokens").alias("n_tokens"),
+        )
+        # only the NULL/zero-token case yields n_tokens <= 0 (every
+        # real start satisfies s <= n-1 so the tail chunk has >= 1)
+        .filter(F.col("n_tokens") > 0)
     )
 
 
@@ -218,20 +229,28 @@ def plan_mixture(
         *[F.lit(x) for kv in weights.items() for x in kv]
     )
     toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), " "))
+    # a source whose every text is NULL sums to NULL tokens — coalesce
+    # to 0 so the rate/verdict arithmetic below sees an empty source
+    # instead of NULL-swallowing its way to rate 1.0 / verdict 'ok'
+    # (least() skips NULL operands and `target > NULL` is NULL)
     agg = df.groupBy(source_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(toks.cast("long")).alias("tokens_available"),
+        F.coalesce(F.sum(toks.cast("long")), F.lit(0)).alias(
+            "tokens_available"
+        ),
     )
     weight = F.coalesce(
         wmap[F.col(source_col)].cast("double"), F.lit(0.0)
     )
     target = F.round(weight * F.lit(float(token_budget))).cast("long")
-    rate = F.round(
-        F.least(
-            F.lit(1.0),
-            F.col("target_tokens") / F.col("tokens_available"),
-        ),
-        6,
+    rate = F.when(F.col("tokens_available") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("target_tokens") / F.col("tokens_available"),
+            ),
+            6,
+        )
     )
     return (
         agg.withColumn("weight", F.round(weight, 6))

@@ -33,6 +33,10 @@ from pyspark.sql import types as T
 __all__ = ["suggest_rules", "suggest_contract"]
 
 _NUMERIC = T.NumericType
+# profile_table stores min/max rounded to 4dp: half the last-place
+# unit bounds the rounding error, and every suggested numeric bound is
+# padded by it so the profiled table can never fail its own suggestion
+_PROFILE_ROUND_EPS = 5e-5
 
 
 def _r6(v: float) -> float:
@@ -83,10 +87,13 @@ def suggest_rules(
     Rules emitted per column:
     * ``not_null`` (num 0.0) when the observed null rate is exactly 0,
       else ``max_null_rate`` with budget = min(1, rate x slack).
-    * numeric: ``min_value`` (0 when the column is non-negative — the
-      Deequ isNonNegative shape — else observed min minus
-      ``range_slack`` x observed range) and ``max_value`` (observed max
-      plus the same slack), both rounded to 6dp.
+    * numeric: ``min_value`` (0 when the column is PROVABLY
+      non-negative through the profile's 4dp rounding — the Deequ
+      isNonNegative shape; -5e-5 when the stored min is 0-ish; else
+      observed min minus ``range_slack`` x observed range) and
+      ``max_value`` (observed max plus the same slack). Every bound is
+      padded by the profile rounding quantum so the profiled table can
+      never fail its own suggestion, and rounded to 6dp.
     * string with distinct count <= ``allowed_max_cardinality``:
       ``allowed`` with str_value = the sorted value set joined by ','.
     * ``unique_candidate`` when distinct == NON-NULL rows (exact mode)
@@ -140,11 +147,28 @@ def suggest_rules(
                  None)
             )
         if isinstance(schema[c], _NUMERIC) and p.get("min") is not None:
+            # the profile's min/max are 4dp-rounded (|true - stored| <=
+            # 5e-5), so every suggested bound is padded by that quantum
+            # — otherwise a column whose slack is below the rounding
+            # error (range 0, or true min in (-5e-5, 0)) FAILS its own
+            # suggested contract. The >= 0 shortcut likewise needs the
+            # stored min to clear the quantum before 0.0 is provably a
+            # valid lower bound.
             rng = p["max"] - p["min"]
-            mn = 0.0 if p["min"] >= 0 else _r6(p["min"] - range_slack * rng)
+            if p["min"] >= _PROFILE_ROUND_EPS:
+                mn = 0.0  # provably non-negative even after rounding
+            elif p["min"] >= 0:
+                # stored 0.0 could hide a true min just below zero —
+                # keep the tight non-negative bound, padded by the
+                # quantum only
+                mn = -_PROFILE_ROUND_EPS
+            else:
+                mn = _r6(p["min"] - range_slack * rng - _PROFILE_ROUND_EPS)
             rows.append((c, "min_value", mn, None))
             rows.append(
-                (c, "max_value", _r6(p["max"] + range_slack * rng), None)
+                (c, "max_value",
+                 _r6(p["max"] + range_slack * rng + _PROFILE_ROUND_EPS),
+                 None)
             )
         if c in sets:
             rows.append((c, "allowed", None, ",".join(sets[c])))

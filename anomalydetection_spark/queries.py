@@ -4973,11 +4973,12 @@ SELECT col AS column,
 FROM s
 UNION ALL
 SELECT col, 'min_value',
-       CASE WHEN mn >= 0 THEN 0.0
-            ELSE round(mn - 0.1 * (mx - mn), 6) END, NULL
+       CASE WHEN mn >= 0.00005 THEN 0.0
+            WHEN mn >= 0 THEN -0.00005
+            ELSE round(mn - 0.1 * (mx - mn) - 0.00005, 6) END, NULL
 FROM s WHERE is_num AND mn IS NOT NULL
 UNION ALL
-SELECT col, 'max_value', round(mx + 0.1 * (mx - mn), 6), NULL
+SELECT col, 'max_value', round(mx + 0.1 * (mx - mn) + 0.00005, 6), NULL
 FROM s WHERE is_num AND mx IS NOT NULL
 UNION ALL
 SELECT col, 'allowed', NULL, vals

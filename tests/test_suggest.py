@@ -36,10 +36,13 @@ def test_rules_derive_from_data(spark):
     assert ("event_id", "not_null") in sug
     v = sug[("value", "max_null_rate")]
     assert v["num_value"] == 0.1
-    # numeric range: non-negative -> min 0; max gets 10% slack
-    assert sug[("value", "min_value")]["num_value"] == 0.0
-    assert sug[("value", "max_value")]["num_value"] == 49.0 + 4.9
-    assert sug[("event_id", "min_value")]["num_value"] == 0.0
+    # numeric range: bounds are valid for ANYTHING consistent with the
+    # 4dp-rounded profile — a stored min of exactly 0.0 could hide a
+    # true min just below zero, so the non-negative bound is padded by
+    # the rounding quantum; max gets 10% slack plus the quantum
+    assert sug[("value", "min_value")]["num_value"] == -5e-5
+    assert sug[("value", "max_value")]["num_value"] == 49.0 + 4.9 + 5e-5
+    assert sug[("event_id", "min_value")]["num_value"] == -5e-5
     # low-cardinality string -> sorted closed set; 100-distinct user: none
     assert sug[("event_type", "allowed")]["str_value"] == "click,purchase,view"
     assert ("user", "allowed") not in sug
