@@ -76,13 +76,24 @@ def mg_fold_counts(ser, vc, k: int):
 
 
 def heavy_hitters(
-    df: DataFrame, col: str, k: int = 64, top: int = 20
+    df: DataFrame, col: str, k: int = 64, top: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Exact top-``top`` values of ``col`` by count, computed with a
     bounded shuffle: MG(k) candidates per partition → exact counts of
     the candidate union → rank by (count desc, value asc). ``k`` must
     be ≥ the number of values you expect above the N/(k+1) frequency
-    floor; ``top`` ≤ k."""
+    floor; ``top`` ≤ k.
+
+    The MG union is only guaranteed a superset of values ABOVE the
+    floor — on a near-uniform column (every count under N/(k+1)) the
+    candidate set is arbitrary and the 'exact' claim would silently
+    break. ``strict`` (default) VERIFIES the precondition from the
+    result itself: the output is provably exact iff all ``top`` ranked
+    counts exceed the floor (every pruned value is ≤ the floor by the
+    MG bound, so none can displace them). When the check fails, fall
+    back to the plain groupBy top-k (unbounded key shuffle — correct
+    at any distribution) with a warning to raise ``k``."""
     import pandas as pd
 
     def _partials(batches):
@@ -124,7 +135,38 @@ def heavy_hitters(
         F.count("*").alias("count")
     )
     w = Window.orderBy(F.desc("count"), F.asc("value"))
-    return (
+    ranked = (
         exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+    )
+    if not strict:
+        return ranked
+    rows = ranked.collect()  # ≤ top rows — metadata scale
+    n_total = df.filter(F.col(col).isNotNull()).count()
+    floor = n_total / (k + 1)
+    provable = (
+        len(rows) >= top and min(r["count"] for r in rows) > floor
+    ) or n_total == 0
+    if provable:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            rows, f"value {col_type}, count long, rank int"
+        )
+    import warnings
+
+    warnings.warn(
+        f"heavy_hitters: top-{top} counts do not clear the MG floor "
+        f"N/(k+1) ≈ {floor:.0f} (distribution too flat for k={k}) — "
+        "falling back to the exact unbounded-shuffle groupBy; raise k "
+        "to restore the bounded-shuffle path",
+        stacklevel=2,
+    )
+    full = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count("*").alias("count"))
+    )
+    return (
+        full.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top)
     )

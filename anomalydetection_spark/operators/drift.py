@@ -51,11 +51,33 @@ def _joined_shares(
     )
 
 
-def _psi_from_shares(joined: DataFrame, keys: list[str]) -> DataFrame:
+def _psi_contrib():
+    """Per-bucket PSI contribution (ε-floored) — the ONE definition
+    shared by the aggregate and the explain surface."""
     p = F.greatest(F.col("p_cur"), F.lit(EPS))
     q = F.greatest(F.col("p_base"), F.lit(EPS))
-    contrib = (p - q) * F.log(p / q)
-    return joined.groupBy(*keys).agg(F.sum(contrib).alias("psi"))
+    return (p - q) * F.log(p / q)
+
+
+def _psi_from_shares(joined: DataFrame, keys: list[str]) -> DataFrame:
+    return joined.groupBy(*keys).agg(F.sum(_psi_contrib()).alias("psi"))
+
+
+def _jsd_from_shares(joined: DataFrame, keys: list[str]) -> DataFrame:
+    """JSD aggregation over a normalized-shares join — the ONE
+    implementation behind both jsd_from_histograms and the
+    drift_verdicts optional-metric path (a divergent copy would let an
+    epsilon or log-base fix land on one side only)."""
+    m = (F.col("p_cur") + F.col("p_base")) / 2
+    kl_p = F.when(
+        F.col("p_cur") > 0,
+        F.col("p_cur") * F.log(F.col("p_cur") / m),
+    ).otherwise(0.0)
+    kl_q = F.when(
+        F.col("p_base") > 0,
+        F.col("p_base") * F.log(F.col("p_base") / m),
+    ).otherwise(0.0)
+    return joined.groupBy(*keys).agg(F.sum((kl_p + kl_q) / 2).alias("jsd"))
 
 
 def _ks_from_shares(
@@ -121,18 +143,8 @@ def jsd_from_histograms(
     either side has mass; a side's zero-mass term is 0 by the
     0·ln(0) = 0 convention. Same bounded histogram inputs as the rest
     of the drift family."""
-    joined = _joined_shares(current, baseline, keys, bucket_col)
-    m = (F.col("p_cur") + F.col("p_base")) / 2
-    kl_p = F.when(
-        F.col("p_cur") > 0,
-        F.col("p_cur") * F.log(F.col("p_cur") / m),
-    ).otherwise(0.0)
-    kl_q = F.when(
-        F.col("p_base") > 0,
-        F.col("p_base") * F.log(F.col("p_base") / m),
-    ).otherwise(0.0)
-    return joined.groupBy(*keys).agg(
-        F.sum((kl_p + kl_q) / 2).alias("jsd")
+    return _jsd_from_shares(
+        _joined_shares(current, baseline, keys, bucket_col), keys
     )
 
 
@@ -150,9 +162,7 @@ def psi_explain(
     (keys..., bucket, p_cur, p_base, psi_contrib, rank). Bounded:
     k × |groups| rows."""
     joined = _joined_shares(current, baseline, keys, bucket_col)
-    p = F.greatest(F.col("p_cur"), F.lit(EPS))
-    q = F.greatest(F.col("p_base"), F.lit(EPS))
-    contrib = (p - q) * F.log(p / q)
+    contrib = _psi_contrib()
     w = (
         Window.partitionBy(*keys)
         if keys
@@ -245,17 +255,7 @@ def drift_verdicts(
         j = j.join(c, keys, "full_outer").fillna(0.0, subset=["chi2"])
         metrics.append(("chi2", chi2_threshold))
     if jsd_threshold is not None:
-        m = (F.col("p_cur") + F.col("p_base")) / 2
-        kl_p = F.when(
-            F.col("p_cur") > 0, F.col("p_cur") * F.log(F.col("p_cur") / m)
-        ).otherwise(0.0)
-        kl_q = F.when(
-            F.col("p_base") > 0,
-            F.col("p_base") * F.log(F.col("p_base") / m),
-        ).otherwise(0.0)
-        jd = shares.groupBy(*keys).agg(
-            F.sum((kl_p + kl_q) / 2).alias("jsd")
-        )
+        jd = _jsd_from_shares(shares, keys)
         j = j.join(jd, keys, "full_outer").fillna(0.0, subset=["jsd"])
         metrics.append(("jsd", jsd_threshold))
     pid = (
@@ -333,7 +333,16 @@ def ema_3sigma(
         .withColumn(
             "zscore",
             F.when(
-                F.col("_sd").isNull() | (F.col("_sd") < EPS), F.lit(0.0)
+                F.col("_sd").isNull() | (F.col("_sd") < EPS),
+                # degenerate variance must not invert the verdict: a
+                # REAL deviation after a perfectly stable history is
+                # the clearest possible anomaly (unbounded sigma), not
+                # a zscore of 0 — only a genuinely unchanged value
+                # scores 0 here
+                F.when(
+                    F.abs(F.col(value_col) - F.col("ema")) > EPS,
+                    F.lit(float("inf")),
+                ).otherwise(F.lit(0.0)),
             ).otherwise(F.abs(F.col(value_col) - F.col("ema")) / F.col("_sd")),
         )
         .withColumn(
@@ -362,6 +371,16 @@ def manifest_history_drift(
     milliseconds regardless of table size."""
     hist = (
         manifest.history_df(spark)
+        # FRESH observations only: lease/stats commits (and validation
+        # runs that skipped unchanged partitions) carry prior records
+        # forward verbatim — feeding those copies into the series would
+        # satisfy min_history with duplicates of one real observation
+        # and collapse the trailing stddev to 0, making a later genuine
+        # jump structurally undetectable
+        .filter(
+            (F.col("status") == "validated")
+            & (F.col("record_run_id") == F.col("run_id"))
+        )
         .filter(F.col("n_rows").isNotNull() & (F.col("n_rows") > 0))
         .withColumn(
             "violation_rate",
@@ -405,15 +424,23 @@ def verdict_regressions(
     scale: versions are full snapshots, so this is a join of two
     partition-count-sized frames regardless of table size.
 
-    Defaults compare the two latest VERDICT-BEARING versions — lease
-    commits also advance the manifest version but carry no verdicts
-    and are skipped. Raises ValueError when fewer than two such
+    Defaults compare the two latest versions with FRESH verdicts —
+    versions where some record was actually (re)validated by that
+    version's own run. Lease and stats commits advance the manifest
+    version while carrying every verdict-bearing record forward
+    verbatim; naively taking 'latest version with verdicts' would
+    diff a carry-forward copy against its source and report an empty
+    regression set. Raises ValueError when fewer than two such
     versions exist (or explicit versions are inconsistent)."""
     cur = manifest.current_version()
     h = manifest.history_df(spark).filter(F.col("verdict").isNotNull())
     if v_new is None or v_old is None:
+        fresh = h.filter(
+            (F.col("status") == "validated")
+            & (F.col("record_run_id") == F.col("run_id"))
+        )
         vs = sorted(
-            r.version for r in h.select("version").distinct().collect()
+            r.version for r in fresh.select("version").distinct().collect()
         )
         if v_new is None:
             if not vs:

@@ -67,8 +67,23 @@ def _greedy_group(pdf: pd.DataFrame, text_col: str, ratio_threshold: float,
     """Reference-faithful greedy pass (model_manager.py:252-267): for
     each row in deterministic order, join the first existing group whose
     exemplar is similar enough, else open a new group. Keeps the
-    max-score exemplar per group and the member count."""
-    pdf = pdf.sort_values([text_col]).reset_index(drop=True)
+    max-score exemplar per group and the member count.
+
+    Deterministic order is score DESC then text ASC — so when a group
+    exceeds ``max_candidates`` the truncation drops the LOWEST-score
+    rows (an earlier text-alphabetical order could silently discard
+    the max-score exemplar and mis-rank the whole report). NULL texts
+    cannot be compared and are dropped before grouping; NULL scores
+    participate as -inf (never chosen as exemplar)."""
+    pdf = pdf[pdf[text_col].notna()].copy()
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            columns=["group_key", "exemplar", "best_score", "n_members"]
+        )
+    pdf["score"] = pdf["score"].fillna(float("-inf"))
+    pdf = pdf.sort_values(
+        ["score", text_col], ascending=[False, True]
+    ).reset_index(drop=True)
     if len(pdf) > max_candidates:
         pdf = pdf.iloc[:max_candidates]
     exemplars: list[tuple[str, float, int]] = []  # text, best_score, count

@@ -4454,7 +4454,9 @@ ORACLES: dict[str, str] = {
                CAST(n AS BIGINT) AS n,
                round(ema, 4) AS ema,
                (n_prev >= 5 AND
-                CASE WHEN sd IS NULL OR sd < 1e-6 THEN 0.0
+                CASE WHEN sd IS NULL OR sd < 1e-6 THEN
+                       CASE WHEN abs(n - ema) > 1e-6 THEN 1e308
+                            ELSE 0.0 END
                      ELSE abs(n - ema) / sd END > 3.0) AS is_anomaly
         FROM e
     """,

@@ -101,7 +101,6 @@ class Manifest:
     ) -> int:
         v = self.current_version() + 1
         fname = f"v{v}.json"
-        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
         payload = {
             "version": v,
             "run_id": run_id,
@@ -114,12 +113,34 @@ class Manifest:
         }
         if extras:
             payload.update(extras)
-        with open(tmp, "w") as f:
+        # exclusive create IS the compare-and-swap: two writers that
+        # both read version N race to create v{N+1}.json and exactly
+        # one wins — the loser gets FileExistsError instead of
+        # os.rename silently clobbering the winner's committed state
+        # (the Iceberg commit shape; the lease API coordinates WHICH
+        # partitions runs touch, this guards the manifest itself)
+        try:
+            fd = os.open(
+                os.path.join(self.path, fname),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent manifest commit detected: {fname} already "
+                f"exists under {self.path} — another run committed from "
+                "the same base version (re-run against the new CURRENT),"
+                " or a crashed run left an orphaned version file (verify"
+                " and remove it)"
+            )
+        with os.fdopen(fd, "w") as f:
             json.dump(payload, f)
-        os.rename(tmp, os.path.join(self.path, fname))
+            f.flush()
+            os.fsync(f.fileno())
         tmp2 = os.path.join(self.path, f"_tmpcur_{uuid.uuid4().hex}")
         with open(tmp2, "w") as f:
             f.write(fname)
+            f.flush()
+            os.fsync(f.fileno())
         os.rename(tmp2, os.path.join(self.path, "CURRENT"))
         return v
 
@@ -161,12 +182,23 @@ class Manifest:
                     "partition_id": pid,
                     "status": "in_process",
                     "run_id": run_id,
+                    # leased_at drives the expiry check in
+                    # pending_partitions — without it a run that dies
+                    # after leasing leaves its partitions permanently
+                    # unprocessable under respect_leases
+                    "leased_at": now,
                     "validated_at": rec.get("validated_at"),
                     "snapshot_hash": rec.get("snapshot_hash"),
                 }
             )
             state[str(pid)] = rec
-        self._commit_state(state, run_id)
+        # carried-forward hashes keep the scheme they were written
+        # under (same rule as stamp_stats): a lease commit that
+        # relabeled old-scheme hashes as current would silently
+        # mass-mismatch every later run if this run crashes
+        self._commit_state(
+            state, run_id, hash_version=self.stored_hash_version()
+        )
 
     def commit_validated(
         self, records: list[dict], run_id: str, now: str
@@ -204,6 +236,10 @@ class Manifest:
             cur["n_violations"] = rec.get("n_violations", cur.get("n_violations"))
             cur["verdict"] = rec.get("verdict", cur.get("verdict"))
             cur["validated_at"] = now
+            # the run that last DETERMINED this verdict — keeps
+            # feedback versions visible as fresh-verdict versions to
+            # history consumers (verdict_regressions defaults)
+            cur["run_id"] = run_id
             if rec.get("metrics") is not None:
                 import json as _json
 
@@ -216,12 +252,22 @@ class Manifest:
     # ---- the should-process predicate (S5) ----
 
     def pending_partitions(
-        self, snapshots: DataFrame, respect_leases: bool = False
+        self,
+        snapshots: DataFrame,
+        respect_leases: bool = False,
+        run_id: str | None = None,
+        now: str | None = None,
+        lease_ttl_seconds: float = 3600.0,
     ) -> list[int]:
         """Partitions whose content hash is new/changed (or never
         validated). With ``respect_leases`` an in_process partition held
-        by another run is skipped (the reference's in_process check,
-        database_manager.py:84-103)."""
+        by ANOTHER run is skipped (the reference's in_process check,
+        database_manager.py:84-103) — a lease held by ``run_id`` itself
+        is not (a run must see its own just-leased partitions), and a
+        lease whose ``leased_at`` is more than ``lease_ttl_seconds``
+        before ``now`` (both ISO-8601) is expired: the holder crashed,
+        the partition is pending again. Leases from states written
+        before leased_at existed never expire (conservative)."""
         state = self.load()
         if state and self.stored_hash_version() != SNAPSHOT_HASH_VERSION:
             # hash-scheme upgrade: stored hashes are incomparable — make
@@ -246,7 +292,28 @@ class Manifest:
                 pending.append(row.partition_id)
                 continue
             if respect_leases and rec.get("status") == "in_process":
-                continue
+                held_by_other = (
+                    run_id is None or rec.get("run_id") != run_id
+                )
+                expired = False
+                la = rec.get("leased_at")
+                if la and now:
+                    from datetime import datetime
+
+                    try:
+                        dt = datetime.fromisoformat(
+                            la.replace("Z", "+00:00")
+                        )
+                        dn = datetime.fromisoformat(
+                            now.replace("Z", "+00:00")
+                        )
+                        expired = (
+                            (dn - dt).total_seconds() > lease_ttl_seconds
+                        )
+                    except ValueError:
+                        pass  # unparseable timestamp: never expire
+                if held_by_other and not expired:
+                    continue
             if (
                 rec.get("status") != "validated"
                 or rec.get("snapshot_hash") != row.snapshot_hash
@@ -257,10 +324,16 @@ class Manifest:
     def history_df(self, spark: SparkSession) -> DataFrame:
         """Every committed version's per-partition record as one
         DataFrame (version, run_id, partition_id, n_rows, n_violations,
-        verdict, validated_at) — the metric-history input for temporal
-        drift (operators/drift.py::manifest_history_drift). Versions are
-        full snapshots, so row count = versions x partitions — metadata
-        scale (the validation-run cadence, not the data volume)."""
+        verdict, validated_at, status, record_run_id) — the
+        metric-history input for temporal drift
+        (operators/drift.py::manifest_history_drift). ``run_id`` is the
+        VERSION's committing run; ``record_run_id`` is the run that
+        last touched the record — rows where the two are equal and
+        status is 'validated' are FRESH observations, everything else
+        is carry-forward (versions are full snapshots, so every lease/
+        stats commit copies the previous records verbatim). Row count =
+        versions x partitions — metadata scale (the validation-run
+        cadence, not the data volume)."""
         import json as _json
 
         rows = []
@@ -277,6 +350,8 @@ class Manifest:
                         rec.get("n_violations"),
                         rec.get("verdict"),
                         rec.get("validated_at"),
+                        rec.get("status"),
+                        rec.get("run_id"),
                     )
                 )
         return spark.createDataFrame(
@@ -284,7 +359,8 @@ class Manifest:
             schema=(
                 "version int, run_id string, partition_id int,"
                 " n_rows long, n_violations long, verdict string,"
-                " validated_at string"
+                " validated_at string, status string,"
+                " record_run_id string"
             ),
         )
 

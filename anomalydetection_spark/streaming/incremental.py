@@ -536,6 +536,10 @@ def stateful_running_stats(
             hist_sd = hist_var ** 0.5
             if hist_sd > 1e-12:
                 is_anom = abs(batch_mean - hist_mean) > sigma_k * hist_sd
+            else:
+                # constant history: any real deviation is an unbounded
+                # -sigma jump, not a free pass (the inverse verdict)
+                is_anom = abs(batch_mean - hist_mean) > 1e-9
         cnt, s, s2 = cnt + b_n, s + b_s, s2 + b_s2
         state.update((cnt, s, s2))
         yield pd.DataFrame(

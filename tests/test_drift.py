@@ -107,6 +107,21 @@ def test_ema_3sigma_flags_spike(spark):
     assert flagged == {20}
 
 
+def test_ema_3sigma_constant_history_jump_flagged(spark):
+    """A jump after a PERFECTLY stable history is the clearest
+    anomaly, not a free pass: the degenerate-variance guard must not
+    invert the verdict (zscore is +inf over zero trailing sigma, and a
+    constant continuation still scores 0)."""
+    rows = [("m", i, 0.1) for i in range(10)]
+    rows[9] = ("m", 9, 0.9)
+    df = spark.createDataFrame(rows, "key string, t int, v double")
+    out = {r.t: r for r in ema_3sigma(
+        df, ["key"], "t", "v", min_history=5
+    ).collect()}
+    assert out[9].is_anomaly
+    assert not out[8].is_anomaly  # constant continuation stays clean
+
+
 def test_ema_3sigma_quiet_series_clean(spark):
     rows = [("m", i, 100.0 + (i % 5)) for i in range(40)]
     df = spark.createDataFrame(rows, "key string, t int, v double")

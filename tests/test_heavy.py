@@ -79,3 +79,22 @@ def test_heavy_hitters_exact_on_string(spark):
     truth = Counter(r[0] for r in rows)
     expected = set(sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:7])
     assert got == expected
+
+
+def test_heavy_hitters_flat_distribution_still_exact(spark):
+    """Near-uniform column where every count is BELOW the MG floor
+    N/(k+1): the candidate union is arbitrary, so strict mode must
+    detect the violated precondition and fall back to the exact path
+    (previously this silently returned a wrong 'exact' top-k)."""
+    import warnings
+
+    # 200 values x 5 rows each = 1000 rows; floor at k=4 is 200 > 5
+    rows = [(f"v{i:03d}",) for i in range(200) for _ in range(5)]
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = heavy_hitters(df, "tok", k=4, top=10).orderBy("rank").collect()
+        assert any("MG floor" in str(x.message) for x in w)
+    # ties broken by value asc -> the 10 alphabetically-first values
+    assert [r.value for r in got] == [f"v{i:03d}" for i in range(10)]
+    assert all(r["count"] == 5 for r in got)

@@ -112,6 +112,51 @@ def test_lease_respected_and_released(spark, docs, tmp_path):
     assert 0 in m.pending_partitions(snaps, respect_leases=False)
 
 
+def test_lease_own_run_visible_and_ttl_expiry(spark, docs, tmp_path):
+    """A run must see its OWN just-leased partitions as pending, and a
+    lease older than the TTL (the holder crashed) expires instead of
+    leaving the partition permanently unprocessable."""
+    m = Manifest(str(tmp_path / "manifest"))
+    snaps = partition_snapshots(docs)
+    m.acquire_leases([0, 1], "runA", "1970-01-01T00:00:00Z")
+    own = m.pending_partitions(
+        snaps, respect_leases=True, run_id="runA"
+    )
+    assert 0 in own and 1 in own
+    # another run inside the TTL: still held
+    other = m.pending_partitions(
+        snaps, respect_leases=True, run_id="runB",
+        now="1970-01-01T00:30:00Z", lease_ttl_seconds=3600,
+    )
+    assert 0 not in other and 1 not in other
+    # past the TTL the crashed holder's lease expires
+    late = m.pending_partitions(
+        snaps, respect_leases=True, run_id="runB",
+        now="1970-01-01T02:00:00Z", lease_ttl_seconds=3600,
+    )
+    assert 0 in late and 1 in late
+
+
+def test_concurrent_commit_detected(tmp_path):
+    """Two writers committing from the same base version: the second
+    rename used to silently clobber the first commit — exclusive
+    version-file creation now fails the loser loudly."""
+    import pytest
+
+    m1 = Manifest(str(tmp_path / "manifest"))
+    m2 = Manifest(str(tmp_path / "manifest"))
+    rec = {"partition_id": 0, "snapshot_hash": "h0", "verdict": "pass"}
+    # both read CURRENT (absent -> base 0); m1 commits v1
+    m1.commit_validated([rec], "runA", "t0")
+    # simulate m2 having computed its state against base 0 by removing
+    # CURRENT after m1's commit: m2 then also targets v1
+    import os
+
+    os.remove(str(tmp_path / "manifest" / "CURRENT"))
+    with pytest.raises(RuntimeError, match="concurrent manifest commit"):
+        m2.commit_validated([rec], "runB", "t1")
+
+
 def test_commit_is_versioned_and_atomic(tmp_path):
     m = Manifest(str(tmp_path / "manifest"))
     m.commit_validated(
@@ -268,3 +313,12 @@ def test_verdict_regressions_between_versions(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="need 1 <= v_old"):
         verdict_regressions(spark, m, v_old=2, v_new=2)
+
+    # an intervening stats commit carries every verdict forward — the
+    # default diff must still compare the two FRESH validation
+    # versions, not the carry-forward copy against its source (which
+    # would report an empty regression set)
+    m.stamp_stats("dedup", {"n": 1}, "r3")
+    rows2 = {r.partition_id: r for r in
+             verdict_regressions(spark, m).collect()}
+    assert set(rows2) == {0, 1, 3}

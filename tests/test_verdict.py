@@ -52,6 +52,35 @@ def test_similarity_groups_merges_near_duplicates(spark):
     assert big.exemplar == "connection timeout to host alpha"
 
 
+def test_similarity_groups_null_text_and_score(spark):
+    """NULL texts are dropped before the greedy pass (SequenceMatcher
+    cannot compare them — this used to crash the whole job) and NULL
+    scores participate as -inf without poisoning exemplar choice."""
+    rows = [
+        ("g", "connection timeout to host alpha", 5.0),
+        ("g", None, 9.0),
+        ("g", "connection timeout to host alphb", None),
+    ]
+    df = spark.createDataFrame(rows, "part string, text string, score double")
+    out = similarity_groups(df, "text", ["part"], ratio_threshold=0.85).collect()
+    assert len(out) == 1
+    assert out[0].n_members == 2
+    assert out[0].exemplar == "connection timeout to host alpha"
+    assert out[0].best_score == 5.0
+
+
+def test_similarity_groups_truncation_keeps_top_scores(spark):
+    """Oversized groups truncate by score DESC, so the max-score
+    exemplar survives even when its text sorts alphabetically last."""
+    rows = [("g", f"message {i:04d}", float(i)) for i in range(30)]
+    rows.append(("g", "zzz top anomaly", 999.0))
+    df = spark.createDataFrame(rows, "part string, text string, score double")
+    out = similarity_groups(
+        df, "text", ["part"], ratio_threshold=0.99, max_candidates=10
+    ).collect()
+    assert max(r.best_score for r in out) == 999.0
+
+
 def test_similarity_groups_deterministic(spark, docs):
     d = docs.filter(F.col("spans").isNotNull() & (F.size("spans") > 0)).select(
         F.col("partition_id").cast("string").alias("part"),
