@@ -1,0 +1,133 @@
+"""Snapshot row-diff: key-aligned comparison of two table versions.
+
+The validation-engine counterpart of a "data diff" tool: given two
+snapshots of the same logical table (yesterday's Iceberg snapshot vs
+today's, a pre-backfill vs post-backfill copy), classify every key as
+added / removed / changed / unchanged and profile WHICH columns
+changed.  The reference's poll loop refits models on every file and
+has no notion of comparing two states of the data itself
+(/root/reference/model_manager.py:154-198 rebuilds from scratch); this
+operator gives the drift family a row-level, key-exact complement to
+the distributional checks in operators/drift.py.
+
+Scale shape (the 10^12-row design point):
+
+- ONE full outer join on the key columns. Both sides shuffle once on
+  the key; with unique keys there is no skew by construction, and on
+  a real cluster both snapshots of the same Iceberg table are
+  typically bucketed/sorted by the key already, so the exchange
+  elides (storage-partitioned join). AQE handles the residual case.
+- All column comparisons are row-local null-safe equality (`<=>`)
+  on the joined row — no second pass, no per-column shuffles.
+- The summary aggregations are map-side combinable counts: the
+  status rollup carries <=4 partial rows per task and the per-column
+  changed profile <=|compare_cols| rows per task.
+- Changed/added/removed rows stream out as a filtered projection of
+  the SAME joined plan — callers that only want the summary never
+  materialize them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATUS_ADDED = "added"
+STATUS_REMOVED = "removed"
+STATUS_CHANGED = "changed"
+STATUS_UNCHANGED = "unchanged"
+
+
+def _as_list(cols: str | list[str]) -> list[str]:
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
+def snapshot_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classify every key across two snapshots.
+
+    Returns one row per key present in either side with columns:
+    the key columns, ``diff_status`` (added/removed/changed/unchanged
+    — added means present only in ``right``), and ``changed_cols``
+    (sorted array of compare-column names whose values differ
+    null-safely; empty unless status is 'changed').
+
+    ``compare_cols`` defaults to every non-key column present in BOTH
+    schemas (column-set changes are a schema-contract concern —
+    operators/contract.py::schema_diff — not a row-diff one).
+    """
+    keys = _as_list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in left.columns if c in set(right.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    if not compare_cols:
+        raise ValueError("snapshot_diff: no columns to compare")
+
+    l = left.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(True).alias("__in_left"),
+        *[F.col(c).alias(f"__l_{c}") for c in compare_cols],
+    )
+    r = right.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(True).alias("__in_right"),
+        *[F.col(c).alias(f"__r_{c}") for c in compare_cols],
+    )
+    j = l.join(r, on=keys, how="full_outer")
+
+    # Row-local, null-safe per-column comparison; the array is built
+    # once and reused by both the status and the changed_cols output.
+    changed_arr = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}")),
+                        F.lit(c),
+                    )
+                    for c in compare_cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    status = (
+        F.when(F.col("__in_left").isNull(), F.lit(STATUS_ADDED))
+        .when(F.col("__in_right").isNull(), F.lit(STATUS_REMOVED))
+        .when(F.size(F.col("changed_cols")) > 0, F.lit(STATUS_CHANGED))
+        .otherwise(F.lit(STATUS_UNCHANGED))
+    )
+    return (
+        j.withColumn("changed_cols", changed_arr)
+        .withColumn("diff_status", status)
+        # added/removed rows carry spurious "changed" column names
+        # (one side is all-NULL) — scope the profile to real changes
+        .withColumn(
+            "changed_cols",
+            F.when(
+                F.col("diff_status") == STATUS_CHANGED, F.col("changed_cols")
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .select(*keys, "diff_status", "changed_cols")
+    )
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """Roll a snapshot_diff result up to (kind, name, n) telemetry rows:
+    kind='status' rows count keys per diff_status; kind='column' rows
+    count, per compare column, how many changed keys touched it. Both
+    aggs are map-side combinable over the same upstream join."""
+    by_status = diff.groupBy(
+        F.lit("status").alias("kind"),
+        F.col("diff_status").alias("name"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    by_col = (
+        diff.select(F.explode("changed_cols").alias("name"))
+        .groupBy(F.lit("column").alias("kind"), "name")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return by_status.unionByName(by_col)

@@ -2775,6 +2775,204 @@ def q_robust_zscore(spark, sf_dir):
     return flagged
 
 
+def q_column_entropy(spark, sf_dir):
+    """Shannon entropy profile of the lineitem categorical columns
+    (Deequ's Entropy analyzer; the reference's level-classification
+    implicitly assumes low-entropy level columns —
+    /root/reference/log_parser.py keys templates on them). ALL columns
+    share ONE scan via a stack() reshape and ONE exact-count shuffle
+    (map-side combined to <= sum of cardinalities rows per task); the
+    entropy itself folds <= |values| EXACT long counts per column with
+    H = ln(N) - sum(n*ln(n))/N, so the float work happens over a
+    handful of exact integers — cross-engine 6dp-stable. Entropy is
+    over non-null values; null budgets are null_conformance_rates'
+    job."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = [
+        ("l_returnflag", "CAST(l_returnflag AS STRING)"),
+        ("l_linestatus", "CAST(l_linestatus AS STRING)"),
+        ("l_linenumber", "CAST(l_linenumber AS STRING)"),
+        # derived categorical: the ship month — entropy of a time
+        # column's bucketing is the load-balance signal
+        ("ship_month", "substr(CAST(l_shipdate AS STRING), 1, 7)"),
+    ]
+    stacked = li.selectExpr(
+        "stack({}, {}) AS (col, value)".format(
+            len(cols),
+            ", ".join(f"'{name}', {expr}" for name, expr in cols),
+        )
+    ).where(F.col("value").isNotNull())
+    counts = stacked.groupBy("col", "value").agg(F.count("*").alias("n"))
+    ent = F.log(F.sum("n")) - F.sum(
+        F.col("n") * F.log(F.col("n"))
+    ) / F.sum("n")
+    return counts.groupBy("col").agg(
+        F.sum("n").cast("long").alias("n_values"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.round(ent, 6).alias("entropy"),
+        F.round(
+            F.when(F.count("*") == 1, F.lit(0.0)).otherwise(
+                ent / F.log(F.count("*").cast("double"))
+            ),
+            6,
+        ).alias("norm_entropy"),
+    )
+
+
+def q_mutual_information(spark, sf_dir):
+    """Pairwise mutual information between lineitem categorical
+    columns (Deequ's MutualInformation analyzer) — the dependence
+    detector entropy alone can't see. ONE scan covers all pairs via a
+    stack() of (pair, x, y) triples and ONE exact joint-count shuffle;
+    marginals come from window sums over the tiny joint table (<= ~50
+    rows total), so every probability derives from EXACT long counts
+    and the float fold is 6dp-stable cross-engine. NMI normalizes by
+    min(H(x), H(y)) (0 = independent, 1 = functionally determined —
+    the soft version of fd_violations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_returnflag", "CAST(l_returnflag AS STRING)",
+         "l_linestatus", "CAST(l_linestatus AS STRING)"),
+        ("l_linenumber", "CAST(l_linenumber AS STRING)",
+         "l_returnflag", "CAST(l_returnflag AS STRING)"),
+        ("ship_month", "substr(CAST(l_shipdate AS STRING), 1, 7)",
+         "l_returnflag", "CAST(l_returnflag AS STRING)"),
+    ]
+    stacked = li.selectExpr(
+        "stack({}, {}) AS (pair, x, y)".format(
+            len(pairs),
+            ", ".join(
+                f"'{an}__{bn}', {ae}, {be}" for an, ae, bn, be in pairs
+            ),
+        )
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    joint = stacked.groupBy("pair", "x", "y").agg(
+        F.count("*").alias("nxy")
+    )
+    wx = Window.partitionBy("pair", "x")
+    wy = Window.partitionBy("pair", "y")
+    wp = Window.partitionBy("pair")
+    cells = (
+        joint.withColumn("nx", F.sum("nxy").over(wx))
+        .withColumn("ny", F.sum("nxy").over(wy))
+        .withColumn("n", F.sum("nxy").over(wp))
+    )
+    # MI = sum (nxy/n)·ln(n·nxy/(nx·ny)); H from the same exact counts
+    mi = F.sum(
+        (F.col("nxy") / F.col("n"))
+        * F.log(F.col("n") * F.col("nxy") / (F.col("nx") * F.col("ny")))
+    )
+    hx = F.log(F.max("n")) - F.sum(
+        F.when(F.col("first_of_x") == 1, F.col("nx") * F.log(F.col("nx")))
+        .otherwise(F.lit(0.0))
+    ) / F.max("n")
+    hy = F.log(F.max("n")) - F.sum(
+        F.when(F.col("first_of_y") == 1, F.col("ny") * F.log(F.col("ny")))
+        .otherwise(F.lit(0.0))
+    ) / F.max("n")
+    first = (
+        cells.withColumn(
+            "first_of_x",
+            F.row_number().over(wx.orderBy("y")),
+        ).withColumn(
+            "first_of_y",
+            F.row_number().over(wy.orderBy("x")),
+        )
+    )
+    return first.groupBy("pair").agg(
+        F.max("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(mi, 6).alias("mi"),
+        F.round(mi / F.least(hx, hy), 6).alias("nmi"),
+    )
+
+
+def q_order_reconciliation(spark, sf_dir):
+    """Cross-table conservation check (Deequ 'satisfies' across
+    tables): per order, o_totalprice vs the lineitem-derived
+    sum(extendedprice·(1-discount)·(1+tax)), rolled up per
+    o_orderpriority with mismatch counts at a one-cent tolerance
+    (threshold 0.015: true diffs are exact cent multiples, so no
+    admissible diff can sit near the cut — cross-engine fp-safe) and
+    orders with no lineitems surfaced separately. The per-order agg is
+    map-side combinable; the orderkey join is unique-key-vs-unique-key
+    (no skew by construction, storage-partitioned on a real Iceberg
+    layout); the final rollup carries <= |priorities| partial rows per
+    task."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("computed_total")
+    )
+    j = orders.join(
+        per_order, orders["o_orderkey"] == per_order["l_orderkey"], "left"
+    )
+    diff = F.abs(F.col("o_totalprice") - F.col("computed_total"))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(
+                F.when(F.col("computed_total").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_no_lineitems"),
+            F.sum(F.when(diff > 0.015, 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatched"),
+            F.round(F.max(diff), 2).alias("max_abs_diff"),
+        )
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot row-diff telemetry (operators/diff.py): orders "today"
+    vs a deterministic perturbation of itself ("yesterday"), the
+    validation engine's key-exact complement to distributional drift.
+    The synthetic prior snapshot drops keys ≡0 (mod 101) (those read
+    as ADDED today), shifts o_totalprice on keys ≡0 (mod 97) and
+    o_orderstatus on keys ≡0 (mod 89) (CHANGED, column-attributed),
+    and carries extra keys ≡5 (mod 103) re-keyed out of range (those
+    read as REMOVED). One full outer join on the unique key + row-local
+    null-safe column compares + map-side-combinable rollups."""
+    from .operators.diff import diff_summary, snapshot_diff
+
+    today = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    yesterday = (
+        today.where((key % 101) != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when((key % 97) == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when((key % 89) == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionByName(
+            today.where((key % 103) == 5).withColumn(
+                "o_orderkey", key + 1000000000
+            )
+        )
+    )
+    d = snapshot_diff(
+        yesterday,
+        today,
+        "o_orderkey",
+        compare_cols=["o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+    return diff_summary(d)
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -2787,6 +2985,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with the per-round full-catalog artifact (ORACLES_FULL_r{N}.json,
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
+    "column_entropy": q_column_entropy,
+    "mutual_information": q_mutual_information,
+    "order_reconciliation": q_order_reconciliation,
+    "snapshot_diff": q_snapshot_diff,
     "scrub_duplicated_spans": q_scrub_duplicated_spans,
     "mixture_plan": q_mixture_plan,
     "robust_zscore": q_robust_zscore,
@@ -5273,4 +5475,136 @@ ORACLES["dedup_increment"] = f"""
       coalesce(c.cluster_id, d.doc_id) <> d.doc_id AS is_duplicate
     FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
     WHERE d.doc_id < 500 AND d.doc_id % 5 = 0
+"""
+
+ORACLES["column_entropy"] = """
+    WITH stacked AS (
+      SELECT 'l_returnflag' AS col,
+             CAST(l_returnflag AS VARCHAR) AS value FROM lineitem
+      UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR)
+        FROM lineitem
+      UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR)
+        FROM lineitem
+      UNION ALL SELECT 'ship_month',
+        substr(CAST(l_shipdate AS VARCHAR), 1, 7) FROM lineitem
+    ), counts AS (
+      SELECT col, value, count(*) AS n FROM stacked
+      WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT col,
+      CAST(sum(n) AS BIGINT) AS n_values,
+      CAST(count(*) AS BIGINT) AS n_distinct,
+      round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy,
+      round(CASE WHEN count(*) = 1 THEN 0.0
+            ELSE (ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(count(*))
+            END, 6) AS norm_entropy
+    FROM counts GROUP BY col
+"""
+
+ORACLES["mutual_information"] = """
+    WITH stacked AS (
+      SELECT 'l_returnflag__l_linestatus' AS pair,
+             CAST(l_returnflag AS VARCHAR) AS x,
+             CAST(l_linestatus AS VARCHAR) AS y FROM lineitem
+      UNION ALL SELECT 'l_linenumber__l_returnflag',
+             CAST(l_linenumber AS VARCHAR), CAST(l_returnflag AS VARCHAR)
+        FROM lineitem
+      UNION ALL SELECT 'ship_month__l_returnflag',
+             substr(CAST(l_shipdate AS VARCHAR), 1, 7),
+             CAST(l_returnflag AS VARCHAR)
+        FROM lineitem
+    ), joint AS (
+      SELECT pair, x, y, count(*) AS nxy FROM stacked
+      WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2, 3
+    ), cells AS (
+      SELECT *,
+        sum(nxy) OVER (PARTITION BY pair, x) AS nx,
+        sum(nxy) OVER (PARTITION BY pair, y) AS ny,
+        sum(nxy) OVER (PARTITION BY pair) AS n,
+        row_number() OVER (PARTITION BY pair, x ORDER BY y) AS fx,
+        row_number() OVER (PARTITION BY pair, y ORDER BY x) AS fy
+      FROM joint
+    )
+    SELECT pair,
+      CAST(max(n) AS BIGINT) AS n,
+      CAST(count(*) AS BIGINT) AS n_cells,
+      round(sum((nxy / CAST(n AS DOUBLE))
+                * ln(n * nxy / (CAST(nx AS DOUBLE) * ny))), 6) AS mi,
+      round(sum((nxy / CAST(n AS DOUBLE))
+                * ln(n * nxy / (CAST(nx AS DOUBLE) * ny)))
+            / least(
+                ln(max(n)) - sum(CASE WHEN fx = 1
+                                 THEN nx * ln(nx) ELSE 0.0 END) / max(n),
+                ln(max(n)) - sum(CASE WHEN fy = 1
+                                 THEN ny * ln(ny) ELSE 0.0 END) / max(n)),
+            6) AS nmi
+    FROM cells GROUP BY pair
+"""
+
+ORACLES["order_reconciliation"] = """
+    WITH per_order AS (
+      SELECT l_orderkey,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+          AS computed_total
+      FROM lineitem GROUP BY 1
+    )
+    SELECT o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CASE WHEN computed_total IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_no_lineitems,
+      CAST(sum(CASE WHEN abs(o_totalprice - computed_total) > 0.015
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+      round(max(abs(o_totalprice - computed_total)), 2) AS max_abs_diff
+    FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+"""
+
+ORACLES["snapshot_diff"] = """
+    WITH yesterday AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 89 = 0 THEN 'X'
+             ELSE o_orderstatus END AS o_orderstatus,
+        CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+             ELSE o_totalprice END AS o_totalprice,
+        o_orderdate
+      FROM orders WHERE o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice,
+             o_orderdate
+      FROM orders WHERE o_orderkey % 103 = 5
+    ), j AS (
+      SELECT
+        y.o_orderkey IS NULL AS is_added,
+        t.o_orderkey IS NULL AS is_removed,
+        (y.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+         AND y.o_orderstatus IS DISTINCT FROM t.o_orderstatus)
+          AS c_status,
+        (y.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+         AND y.o_totalprice IS DISTINCT FROM t.o_totalprice)
+          AS c_price,
+        (y.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+         AND y.o_orderdate IS DISTINCT FROM t.o_orderdate)
+          AS c_date
+      FROM yesterday y FULL OUTER JOIN orders t
+        ON y.o_orderkey = t.o_orderkey
+    ), classified AS (
+      SELECT *,
+        CASE WHEN is_added THEN 'added'
+             WHEN is_removed THEN 'removed'
+             WHEN c_status OR c_price OR c_date THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM j
+    )
+    SELECT 'status' AS kind, status AS name,
+           CAST(count(*) AS BIGINT) AS n
+    FROM classified GROUP BY 2
+    UNION ALL
+    SELECT 'column', name, CAST(count(*) AS BIGINT) FROM (
+      SELECT 'o_orderstatus' AS name FROM classified
+        WHERE status = 'changed' AND c_status
+      UNION ALL SELECT 'o_totalprice' FROM classified
+        WHERE status = 'changed' AND c_price
+      UNION ALL SELECT 'o_orderdate' FROM classified
+        WHERE status = 'changed' AND c_date
+    ) GROUP BY 2
 """
