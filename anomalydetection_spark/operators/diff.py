@@ -119,15 +119,28 @@ def snapshot_diff(
 def diff_summary(diff: DataFrame) -> DataFrame:
     """Roll a snapshot_diff result up to (kind, name, n) telemetry rows:
     kind='status' rows count keys per diff_status; kind='column' rows
-    count, per compare column, how many changed keys touched it. Both
-    aggs are map-side combinable over the same upstream join."""
-    by_status = diff.groupBy(
-        F.lit("status").alias("kind"),
-        F.col("diff_status").alias("name"),
-    ).agg(F.count("*").cast("long").alias("n"))
-    by_col = (
-        diff.select(F.explode("changed_cols").alias("name"))
-        .groupBy(F.lit("column").alias("kind"), "name")
+    count, per compare column, how many changed keys touched it.
+
+    ONE pass over the upstream join: each row explodes into its status
+    tag plus one tag per changed column, then a single map-side
+    combinable groupBy. (The naive two-branch union re-evaluates the
+    full outer join once per branch — 2x the dominant cost at scale.)"""
+    tags = F.concat(
+        F.array(
+            F.struct(
+                F.lit("status").alias("kind"),
+                F.col("diff_status").alias("name"),
+            )
+        ),
+        F.transform(
+            "changed_cols",
+            lambda c: F.struct(
+                F.lit("column").alias("kind"), c.alias("name")
+            ),
+        ),
+    )
+    return (
+        diff.select(F.explode(tags).alias("t"))
+        .groupBy(F.col("t.kind").alias("kind"), F.col("t.name").alias("name"))
         .agg(F.count("*").cast("long").alias("n"))
     )
-    return by_status.unionByName(by_col)

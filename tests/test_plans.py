@@ -271,3 +271,50 @@ def test_staleness_scan_pruned_and_broadcast(spark):
         assert "event_id" not in ln and "props" not in ln and "value" not in ln
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_column_entropy_single_count_shuffle_pruned_scan(spark):
+    """Entropy profile: ONE exact-count exchange over (col, value) with
+    map-side partial_count, then a per-col fold over <= |values| exact
+    longs; the scan reads only the four profiled source columns."""
+    plan = _plan(spark, "column_entropy")
+    assert plan.count("Exchange") <= 4  # 2 logical: counts + tiny fold
+    assert "partial_count" in plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(rs) == 1
+    assert "l_extendedprice" not in rs[0] and "l_orderkey" not in rs[0]
+
+
+def test_mutual_information_one_joint_shuffle(spark):
+    """MI: the only full-data exchange is the joint-count groupBy
+    (map-side combined); marginals/entropies ride window sums over the
+    tiny joint table repartitioned by pair."""
+    plan = _plan(spark, "mutual_information")
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # 2 logical: joint-count exchange + per-pair tiny repartition
+    assert plan.count("Exchange") <= 4
+
+
+def test_order_reconciliation_aggregates_before_join(spark):
+    """Conservation check: lineitem folds to per-order partial sums
+    BEFORE the join (map-side combine), so the join carries |orders|
+    rows, not |lineitem|; both scans are column-pruned."""
+    plan = _plan(spark, "order_reconciliation")
+    assert "partial_sum" in plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(rs) == 2
+    for ln in rs:
+        assert "comment" not in ln and "l_shipdate" not in ln
+    # the per-order aggregate must sit below the join in the plan tree
+    assert plan.index("partial_sum") > plan.index("Join")
+
+
+def test_snapshot_diff_summary_single_join_pass(spark):
+    """Snapshot diff telemetry: the full outer join is evaluated ONCE
+    (status + column rollups share it via a tag explode), not once per
+    rollup branch — at 10^12 keys the join IS the cost."""
+    plan = _plan(spark, "snapshot_diff")
+    assert plan.count("SortMergeJoin FullOuter") == 1
+    assert plan.count("Generate") <= 2  # 1 logical explode, one pass
+    assert "partial_count" in plan
