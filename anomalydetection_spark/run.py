@@ -92,6 +92,19 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="after the round, report partitions whose "
                         "verdict changed vs the previous manifest "
                         "version (regressions/recoveries/new/missing)")
+    p.add_argument("--snapshot-diff", metavar="PREV_PARQUET", default=None,
+                   help="key-exact row diff of --docs vs a prior "
+                        "snapshot: classify added/removed/changed keys "
+                        "with per-column change attribution, write the "
+                        "non-unchanged keys under --out, stamp the "
+                        "summary into the manifest")
+    p.add_argument("--diff-key", default="doc_id", metavar="COLS",
+                   help="comma-separated unique key column(s) for "
+                        "--snapshot-diff (default: doc_id)")
+    p.add_argument("--diff-compare", default=None, metavar="COLS",
+                   help="comma-separated columns to compare for "
+                        "--snapshot-diff (default: all shared non-key "
+                        "columns)")
     p.add_argument("--hygiene", action="store_true",
                    help="write a per-partition PII audit of the text "
                         "spans (match counts per class, affected-doc "
@@ -614,6 +627,76 @@ def preprocess_round(spark, args, run_id: str) -> dict:
     return out
 
 
+def snapshot_diff_round(spark, args, run_id: str) -> dict:
+    """--snapshot-diff: key-exact row diff of --docs vs a prior
+    snapshot (operators/diff.py — the row-level complement to the
+    distributional drift checks).
+
+    The full outer join is evaluated ONCE: the non-unchanged keys are
+    written to parquet in that single pass, then the summary folds
+    from the written (change-sized, tiny) result plus the two
+    snapshots' footer-cheap row counts — unchanged = |current| −
+    added − changed, so the 10^12-key join never runs twice. Requires
+    the key to be unique on both sides (the engine's own uniqueness
+    check is the precondition probe)."""
+    from pyspark.sql import functions as F
+
+    from .operators.diff import STATUS_UNCHANGED, snapshot_diff
+    from .sources.tables import read_table
+
+    current = read_table(spark, args.docs)
+    prev = read_table(spark, args.snapshot_diff)
+    keys = [c.strip() for c in args.diff_key.split(",") if c.strip()]
+    compare = (
+        [c.strip() for c in args.diff_compare.split(",") if c.strip()]
+        if args.diff_compare
+        else None
+    )
+    t0 = time.time()
+    d = snapshot_diff(prev, current, keys, compare_cols=compare)
+    out_dir = os.path.join(args.out, "snapshot_diff", run_id)
+    changed_out = os.path.join(out_dir, "changed_keys")
+    d.where(F.col("diff_status") != STATUS_UNCHANGED).write.mode(
+        "overwrite"
+    ).parquet(changed_out)
+
+    written = spark.read.parquet(changed_out)
+    by_status = {
+        r["diff_status"]: r["n"]
+        for r in written.groupBy("diff_status").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    by_column = {
+        r["name"]: r["n"]
+        for r in written.select(F.explode("changed_cols").alias("name"))
+        .groupBy("name").count().withColumnRenamed("count", "n").collect()
+    }
+    n_current = current.count()
+    summary = {
+        "added": by_status.get("added", 0),
+        "removed": by_status.get("removed", 0),
+        "changed": by_status.get("changed", 0),
+        "unchanged": n_current
+        - by_status.get("added", 0)
+        - by_status.get("changed", 0),
+        "changed_columns": by_column,
+    }
+    if args.manifest_dir:
+        from .sources.manifest import Manifest
+
+        Manifest(args.manifest_dir).stamp_stats(
+            "snapshot_diff", summary, run_id
+        )
+    return {
+        "run_id": run_id,
+        "mode": "snapshot_diff",
+        "key": keys,
+        "summary": summary,
+        "changed_keys": changed_out,
+        "seconds": round(time.time() - t0, 2),
+    }
+
+
 def one_round(spark, args, run_id: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -873,6 +956,13 @@ def main(argv: list[str] | None = None) -> int:
         try:
             rid = args.run_id or f"sprof{int(time.time())}"
             print(json.dumps(stream_profile_round(spark, args, rid)))
+            return 0
+        finally:
+            spark.stop()
+    if args.snapshot_diff:
+        try:
+            rid = args.run_id or f"sdiff{int(time.time())}"
+            print(json.dumps(snapshot_diff_round(spark, args, rid)))
             return 0
         finally:
             spark.stop()

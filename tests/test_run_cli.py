@@ -638,3 +638,70 @@ def test_stream_profile_empty_backlog_reports_empty(spark, docs_path,
     s2 = stream_profile_round(spark, args2, "sp2")
     assert s2 == {"run_id": "sp2", "state_version": 0,
                   "profile": None, "n_rows": 0}
+
+
+def test_snapshot_diff_flag_round_trip(spark, docs_path, tmp_path):
+    """--snapshot-diff end to end: a perturbed copy of the docs table
+    (drop / add / rewrite spans on disjoint planted key sets) diffs
+    against the original with exact status counts, column attribution
+    on the spans rewrite, and the summary stamped into the manifest."""
+    from pyspark.sql import functions as F
+
+    from anomalydetection_spark.run import snapshot_diff_round
+    from anomalydetection_spark.sources.manifest import Manifest
+
+    rid = F.expr("CAST(substring(doc_id, 4) AS BIGINT)")
+    # duplicate-free key base: planted dup doc_ids (%97) would break
+    # the unique-key contract, so diff over the de-dup'd id space
+    docs = spark.read.parquet(docs_path).dropDuplicates(["doc_id"])
+    cur_path = str(tmp_path / "current")
+    docs.write.parquet(cur_path)
+    docs = spark.read.parquet(cur_path)
+    prev = (
+        docs.where((rid % 41) != 3)                # these read as ADDED
+        .withColumn(
+            "spans",
+            F.when((rid % 43) == 4, F.expr("slice(spans, 1, 1)"))
+            .otherwise(F.col("spans")),            # CHANGED via spans
+        )
+        .unionByName(
+            docs.where((rid % 47) == 6).withColumn(
+                "doc_id", F.concat(F.lit("gone"), F.col("doc_id"))
+            )                                       # these read as REMOVED
+        )
+    )
+    prev_path = str(tmp_path / "prev")
+    prev.write.parquet(prev_path)
+
+    out = str(tmp_path / "out")
+    mdir = str(tmp_path / "manifest")
+    args = parse_args(
+        [
+            "--docs", cur_path,
+            "--out", out,
+            "--manifest-dir", mdir,
+            "--snapshot-diff", prev_path,
+        ]
+    )
+    s = snapshot_diff_round(spark, args, "sd1")
+    n = docs.count()
+    exp_added = docs.where((rid % 41) == 3).count()
+    exp_removed = docs.where((rid % 47) == 6).count()
+    # changed = spans sliced AND not dropped AND actually multi-span
+    exp_changed = docs.where(
+        ((rid % 41) != 3) & ((rid % 43) == 4) & (F.size("spans") > 1)
+    ).count()
+    assert s["summary"]["added"] == exp_added
+    assert s["summary"]["removed"] == exp_removed
+    assert s["summary"]["changed"] == exp_changed
+    assert s["summary"]["unchanged"] == n - exp_added - exp_changed
+    assert s["summary"]["changed_columns"] == {"spans": exp_changed}
+    # written keys match the status counts and carry attribution
+    written = spark.read.parquet(s["changed_keys"])
+    assert written.count() == exp_added + exp_removed + exp_changed
+    ch = written.where(F.col("diff_status") == "changed")
+    assert ch.count() == exp_changed
+    assert ch.where(F.array_contains("changed_cols", "spans")).count() == exp_changed
+    st = Manifest(mdir).get_stats("snapshot_diff")
+    assert st is not None and st["changed"] == exp_changed
+    json.dumps(s)
