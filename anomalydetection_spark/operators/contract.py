@@ -157,9 +157,21 @@ def schema_diff(observed: T.StructType, contract: Contract) -> list[dict]:
     return issues
 
 
-def contract_violation_counts(df: DataFrame, contract: Contract) -> DataFrame:
+def contract_violation_counts(
+    df: DataFrame,
+    contract: Contract,
+    by: list[str] | None = None,
+) -> DataFrame:
     """Data tier: ONE agg pass → long-form (column, rule, n_violations,
-    violation_rate). Only rules for columns present in ``df`` compile."""
+    violation_rate). Only rules for columns present in ``df`` compile.
+
+    ``by`` scopes every rule per segment (Deequ's where-scoped checks
+    generalized to all segments at once): the single pass becomes ONE
+    ``groupBy(by)`` whose partial aggregation is still map-side
+    combinable — |segments| × |rules| rows cross the wire, never data
+    rows — and the output gains the segment columns in front. A
+    thousand segments cost the same scan as one."""
+    by = list(by) if by else []
     present = set(df.columns)
     aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
     # (column label, rule, denominator agg alias)
@@ -256,20 +268,27 @@ def contract_violation_counts(df: DataFrame, contract: Contract) -> DataFrame:
         # dtype-only contract: no data rules at all — stack(0, ...) is a
         # ParseException, so return an empty typed frame and let
         # contract_verdicts emit structural rows only
-        return df.sparkSession.createDataFrame(
-            [],
-            "column string, rule string, n_violations long,"
-            " violation_rate double",
+        schema = T.StructType(
+            list(df.select(*by).schema.fields) if by else []
         )
-    one = df.agg(*aggs)
+        for n, t in (
+            ("column", T.StringType()), ("rule", T.StringType()),
+            ("n_violations", T.LongType()),
+            ("violation_rate", T.DoubleType()),
+        ):
+            schema = schema.add(n, t)
+        return df.sparkSession.createDataFrame([], schema)
+    one = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
     quads = ", ".join(
         f"'{c}', '{r}', cast(`{c}::{r}` as double), `{d}`"
         for c, r, d in keys
     )
     return one.selectExpr(
+        *[f"`{c}`" for c in by],
         f"stack({len(keys)}, {quads})"
         " as (column, rule, n_violations, __denom)"
     ).select(
+        *by,
         "column",
         "rule",
         F.col("n_violations").cast("long").alias("n_violations"),
@@ -314,6 +333,21 @@ def contract_verdicts(df: DataFrame, contract: Contract) -> DataFrame:
 
         contract = _replace(contract, expressions=valid_exprs)
     counts = contract_violation_counts(df, contract)
+    data = _data_tier_verdicts(counts, df.schema, contract)
+    return structural.unionByName(data)
+
+
+def _data_tier_verdicts(
+    counts: DataFrame,
+    observed: T.StructType,
+    contract: Contract,
+    lead_cols: list[str] | None = None,
+) -> DataFrame:
+    """Turn a (…, column, rule, n_violations, violation_rate) counts
+    frame into verdict rows; ``lead_cols`` (segment columns) pass
+    through in front. Row-local projection over the already-tiny
+    counts table — no further scans."""
+    lead_cols = lead_cols or []
 
     def budget(c: str) -> float:
         r = contract.columns[c].max_null_rate
@@ -321,7 +355,7 @@ def contract_verdicts(df: DataFrame, contract: Contract) -> DataFrame:
 
     # null-rate budgets: column names for row rules, "a[*].fld" labels
     # for element rules — no collision between the two key spaces
-    elem_ok, _ = _element_paths(df.schema, contract)
+    elem_ok, _ = _element_paths(observed, contract)
     budget_entries = [
         (c, budget(c)) for c in contract.columns
     ] + [
@@ -350,7 +384,8 @@ def contract_verdicts(df: DataFrame, contract: Contract) -> DataFrame:
         if contract.expressions
         else F.lit(None).cast("double")
     )
-    data = counts.select(
+    return counts.select(
+        *lead_cols,
         F.concat(F.lit("rule:"), "rule").alias("check"),
         "column",
         "n_violations",
@@ -370,7 +405,44 @@ def contract_verdicts(df: DataFrame, contract: Contract) -> DataFrame:
         .alias("verdict"),
         F.lit(None).cast("string").alias("detail"),
     )
-    return structural.unionByName(data)
+
+
+def contract_verdicts_by(
+    df: DataFrame, contract: Contract, by: str | list[str]
+) -> DataFrame:
+    """Segment-scoped data-tier verdicts: every declared rule judged
+    independently per ``by``-segment (Deequ's where-scoped checks,
+    all segments in one pass instead of one filtered job per scope).
+    A column can pass globally while failing in one segment — the
+    shape that catches per-source / per-day regressions a table-level
+    rate dilutes away.
+
+    Output: ``by`` columns + (check, column, n_violations,
+    violation_rate, verdict, detail). Structural issues are a
+    table-global concern — run :func:`contract_verdicts` for tier 1;
+    this is tier 2 cut by segment. Cost: the SAME one-scan compile as
+    the global pass, grouped — |segments| × |rules| partial rows per
+    task, never data rows. Budgets apply per segment (a null-rate
+    budget must hold in EVERY segment)."""
+    by = [by] if isinstance(by, str) else list(by)
+    missing = [c for c in by if c not in df.columns]
+    if missing:
+        raise ValueError(f"contract_verdicts_by: absent segment "
+                         f"column(s) {missing}")
+    overlap = set(by) & set(contract.columns)
+    if overlap:
+        raise ValueError(
+            f"contract_verdicts_by: {sorted(overlap)} cannot be both "
+            "segment column(s) and ruled column(s)"
+        )
+    # expressions that don't compile become a loud error here (the
+    # global path degrades them to structural rows; a segmented run
+    # has no structural tier to carry them)
+    for name, er in contract.expressions.items():
+        df.selectExpr(er.expr)
+    counts = contract_violation_counts(df, contract, by=by)
+    return _data_tier_verdicts(counts, df.schema, contract,
+                               lead_cols=by)
 
 
 def contract_from_dict(d: dict) -> Contract:

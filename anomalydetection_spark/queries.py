@@ -425,6 +425,38 @@ def q_schema_contract(spark, sf_dir):
     return contract_verdicts(ev, contract)
 
 
+def q_segmented_contract(spark, sf_dir):
+    """Segment-scoped contract validation over events, cut by
+    event_type (operators/contract.py::contract_verdicts_by — Deequ's
+    where-scoped checks, every segment in ONE grouped agg pass): the
+    same declarative rules judged independently per segment, so a
+    budget that holds table-wide can still fail for one event type.
+    The planted thresholds split the verdicts: max_value 350 passes
+    only for the low-tail types, the 15% expression budget fails only
+    where user_id%7 hits are overrepresented."""
+    from .operators.contract import (
+        ColumnRule,
+        Contract,
+        ExpressionRule,
+        contract_verdicts_by,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    contract = Contract(
+        columns={
+            "value": ColumnRule(min_value=0.0, max_value=350.0),
+            "props": ColumnRule(rlike='^\\{"k": [0-9]\\}$'),
+            "event_id": ColumnRule(max_null_rate=0.0),
+        },
+        expressions={
+            "user_spread": ExpressionRule(
+                "user_id % 7 <> 0", max_violation_rate=0.15
+            ),
+        },
+    )
+    return contract_verdicts_by(ev, contract, "event_type").drop("detail")
+
+
 def q_drift_wasserstein(spark, sf_dir):
     """Exact 1-Wasserstein drift between the event-id halves per
     event_type: ∫|CDF_a − CDF_b| dx via windowed cumulative counts over
@@ -2985,6 +3017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with the per-round full-catalog artifact (ORACLES_FULL_r{N}.json,
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
+    "segmented_contract": q_segmented_contract,
     "column_entropy": q_column_entropy,
     "mutual_information": q_mutual_information,
     "order_reconciliation": q_order_reconciliation,
@@ -5607,4 +5640,46 @@ ORACLES["snapshot_diff"] = """
       UNION ALL SELECT 'o_orderdate' FROM classified
         WHERE status = 'changed' AND c_date
     ) GROUP BY 2
+"""
+
+ORACLES["segmented_contract"] = """
+    WITH g AS (
+      SELECT event_type, count(*)::DOUBLE AS total,
+        sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS vmin,
+        sum(CASE WHEN value > 350.0 THEN 1 ELSE 0 END) AS vmax,
+        sum(CASE WHEN props IS NOT NULL AND NOT
+            regexp_full_match(props, '\\{"k": [0-9]\\}')
+            THEN 1 ELSE 0 END) AS pbad,
+        sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS enull,
+        sum(CASE WHEN user_id IS NULL OR user_id % 7 = 0
+            THEN 1 ELSE 0 END) AS uspread
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, 'rule:min_value' AS check, 'value' AS "column",
+           CAST(vmin AS BIGINT) AS n_violations,
+           round(vmin / total, 6) AS violation_rate,
+           CASE WHEN vmin = 0 THEN 'pass' ELSE 'fail' END AS verdict
+    FROM g
+    UNION ALL
+    SELECT event_type, 'rule:max_value', 'value',
+           CAST(vmax AS BIGINT), round(vmax / total, 6),
+           CASE WHEN vmax = 0 THEN 'pass' ELSE 'fail' END
+    FROM g
+    UNION ALL
+    SELECT event_type, 'rule:rlike', 'props',
+           CAST(pbad AS BIGINT), round(pbad / total, 6),
+           CASE WHEN pbad = 0 THEN 'pass' ELSE 'fail' END
+    FROM g
+    UNION ALL
+    SELECT event_type, 'rule:null', 'event_id',
+           CAST(enull AS BIGINT), round(enull / total, 6),
+           CASE WHEN round(enull / total, 6) <= 0.0
+                THEN 'pass' ELSE 'fail' END
+    FROM g
+    UNION ALL
+    SELECT event_type, 'rule:expr:user_spread', '*',
+           CAST(uspread AS BIGINT), round(uspread / total, 6),
+           CASE WHEN round(uspread / total, 6) <= 0.15
+                THEN 'pass' ELSE 'fail' END
+    FROM g
 """

@@ -284,3 +284,77 @@ def test_example_contract_config_parses_and_runs(spark):
     )
     rows = contract_verdicts(df, c).collect()
     assert all(not r.check.startswith("schema:") for r in rows), rows
+
+
+def test_segmented_verdicts_catch_local_failures(spark):
+    """contract_verdicts_by: a budget that holds table-wide fails in
+    the one segment where violations concentrate — the regression a
+    global rate dilutes away. Budgets apply PER segment; the plan is
+    one grouped agg (|segments| x |rules| rows, never data rows)."""
+    from anomalydetection_spark.operators.contract import (
+        Contract,
+        ColumnRule,
+        ExpressionRule,
+        contract_verdicts,
+        contract_verdicts_by,
+    )
+
+    # 10 rows: segment 'a' has 2/5 nulls in note, segment 'b' has 0/5.
+    # Global null rate = 0.2 <= 0.25 budget -> global pass; per-segment
+    # 'a' is 0.4 -> fail.
+    rows = [("a", i, None if i < 2 else "ok") for i in range(5)]
+    rows += [("b", i, "ok") for i in range(5)]
+    df = spark.createDataFrame(rows, "seg string, v bigint, note string")
+    c = Contract(
+        columns={"note": ColumnRule(max_null_rate=0.25)},
+        expressions={"v_small": ExpressionRule(
+            "v < 4", max_violation_rate=0.15)},
+    )
+    glob = {r.check: r.verdict for r in contract_verdicts(df, c).collect()
+            if not r.check.startswith("schema:")}
+    assert glob["rule:null"] == "pass"           # 0.2 <= 0.25 table-wide
+
+    seg = {(r.seg, r.check): r for r in
+           contract_verdicts_by(df, c, "seg").collect()}
+    assert seg[("a", "rule:null")].verdict == "fail"
+    assert seg[("a", "rule:null")].n_violations == 2
+    assert seg[("b", "rule:null")].verdict == "pass"
+    # expression rule judged per segment too: one v=4 per segment = 0.2
+    assert seg[("a", "rule:expr:v_small")].verdict == "fail"
+    assert seg[("b", "rule:expr:v_small")].verdict == "fail"
+    # output leads with the segment column
+    out = contract_verdicts_by(df, c, ["seg"])
+    assert out.columns[0] == "seg"
+
+
+def test_segmented_verdicts_guardrails(spark):
+    """Absent segment column and segment/ruled overlap are loud
+    ValueErrors; an uncompilable expression raises instead of being
+    silently degraded (no structural tier in the segmented output);
+    a dtype-only contract yields an empty frame that still carries
+    the segment columns."""
+    import pytest
+    from anomalydetection_spark.operators.contract import (
+        Contract,
+        ColumnRule,
+        ExpressionRule,
+        contract_verdicts_by,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1)], "seg string, v bigint")
+    c = Contract(columns={"v": ColumnRule(min_value=0)})
+    with pytest.raises(ValueError, match="absent segment"):
+        contract_verdicts_by(df, c, "nope")
+    with pytest.raises(ValueError, match="segment column"):
+        contract_verdicts_by(
+            df, Contract(columns={"seg": ColumnRule(nullable=False),
+                                  "v": ColumnRule(min_value=0)}),
+            "seg")
+    with pytest.raises(Exception):  # AnalysisException, loud not silent
+        contract_verdicts_by(
+            df, Contract(expressions={"bad": ExpressionRule("no_col > 1")}),
+            "seg")
+    empty = contract_verdicts_by(
+        df, Contract(columns={"v": ColumnRule(dtype="bigint")}), "seg")
+    assert empty.columns[0] == "seg" and empty.count() == 0

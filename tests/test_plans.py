@@ -318,3 +318,18 @@ def test_snapshot_diff_summary_single_join_pass(spark):
     assert plan.count("SortMergeJoin FullOuter") == 1
     assert plan.count("Generate") <= 2  # 1 logical explode, one pass
     assert "partial_count" in plan
+
+
+def test_segmented_contract_one_grouped_agg_pass(spark):
+    """Segment-scoped contract: all rules x all segments in ONE
+    grouped agg — map-side partial_sums so only |segments| x |rules|
+    rows cross the single exchange; the verdict stack/projection is
+    row-local; the scan reads only ruled + segment columns."""
+    plan = _plan(spark, "segmented_contract")
+    # formatted plans name each node twice (tree + detail): 1 logical
+    assert plan.count("Exchange") == 2
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "Join" not in plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(rs) == 1
+    assert "ts" not in rs[0].replace("struct", "") and "session_id" not in rs[0]
