@@ -2851,6 +2851,49 @@ def q_column_entropy(spark, sf_dir):
     )
 
 
+def q_distinctness_profile(spark, sf_dir):
+    """Distinctness / uniqueness-ratio profile of the events columns
+    (Deequ's Distinctness, UniqueValueRatio, and Uniqueness analyzers
+    — the three ratios the reference's duplicate-line suppression
+    implicitly tunes against, /root/reference/log_parser.py dedup
+    pass). Same cost shape as column_entropy: ALL columns share ONE
+    scan via a row-local stack() reshape and ONE exact-count shuffle
+    (map-side combined to <= sum of cardinalities rows per task); the
+    three ratios fold <= |values| exact longs per column, so cross-
+    engine 6dp stability is structural. distinctness = |distinct| /
+    |non-null rows| (1.0 = key candidate), unique_value_ratio =
+    |values seen once| / |distinct| (how much of the value space is
+    singleton), uniqueness = |values seen once| / |non-null rows|
+    (Deequ's null-aware isUnique numerator, suggest.py's convention).
+    Ratios are over non-null values; null budgets are
+    null_conformance_rates' job."""
+    ev = _t(spark, sf_dir, "events")
+    cols = [
+        ("event_id", "CAST(event_id AS STRING)"),
+        ("user_id", "CAST(user_id AS STRING)"),
+        ("event_type", "CAST(event_type AS STRING)"),
+        # derived categorical: the event day — a date column's
+        # distinctness is the partition-count signal
+        ("event_day", "substr(CAST(ts AS STRING), 1, 10)"),
+    ]
+    stacked = ev.selectExpr(
+        "stack({}, {}) AS (col, value)".format(
+            len(cols),
+            ", ".join(f"'{name}', {expr}" for name, expr in cols),
+        )
+    ).where(F.col("value").isNotNull())
+    counts = stacked.groupBy("col", "value").agg(F.count("*").alias("n"))
+    once = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return counts.groupBy("col").agg(
+        F.sum("n").cast("long").alias("n_values"),
+        F.count("*").cast("long").alias("n_distinct"),
+        once.cast("long").alias("n_once"),
+        F.round(F.count("*") / F.sum("n"), 6).alias("distinctness"),
+        F.round(once / F.count("*"), 6).alias("unique_value_ratio"),
+        F.round(once / F.sum("n"), 6).alias("uniqueness"),
+    )
+
+
 def q_mutual_information(spark, sf_dir):
     """Pairwise mutual information between lineitem categorical
     columns (Deequ's MutualInformation analyzer) — the dependence
@@ -3017,6 +3060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with the per-round full-catalog artifact (ORACLES_FULL_r{N}.json,
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
+    "distinctness_profile": q_distinctness_profile,
     "segmented_contract": q_segmented_contract,
     "column_entropy": q_column_entropy,
     "mutual_information": q_mutual_information,
@@ -5531,6 +5575,31 @@ ORACLES["column_entropy"] = """
       round(CASE WHEN count(*) = 1 THEN 0.0
             ELSE (ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(count(*))
             END, 6) AS norm_entropy
+    FROM counts GROUP BY col
+"""
+
+ORACLES["distinctness_profile"] = """
+    WITH stacked AS (
+      SELECT 'event_id' AS col, CAST(event_id AS VARCHAR) AS value
+        FROM events
+      UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL SELECT 'event_type', CAST(event_type AS VARCHAR)
+        FROM events
+      UNION ALL SELECT 'event_day',
+        substr(CAST(ts AS VARCHAR), 1, 10) FROM events
+    ), counts AS (
+      SELECT col, value, count(*) AS n FROM stacked
+      WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT col,
+      CAST(sum(n) AS BIGINT) AS n_values,
+      CAST(count(*) AS BIGINT) AS n_distinct,
+      CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_once,
+      round(count(*) / sum(n), 6) AS distinctness,
+      round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / count(*), 6)
+        AS unique_value_ratio,
+      round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / sum(n), 6)
+        AS uniqueness
     FROM counts GROUP BY col
 """
 
