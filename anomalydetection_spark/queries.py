@@ -2894,6 +2894,99 @@ def q_distinctness_profile(spark, sf_dir):
     )
 
 
+def q_format_patterns(spark, sf_dir):
+    """Pattern-frequency profile of string columns (the 'format
+    histogram' analyzer): every value is reduced to a character-class
+    skeleton ([0-9]->9, [A-Z]->A, [a-z]->a, punctuation verbatim) plus
+    a run-collapsed compact form, and the engine reports each
+    pattern's support — the analyzer that catches a feed switching
+    '{"k": 69}' to '{"k":69}' or an ID column growing a digit, which
+    per-column type/null conformance can never see (the reference's
+    template miner does exactly this reduction for log lines,
+    /root/reference/log_parser.py masking pass; re-expressed here as a
+    row-local class map + ONE exact-count shuffle). All columns share
+    ONE scan via stack(); the class mapping is row-local Java-regex
+    codegen (cross-engine-safe classes, RE2-compatible for the
+    oracle); the groupBy is map-side combined so <= |patterns| rows
+    per task reach the exchange; the per-column share is a window over
+    the pattern-count table (|patterns| rows — metadata scale, never
+    row data). Patterns below support 5 are dropped (the long tail of
+    a free-text column is noise, not a format)."""
+    ev = _t(spark, sf_dir, "events")
+    stacked = ev.selectExpr(
+        "stack(2, 'event_type', event_type, 'props', props)"
+        " AS (col, value)"
+    ).where(F.col("value").isNotNull())
+    pat = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("value"), "[0-9]", "9"),
+            "[A-Z]",
+            "A",
+        ),
+        "[a-z]",
+        "a",
+    )
+    compact = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(pat, "9+", "9"), "A+", "A"),
+        "a+",
+        "a",
+    )
+    counts = (
+        stacked.withColumn("pattern", pat)
+        .withColumn("compact", compact)
+        .groupBy("col", "pattern", "compact")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("col")
+    return (
+        counts.withColumn(
+            "share", F.round(F.col("n") / F.sum("n").over(tot), 6)
+        )
+        .where(F.col("n") >= 5)
+        .select(
+            "col",
+            "pattern",
+            "compact",
+            F.col("n").cast("long").alias("n"),
+            "share",
+        )
+    )
+
+
+def q_partition_skew(spark, sf_dir):
+    """Partition-balance analyzer over the documents (source, lang)
+    grid — the operational check behind every skew decision this
+    engine makes (salted joins, AQE skew splits, hot-bucket guards):
+    per-partition row counts reduced to max/mean skew ratio,
+    coefficient of variation, and the Gini coefficient of the size
+    distribution. At 10^12 docs the partition-size table is metadata
+    scale (|sources|x|langs| rows) — ONE map-side-combined count
+    shuffle over the table, then the skew summary folds on the
+    bounded grid; the rank window for Gini orders <= |partitions|
+    rows on one task by design (documented single-partition window
+    over aggregates, same tier as rolling_3sigma). Deterministic
+    tie-break (n, source, lang) keeps the rank — and hence Gini —
+    bit-stable cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    sizes = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.orderBy("n", "source", "lang")
+    ranked = sizes.withColumn("i", F.row_number().over(w))
+    n_p = F.count("*")
+    return ranked.agg(
+        n_p.cast("long").alias("n_partitions"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.round(F.avg("n"), 6).alias("mean_rows"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
+        F.round(F.stddev_pop("n") / F.avg("n"), 6).alias("cv"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("n"))) / (n_p * F.sum("n"))
+            - (n_p + F.lit(1)) / n_p,
+            6,
+        ).alias("gini"),
+    )
+
+
 def q_mutual_information(spark, sf_dir):
     """Pairwise mutual information between lineitem categorical
     columns (Deequ's MutualInformation analyzer) — the dependence
@@ -3060,6 +3153,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with the per-round full-catalog artifact (ORACLES_FULL_r{N}.json,
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
+    "format_patterns": q_format_patterns,
+    "partition_skew": q_partition_skew,
     "distinctness_profile": q_distinctness_profile,
     "segmented_contract": q_segmented_contract,
     "column_entropy": q_column_entropy,
@@ -5576,6 +5671,49 @@ ORACLES["column_entropy"] = """
             ELSE (ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(count(*))
             END, 6) AS norm_entropy
     FROM counts GROUP BY col
+"""
+
+ORACLES["format_patterns"] = """
+    WITH stacked AS (
+      SELECT 'event_type' AS col, event_type AS value FROM events
+      UNION ALL SELECT 'props', props FROM events
+    ), pats AS (
+      SELECT col,
+        regexp_replace(regexp_replace(regexp_replace(
+          value, '[0-9]', '9', 'g'), '[A-Z]', 'A', 'g'),
+          '[a-z]', 'a', 'g') AS pattern
+      FROM stacked WHERE value IS NOT NULL
+    ), counts AS (
+      SELECT col, pattern,
+        regexp_replace(regexp_replace(regexp_replace(
+          pattern, '9+', '9', 'g'), 'A+', 'A', 'g'),
+          'a+', 'a', 'g') AS compact,
+        count(*) AS n
+      FROM pats GROUP BY 1, 2, 3
+    ), shared AS (
+      SELECT col, pattern, compact, CAST(n AS BIGINT) AS n,
+        round(n / sum(n) OVER (PARTITION BY col), 6) AS share
+      FROM counts
+    )
+    SELECT * FROM shared WHERE n >= 5
+"""
+
+ORACLES["partition_skew"] = """
+    WITH sizes AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n, source, lang) AS i
+      FROM sizes
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+      CAST(sum(n) AS BIGINT) AS n_rows,
+      CAST(max(n) AS BIGINT) AS max_rows,
+      round(avg(n), 6) AS mean_rows,
+      round(max(n) / avg(n), 6) AS skew_ratio,
+      round(stddev_pop(n) / avg(n), 6) AS cv,
+      round((2.0 * sum(i * n)) / (count(*) * sum(n))
+            - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
 """
 
 ORACLES["distinctness_profile"] = """
