@@ -260,3 +260,72 @@ def test_day_coverage_detects_planted_gap(spark, tmp_path):
     assert rows["b"]["verdict"] == "gaps"
     assert rows["b"]["n_missing"] == 2
     assert rows["b"]["n_expected"] == 10
+
+
+def test_distinctness_profile_ratio_algebra(spark):
+    """n_once <= n_distinct <= n_values; uniqueness = n_once/n_values;
+    event_id (a key) has distinctness 1.0; event_day is low-cardinality."""
+    from anomalydetection_spark.queries import QUERIES
+
+    rows = {r["col"]: r for r in QUERIES["distinctness_profile"](spark, SF).collect()}
+    assert set(rows) == {"event_id", "user_id", "event_type", "event_day"}
+    for r in rows.values():
+        assert 0 < r["n_once"] or r["n_once"] == 0
+        assert r["n_once"] <= r["n_distinct"] <= r["n_values"]
+        assert abs(r["uniqueness"] - round(r["n_once"] / r["n_values"], 6)) < 1e-9
+        assert abs(r["distinctness"] - round(r["n_distinct"] / r["n_values"], 6)) < 1e-9
+    assert rows["event_id"]["distinctness"] == 1.0
+    assert rows["event_type"]["n_distinct"] < 20
+
+
+def test_format_patterns_skeleton_and_shares(spark):
+    """Every pattern is fully class-mapped (no residual alnum beyond the
+    class letters); per-column shares of the reported patterns never
+    exceed 1; props rows reduce to JSON-shaped skeletons."""
+    from anomalydetection_spark.queries import QUERIES
+
+    rows = QUERIES["format_patterns"](spark, SF).collect()
+    assert rows
+    import re
+
+    for r in rows:
+        assert r["n"] >= 5
+        assert not re.search(r"[0-8b-zB-Z]", r["pattern"]), r["pattern"]
+        # compact form never longer than the raw skeleton
+        assert len(r["compact"]) <= len(r["pattern"])
+    by_col: dict[str, float] = {}
+    for r in rows:
+        by_col[r["col"]] = by_col.get(r["col"], 0.0) + r["share"]
+    for col, s in by_col.items():
+        assert s <= 1.0 + 1e-6, (col, s)
+    props = [r for r in rows if r["col"] == "props"]
+    assert props and all(p["pattern"].startswith('{"') for p in props)
+
+
+def test_partition_skew_gini_bounds_and_uniform_case(spark):
+    """Engine output at sf0.001 is internally consistent (Gini in
+    [0,1), skew_ratio >= 1, counts conserve); a hand-built perfectly
+    uniform grid yields Gini ~ (via the rank formula) the known
+    closed form and skew_ratio exactly 1."""
+    from anomalydetection_spark.queries import QUERIES
+
+    r = QUERIES["partition_skew"](spark, SF).collect()[0]
+    assert r["n_partitions"] >= 1
+    assert r["max_rows"] <= r["n_rows"]
+    assert r["skew_ratio"] >= 1.0
+    assert 0.0 <= r["gini"] < 1.0
+    assert abs(r["mean_rows"] * r["n_partitions"] - r["n_rows"]) < 1.0
+
+    # closed form: equal sizes -> sum(i*n) = n*k(k+1)/2 -> gini 0
+    import tempfile
+
+    from anomalydetection_spark.queries import QUERIES as Q
+
+    with tempfile.TemporaryDirectory() as td:
+        uniform = spark.createDataFrame(
+            [(f"s{i}", "en", j) for i in range(4) for j in range(10)],
+            "source string, lang string, doc_id long",
+        )
+        uniform.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        u = Q["partition_skew"](spark, td).collect()[0]
+        assert u["gini"] == 0.0 and u["skew_ratio"] == 1.0 and u["cv"] == 0.0
