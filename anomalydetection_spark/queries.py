@@ -2905,9 +2905,10 @@ def q_format_patterns(spark, sf_dir):
     template miner does exactly this reduction for log lines,
     /root/reference/log_parser.py masking pass; re-expressed here as a
     row-local class map + ONE exact-count shuffle). All columns share
-    ONE scan via stack(); the class mapping is row-local Java-regex
-    codegen (cross-engine-safe classes, RE2-compatible for the
-    oracle); the groupBy is map-side combined so <= |patterns| rows
+    ONE scan via stack(); the class mapping is row-local translate()
+    codegen (a byte-table lookup per char, identical in DuckDB — only
+    the run-collapse is regex, and it runs on the already-reduced
+    skeleton); the groupBy is map-side combined so <= |patterns| rows
     per task reach the exchange; the per-column share is a window over
     the pattern-count table (|patterns| rows — metadata scale, never
     row data). Patterns below support 5 are dropped (the long tail of
@@ -2917,14 +2918,19 @@ def q_format_patterns(spark, sf_dir):
         "stack(2, 'event_type', event_type, 'props', props)"
         " AS (col, value)"
     ).where(F.col("value").isNotNull())
-    pat = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("value"), "[0-9]", "9"),
-            "[A-Z]",
-            "A",
+    # single-char class maps are translate(), not regex — one table
+    # lookup per char instead of three NFA passes per value; only the
+    # run-collapse (a genuinely regex-shaped rewrite) pays regex cost,
+    # and it runs on the already-reduced skeleton
+    up = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    pat = F.translate(
+        F.translate(
+            F.translate(F.col("value"), "0123456789", "9" * 10),
+            up,
+            "A" * 26,
         ),
-        "[a-z]",
-        "a",
+        up.lower(),
+        "a" * 26,
     )
     compact = F.regexp_replace(
         F.regexp_replace(F.regexp_replace(pat, "9+", "9"), "A+", "A"),
@@ -5679,9 +5685,11 @@ ORACLES["format_patterns"] = """
       UNION ALL SELECT 'props', props FROM events
     ), pats AS (
       SELECT col,
-        regexp_replace(regexp_replace(regexp_replace(
-          value, '[0-9]', '9', 'g'), '[A-Z]', 'A', 'g'),
-          '[a-z]', 'a', 'g') AS pattern
+        translate(translate(translate(value,
+          '0123456789', '9999999999'),
+          'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'AAAAAAAAAAAAAAAAAAAAAAAAAA'),
+          'abcdefghijklmnopqrstuvwxyz', 'aaaaaaaaaaaaaaaaaaaaaaaaaa')
+          AS pattern
       FROM stacked WHERE value IS NOT NULL
     ), counts AS (
       SELECT col, pattern,
