@@ -204,3 +204,30 @@ def test_round3_operators_empty_and_degenerate(spark, tmp_path):
     ]
     assert all(s["n_in"] == 0 and s["n_out"] == 0 for s in res.funnel)
     assert res.kept.count() == 0
+
+
+def test_round4f_analyzers_empty(spark, tmp_path):
+    """The three profiling analyzers never raise on an empty table:
+    distinctness/format return zero rows, partition_skew returns its
+    single summary row with NULL stats (0 partitions), not an error."""
+    import os
+
+    from anomalydetection_spark.queries import QUERIES
+
+    td = str(tmp_path)
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(td, "events.parquet"))
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(os.path.join(td, "documents.parquet"))
+
+    assert QUERIES["distinctness_profile"](spark, td).count() == 0
+    assert QUERIES["format_patterns"](spark, td).count() == 0
+    r = QUERIES["partition_skew"](spark, td).collect()
+    assert len(r) == 1 and r[0]["n_partitions"] == 0
+    assert r[0]["gini"] is None and r[0]["skew_ratio"] is None
