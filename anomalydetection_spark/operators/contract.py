@@ -300,6 +300,102 @@ def contract_violation_counts(
     )
 
 
+def annotate_violations(
+    df: DataFrame, contract: Contract, out_col: str = "violations"
+) -> DataFrame:
+    """Row-level rule annotation: every input row survives, gaining a
+    sorted ``array<string>`` of ``column::rule`` labels it violates
+    (empty array = clean row). The keep-and-tag complement to the
+    quarantine split — downstream consumers that must not drop rows
+    (backfills, human review queues, partial-trust training mixes) get
+    per-row error identity without a second validation pass.
+
+    Same rule semantics as :func:`contract_violation_counts`:
+    null/allowed/min/max/rlike per column (a NULL comparison is not a
+    violation, mirroring the counts path's ``otherwise(0)``), named
+    expressions (falsy OR NULL == violation), and element rules
+    tagging the row when ANY array element violates (``exists()`` —
+    no explode). Uncompilable expressions raise loudly, like the
+    segmented path. Cost: entirely row-local — the tags column
+    compiles into the projection; zero shuffles, zero extra scans.
+    """
+    present = set(df.columns)
+    conds: list[tuple[str, object]] = []
+    for c, rule in contract.columns.items():
+        if c not in present:
+            continue
+        col = F.col(c)
+        if not rule.nullable or rule.max_null_rate is not None:
+            conds.append((f"{c}::null", col.isNull()))
+        if rule.allowed is not None:
+            conds.append(
+                (f"{c}::allowed", col.isNotNull() & ~col.isin(*rule.allowed))
+            )
+        if rule.min_value is not None:
+            conds.append((f"{c}::min_value", col < F.lit(rule.min_value)))
+        if rule.max_value is not None:
+            conds.append((f"{c}::max_value", col > F.lit(rule.max_value)))
+        if rule.rlike is not None:
+            conds.append(
+                (f"{c}::rlike", col.isNotNull() & ~col.rlike(rule.rlike))
+            )
+    for name, er in contract.expressions.items():
+        df.selectExpr(er.expr)  # loud on typos — no structural tier here
+        conds.append(
+            (f"*::expr:{name}", ~F.coalesce(F.expr(er.expr), F.lit(False)))
+        )
+    elem_ok, _ = _element_paths(df.schema, contract)
+    for path, er in contract.elements.items():
+        if path not in elem_ok:
+            continue
+        a, fld = elem_ok[path]
+        arr = F.col(a)
+        label = f"{a}[*].{fld}"
+
+        def _null(f):
+            return lambda s: s[f].isNull()
+
+        def _allowed(f, al):
+            return lambda s: s[f].isNotNull() & ~s[f].isin(*al)
+
+        def _min(f, v):
+            return lambda s: s[f] < F.lit(v)
+
+        def _max(f, v):
+            return lambda s: s[f] > F.lit(v)
+
+        def _rlike(f, rx):
+            return lambda s: s[f].isNotNull() & ~s[f].rlike(rx)
+
+        def etag(rule: str, lam) -> None:
+            conds.append(
+                (f"{label}::{rule}", arr.isNotNull() & F.exists(arr, lam))
+            )
+
+        if not er.nullable or er.max_null_rate is not None:
+            etag("null", _null(fld))
+        if er.allowed is not None:
+            etag("allowed", _allowed(fld, er.allowed))
+        if er.min_value is not None:
+            etag("min_value", _min(fld, er.min_value))
+        if er.max_value is not None:
+            etag("max_value", _max(fld, er.max_value))
+        if er.rlike is not None:
+            etag("rlike", _rlike(fld, er.rlike))
+
+    if not conds:
+        return df.withColumn(out_col, F.array().cast("array<string>"))
+    tags = F.array_sort(
+        F.filter(
+            F.array(
+                *[F.when(cond, F.lit(lbl)) for lbl, cond in conds]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return df.withColumn(out_col, tags)
+
+
 def contract_verdicts(df: DataFrame, contract: Contract) -> DataFrame:
     """Verdict rows for both tiers. Structural issues always fail;
     data rules fail when the rate exceeds the column's max_null_rate

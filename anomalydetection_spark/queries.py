@@ -2894,6 +2894,47 @@ def q_distinctness_profile(spark, sf_dir):
     )
 
 
+def q_contract_annotations(spark, sf_dir):
+    """Row-level rule annotation (operators/contract.py::
+    annotate_violations — the keep-and-tag complement to the
+    quarantine split): every event row survives with a sorted array
+    of 'column::rule' labels it violates, empty = clean. The
+    reference drops or scores lines wholesale
+    (/root/reference/log_parser.py threshold gate); pipelines that
+    must not drop rows (backfills, review queues, partial-trust
+    training mixes) need the error identity ON the row. Entirely
+    row-local: the tags array compiles into the projection — zero
+    shuffles, zero extra passes; at 10^12 docs this is a free column
+    on the existing wide scan. Demo contract: allowed event types,
+    value ceiling, two-digit props format, and a named
+    purchase-value expression."""
+    from .operators.contract import (
+        ColumnRule,
+        Contract,
+        ExpressionRule,
+        annotate_violations,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    contract = Contract(
+        columns={
+            "event_type": ColumnRule(
+                allowed=("click", "view", "purchase", "error")
+            ),
+            "value": ColumnRule(max_value=400.0),
+            "props": ColumnRule(rlike='"k": [0-9]{2}\\}$'),
+        },
+        expressions={
+            "purchase_value": ExpressionRule(
+                expr="event_type <> 'purchase' OR value > 50"
+            )
+        },
+    )
+    return annotate_violations(ev, contract).select(
+        "event_id", "violations"
+    )
+
+
 def q_format_patterns(spark, sf_dir):
     """Pattern-frequency profile of string columns (the 'format
     histogram' analyzer): every value is reduced to a character-class
@@ -3159,6 +3200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with the per-round full-catalog artifact (ORACLES_FULL_r{N}.json,
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
+    "contract_annotations": q_contract_annotations,
     "format_patterns": q_format_patterns,
     "partition_skew": q_partition_skew,
     "distinctness_profile": q_distinctness_profile,
@@ -5677,6 +5719,23 @@ ORACLES["column_entropy"] = """
             ELSE (ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(count(*))
             END, 6) AS norm_entropy
     FROM counts GROUP BY col
+"""
+
+ORACLES["contract_annotations"] = """
+    SELECT event_id,
+      list_sort(list_filter([
+        CASE WHEN event_type IS NOT NULL
+              AND event_type NOT IN ('click','view','purchase','error')
+             THEN 'event_type::allowed' END,
+        CASE WHEN value > 400.0 THEN 'value::max_value' END,
+        CASE WHEN props IS NOT NULL
+              AND NOT regexp_matches(props, '"k": [0-9]{2}}$')
+             THEN 'props::rlike' END,
+        CASE WHEN NOT coalesce(event_type <> 'purchase' OR value > 50,
+                               FALSE)
+             THEN '*::expr:purchase_value' END
+      ], x -> x IS NOT NULL)) AS violations
+    FROM events
 """
 
 ORACLES["format_patterns"] = """

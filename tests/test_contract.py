@@ -358,3 +358,64 @@ def test_segmented_verdicts_guardrails(spark):
     empty = contract_verdicts_by(
         df, Contract(columns={"v": ColumnRule(dtype="bigint")}), "seg")
     assert empty.columns[0] == "seg" and empty.count() == 0
+
+
+def test_annotate_violations_row_tags(spark):
+    """Keep-and-tag: every row survives with the sorted labels it
+    violates; NULL comparisons are not violations (mirrors the counts
+    path); element rules tag the row when ANY element violates; a
+    rule-free contract yields empty arrays; expression typos raise."""
+    import pytest
+
+    from anomalydetection_spark.operators.contract import (
+        Contract,
+        annotate_violations,
+        contract_from_dict,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "click", 10.0, [("text", "hi", 0)]),
+            (2, "bogus", 500.0, [("bogus", None, -1)]),
+            (3, None, None, None),
+            (4, "purchase", 5.0, []),
+        ],
+        "id bigint, event_type string, value double,"
+        " spans array<struct<kind string, text string, offset int>>",
+    )
+    c = contract_from_dict({
+        "columns": {
+            "event_type": {"allowed": ["click", "view", "purchase"]},
+            "value": {"max_value": 400.0},
+        },
+        "expressions": {
+            "pv": {"expr": "event_type <> 'purchase' OR value > 50"},
+        },
+        "elements": {
+            "spans.kind": {"allowed": ["text", "image"]},
+            "spans.offset": {"min_value": 0},
+        },
+    })
+    out = {r["id"]: r["violations"]
+           for r in annotate_violations(df, c).collect()}
+    assert out[1] == []
+    assert out[2] == [
+        "event_type::allowed",
+        "spans[*].kind::allowed",
+        "spans[*].offset::min_value",
+        "value::max_value",
+    ]
+    # NULL event_type/value: allowed/max_value comparisons are NULL ->
+    # not violations; but the expression is NULL -> pessimistic tag;
+    # NULL spans array -> element rules do not fire
+    assert out[3] == ["*::expr:pv"]
+    assert out[4] == ["*::expr:pv"]  # purchase with value <= 50
+
+    assert annotate_violations(
+        df, Contract()
+    ).select("violations").distinct().collect()[0][0] == []
+
+    with pytest.raises(Exception):
+        annotate_violations(
+            df, contract_from_dict({"expressions": {"bad": "no_col > 1"}})
+        ).collect()
