@@ -71,6 +71,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="write a human-readable text report (per-check "
                    "summary + sanitized truncated exemplars) to "
                    "<out>/report/<run_id>.txt")
+    p.add_argument("--annotate", action="store_true",
+                   help="also write the docs table with a row-level "
+                   "'violations' tags column (keep-and-tag: every row "
+                   "survives, tagged with the column::rule labels it "
+                   "violates per the --config contract) under "
+                   "<out>/annotated/<run_id>")
     p.add_argument("--quarantine", action="store_true",
                    help="also split the docs table into clean/quarantined "
                    "parquet under <out>/quarantine/<run_id> (single "
@@ -803,6 +809,20 @@ def one_round(spark, args, run_id: str) -> dict:
             docs, res.violations,
             os.path.join(args.out, "quarantine", run_id),
         )
+    annotated_out = None
+    if args.annotate:
+        from .operators.contract import annotate_violations
+
+        if contract is None:
+            raise SystemExit(
+                "--annotate tags rows against the declared contract; "
+                "provide one via --config (or generate it with "
+                "--suggest-contract first)"
+            )
+        annotated_out = os.path.join(args.out, "annotated", run_id)
+        annotate_violations(docs, contract).write.mode(
+            "overwrite"
+        ).parquet(annotated_out)
     regressions = None
     if args.diff_last and args.manifest_dir:
         from .operators.drift import verdict_regressions
@@ -892,6 +912,7 @@ def one_round(spark, args, run_id: str) -> dict:
         "report": report_out,
         "baseline": baseline_action,
         "quarantine": quarantine_out,
+        "annotated": annotated_out,
         "validated_partitions": res.validated_partitions,
         "manifest_version": res.manifest_version,
         "n_failed_checks": n_fail,

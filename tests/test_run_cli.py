@@ -705,3 +705,54 @@ def test_snapshot_diff_flag_round_trip(spark, docs_path, tmp_path):
     st = Manifest(mdir).get_stats("snapshot_diff")
     assert st is not None and st["changed"] == exp_changed
     json.dumps(s)
+
+
+def test_annotate_round_cli(spark, docs_path, catalog, tmp_path):
+    """--annotate: the annotated table carries every input row with a
+    violations tags column; tagged rows exist (planted fixture
+    violations), clean rows have empty arrays; without a contract the
+    flag exits loudly."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    cat_path = str(tmp_path / "catalog")
+    catalog.write.mode("overwrite").parquet(cat_path)
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        _json.dump({
+            "contract": {
+                "columns": {"doc_id": {"nullable": False}},
+                "elements": {
+                    "spans.kind": {"nullable": False},
+                    "spans.offset": {"min_value": 0},
+                },
+            },
+        }, f)
+    out = str(tmp_path / "out")
+    s = one_round(
+        spark,
+        parse_args(["--docs", docs_path, "--catalog", cat_path,
+                    "--out", out, "--config", cfg_path, "--annotate"]),
+        "rann",
+    )
+    ann = spark.read.parquet(s["annotated"])
+    n_in = spark.read.parquet(docs_path).count()
+    assert ann.count() == n_in                      # keep-and-tag: no drops
+    tagged = ann.filter(F.size("violations") > 0)
+    assert tagged.count() > 0                       # planted null span kinds
+    labels = {
+        r[0]
+        for r in tagged.select(
+            F.explode("violations")).distinct().collect()
+    }
+    assert "spans[*].kind::null" in labels
+
+    with _pytest.raises(SystemExit, match="--annotate"):
+        one_round(
+            spark,
+            parse_args(["--docs", docs_path, "--catalog", cat_path,
+                        "--out", out, "--annotate"]),
+            "rann2",
+        )
