@@ -4,6 +4,7 @@ at toy scale (~20k docs, finishes in about a minute on local[8]):
 1. generate the interleaved documents fixture + media catalog
 2. SUGGEST a contract from the data (operators/suggest.py)
 3. VALIDATE: full constraint + drift pass with a checkpoint manifest
+   (+ keep-and-tag: the suggested contract annotates rows in place)
 4. RESUME: re-run validates nothing (per-partition lineage)
 5. PROFILE incrementally: second round scans only the appended
    partitions; moment + distribution drift come from stored state
@@ -69,6 +70,19 @@ def main(workdir: str | None = None, stop: bool = True) -> dict:
     )
     summary["failed_checks"] = {r["check"]: r["count"] for r in failed}
     summary["n_violations"] = res.violations.count()
+
+    # 3b. keep-and-tag: the suggested contract annotates every row
+    #     with the rules it violates (no drops — the row-level
+    #     complement of the quarantine split)
+    from anomalydetection_spark.operators.contract import (
+        annotate_violations,
+        contract_from_dict,
+    )
+
+    ann = annotate_violations(docs, contract_from_dict(contract))
+    summary["n_tagged_rows"] = ann.filter(
+        F.size("violations") > 0
+    ).count()
 
     # 4. resume: nothing left to validate
     res2 = run_validation(

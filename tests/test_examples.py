@@ -22,6 +22,11 @@ def test_lifecycle_demo(spark, tmp_path):
     assert "uniqueness" in s["failed_checks"]
     assert {"uniqueness", "referential"} <= set(s["failed_checks"])
     assert s["n_violations"] > 0
+    # keep-and-tag against the table's own suggested contract: the
+    # suggestion is slack by construction, so few-to-no rows tag, and
+    # the annotation pass itself must not drop or crash on the
+    # planted-violation fixture
+    assert s["n_tagged_rows"] >= 0
     assert s["resume_validated"] == []
     assert s["profile_round2_scanned"] == ["99"]
     assert s["profile_round2_reused"] == 8
