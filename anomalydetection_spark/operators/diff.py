@@ -144,3 +144,92 @@ def diff_summary(diff: DataFrame) -> DataFrame:
         .groupBy(F.col("t.kind").alias("kind"), F.col("t.name").alias("name"))
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def join_diagnostics(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: str | list[str],
+    right_keys: str | list[str] | None = None,
+) -> DataFrame:
+    """Pre-join diagnostics: key coverage and fanout estimation for a
+    prospective equi-join, WITHOUT running the join.
+
+    At the 10^12-row design point the most expensive mistake is an
+    unprofiled join: an unmatched-key-heavy side wastes a full
+    shuffle, and a high-fanout key silently explodes the output
+    (|out| = sum over matched keys of n_left*n_right). This operator
+    answers, from two cheap aggregations, the questions a planner
+    (or a human) asks before committing to the join strategy:
+
+    - coverage: what fraction of each side's ROWS (and distinct keys)
+      will find a partner — the referential-integrity rates of
+      operators/referential.py generalized to both directions;
+    - size: the EXACT join output cardinality and the worst single
+      key's contribution (max n_left*n_right) — the skew signal that
+      decides salting / AQE skew-join handling;
+    - amplification: output rows per matched left row (>1 means the
+      right side fans out and a broadcast of pre-aggregated right
+      partials may beat the row join).
+
+    Cost shape: one map-side-combinable count agg per side (shuffle
+    carries |distinct keys| partial rows, not data rows), one join of
+    the two per-key count tables (rows are ~24 bytes each), one final
+    single-row rollup. Never touches a data row twice, never
+    materializes the join.
+
+    Returns ONE row; all counts exact longs, rates rounded 6dp.
+    """
+    lk = _as_list(left_keys)
+    rk = _as_list(right_keys) if right_keys is not None else lk
+    if len(lk) != len(rk):
+        raise ValueError(f"key arity mismatch: {lk} vs {rk}")
+    kcols = [f"k{i}" for i in range(len(lk))]
+    lcnt = (
+        left.select(*[F.col(c).alias(k) for c, k in zip(lk, kcols)])
+        .groupBy(*kcols)
+        .agg(F.count("*").alias("nl"))
+    )
+    rcnt = (
+        right.select(*[F.col(c).alias(k) for c, k in zip(rk, kcols)])
+        .groupBy(*kcols)
+        .agg(F.count("*").alias("nr"))
+    )
+    j = lcnt.join(rcnt, kcols, "full_outer")
+    matched = F.col("nl").isNotNull() & F.col("nr").isNotNull()
+    out_rows = F.when(matched, F.col("nl") * F.col("nr")).otherwise(F.lit(0))
+    agg = j.agg(
+        F.coalesce(F.sum("nl"), F.lit(0)).alias("left_rows"),
+        F.coalesce(F.sum("nr"), F.lit(0)).alias("right_rows"),
+        F.count(F.when(F.col("nl").isNotNull(), 1)).alias("left_keys"),
+        F.count(F.when(F.col("nr").isNotNull(), 1)).alias("right_keys"),
+        F.count(F.when(matched, 1)).alias("matched_keys"),
+        F.coalesce(F.sum(F.when(matched, F.col("nl"))), F.lit(0)).alias(
+            "left_rows_matched"
+        ),
+        F.coalesce(F.sum(F.when(matched, F.col("nr"))), F.lit(0)).alias(
+            "right_rows_matched"
+        ),
+        F.coalesce(F.sum(out_rows), F.lit(0)).alias("join_output_rows"),
+        F.coalesce(F.max(out_rows), F.lit(0)).alias("max_key_output_rows"),
+    )
+    safe = lambda num, den: F.round(  # noqa: E731
+        F.when(F.col(den) > 0, F.col(num) / F.col(den)).otherwise(F.lit(0.0)),
+        6,
+    )
+    return agg.select(
+        "left_rows",
+        "right_rows",
+        "left_keys",
+        "right_keys",
+        "matched_keys",
+        (F.col("left_keys") - F.col("matched_keys")).alias("left_only_keys"),
+        (F.col("right_keys") - F.col("matched_keys")).alias("right_only_keys"),
+        safe("left_rows_matched", "left_rows").alias("left_row_coverage"),
+        safe("right_rows_matched", "right_rows").alias("right_row_coverage"),
+        "join_output_rows",
+        "max_key_output_rows",
+        safe("join_output_rows", "left_rows_matched").alias(
+            "fanout_per_left_row"
+        ),
+    )

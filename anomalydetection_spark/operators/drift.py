@@ -500,3 +500,76 @@ def verdict_regressions(
             "old_violations", "new_violations", "delta_violations",
         )
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection over a per-group ordered
+    metric series (Page 1954) — the sequential complement of the
+    EMA+3σ point-anomaly rule: a small sustained level shift that
+    never trips 3σ on any single observation accumulates in the CUSUM
+    statistic and fires within a few observations of the shift.
+
+    The textbook statistic is a recursion
+    (``S+_n = max(0, S+_{n-1} + x_n - mu - k)``), which a naive
+    implementation evaluates with a per-row Python loop. It has an
+    exact closed form over prefix sums::
+
+        C_n  = sum_{i<=n} (x_i - mu - k)
+        S+_n = C_n - min(0, min_{j<=n} C_j)
+
+    (and symmetrically for the downward side), so the whole detector
+    is TWO cumulative-window passes over the same partitioning — no
+    recursion, no UDF, no driver loop. Cost: one hash exchange on
+    ``group_cols`` + per-group sort; every series row stays on one
+    partition (series length per group is bounded — time buckets, not
+    data rows — the same shape as ema_3sigma above).
+
+    mu/sigma are calibrated per group from the full series (whole-
+    group window over the SAME partitioning — no second exchange);
+    ``k = k_sigmas*sigma`` is the drift allowance, ``h = h_sigmas*
+    sigma`` the decision threshold (classic k=0.5σ/h=5σ ARL tuning).
+    Degenerate groups (sigma≈0 or a single row) never flag.
+
+    Returns one row per input row: group cols, ts, value, cusum_pos,
+    cusum_neg, is_shift (either side over h) and direction ('up' /
+    'down' / NULL).
+    """
+    wg = Window.partitionBy(*group_cols)
+    wo = (
+        Window.partitionBy(*group_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(value_col).cast("double")
+    d = (
+        df.withColumn("_mu", F.avg(x).over(wg))
+        .withColumn("_sd", F.coalesce(F.stddev_samp(x).over(wg), F.lit(0.0)))
+        .withColumn("_k", F.lit(float(k_sigmas)) * F.col("_sd"))
+        .withColumn("_h", F.lit(float(h_sigmas)) * F.col("_sd"))
+        # prefix sums of the drift-adjusted deviations, both sides
+        .withColumn("_c_pos", F.sum(x - F.col("_mu") - F.col("_k")).over(wo))
+        .withColumn("_c_neg", F.sum(x - F.col("_mu") + F.col("_k")).over(wo))
+        .withColumn(
+            "cusum_pos",
+            F.col("_c_pos") - F.least(F.lit(0.0), F.min("_c_pos").over(wo)),
+        )
+        .withColumn(
+            "cusum_neg",
+            F.greatest(F.lit(0.0), F.max("_c_neg").over(wo)) - F.col("_c_neg"),
+        )
+    )
+    fires_up = (F.col("_sd") > 1e-12) & (F.col("cusum_pos") > F.col("_h"))
+    fires_dn = (F.col("_sd") > 1e-12) & (F.col("cusum_neg") > F.col("_h"))
+    return d.withColumn("is_shift", fires_up | fires_dn).withColumn(
+        "direction",
+        F.when(fires_up & fires_dn, F.lit("both"))
+        .when(fires_up, F.lit("up"))
+        .when(fires_dn, F.lit("down")),
+    ).drop("_mu", "_sd", "_k", "_h", "_c_pos", "_c_neg")

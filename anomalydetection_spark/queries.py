@@ -3188,6 +3188,57 @@ def q_snapshot_diff(spark, sf_dir):
     return diff_summary(d)
 
 
+def q_cusum_changepoints(spark, sf_dir):
+    """Two-sided CUSUM changepoint detection (operators/drift.py::
+    cusum_changepoints) over the per-event-type hourly count series —
+    the sequential complement of the EMA+3σ rule: a sustained small
+    level shift accumulates and fires even when no single hour trips
+    3σ. The textbook recursion is evaluated in closed form over
+    prefix sums (S+_n = C_n - min(0, min prefix C)), so the whole
+    detector is window functions over ONE hash exchange on
+    event_type; the DuckDB oracle replays the identical prefix
+    algebra. Flagged rows only (bounded output)."""
+    from .operators.drift import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_timestamp_ntz(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00")
+        ).alias("bucket_ts"),
+    ).agg(F.count("*").cast("double").alias("n"))
+    out = cusum_changepoints(
+        hourly, ["event_type"], "bucket_ts", "n",
+        k_sigmas=0.5, h_sigmas=3.0,
+    )
+    return out.filter(F.col("is_shift")).select(
+        "event_type",
+        "bucket_ts",
+        F.col("n").cast("long").alias("n"),
+        F.round("cusum_pos", 4).alias("cusum_pos"),
+        F.round("cusum_neg", 4).alias("cusum_neg"),
+        "direction",
+    )
+
+
+def q_join_coverage(spark, sf_dir):
+    """Pre-join diagnostics (operators/diff.py::join_diagnostics):
+    key coverage + EXACT join-output cardinality + worst-key fanout
+    for lineitem⋈orders, computed WITHOUT running the join — two
+    map-side-combinable per-key count aggs, a join of the count
+    tables (24-byte rows, not data rows), one single-row rollup.
+    The planner-facing answer to "can I afford this join / does it
+    need skew handling" at the 10^12-row design point."""
+    from .operators.diff import join_diagnostics
+
+    return join_diagnostics(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -3200,6 +3251,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with the per-round full-catalog artifact (ORACLES_FULL_r{N}.json,
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
+    "cusum_changepoints": q_cusum_changepoints,
+    "join_coverage": q_join_coverage,
     "contract_annotations": q_contract_annotations,
     "format_patterns": q_format_patterns,
     "partition_skew": q_partition_skew,
@@ -5956,4 +6009,73 @@ ORACLES["segmented_contract"] = """
            CASE WHEN round(uspread / total, 6) <= 0.15
                 THEN 'pass' ELSE 'fail' END
     FROM g
+"""
+
+ORACLES["cusum_changepoints"] = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             count(*)::DOUBLE AS n
+      FROM events GROUP BY 1, 2
+    ), calib AS (
+      SELECT *,
+             avg(n) OVER (PARTITION BY event_type) AS mu,
+             coalesce(stddev_samp(n) OVER (PARTITION BY event_type),
+                      0.0) AS sd
+      FROM hourly
+    ), pre AS (
+      SELECT *,
+             sum(n - mu - 0.5 * sd) OVER win AS c_pos,
+             sum(n - mu + 0.5 * sd) OVER win AS c_neg
+      FROM calib
+      WINDOW win AS (PARTITION BY event_type ORDER BY bucket_ts
+                     ROWS UNBOUNDED PRECEDING)
+    ), st AS (
+      SELECT *,
+             c_pos - least(0.0, min(c_pos) OVER win) AS cusum_pos,
+             greatest(0.0, max(c_neg) OVER win) - c_neg AS cusum_neg
+      FROM pre
+      WINDOW win AS (PARTITION BY event_type ORDER BY bucket_ts
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, bucket_ts, CAST(n AS BIGINT) AS n,
+           round(cusum_pos, 4) AS cusum_pos,
+           round(cusum_neg, 4) AS cusum_neg,
+           CASE WHEN cusum_pos > 3.0 * sd AND cusum_neg > 3.0 * sd
+                  THEN 'both'
+                WHEN cusum_pos > 3.0 * sd THEN 'up'
+                ELSE 'down' END AS direction
+    FROM st
+    WHERE sd > 1e-12 AND (cusum_pos > 3.0 * sd OR cusum_neg > 3.0 * sd)
+"""
+
+ORACLES["join_coverage"] = """
+    WITH lc AS (
+      SELECT l_orderkey AS k, count(*) AS nl FROM lineitem GROUP BY 1
+    ), rc AS (
+      SELECT o_orderkey AS k, count(*) AS nr FROM orders GROUP BY 1
+    ), j AS (
+      SELECT lc.nl, rc.nr,
+             (lc.k IS NOT NULL AND rc.k IS NOT NULL) AS m
+      FROM lc FULL OUTER JOIN rc ON lc.k = rc.k
+    )
+    SELECT
+      coalesce(sum(nl), 0) AS left_rows,
+      coalesce(sum(nr), 0) AS right_rows,
+      count(nl) AS left_keys,
+      count(nr) AS right_keys,
+      count(CASE WHEN m THEN 1 END) AS matched_keys,
+      count(nl) - count(CASE WHEN m THEN 1 END) AS left_only_keys,
+      count(nr) - count(CASE WHEN m THEN 1 END) AS right_only_keys,
+      round(coalesce(sum(CASE WHEN m THEN nl END), 0) * 1.0
+            / coalesce(sum(nl), 1), 6) AS left_row_coverage,
+      round(coalesce(sum(CASE WHEN m THEN nr END), 0) * 1.0
+            / coalesce(sum(nr), 1), 6) AS right_row_coverage,
+      coalesce(sum(CASE WHEN m THEN nl * nr ELSE 0 END), 0)
+        AS join_output_rows,
+      coalesce(max(CASE WHEN m THEN nl * nr ELSE 0 END), 0)
+        AS max_key_output_rows,
+      round(coalesce(sum(CASE WHEN m THEN nl * nr ELSE 0 END), 0) * 1.0
+            / greatest(coalesce(sum(CASE WHEN m THEN nl END), 0), 1), 6)
+        AS fanout_per_left_row
+    FROM j
 """

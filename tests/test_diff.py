@@ -191,3 +191,45 @@ def test_order_reconciliation_planted_mismatch(spark, tmp_path):
     high = out["2-HIGH"]
     assert high.n_no_lineitems == 1
     assert high.n_mismatched == 0
+
+
+def test_join_diagnostics_counts(spark):
+    """Hand-built fanout: left {1:2,2:1,3:1}, right {2:3,3:1,4:2} —
+    matched keys {2,3}, exact join output 1*3+1*1=4, worst key 3."""
+    from anomalydetection_spark.operators.diff import join_diagnostics
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "k bigint"
+    )
+    right = spark.createDataFrame(
+        [(2,), (2,), (2,), (3,), (4,), (4,)], "j bigint"
+    )
+    r = join_diagnostics(left, right, "k", "j").first()
+    assert (r.left_rows, r.right_rows) == (4, 6)
+    assert (r.left_keys, r.right_keys, r.matched_keys) == (3, 3, 2)
+    assert (r.left_only_keys, r.right_only_keys) == (1, 1)
+    assert r.join_output_rows == 4
+    assert r.max_key_output_rows == 3
+    assert abs(r.left_row_coverage - 0.5) < 1e-9
+    assert abs(r.right_row_coverage - 4 / 6) < 1e-6
+    assert abs(r.fanout_per_left_row - 2.0) < 1e-9
+    # the number it predicts is the number the join produces
+    assert left.join(right, left.k == right.j).count() == r.join_output_rows
+
+
+def test_join_diagnostics_empty_and_disjoint(spark):
+    from anomalydetection_spark.operators.diff import join_diagnostics
+
+    left = spark.createDataFrame([(1,), (2,)], "k bigint")
+    right = spark.createDataFrame([(9,)], "k bigint")
+    r = join_diagnostics(left, right, "k").first()
+    assert r.matched_keys == 0 and r.join_output_rows == 0
+    assert r.left_row_coverage == 0.0 and r.fanout_per_left_row == 0.0
+
+    empty = spark.createDataFrame([], "k bigint")
+    r2 = join_diagnostics(empty, right, "k").first()
+    assert (r2.left_rows, r2.right_rows) == (0, 1)
+    assert r2.join_output_rows == 0
+
+    with pytest.raises(ValueError):
+        join_diagnostics(left, right, ["k"], ["a", "b"])

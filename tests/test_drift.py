@@ -277,3 +277,70 @@ def test_drift_verdicts_optional_chi2_jsd_rows(spark):
         chi2_threshold=10.0, jsd_threshold=0.2,
     )
     assert all(r.verdict == "pass" for r in identical.collect())
+
+
+def _series(spark, values, kind="k"):
+    rows = [(kind, i, float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, "kind string, t int, n double")
+
+
+def test_cusum_fires_on_sustained_small_shift(spark):
+    """A +1.5 level shift on a noisy-constant series: no single point
+    is a 3-sigma outlier, but the CUSUM accumulates and fires shortly
+    after the shift — the sequential case the point rules miss."""
+    from anomalydetection_spark.operators.drift import cusum_changepoints
+
+    base = [10.0, 10.5, 9.5, 10.0, 10.5, 9.5] * 5      # mean 10, sd~0.4
+    shifted = base + [11.5, 12.0, 11.5, 12.0, 11.5, 12.0, 11.5, 12.0]
+    out = cusum_changepoints(
+        _series(spark, shifted), ["kind"], "t", "n",
+        k_sigmas=0.5, h_sigmas=5.0,
+    ).orderBy("t").collect()
+    fired = [r.t for r in out if r.is_shift]
+    assert fired, "sustained shift never fired"
+    assert min(fired) >= 30, "fired before the planted shift"
+    assert min(fired) <= 36, "took more than 6 observations to fire"
+    assert all(r.direction == "up" for r in out if r.is_shift)
+    # statistic is exactly the textbook recursion, replayed in numpy
+    import numpy as np
+
+    x = np.array(shifted)
+    mu, sd = x.mean(), x.std(ddof=1)
+    s, k = 0.0, 0.5 * sd
+    expect = []
+    for v in x:
+        s = max(0.0, s + v - mu - k)
+        expect.append(s)
+    got = [r.cusum_pos for r in out]
+    assert np.allclose(got, expect, atol=1e-9)
+
+
+def test_cusum_downward_and_degenerate(spark):
+    from anomalydetection_spark.operators.drift import cusum_changepoints
+
+    down = [20.0, 20.5, 19.5, 20.0] * 8 + [18.0, 17.5, 18.0, 17.5] * 3
+    out = cusum_changepoints(
+        _series(spark, down), ["kind"], "t", "n",
+        k_sigmas=0.5, h_sigmas=5.0,
+    ).collect()
+    assert any(r.is_shift and r.direction == "down" for r in out)
+    assert not any(r.direction == "up" for r in out if r.is_shift)
+
+    # constant series: sigma==0 must never flag (no div-by-zero, no inf)
+    const = cusum_changepoints(
+        _series(spark, [5.0] * 20), ["kind"], "t", "n"
+    ).collect()
+    assert not any(r.is_shift for r in const)
+
+
+def test_cusum_groups_are_independent(spark):
+    """The shift in one group must not leak flags into another."""
+    from anomalydetection_spark.operators.drift import cusum_changepoints
+
+    a = [("a", i, 10.0 + (0.5 if i % 2 else -0.5)) for i in range(30)]
+    a += [("a", 30 + i, 13.0) for i in range(8)]
+    b = [("b", i, 10.0 + (0.5 if i % 2 else -0.5)) for i in range(38)]
+    df = spark.createDataFrame(a + b, "kind string, t int, n double")
+    out = cusum_changepoints(df, ["kind"], "t", "n").collect()
+    assert any(r.is_shift for r in out if r.kind == "a")
+    assert not any(r.is_shift for r in out if r.kind == "b")
