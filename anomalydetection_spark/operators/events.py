@@ -18,7 +18,7 @@ hash aggregate plus a 1-row final rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -93,4 +93,121 @@ def funnel(
         "stage_name",
         "CAST(n_reached AS BIGINT) AS n_reached",
         "CAST(conv_from_prev AS DOUBLE) AS conv_from_prev",
+    )
+
+
+def sequence_likelihood(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    min_transitions: int = 5,
+    laplace: float = 1.0,
+    baseline: DataFrame | None = None,
+) -> DataFrame:
+    """Markov transition-likelihood scoring of per-user event
+    sequences — the sequence analog of the reference's per-line
+    anomaly score (/root/reference/model_manager.py:200-228 scores
+    feature vectors; this scores ORDER): fit the global first-order
+    transition matrix P(next | prev), then score each user by the
+    mean log-likelihood of their observed transitions. Users whose
+    event ORDER is improbable under the corpus-wide behavior model
+    surface at the bottom even when every individual event type is
+    common — bot loops, broken clients, replayed sessions.
+
+    Plan shape at the 10^12-event design point:
+
+    - transitions: ONE window pass (lag over user, ordered by a
+      deterministic (ts, tiebreak) key) — the same single hash
+      exchange on ``user_col`` the scoring agg needs, so the whole
+      operator is one data shuffle;
+    - the model is the (prev, next) count table: at most |types|²
+      rows, aggregated map-side, Laplace-smoothed, and BROADCAST
+      back onto the transition stream (never a row shuffle);
+    - per-user scores are a map-side-combinable avg over the
+      already-user-partitioned stream.
+
+    Smoothing uses add-``laplace`` over the |types|² grid so unseen
+    transitions get finite log-probability (and the score is defined
+    for users whose behavior never occurs in the model). Users with
+    fewer than ``min_transitions`` transitions are dropped — a
+    2-event user's "sequence" carries no signal.
+
+    ``baseline`` fits the transition model on a DIFFERENT corpus
+    (yesterday's events, the known-good window) and scores ``events``
+    against it — the fit-on-baseline / score-current shape of every
+    other drift rule in this engine. Default fits on ``events``
+    itself (self-scoring: within-corpus outliers). Transitions absent
+    from the baseline score at the smoothed floor of their prev row
+    (laplace / (row_total + laplace·|types|)), including prevs the
+    baseline never saw at all (row_total 0).
+
+    Returns (user, n_transitions, avg_log_likelihood) — bounded by
+    the user population, not the event count.
+    """
+
+    def _transitions(df: DataFrame) -> DataFrame:
+        order = [ts_col] + list(order_cols or [])
+        w = Window.partitionBy(user_col).orderBy(*order)
+        return (
+            df.select(user_col, type_col, *order)
+            .withColumn("_prev", F.lag(type_col).over(w))
+            .filter(F.col("_prev").isNotNull())
+            .select(
+                user_col,
+                F.col("_prev").alias("prev"),
+                F.col(type_col).alias("next"),
+            )
+        )
+
+    fit_on = baseline if baseline is not None else events
+    tr = _transitions(events)
+    fit_tr = tr if baseline is None else _transitions(baseline)
+    # |types| of the MODEL's universe: the smoothing denominator must
+    # cover every type the scored stream can present, so take the
+    # union when a separate baseline is given
+    types_src = (
+        fit_on.select(type_col)
+        if baseline is None
+        else fit_on.select(type_col).unionByName(events.select(type_col))
+    )
+    n_types = types_src.distinct().count()
+    counts = fit_tr.groupBy("prev", "next").agg(F.count("*").alias("c"))
+    wp = Window.partitionBy("prev")
+    model = counts.withColumn(
+        "log_p",
+        F.log(
+            (F.col("c") + F.lit(float(laplace)))
+            / (F.sum("c").over(wp) + F.lit(float(laplace) * n_types))
+        ),
+    ).select("prev", "next", "log_p")
+    # unseen (prev, next) cells fall back to the smoothed floor of
+    # that prev row: laplace / (row_total + laplace*|types|). With a
+    # left join the floor needs the prev totals too — broadcast both.
+    totals = counts.groupBy("prev").agg(F.sum("c").alias("row_total"))
+    scored = (
+        tr.join(F.broadcast(model), ["prev", "next"], "left")
+        .join(F.broadcast(totals), "prev", "left")
+        .withColumn(
+            "ll",
+            F.coalesce(
+                F.col("log_p"),
+                F.log(
+                    F.lit(float(laplace))
+                    / (
+                        F.coalesce(F.col("row_total"), F.lit(0))
+                        + F.lit(float(laplace) * n_types)
+                    )
+                ),
+            ),
+        )
+    )
+    return (
+        scored.groupBy(user_col)
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.avg("ll").alias("avg_log_likelihood"),
+        )
+        .filter(F.col("n_transitions") >= int(min_transitions))
     )

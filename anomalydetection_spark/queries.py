@@ -3221,6 +3221,30 @@ def q_cusum_changepoints(spark, sf_dir):
     )
 
 
+def q_sequence_likelihood(spark, sf_dir):
+    """Markov sequence-anomaly scoring (operators/events.py::
+    sequence_likelihood): fit the global event-type transition matrix,
+    score each user by mean log-likelihood of their observed
+    transitions — improbable event ORDER surfaces even when every
+    individual event is common. ONE data shuffle (the user window's
+    exchange is reused by the scoring agg); the |types|² model and its
+    row totals are broadcast. Deterministic (ts, event_id) ordering
+    so the lag stream is engine-portable; the oracle replays the
+    identical Laplace-smoothed algebra."""
+    from .operators.events import sequence_likelihood
+
+    ev = _t(spark, sf_dir, "events")
+    out = sequence_likelihood(
+        ev, "user_id", "event_type", "ts",
+        order_cols=["event_id"], min_transitions=5, laplace=1.0,
+    )
+    return out.select(
+        "user_id",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.round("avg_log_likelihood", 6).alias("avg_log_likelihood"),
+    )
+
+
 def q_join_coverage(spark, sf_dir):
     """Pre-join diagnostics (operators/diff.py::join_diagnostics):
     key coverage + EXACT join-output cardinality + worst-key fanout
@@ -3253,6 +3277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # row each round regardless of window size.
     "cusum_changepoints": q_cusum_changepoints,
     "join_coverage": q_join_coverage,
+    "sequence_likelihood": q_sequence_likelihood,
     "contract_annotations": q_contract_annotations,
     "format_patterns": q_format_patterns,
     "partition_skew": q_partition_skew,
@@ -6078,4 +6103,30 @@ ORACLES["join_coverage"] = """
             / greatest(coalesce(sum(CASE WHEN m THEN nl END), 0), 1), 6)
         AS fanout_per_left_row
     FROM j
+"""
+
+ORACLES["sequence_likelihood"] = """
+    WITH tr AS (
+      SELECT user_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev,
+             event_type AS next
+      FROM events
+    ), tr2 AS (
+      SELECT * FROM tr WHERE prev IS NOT NULL
+    ), nt AS (
+      SELECT count(DISTINCT event_type)::DOUBLE AS n_types FROM events
+    ), counts AS (
+      SELECT prev, next, count(*)::DOUBLE AS c FROM tr2 GROUP BY 1, 2
+    ), model AS (
+      SELECT prev, next,
+             ln((c + 1.0) /
+                (sum(c) OVER (PARTITION BY prev)
+                 + (SELECT n_types FROM nt))) AS log_p
+      FROM counts
+    )
+    SELECT user_id, count(*) AS n_transitions,
+           round(avg(log_p), 6) AS avg_log_likelihood
+    FROM tr2 JOIN model USING (prev, next)
+    GROUP BY 1 HAVING count(*) >= 5
 """

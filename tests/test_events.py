@@ -100,3 +100,71 @@ def test_funnel_validates_inputs(spark):
         funnel(ev, ["a", "a"])
     with pytest.raises(ValueError, match="quotes"):
         funnel(ev, ["a", "b'; drop"])
+
+
+def test_sequence_likelihood_bot_ranks_bottom(spark):
+    """20 users alternate view/click; one bot loops view->view.
+    Every individual event type is common — only the ORDER is odd."""
+    from anomalydetection_spark.operators.events import sequence_likelihood
+
+    rows = []
+    for u in range(1, 21):
+        for s in range(10):
+            rows.append((u, s, "view" if s % 2 == 0 else "click"))
+    rows += [(99, s, "view") for s in range(10)]
+    out = sequence_likelihood(_ev(spark, rows), min_transitions=5).collect()
+    assert len(out) == 21
+    worst = min(out, key=lambda r: r.avg_log_likelihood)
+    assert worst.user_id == 99
+    # normal users all share one score; the bot is strictly below it
+    normal = {round(r.avg_log_likelihood, 9) for r in out if r.user_id != 99}
+    assert len(normal) == 1
+    assert worst.avg_log_likelihood < min(normal) - 0.5
+
+
+def test_sequence_likelihood_min_transitions_and_pin(spark):
+    """Hand-computed Laplace algebra on a 2-type corpus; short users
+    are dropped."""
+    import math
+
+    from anomalydetection_spark.operators.events import sequence_likelihood
+
+    # u1: a->b->a->b->a->b (5 transitions); u2: a->b only (1: dropped)
+    rows = [(1, s, "a" if s % 2 == 0 else "b") for s in range(6)]
+    rows += [(2, 0, "a"), (2, 1, "b")]
+    out = sequence_likelihood(
+        _ev(spark, rows), min_transitions=5
+    ).collect()
+    assert [r.user_id for r in out] == [1]
+    # counts: a->b = 4 (3 from u1... u1 transitions: ab,ba,ab,ba,ab = 3
+    # a->b + 2 b->a) + 1 from u2 -> a->b 4, b->a 2; |types|=2, laplace 1
+    p_ab = (4 + 1) / (4 + 2)   # row a total 4
+    p_ba = (2 + 1) / (2 + 2)   # row b total 2
+    exp = (3 * math.log(p_ab) + 2 * math.log(p_ba)) / 5
+    assert abs(out[0].avg_log_likelihood - exp) < 1e-9
+
+
+def test_sequence_likelihood_baseline_floor(spark):
+    """Fit on a baseline, score a stream with transitions (and a type)
+    the baseline never saw: both floor cases are finite and exact."""
+    import math
+
+    from anomalydetection_spark.operators.events import sequence_likelihood
+
+    base = [(u, s, "a" if s % 2 == 0 else "b") for u in (1, 2)
+            for s in range(6)]
+    # current: u7 does a->a (unseen transition, seen prev);
+    # u8 loops c->c (type absent from baseline entirely)
+    cur = [(7, s, "a") for s in range(6)] + [(8, s, "c") for s in range(6)]
+    out = {
+        r.user_id: r.avg_log_likelihood
+        for r in sequence_likelihood(
+            _ev(spark, cur), baseline=_ev(spark, base), min_transitions=5
+        ).collect()
+    }
+    # union universe: {a, b, c} -> |types| = 3. Baseline rows:
+    # a->b 6, b->a 4 (per user: 3 ab + 2 ba, two users)
+    floor_a = 1.0 / (6 + 3)        # prev 'a' total 6, laplace 1
+    floor_c = 1.0 / (0 + 3)        # prev 'c' never seen
+    assert abs(out[7] - math.log(floor_a)) < 1e-9
+    assert abs(out[8] - math.log(floor_c)) < 1e-9
