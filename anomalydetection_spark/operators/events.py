@@ -120,11 +120,18 @@ def sequence_likelihood(
 
     - transitions: ONE window pass (lag over user, ordered by a
       deterministic (ts, tiebreak) key) — the same single hash
-      exchange on ``user_col`` the scoring agg needs, so the whole
-      operator is one data shuffle;
-    - the model is the (prev, next) count table: at most |types|²
-      rows, aggregated map-side, Laplace-smoothed, and BROADCAST
-      back onto the transition stream (never a row shuffle);
+      exchange on ``user_col`` the scoring agg needs, so the scoring
+      side is one data shuffle;
+    - the model is the COMPLETE |types|² grid (distinct types
+      cross-joined, left-joined to the map-side-aggregated
+      transition counts, Laplace-smoothed): unseen cells carry the
+      smoothed floor in the same formula, so scoring is exactly ONE
+      broadcast join — no fallback branch, no row-totals pass;
+    - fit + score is two passes over the event stream (the standard
+      fit/transform shape; in baseline mode each corpus is read
+      once) plus one column-pruned distinct scan for the type
+      universe. No pass shuffles more than map-side partials except
+      the single user exchange;
     - per-user scores are a map-side-combinable avg over the
       already-user-partitioned stream.
 
@@ -172,42 +179,48 @@ def sequence_likelihood(
         if baseline is None
         else fit_on.select(type_col).unionByName(events.select(type_col))
     )
-    n_types = types_src.distinct().count()
+    # the type universe is bounded metadata (event kinds, not data):
+    # collect it once — it feeds both the smoothing constant and the
+    # grid, replacing two extra scans of the corpus
+    type_vals = sorted(
+        r[0] for r in types_src.distinct().collect() if r[0] is not None
+    )
+    n_types = len(type_vals)
     counts = fit_tr.groupBy("prev", "next").agg(F.count("*").alias("c"))
-    wp = Window.partitionBy("prev")
-    model = counts.withColumn(
-        "log_p",
-        F.log(
-            (F.col("c") + F.lit(float(laplace)))
-            / (F.sum("c").over(wp) + F.lit(float(laplace) * n_types))
+    # COMPLETE |types|² grid model: unseen cells materialize with c=0
+    # so every transition the scored stream can present matches, the
+    # smoothed floor falls out of the same formula (c=0, row_total of
+    # an unseen prev = 0), and the scoring side needs exactly ONE
+    # broadcast join — no separate row-totals pass over the fit
+    # stream. All grid algebra is metadata scale (≤|types|² rows).
+    from pyspark.sql.types import StructField, StructType
+
+    t_dt = events.schema[type_col].dataType
+    grid = events.sparkSession.createDataFrame(
+        [(p, n) for p in type_vals for n in type_vals],
+        StructType(
+            [StructField("prev", t_dt), StructField("next", t_dt)]
         ),
-    ).select("prev", "next", "log_p")
-    # unseen (prev, next) cells fall back to the smoothed floor of
-    # that prev row: laplace / (row_total + laplace*|types|). With a
-    # left join the floor needs the prev totals too — broadcast both.
-    totals = counts.groupBy("prev").agg(F.sum("c").alias("row_total"))
-    scored = (
-        tr.join(F.broadcast(model), ["prev", "next"], "left")
-        .join(F.broadcast(totals), "prev", "left")
+    )
+    wp = Window.partitionBy("prev")
+    model = (
+        grid.join(counts, ["prev", "next"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
         .withColumn(
-            "ll",
-            F.coalesce(
-                F.col("log_p"),
-                F.log(
-                    F.lit(float(laplace))
-                    / (
-                        F.coalesce(F.col("row_total"), F.lit(0))
-                        + F.lit(float(laplace) * n_types)
-                    )
-                ),
+            "log_p",
+            F.log(
+                (F.col("c") + F.lit(float(laplace)))
+                / (F.sum("c").over(wp) + F.lit(float(laplace) * n_types))
             ),
         )
+        .select("prev", "next", "log_p")
     )
+    scored = tr.join(F.broadcast(model), ["prev", "next"])
     return (
         scored.groupBy(user_col)
         .agg(
             F.count("*").alias("n_transitions"),
-            F.avg("ll").alias("avg_log_likelihood"),
+            F.avg("log_p").alias("avg_log_likelihood"),
         )
         .filter(F.col("n_transitions") >= int(min_transitions))
     )
