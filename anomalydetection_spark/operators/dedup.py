@@ -221,6 +221,141 @@ def minhash_lsh_pairs(
     return verify_jaccard(pairs, threshold)
 
 
+def setsim_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.85,
+    tokenizer=None,
+    order: str = "df",
+) -> DataFrame:
+    """EXACT all-pairs set-similarity join via lossless prefix
+    filtering (the PPJoin family's prefix + length filters; public
+    algorithm — Bayardo et al. WWW'07 / Xiao et al. WWW'08). The
+    deterministic complement to MinHash-LSH: LSH is probabilistic
+    (tunable recall), this is exact — every pair with token-Jaccard
+    >= ``threshold`` is returned, none missed.
+
+    How it scales (vs the O(n²) all-pairs join):
+      1. tokenize → one narrow scan to (id, token set, size m)
+      2. impose a global token order — ``order='df'`` sorts each doc's
+         tokens rarest-first by corpus document frequency (one
+         map-side-combinable agg + one token-granularity join);
+         ``order='hash'`` uses xxhash64 (no df pass, larger candidate
+         sets)
+      3. index only each doc's PREFIX — the first m - ceil(t·m) + 1
+         ordered tokens. If J(A,B) >= t the prefixes must intersect
+         (pigeonhole on the required overlap ceil(t·max(|A|,|B|))), so
+         joining on prefix tokens loses nothing; under df order the
+         prefixes hold the RAREST tokens, so inverted-index buckets
+         stay small exactly where a naive token join explodes
+      4. bucket self-join on prefix token + the length filter
+         (min(ma,mb) >= t·max(ma,mb), a necessary condition for
+         J >= t) → distinct candidate pairs
+      5. exact-Jaccard verification on the full token sets
+    Every stage is a shuffle on a bounded key space (token, then pair
+    ids); nothing is quadratic in corpus size — the candidate count is
+    sum over prefix tokens of |bucket|², bounded by df-ordering.
+
+    The ceil uses a 1e-9 guard (``ceil(t·m - 1e-9)``) so a 1-ulp-high
+    float product can only LENGTHEN the prefix (still lossless), never
+    shorten it. The verification filter compares the RAW double ratio
+    against ``threshold`` (same IEEE arithmetic as the DuckDB oracle);
+    jaccard is rounded to 4dp in the OUTPUT only — a rounded-then-
+    compare gate here would admit pairs the lossless-prefix guarantee
+    does not cover.
+
+    Returns (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    toks = (tokenizer or default_tokenizer)(text_col)
+    t = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .withColumn("m", F.size("toks"))
+        .filter(F.col("m") > 0)
+    )
+    p = (
+        F.col("m")
+        - F.ceil(F.lit(threshold) * F.col("m") - F.lit(1e-9)).cast("int")
+        + F.lit(1)
+    )
+    if order == "df":
+        dfreq = (
+            t.select(F.explode("toks").alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("df"))
+        )
+        ordered = (
+            t.select("doc_id", "m", F.explode("toks").alias("token"))
+            .join(dfreq, "token")
+            .groupBy("doc_id", "m")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("df", "token"))
+                ).alias("ord")
+            )
+            .select(
+                "doc_id",
+                "m",
+                F.transform("ord", lambda s: s["token"]).alias("toks_ord"),
+            )
+        )
+    elif order == "hash":
+        ordered = t.select(
+            "doc_id",
+            "m",
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        "toks",
+                        lambda x: F.struct(
+                            F.xxhash64(x).alias("h"), x.alias("token")
+                        ),
+                    )
+                ),
+                lambda s: s["token"],
+            ).alias("toks_ord"),
+        )
+    else:
+        raise ValueError(f"order must be 'df' or 'hash', got {order!r}")
+    prefix = ordered.select(
+        "doc_id", "m", F.explode(F.slice("toks_ord", F.lit(1), p)).alias("token")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, "token")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t is impossible when the smaller set
+            # can't cover t of the larger one
+            & (
+                F.least("a.m", "b.m").cast("double")
+                >= F.lit(threshold) * F.greatest("a.m", "b.m")
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    sets = t.select("doc_id", "toks")
+    cands = cand.join(
+        sets.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks")),
+        "a_id",
+    ).join(
+        sets.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks")),
+        "b_id",
+    )
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    uni = F.size(F.array_union("a_toks", "b_toks"))
+    raw = inter.cast("double") / uni
+    return (
+        cands.withColumn("_j", raw)
+        .filter(F.col("_j") >= F.lit(threshold))
+        .select("a_id", "b_id", F.round("_j", 4).alias("jaccard"))
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

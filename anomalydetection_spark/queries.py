@@ -3263,6 +3263,122 @@ def q_join_coverage(spark, sf_dir):
     )
 
 
+def q_setsim_prefix_join(spark, sf_dir):
+    """Exact all-pairs set-similarity join with lossless prefix
+    filtering (operators/dedup.py::setsim_prefix_pairs) — the
+    deterministic complement to minhash_lsh_candidates: every pair
+    with token-Jaccard >= 0.85 is found, none missed, without the
+    O(n²) all-pairs join. The DuckDB oracle IS the brute-force
+    all-pairs join, so a hash-exact match certifies the prefix
+    filter's losslessness end-to-end on real data. Plan: df-ordered
+    prefixes (rarest tokens) keep every inverted-index bucket small —
+    the candidate join shuffles prefix tokens (~(1-t)·|tokens|), the
+    verify joins shuffle candidate ids; nothing quadratic in corpus
+    size."""
+    from .operators.dedup import setsim_prefix_pairs
+
+    return setsim_prefix_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.85,
+    )
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the customer quasi-identifier tuple
+    (mktsegment, nationkey, 1000-unit acctbal bucket): any QI group
+    with fewer than k=5 members re-identifies its members when the
+    table is released or used as training data — the privacy sibling
+    of the pii_scan detector. One map-side-combinable groupBy; output
+    cardinality is bounded by the QI space (segments × nations ×
+    buckets), independent of row count, so the plan is scale-stable
+    at any table size."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_bucket"),
+        )
+        .groupBy("mktsegment", "nationkey", "bal_bucket")
+        .agg(F.count("*").alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )
+
+
+def q_coverage_gaps(spark, sf_dir):
+    """Data-freshness gap detection (gaps-and-islands): for each
+    event_type, every missing hour range between its first and last
+    observed hourly bucket — the batch form of a pipeline-liveness
+    alarm (did ingestion silently stop for type X?). Plan: one
+    map-side-combinable agg collapses raw events to the distinct
+    (type, hour) grid — output ~ |types| × hours, independent of
+    event volume — then lead() over that metadata-scale grid; the
+    window never sees raw rows. Hour buckets use the tz-free NTZ
+    truncation shared with q_rolling_3sigma."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hb = F.to_timestamp_ntz(F.date_format("ts", "yyyy-MM-dd HH:00:00"))
+    hours = (
+        ev.groupBy("event_type", hb.alias("hb"))
+        .agg(F.count("*").alias("_n"))
+        .drop("_n")
+    )
+    w = Window.partitionBy("event_type").orderBy("hb")
+    g = hours.withColumn("nxt", F.lead("hb").over(w))
+    gap_h = (
+        (F.unix_timestamp("nxt") - F.unix_timestamp("hb")) / 3600
+    ).cast("long") - 1
+    return g.filter(F.col("nxt").isNotNull() & (gap_h > 0)).select(
+        "event_type",
+        (F.col("hb") + F.expr("INTERVAL 1 HOUR")).alias("gap_start"),
+        (F.col("nxt") - F.expr("INTERVAL 1 HOUR")).alias("gap_end"),
+        gap_h.alias("gap_hours"),
+    )
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension type 2) interval build from an
+    event log: per user, collapse consecutive equal states
+    (event_type) into validity intervals [valid_from, valid_to) with
+    NULL valid_to on the current state — the warehouse-standard
+    change-history compaction, built with the lag-flag + running-sum
+    island trick. Ties at identical ts order by event_id, so the
+    result is deterministic. Plan: one user_id shuffle feeds all
+    three window steps (same partitioning reused), then a
+    metadata-scale groupBy per island; at 10^12 rows the shuffle is
+    on the natural entity key. user_id < 100 bounds the catalog
+    output; the logic is key-generic."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 100) & F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+        ).otherwise(1),
+    ).withColumn(
+        "grp",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = g.groupBy("user_id", "grp").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "grp")
+    return iv.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -3275,6 +3391,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with the per-round full-catalog artifact (ORACLES_FULL_r{N}.json,
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
+    "setsim_prefix_join": q_setsim_prefix_join,
+    "k_anonymity": q_k_anonymity,
+    "coverage_gaps": q_coverage_gaps,
+    "scd2_intervals": q_scd2_intervals,
     "cusum_changepoints": q_cusum_changepoints,
     "join_coverage": q_join_coverage,
     "sequence_likelihood": q_sequence_likelihood,
@@ -6129,4 +6249,80 @@ ORACLES["sequence_likelihood"] = """
            round(avg(log_p), 6) AS avg_log_likelihood
     FROM tr2 JOIN model USING (prev, next)
     GROUP BY 1 HAVING count(*) >= 5
+"""
+
+# Brute-force all-pairs Jaccard — deliberately NOT prefix-filtered:
+# a hash-exact match certifies setsim_prefix_pairs' lossless-prefix
+# guarantee (Spark computes the filtered plan, DuckDB the ground
+# truth). RAW-ratio threshold compare on both sides (identical IEEE
+# double division of exact ints); round(…,4) in the output only.
+ORACLES["setsim_prefix_join"] = """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.toks, b.toks)) * 1.0
+                 / (len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+          / (len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks))) >= 0.85
+"""
+
+ORACLES["k_anonymity"] = """
+    SELECT c_mktsegment AS mktsegment,
+           c_nationkey AS nationkey,
+           CAST(floor(c_acctbal / 1000) AS INT) AS bal_bucket,
+           count(*) AS group_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+"""
+
+ORACLES["coverage_gaps"] = """
+    WITH h AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb
+      FROM events WHERE ts IS NOT NULL
+    ), g AS (
+      SELECT event_type, hb,
+             lead(hb) OVER (PARTITION BY event_type ORDER BY hb) AS nxt
+      FROM h
+    )
+    SELECT event_type,
+           hb + INTERVAL 1 HOUR AS gap_start,
+           nxt - INTERVAL 1 HOUR AS gap_end,
+           CAST((epoch(nxt) - epoch(hb)) / 3600 - 1 AS BIGINT) AS gap_hours
+    FROM g
+    WHERE nxt IS NOT NULL AND epoch(nxt) - epoch(hb) > 3600
+"""
+
+ORACLES["scd2_intervals"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE user_id < 100 AND ts IS NOT NULL
+    ), f AS (
+      SELECT *,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM f
+    ), i AS (
+      SELECT user_id, grp,
+             min(event_type) AS state,
+             min(ts) AS valid_from,
+             count(*) AS n_events
+      FROM g GROUP BY 1, 2
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, grp) AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM i
 """
