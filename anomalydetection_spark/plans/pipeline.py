@@ -417,40 +417,12 @@ def run_validation(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=3)
+    pool = ThreadPoolExecutor(max_workers=4)
     dups = duplicate_keys(docs, cfg.unique_key, cfg.salt_buckets).cache()
     fut_dups = None
+    fut_pending = None
 
-    # Snapshot hashing (full-width pass) only pays when a manifest
-    # exists to compare against — without one, partition discovery is a
-    # narrow count scan.
-    if manifest is not None:
-        snaps = partition_snapshots(docs).cache()
-        pending = sorted(manifest.pending_partitions(snaps))
-        manifest.acquire_leases(pending, run_id, now)
-        totals_src = snaps
-    else:
-        # No manifest → every partition with rows is pending by
-        # construction, so the full-table dup-key scan can never be
-        # wasted work: submit it BEFORE the discovery count so the two
-        # narrow scans overlap (with a manifest the pending set decides
-        # whether any scan is needed at all, so discovery goes first).
-        fut_dups = pool.submit(dups.count)
-        snaps = None
-        totals_src = docs.groupBy("partition_id").agg(
-            F.count("*").alias("n_rows")
-        ).cache()
-        pending = sorted(
-            r.partition_id for r in totals_src.select("partition_id").collect()
-        )
-
-    # Partition pruning: only unvalidated partitions are read further.
-    # Deliberately NOT cached: each stage projects a narrow column
-    # subset, so parquet re-scans (vectorized, column-pruned) beat a
-    # full-row block-manager cache — caching the spans column in object
-    # form benchmarked 2-10x slower at high core counts (GC + eviction
-    # churn) and is a non-starter at 100 TB anyway.
-    if not pending:
+    def _empty_result() -> ValidationResult:
         from ..schema import VIOLATIONS_SCHEMA
 
         pool.shutdown(wait=False)
@@ -469,8 +441,48 @@ def run_validation(
             [],
             manifest.current_version() if manifest else 0,
         )
+
+    # Snapshot hashing (full-width pass) only pays when a manifest
+    # exists to compare against — without one, partition discovery is a
+    # narrow count scan.
+    if manifest is not None:
+        snaps = partition_snapshots(docs).cache()
+        pending = sorted(manifest.pending_partitions(snaps))
+        manifest.acquire_leases(pending, run_id, now)
+        totals_src = snaps
+        if not pending:
+            return _empty_result()
+        # Partition pruning: only unvalidated partitions are read
+        # further. Deliberately NOT cached: each stage projects a
+        # narrow column subset, so parquet re-scans (vectorized,
+        # column-pruned) beat a full-row block-manager cache — caching
+        # the spans column in object form benchmarked 2-10x slower at
+        # high core counts (GC + eviction churn) and is a non-starter
+        # at 100 TB anyway.
+        scope = docs.filter(F.col("partition_id").isin(pending))
+    else:
+        # No manifest → every partition with rows is pending by
+        # construction, so (a) scope ≡ docs — no isin() filter in any
+        # downstream plan — and (b) NOTHING depends on the discovery
+        # collect until verdict time: the dup-key scan, the drift
+        # histogram, AND the per-partition totals collect all run
+        # concurrently from driver threads while the driver proceeds
+        # straight to the wide-scan setup. (Discovery previously
+        # serialized ~2.5s ahead of everything at 16M docs.)
+        fut_dups = pool.submit(dups.count)
+        snaps = None
+        totals_src = docs.groupBy("partition_id").agg(
+            F.count("*").alias("n_rows")
+        ).cache()
+        fut_pending = pool.submit(
+            lambda: sorted(
+                r.partition_id
+                for r in totals_src.select("partition_id").collect()
+            )
+        )
+        pending = None
+        scope = docs
     _mark("discovery")
-    scope = docs.filter(F.col("partition_id").isin(pending))
 
     # --- small check inputs (narrow scans; tiny cached outputs) ---
     # key_scope=docs: duplicate *detection* scans the full table's key
@@ -554,6 +566,13 @@ def run_validation(
         from ..operators.referential import BROADCAST_MAX_CATALOG_ROWS as _BC
 
         broadcast_dups = fut_dups.result() <= _BC
+        if fut_pending is not None:
+            # resolve discovery (it has been running concurrently with
+            # the dup/hist scans) before committing to the wide scan —
+            # an empty table keeps the old no-op semantics
+            pending = fut_pending.result()
+            if not pending:
+                return _empty_result()
         _mark("small_scans")
 
         # --- ONE wide scan → all violation rows, staged under run_id.

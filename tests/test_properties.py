@@ -99,14 +99,19 @@ ref_str = st.text(
 @settings(max_examples=60, deadline=None)
 @given(
     st.lists(
-        st.one_of(st.none(), st.lists(ref_str, max_size=6)),
+        st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.none(), ref_str), max_size=6),
+        ),
         max_size=200,
     ),
     st.lists(ref_str, max_size=30),
 )
 def test_orphan_kernel_matches_python_reference(rows, catalog):
     """The Arrow orphan kernel must agree with a per-row Python
-    reference for arbitrary ref lists (incl. nulls, empties, dups)."""
+    reference for arbitrary ref lists — null rows, null ELEMENTS
+    (unprojected media_refs ride through since the JVM side is a bare
+    transform now), empties, and duplicates (deduped in-kernel)."""
     import pyarrow as pa
 
     from anomalydetection_spark.operators.referential import _orphan_kernel
@@ -116,7 +121,8 @@ def test_orphan_kernel_matches_python_reference(rows, catalog):
     out = _orphan_kernel(refs, keys).to_pylist()
     cat = set(catalog)
     expect = [
-        sorted(v for v in (row or []) if v not in cat) for row in rows
+        sorted({v for v in (row or []) if v is not None and v not in cat})
+        for row in rows
     ]
     assert out == expect
 
