@@ -231,3 +231,33 @@ def test_round4f_analyzers_empty(spark, tmp_path):
     r = QUERIES["partition_skew"](spark, td).collect()
     assert len(r) == 1 and r[0]["n_partitions"] == 0
     assert r[0]["gini"] is None and r[0]["skew_ratio"] is None
+
+
+def test_setsim_empty(spark):
+    from anomalydetection_spark.operators.dedup import setsim_prefix_pairs
+
+    d = spark.createDataFrame([], "doc_id long, text string")
+    for order in ("df", "hash"):
+        assert setsim_prefix_pairs(d, order=order).count() == 0
+
+
+def test_gaps_islands_queries_empty(spark, tmp_path):
+    from anomalydetection_spark.queries import (
+        q_coverage_gaps,
+        q_k_anonymity,
+        q_scd2_intervals,
+    )
+
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        [],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    assert q_coverage_gaps(spark, str(tmp_path)).count() == 0
+    assert q_scd2_intervals(spark, str(tmp_path)).count() == 0
+    assert q_k_anonymity(spark, str(tmp_path)).count() == 0
