@@ -3379,6 +3379,98 @@ def q_scd2_intervals(spark, sf_dir):
     )
 
 
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence (IQR) outlier audit per event_type — the
+    quartile-based sibling of q_robust_zscore (MAD): exact interpolated
+    quartiles (Spark `percentile` ≡ DuckDB `quantile_cont`, both R-7),
+    fences at 1.5·IQR ROUNDED to 6dp in both engines before the
+    comparison (the rounded fence is the pinned contract — raw
+    interpolation could differ by 1 ulp across engines and flip a
+    boundary row). Plan: one groupBy for the |types|-row quartile
+    table, broadcast back, one re-aggregation on the same key; the
+    quartile sort is per-group and the join side is metadata-scale."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 6).alias("lo"),
+        F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 6).alias("hi"),
+    )
+    out = (
+        ev.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "q1", "q3", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+                .cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "q1",
+        "q3",
+        "lo",
+        "hi",
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+        F.round(F.col("n_outliers") / F.col("n"), 6).alias("outlier_rate"),
+    )
+
+
+def q_trend_slopes(spark, sf_dir):
+    """Least-squares trend of the hourly event-count series per type —
+    is a source's volume ramping or decaying? Slope and R² are
+    computed from EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy² over
+    per-type-recentered hour indexes), so the only floating-point ops
+    are two final divisions of exact longs — bit-identical across
+    engines (regr_slope's streaming covariance is summation-order-
+    dependent and was rejected for the oracle contract). Plan: one
+    agg to the (type, hour) grid, a window min on that tiny grid, one
+    more metadata-scale agg."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hb = F.to_timestamp_ntz(F.date_format("ts", "yyyy-MM-dd HH:00:00"))
+    hourly = ev.groupBy("event_type", hb.alias("hb")).agg(
+        F.count("*").alias("y")
+    )
+    w = Window.partitionBy("event_type")
+    g = hourly.withColumn(
+        "x",
+        (
+            (F.unix_timestamp("hb") - F.min(F.unix_timestamp("hb")).over(w))
+            / 3600
+        ).cast("long"),
+    )
+    s = g.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = s["n"] * s["sxy"] - s["sx"] * s["sy"]
+    denx = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+    deny = s["n"] * s["syy"] - s["sy"] * s["sy"]
+    # r2 = num²/(denx·deny) computed as (num/denx)·(num/deny): the
+    # int64 products num², denx·deny overflow at modest grid sizes;
+    # two exact-long divisions then one double multiply are bit-stable
+    # across engines
+    return s.filter((denx > 0) & (deny > 0)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_buckets"),
+        F.round(num.cast("double") / denx, 6).alias("slope_per_hour"),
+        F.round(
+            (num.cast("double") / denx) * (num.cast("double") / deny), 6
+        ).alias("r2"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -3391,6 +3483,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with the per-round full-catalog artifact (ORACLES_FULL_r{N}.json,
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
+    "iqr_outliers": q_iqr_outliers,
+    "trend_slopes": q_trend_slopes,
     "setsim_prefix_join": q_setsim_prefix_join,
     "k_anonymity": q_k_anonymity,
     "coverage_gaps": q_coverage_gaps,
@@ -6325,4 +6419,53 @@ ORACLES["scd2_intervals"] = """
                                   ORDER BY valid_from, grp) AS valid_to,
            CAST(n_events AS BIGINT) AS n_events
     FROM i
+"""
+
+ORACLES["iqr_outliers"] = """
+    WITH e AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1r,
+             quantile_cont(value, 0.75) AS q3r
+      FROM e GROUP BY 1
+    ), f AS (
+      SELECT event_type, round(q1r, 6) AS q1, round(q3r, 6) AS q3,
+             round(q1r - 1.5 * (q3r - q1r), 6) AS lo,
+             round(q3r + 1.5 * (q3r - q1r), 6) AS hi
+      FROM q
+    )
+    SELECT e.event_type, q1, q3, lo, hi,
+           CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS outlier_rate
+    FROM e JOIN f USING (event_type)
+    GROUP BY 1, 2, 3, 4, 5
+"""
+
+# Exact-integer sums (n, Σx, Σy, Σxy, Σx², Σy²) make the regression
+# bit-stable across engines; r2 is two exact-long divisions multiplied
+# as doubles (int64-product overflow guard, mirrored in the Spark side)
+ORACLES["trend_slopes"] = """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hb, count(*) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), g AS (
+      SELECT event_type, y,
+             CAST((epoch(hb) - min(epoch(hb))
+                   OVER (PARTITION BY event_type)) / 3600 AS BIGINT) AS x
+      FROM h
+    ), s AS (
+      SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM g GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_buckets,
+           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+             AS slope_per_hour,
+           round(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                 * ((n * sxy - sx * sy) * 1.0 / (n * syy - sy * sy)), 6)
+             AS r2
+    FROM s WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
 """
