@@ -3471,6 +3471,143 @@ def q_trend_slopes(spark, sf_dir):
     )
 
 
+def q_token_pmi(spark, sf_dir):
+    """Bigram collocation mining via pointwise mutual information —
+    which adjacent token pairs co-occur far more often than chance?
+    (Corpus-analysis staple: PMI surfaces templated/boilerplate
+    phrases that per-doc repetition metrics miss because the
+    repetition is ACROSS documents.) Bigram assembly is row-local
+    (zip of two slices, one explode); unigram and bigram counts are
+    map-side-partial groupBys; the two count joins are vocab-scale
+    (counts, never rows) and the totals attach as a broadcast 1-row
+    aggregate. PMI = ln((c_ab/N_bi)·(N_tok/c_a)·(N_tok/c_b)) with the
+    multiply/divide order fixed identically in both engines; min
+    count 5 bounds the report to established collocations."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.split(F.lower(F.trim("text")), " ").alias("toks"))
+    )
+    uni = (
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg.w1", "bg.w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    totals = uni.agg(F.sum("c").alias("n_tok")).crossJoin(
+        d.filter(F.size("toks") >= 2)
+        .agg(F.sum(F.size("toks") - 1).alias("n_bi"))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    j = bi.join(u1, "w1").join(u2, "w2").crossJoin(F.broadcast(totals))
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.col("n_bi").cast("double"))
+        * (F.col("n_tok").cast("double") / F.col("c1").cast("double"))
+        * (F.col("n_tok").cast("double") / F.col("c2").cast("double"))
+    )
+    return j.select(
+        "w1",
+        "w2",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.round(pmi, 6).alias("pmi"),
+    )
+
+
+def q_null_cooccurrence(spark, sf_dir):
+    """Missingness-pattern co-occurrence audit (the missingno-style
+    analysis Deequ lacks): are two columns null TOGETHER more often
+    than independence predicts? Nulls are synthesized deterministically
+    from event_id hashes (the flat test tables carry none) with one
+    engineered correlation — `props` goes null whenever `value` does,
+    plus an independent extra stratum — so the lift contract has a
+    planted signal. The whole audit is ONE aggregation of indicator
+    sums and pairwise indicator products; the 3-row pair report is
+    assembled row-locally from that single broadcast row. Jaccard =
+    both/(either); lift = P(both)/(P(a)·P(b))."""
+    ev = _t(spark, sf_dir, "events")
+    masked = ev.select(
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+        F.when(
+            (F.col("event_id") % 7 == 0) | (F.col("event_id") % 11 == 3),
+            None,
+        )
+        .otherwise(F.col("props"))
+        .alias("p"),
+        F.when(F.col("event_id") % 13 == 5, None)
+        .otherwise(F.col("event_type"))
+        .alias("t"),
+    )
+    a = F.col("v").isNull().cast("long")
+    b = F.col("p").isNull().cast("long")
+    c = F.col("t").isNull().cast("long")
+    s = masked.agg(
+        F.count("*").alias("n"),
+        F.sum(a).alias("na"),
+        F.sum(b).alias("nb"),
+        F.sum(c).alias("nc"),
+        F.sum(a * b).alias("nab"),
+        F.sum(a * c).alias("nac"),
+        F.sum(b * c).alias("nbc"),
+    )
+
+    def pair(ca, cb, n_a, n_b, n_both):
+        return F.struct(
+            F.lit(ca).alias("col_a"),
+            F.lit(cb).alias("col_b"),
+            F.col(n_a).cast("long").alias("n_a"),
+            F.col(n_b).cast("long").alias("n_b"),
+            F.col(n_both).cast("long").alias("n_both"),
+        )
+
+    pairs = s.select(
+        "n",
+        F.explode(
+            F.array(
+                pair("value", "props", "na", "nb", "nab"),
+                pair("value", "event_type", "na", "nc", "nac"),
+                pair("props", "event_type", "nb", "nc", "nbc"),
+            )
+        ).alias("pr"),
+    ).select("n", "pr.*")
+    either = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return pairs.select(
+        "col_a",
+        "col_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(
+            F.when(either > 0, F.col("n_both").cast("double") / either), 6
+        ).alias("jaccard"),
+        F.round(
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("n_both").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            ),
+            6,
+        ).alias("lift"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -3483,6 +3620,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with the per-round full-catalog artifact (ORACLES_FULL_r{N}.json,
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
+    "token_pmi": q_token_pmi,
+    "null_cooccurrence": q_null_cooccurrence,
     "iqr_outliers": q_iqr_outliers,
     "trend_slopes": q_trend_slopes,
     "setsim_prefix_join": q_setsim_prefix_join,
@@ -6468,4 +6607,75 @@ ORACLES["trend_slopes"] = """
                  * ((n * sxy - sx * sy) * 1.0 / (n * syy - sy * sy)), 6)
              AS r2
     FROM s WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+"""
+
+# PMI with the multiply/divide order written identically to the Spark
+# expression: (c_ab/n_bi) * (n_tok/c1) * (n_tok/c2), all CAST to double
+# before dividing — IEEE ops in a fixed order are bit-stable across
+# engines, and round(…, 6) absorbs any residual ln() libm delta.
+ORACLES["token_pmi"] = """
+    WITH d AS (
+      SELECT string_split(lower(trim(text)), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), uni AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1
+    ), bi AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2
+    ), cb AS (
+      SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ), tot AS (
+      SELECT (SELECT sum(c) FROM uni) AS n_tok,
+             (SELECT count(*) FROM bi) AS n_bi
+    )
+    SELECT cb.w1, cb.w2, CAST(c_ab AS BIGINT) AS c_ab,
+           round(ln((CAST(c_ab AS DOUBLE) / CAST(n_bi AS DOUBLE))
+                    * (CAST(n_tok AS DOUBLE) / CAST(u1.c AS DOUBLE))
+                    * (CAST(n_tok AS DOUBLE) / CAST(u2.c AS DOUBLE))), 6)
+             AS pmi
+    FROM cb
+    JOIN uni u1 ON u1.tok = cb.w1
+    JOIN uni u2 ON u2.tok = cb.w2
+    CROSS JOIN tot
+"""
+
+ORACLES["null_cooccurrence"] = """
+    WITH m AS (
+      SELECT
+        CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+        CASE WHEN event_id % 7 = 0 OR event_id % 11 = 3
+             THEN NULL ELSE props END AS p,
+        CASE WHEN event_id % 13 = 5 THEN NULL ELSE event_type END AS t
+      FROM events
+    ), s AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS nc,
+             sum(CASE WHEN v IS NULL AND p IS NULL THEN 1 ELSE 0 END) AS nab,
+             sum(CASE WHEN v IS NULL AND t IS NULL THEN 1 ELSE 0 END) AS nac,
+             sum(CASE WHEN p IS NULL AND t IS NULL THEN 1 ELSE 0 END) AS nbc
+      FROM m
+    ), pairs AS (
+      SELECT 'value' AS col_a, 'props' AS col_b,
+             na AS n_a, nb AS n_b, nab AS n_both, n FROM s
+      UNION ALL
+      SELECT 'value', 'event_type', na, nc, nac, n FROM s
+      UNION ALL
+      SELECT 'props', 'event_type', nb, nc, nbc, n FROM s
+    )
+    SELECT col_a, col_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           round(CASE WHEN n_a + n_b - n_both > 0
+                 THEN CAST(n_both AS DOUBLE) / (n_a + n_b - n_both) END, 6)
+             AS jaccard,
+           round(CASE WHEN n_a > 0 AND n_b > 0
+                 THEN CAST(n_both AS DOUBLE) * CAST(n AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END, 6)
+             AS lift
+    FROM pairs
 """
