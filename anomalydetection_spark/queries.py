@@ -3608,6 +3608,60 @@ def q_null_cooccurrence(spark, sf_dir):
     )
 
 
+def q_gap_anomaly(spark, sf_dir):
+    """Inter-arrival gap anomaly per user — a silent sensor/heartbeat
+    audit: which users have gaps > mean + 3 sigma of THEIR OWN gap
+    history? (Adaptive per-entity threshold — the fixed-threshold
+    sibling is sessionization.) The cross-engine contract is exact
+    integer arithmetic end-to-end: gaps are whole seconds
+    (`unix_timestamp` floor-divides micros under the UTC session TZ
+    ≡ DuckDB `epoch_us // 1e6`, identical floor truncation), and the
+    3-sigma test is the integer-rearranged form
+    (n·g − Σg)² > 9·(n·Σg² − (Σg)²) with both sides converted from
+    EXACT int64 sums to double in the same expression order — no
+    streaming variance, no summation-order drift. Plan: ONE hash
+    exchange on user_id serves the lag window, the stats windows and
+    the final groupBy (same key, no re-shuffle)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+        )
+        .withColumn("gap", F.col("sec") - F.lag("sec").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    wu = Window.partitionBy("user_id")
+    g = (
+        g.withColumn("n", F.count("*").over(wu))
+        .withColumn("sg", F.sum("gap").over(wu))
+        .withColumn("sg2", F.sum(F.col("gap") * F.col("gap")).over(wu))
+    )
+    dx = (F.col("n") * F.col("gap") - F.col("sg")).cast("double")
+    var9 = (
+        9.0
+        * (F.col("n") * F.col("sg2") - F.col("sg") * F.col("sg")).cast(
+            "double"
+        )
+    )
+    anom = ((F.col("n") * F.col("gap") - F.col("sg")) > 0) & (dx * dx > var9)
+    return (
+        g.filter(F.col("n") >= 2)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            F.round(
+                F.max("sg").cast("double") / F.max("n"), 6
+            ).alias("mean_gap_s"),
+            F.max("gap").cast("long").alias("max_gap_s"),
+            F.sum(anom.cast("long")).cast("long").alias("n_anomalous"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -3622,6 +3676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # row each round regardless of window size.
     "token_pmi": q_token_pmi,
     "null_cooccurrence": q_null_cooccurrence,
+    "gap_anomaly": q_gap_anomaly,
     "iqr_outliers": q_iqr_outliers,
     "trend_slopes": q_trend_slopes,
     "setsim_prefix_join": q_setsim_prefix_join,
@@ -6640,6 +6695,40 @@ ORACLES["token_pmi"] = """
     JOIN uni u1 ON u1.tok = cb.w1
     JOIN uni u2 ON u2.tok = cb.w2
     CROSS JOIN tot
+"""
+
+# Exact-integer 3-sigma contract (see q_gap_anomaly): whole-second
+# gaps via identical floor truncation, int64 window sums, and the
+# rearranged (n·g − Σg)² > 9·(n·Σg² − (Σg)²) test with the int→double
+# conversions in the same expression order as the Spark side.
+ORACLES["gap_anomaly"] = """
+    WITH s AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS sec
+      FROM events WHERE ts IS NOT NULL
+    ), g AS (
+      SELECT user_id,
+             sec - lag(sec) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS gap
+      FROM s
+    ), gg AS (
+      SELECT user_id, gap FROM g WHERE gap IS NOT NULL
+    ), wg AS (
+      SELECT user_id, gap,
+             count(*)       OVER (PARTITION BY user_id) AS n,
+             sum(gap)       OVER (PARTITION BY user_id) AS sg,
+             sum(gap * gap) OVER (PARTITION BY user_id) AS sg2
+      FROM gg
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_gaps,
+           round(CAST(max(sg) AS DOUBLE) / max(n), 6) AS mean_gap_s,
+           CAST(max(gap) AS BIGINT) AS max_gap_s,
+           CAST(sum(CASE WHEN (n * gap - sg) > 0
+                          AND CAST(n * gap - sg AS DOUBLE)
+                              * CAST(n * gap - sg AS DOUBLE)
+                              > 9.0 * CAST(n * sg2 - sg * sg AS DOUBLE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+    FROM wg WHERE n >= 2 GROUP BY 1
 """
 
 ORACLES["null_cooccurrence"] = """
