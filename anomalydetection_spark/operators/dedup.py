@@ -31,6 +31,56 @@ def default_tokenizer(text_col: str) -> Column:
     return F.array_distinct(F.split(F.lower(F.trim(text_col)), " "))
 
 
+def shingle_tokenizer(n: int = 3):
+    """Tokenizer factory: distinct n-word shingles of the lowercased,
+    trimmed text (docs shorter than n words contribute their whole
+    text as one shingle). Shingles are the standard discriminative
+    set representation for set-similarity dedup — over a small word
+    vocabulary, unigram token SETS degenerate (every doc shares most
+    of the vocabulary) and the true >=t pair count itself grows
+    quadratically; n-word shingles restore per-doc distinctiveness so
+    bucket sizes and the result stay linear-ish in corpus size.
+    NULL text yields NULL (dropped by the m > 0 gate), matching the
+    unigram tokenizer's behavior.
+
+    Arrow-batched pandas UDF rather than a Catalyst expression: the
+    declarative form (transform(sequence(...), i -> concat_ws(' ',
+    slice(words, i+1, n)))) runs INTERPRETED — higher-order functions
+    are outside whole-stage codegen and the per-shingle slice copies
+    dominate (measured 2.45 s vs 0.55 s per sf0.1 scan, 4.4x). The
+    Python-side semantics are pinned to the SQL ones the DuckDB
+    oracle uses: split on single space keeping empty tokens, strip
+    SPACES only (not all whitespace), ASCII-stable lower()."""
+
+    @F.pandas_udf("array<string>")
+    def _shingles(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            w = t.strip(" ").lower().split(" ")
+            if len(w) >= n:
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(w[i : i + n])
+                            for i in range(len(w) - n + 1)
+                        )
+                    )
+                )
+            else:
+                out.append([" ".join(w)])
+        import pandas as pd
+
+        return pd.Series(out)
+
+    def tok(text_col: str) -> Column:
+        return _shingles(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+    return tok
+
+
 def minhash_signature(toks: Column, slot: int) -> Column:
     """One MinHash slot: min over tokens of a 60-bit md5-derived hash."""
     return F.array_min(
@@ -320,22 +370,43 @@ def setsim_prefix_pairs(
     prefix = ordered.select(
         "doc_id", "m", F.explode(F.slice("toks_ord", F.lit(1), p)).alias("token")
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # Bucket-grouped pair expansion instead of a prefix self-join: a
+    # self-join would recompute the whole tokenize -> dfreq -> order
+    # subtree for BOTH sides (Spark self-joins duplicate the plan
+    # subtree), doubling the heaviest stages. Grouping the inverted
+    # index by token and expanding i<j pairs with nested HOFs inside
+    # the row pays the same sum-over-buckets |bucket|^2 candidate cost
+    # (bounded by df ordering) while the upstream runs ONCE. The
+    # length filter (J >= t is impossible when the smaller set can't
+    # cover t of the larger one) prunes inside the kernel, before the
+    # pairs ever hit the distinct shuffle.
+    buckets = (
+        prefix.groupBy("token")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "m"))).alias("mem"))
+        .filter(F.size("mem") >= 2)
+    )
+    mem = F.col("mem")
+    pairs_nested = F.transform(
+        mem,
+        lambda x: F.transform(
+            F.filter(
+                mem,
+                lambda y: (y["doc_id"] > x["doc_id"])
+                & (
+                    F.least(x["m"], y["m"]).cast("double")
+                    >= F.lit(threshold) * F.greatest(x["m"], y["m"])
+                ),
+            ),
+            lambda y: F.struct(
+                x["doc_id"].alias("a_id"), y["doc_id"].alias("b_id")
+            ),
+        ),
+    )
     cand = (
-        a.join(b, "token")
-        .filter(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: J >= t is impossible when the smaller set
-            # can't cover t of the larger one
-            & (
-                F.least("a.m", "b.m").cast("double")
-                >= F.lit(threshold) * F.greatest("a.m", "b.m")
-            )
+        buckets.select(
+            F.explode(F.flatten(pairs_nested)).alias("pair")
         )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-        )
+        .select(F.col("pair.a_id").alias("a_id"), F.col("pair.b_id").alias("b_id"))
         .distinct()
     )
     sets = t.select("doc_id", "toks")

@@ -3267,21 +3267,29 @@ def q_setsim_prefix_join(spark, sf_dir):
     """Exact all-pairs set-similarity join with lossless prefix
     filtering (operators/dedup.py::setsim_prefix_pairs) — the
     deterministic complement to minhash_lsh_candidates: every pair
-    with token-Jaccard >= 0.85 is found, none missed, without the
+    with shingle-Jaccard >= 0.85 is found, none missed, without the
     O(n²) all-pairs join. The DuckDB oracle IS the brute-force
     all-pairs join, so a hash-exact match certifies the prefix
-    filter's losslessness end-to-end on real data. Plan: df-ordered
-    prefixes (rarest tokens) keep every inverted-index bucket small —
-    the candidate join shuffles prefix tokens (~(1-t)·|tokens|), the
-    verify joins shuffle candidate ids; nothing quadratic in corpus
-    size."""
-    from .operators.dedup import setsim_prefix_pairs
+    filter's losslessness end-to-end on real data. Sets are 3-word
+    SHINGLES, not unigrams: the synthetic corpus has ~31 distinct
+    words, so unigram token sets degenerate (measured at sf0.1:
+    max prefix bucket 3,818 of 5,000 docs, 5.3M candidates, and a
+    1.7M-pair TRUE result — the output itself is quadratic in corpus
+    size, which no candidate filter can fix). 3-word shingles give a
+    27k vocabulary with max df 25, so prefix buckets, candidates, and
+    the result all stay linear-ish — the representation any 100 TB
+    set-similarity dedup would use. Plan: df-ordered prefixes (rarest
+    shingles) keep every inverted-index bucket small — the candidate
+    join shuffles prefix shingles (~(1-t)·|shingles|), the verify
+    joins shuffle candidate ids; nothing quadratic in corpus size."""
+    from .operators.dedup import setsim_prefix_pairs, shingle_tokenizer
 
     return setsim_prefix_pairs(
         _t(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         threshold=0.85,
+        tokenizer=shingle_tokenizer(3),
     )
 
 
@@ -6544,11 +6552,20 @@ ORACLES["sequence_likelihood"] = """
 # guarantee (Spark computes the filtered plan, DuckDB the ground
 # truth). RAW-ratio threshold compare on both sides (identical IEEE
 # double division of exact ints); round(…,4) in the output only.
+# Brute-force all-pairs over the SAME 3-word shingles as the Spark
+# side (shingle_tokenizer(3)): docs shorter than 3 words contribute
+# their whole text as one shingle.
 ORACLES["setsim_prefix_join"] = """
-    WITH t AS (
-      SELECT doc_id,
-             list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS wds
       FROM documents WHERE text IS NOT NULL
+    ), t AS (
+      SELECT doc_id,
+             CASE WHEN len(wds) >= 3 THEN
+               list_distinct(list_transform(range(1, len(wds) - 1),
+                 i -> array_to_string(wds[i:i+2], ' ')))
+             ELSE [array_to_string(wds, ' ')] END AS toks
+      FROM w
     )
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            round(len(list_intersect(a.toks, b.toks)) * 1.0

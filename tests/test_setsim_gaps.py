@@ -207,3 +207,63 @@ def test_k_anonymity_planted(spark, tmp_path):
     assert (r.mktsegment, r.nationkey, r.bal_bucket, r.group_size) == (
         "SEG_B", 2, 1, 3,
     )
+
+
+def test_shingle_tokenizer_semantics(spark):
+    """Shingle parity with the SQL form the DuckDB oracle uses: split
+    on single space keeping empties, strip spaces only, whole-text
+    shingle for short docs, NULL text -> NULL (dropped by m > 0)."""
+    from anomalydetection_spark.operators.dedup import shingle_tokenizer
+
+    df = spark.createDataFrame(
+        [
+            (0, "A b c d"),            # 2 trigram shingles, lowercased
+            (1, "  one two  "),        # < 3 words -> whole trimmed text
+            (2, "x"),                  # single word -> itself
+            (3, None),                 # NULL -> NULL toks
+            (4, "r r r r"),            # repeated shingle deduped
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.toks
+        for r in df.select(
+            "doc_id", shingle_tokenizer(3)("text").alias("toks")
+        ).collect()
+    }
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["one two"]
+    assert got[2] == ["x"]
+    assert got[3] is None
+    assert got[4] == ["r r r"]
+
+
+def test_setsim_shingled_brute_force(spark):
+    """Lossless prefix filtering holds under the shingle tokenizer:
+    the operator's pairs equal brute-force all-pairs shingle-Jaccard."""
+    from anomalydetection_spark.operators.dedup import (
+        setsim_prefix_pairs,
+        shingle_tokenizer,
+    )
+
+    def sh3(t):
+        w = t.strip(" ").lower().split(" ")
+        if len(w) >= 3:
+            return set(" ".join(w[i : i + 3]) for i in range(len(w) - 2))
+        return {" ".join(w)}
+
+    texts = PLANTED + ["the quick brown fox leaps over the lazy dog tonight"]
+    want = set()
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        ta, tb = sh3(texts[a]), sh3(texts[b])
+        if len(ta | tb) and len(ta & tb) / len(ta | tb) >= 0.5:
+            want.add((a, b))
+    got = {
+        (r.a_id, r.b_id)
+        for r in setsim_prefix_pairs(
+            _docs(spark, texts),
+            threshold=0.5,
+            tokenizer=shingle_tokenizer(3),
+        ).collect()
+    }
+    assert got == want and want  # non-trivial fixture
