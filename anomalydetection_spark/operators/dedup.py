@@ -278,6 +278,7 @@ def setsim_prefix_pairs(
     threshold: float = 0.85,
     tokenizer=None,
     order: str = "df",
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT all-pairs set-similarity join via lossless prefix
     filtering (the PPJoin family's prefix + length filters; public
@@ -323,6 +324,17 @@ def setsim_prefix_pairs(
         .withColumn("m", F.size("toks"))
         .filter(F.col("m") > 0)
     )
+    if materialize:
+        # PPJoin is a genuinely multi-pass algorithm over the tokenized
+        # relation: t feeds the df agg, the ordered-prefix build, AND
+        # both verify join sides. Without a persist, Spark recomputes
+        # the tokenize scan per branch (4x at 100 TB — tokenization is
+        # the single heaviest narrow stage). MEMORY_AND_DISK spills
+        # rather than OOMs when the token table exceeds executor
+        # memory; Spark's LRU eviction reclaims it after the job.
+        from pyspark import StorageLevel
+
+        t = t.persist(StorageLevel.MEMORY_AND_DISK)
     p = (
         F.col("m")
         - F.ceil(F.lit(threshold) * F.col("m") - F.lit(1e-9)).cast("int")
