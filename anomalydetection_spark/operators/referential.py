@@ -103,32 +103,38 @@ def orphan_refs_rowlocal_udf(spark: SparkSession, keys: np.ndarray):
     from pyspark.sql.functions import arrow_udf
 
     bkeys = spark.sparkContext.broadcast(np.asarray(keys, dtype=object))
+    # one-slot Arrow-array cache, scoped to THIS udf's closure: built on
+    # the first batch after each (de)serialization of the closure (once
+    # per task), reused across the task's Arrow batches. A module-level
+    # cache keyed by id(keys) is unsound — Python reuses ids after GC,
+    # so a second broadcast allocated at a freed array's address would
+    # silently hit the first broadcast's catalog.
+    cat_slot: list = []
 
     @arrow_udf("array<string>")
     def _orphans(refs: pa.Array) -> pa.Array:
-        return _orphan_kernel(refs, bkeys.value)
+        if not cat_slot:
+            cat_slot.append(pa.array(bkeys.value, type=pa.string()))
+        return _orphan_kernel(refs, bkeys.value, cat=cat_slot[0])
 
     return _orphans
 
 
-# catalog key set → Arrow array, built once per python worker per
-# broadcast (the kernel runs once per Arrow batch; rebuilding the 50k+
-# value_set array object-by-object every batch was pure overhead)
-_CAT_CACHE: dict[int, "pa.Array"] = {}
-
-
-def _orphan_kernel(refs, keys: np.ndarray):
+def _orphan_kernel(refs, keys: np.ndarray, cat: "pa.Array | None" = None):
     """Pure pyarrow kernel behind the row-local UDF (property-tested in
     tests/test_properties.py against a per-row Python reference):
     list<string> refs per row → SORTED DISTINCT non-null refs not in
     ``keys``. Null elements and duplicate refs are handled HERE (C
     level) rather than by JVM filter()/array_distinct() passes — the
     interpreted higher-order expressions cost more wall time per scan
-    than this whole kernel."""
-    cat = _CAT_CACHE.get(id(keys))
+    than this whole kernel. ``cat`` is the optional pre-built Arrow
+    value_set for ``keys`` (the UDF closure builds it once per task and
+    passes it in; rebuilding a 50k+ value array object-by-object every
+    batch was pure overhead, and a module-level id(keys)-keyed cache
+    was UNSOUND — ids are reused after GC, so a different key set could
+    silently hit a stale catalog)."""
     if cat is None:
         cat = pa.array(keys, type=pa.string())
-        _CAT_CACHE[id(keys)] = cat
     if isinstance(refs, pa.ChunkedArray):
         refs = refs.combine_chunks()
     n = len(refs)
