@@ -1,0 +1,170 @@
+"""Semi-structured (JSON) field validation over string columns.
+
+Validation engines treat typed columns as the easy case; real tables
+carry JSON blobs (event properties, API payloads) whose SCHEMA lives
+only in the data. This operator audits such a column the way the
+typed-column profiler audits the rest of the table: per key, how often
+is it present, what value TYPES does it carry (a key that is number in
+99% of rows and string in 1% is a producer bug), how often is it an
+explicit JSON null, and how many rows fail to parse at all.
+
+Spark-first shape — the whole audit is JVM-side VARIANT machinery
+(``try_parse_json`` / ``variant_get`` / ``schema_of_variant``), no
+Python UDF anywhere:
+
+1. key DISCOVERY: one narrow scan, ``json_object_keys`` exploded +
+   distinct. The result is schema-scale (bounded by ``max_keys``), so
+   the collect is metadata, not data — same contract as the verdict
+   value sets.
+2. ONE audit scan: parse each row once, project an array of
+   (key, normalized-type) structs over the discovered keys from
+   literal variant paths, explode, and run a map-side-combinable
+   groupBy (key, vtype). Output cardinality = |keys| x |types|,
+   independent of row count.
+3. ONE 1-row totals aggregate (raw non-null rows, parse failures)
+   broadcast back for the rates.
+
+Type normalization pins a cross-engine enum — number / string / bool /
+array / object / null — because Spark reports physical variant types
+(BIGINT, DECIMAL(3,2), DOUBLE) where DuckDB's ``json_type`` reports
+UBIGINT/BIGINT/DOUBLE: the enum is the portable contract, the physical
+type is not. An explicit JSON null normalizes to 'null' (Spark VOID);
+an ABSENT key contributes no row at all — presence comes from the key
+actually appearing, so (n of key) / n_raw IS the presence rate.
+
+Reference analog: the reference stores parsed log parameters as
+opaque JSON strings in SQLite (/root/reference/database_manager.py:
+60-66) and never validates their shape; this gives that column class
+a first-class audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["json_field_audit", "discover_json_keys", "MALFORMED_KEY"]
+
+MALFORMED_KEY = "__malformed__"
+
+
+def _norm_type(schema: Column) -> Column:
+    """schema_of_variant output -> portable type enum (see module doc).
+    NULL schema (absent key / unparseable row) stays NULL and is
+    filtered out before aggregation."""
+    return (
+        F.when(schema.isNull(), F.lit(None).cast("string"))
+        .when(schema == "VOID", "null")
+        .when(schema == "BOOLEAN", "bool")
+        .when(schema == "STRING", "string")
+        .when(schema.startswith("ARRAY"), "array")
+        .when(schema.startswith("OBJECT"), "object")
+        .when(
+            schema.isin("BIGINT", "DOUBLE", "FLOAT")
+            | schema.startswith("DECIMAL"),
+            "number",
+        )
+        .otherwise("other")
+    )
+
+
+def discover_json_keys(
+    df: DataFrame, json_col: str, max_keys: int = 256
+) -> list[str]:
+    """Distinct top-level keys across the column, sorted. One narrow
+    scan + a schema-scale distinct; malformed / NULL rows contribute
+    nothing (``json_object_keys`` is NULL there). Raises if the key
+    space exceeds ``max_keys`` — a key-per-row blob (ids as keys) is a
+    modeling bug an audit should refuse to silently truncate."""
+    rows = (
+        df.select(F.explode(F.json_object_keys(F.col(json_col))).alias("k"))
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    )
+    if len(rows) > max_keys:
+        raise ValueError(
+            f"{json_col}: more than {max_keys} distinct top-level keys; "
+            "pass keys= explicitly or raise max_keys"
+        )
+    return sorted(r.k for r in rows)
+
+
+def json_field_audit(
+    df: DataFrame,
+    json_col: str,
+    keys: list[str] | None = None,
+    max_keys: int = 256,
+) -> DataFrame:
+    """Per-key presence + type-mix audit of a JSON string column.
+
+    Returns (key, vtype, n, rate): one row per discovered key per
+    normalized value type it carries, plus a ``__malformed__`` /
+    'malformed' row when any non-null value fails to parse. ``rate``
+    is n / (non-null raw rows), rounded to 6dp — so a key present in
+    every parseable row of a column with parse failures shows
+    rate < 1, which is exactly the signal a validation gate wants.
+    """
+    if keys is None:
+        keys = discover_json_keys(df, json_col, max_keys=max_keys)
+
+    raw = F.col(json_col)
+    parsed = df.select(raw.alias("_raw"), F.try_parse_json(raw).alias("_v"))
+
+    def path(k: str) -> str:
+        # bracket syntax: tolerant of keys with spaces/dots. Variant
+        # paths have NO escape syntax, so pick the quote the key does
+        # not contain; a key containing BOTH quote kinds is
+        # inexpressible and refused rather than silently mis-pathed.
+        if '"' not in k:
+            return '$["' + k + '"]'
+        if "'" not in k:
+            return "$['" + k + "']"
+        raise ValueError(
+            f"JSON key {k!r} contains both quote characters; "
+            "variant paths cannot address it"
+        )
+
+    kv = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key"),
+                _norm_type(
+                    F.schema_of_variant(
+                        F.variant_get(F.col("_v"), path(k), "variant")
+                    )
+                ).alias("vtype"),
+            )
+            for k in keys
+        ]
+    )
+    counts = (
+        parsed.select(F.explode(kv).alias("kv"))
+        .select("kv.key", "kv.vtype")
+        .filter(F.col("vtype").isNotNull())
+        .groupBy("key", "vtype")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = parsed.agg(
+        F.count("_raw").alias("n_raw"),
+        F.sum(
+            (F.col("_raw").isNotNull() & F.col("_v").isNull()).cast("long")
+        ).alias("n_mal"),
+    )
+    mal_row = totals.filter(F.col("n_mal") > 0).select(
+        F.lit(MALFORMED_KEY).alias("key"),
+        F.lit("malformed").alias("vtype"),
+        F.col("n_mal").alias("n"),
+    )
+    return (
+        counts.unionByName(mal_row)
+        .crossJoin(F.broadcast(totals.select("n_raw")))
+        .select(
+            "key",
+            "vtype",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("n_raw"), 6).alias(
+                "rate"
+            ),
+        )
+    )

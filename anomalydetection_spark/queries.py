@@ -3670,6 +3670,130 @@ def q_gap_anomaly(spark, sf_dir):
     )
 
 
+def _synth_props_json(e):
+    """Deterministic semi-structured fixture shared bit-for-bit with
+    the DuckDB oracle: a JSON blob with conditional keys, a planted
+    type-mix bug (`score` is a number except every 17th event, where a
+    producer wrote the string "NaN"), an explicit-null key, and a
+    planted parse failure (every 97th event is truncated). The flat
+    test table's real `props` column is degenerate ({"k": int} always),
+    so the audit signal is synthesized from event_id — the established
+    pattern (see q_null_cooccurrence)."""
+    i = lambda m: (e % m).cast("string")  # noqa: E731
+    return F.when(e % 97 == 0, F.lit('{"k": ')).otherwise(
+        F.concat(
+            F.lit('{"k": '),
+            i(100),
+            F.when(
+                e % 3 == 0, F.concat(F.lit(', "tag": "t'), i(5), F.lit('"'))
+            ).otherwise(F.lit("")),
+            F.when(e % 17 == 0, F.lit(', "score": "NaN"'))
+            .when(e % 2 == 0, F.concat(F.lit(', "score": '), i(9), F.lit(".25")))
+            .otherwise(F.concat(F.lit(', "score": '), i(100))),
+            F.when(
+                e % 7 == 0,
+                F.concat(F.lit(', "flags": ['), i(2), F.lit(", "), i(3), F.lit("]")),
+            ).otherwise(F.lit("")),
+            F.when(
+                e % 11 == 0,
+                F.concat(F.lit(', "meta": {"depth": '), i(4), F.lit("}")),
+            ).otherwise(F.lit("")),
+            F.when(e % 13 == 0, F.lit(', "opt": null')).otherwise(F.lit("")),
+            F.lit("}"),
+        )
+    )
+
+
+def q_json_field_audit(spark, sf_dir):
+    """Semi-structured schema audit (operators/semistructured.py::
+    json_field_audit): per top-level JSON key, presence and the MIX of
+    value types it carries, plus explicit-null and parse-failure rates
+    — the validation surface typed-column profilers can't see. All
+    JVM-side Spark VARIANT machinery (try_parse_json / variant_get /
+    schema_of_variant), zero Python UDFs; keys are discovered in one
+    schema-scale distinct, the audit is ONE explode + map-side-
+    combinable groupBy with output |keys| x |types|. The planted
+    signals: `score` number-vs-string producer bug, `opt` explicit
+    nulls, truncated-JSON malformed rows. Types are normalized to a
+    cross-engine enum (number/string/bool/array/object/null) because
+    Spark reports physical variant types (BIGINT, DECIMAL(3,2)) and
+    DuckDB's json_type reports UBIGINT/DOUBLE — the enum is the
+    portable contract."""
+    from .operators.semistructured import json_field_audit
+
+    ev = _t(spark, sf_dir, "events").select(
+        _synth_props_json(F.col("event_id")).alias("j")
+    )
+    return json_field_audit(ev, "j")
+
+
+def q_field_independence(spark, sf_dir):
+    """Selection-bias audit: is `lang` independent of `source`? Per
+    (lang, source) cell — observed count, the expected count under
+    independence (row-total x col-total / n), and the standardized
+    residual (obs - exp)/sqrt(exp), whose cells > |2| flag the biased
+    strata (the chi-squared statistic is the sum of squared residuals;
+    per-cell residuals are the actionable form). A training-data
+    pipeline uses this to catch a crawler that over-samples one
+    language from one source. Plan: ONE map-side-combinable groupBy of
+    the raw rows; the marginal windows and final projection run on the
+    |langs| x |sources| CELL table — metadata scale, never row scale.
+    Cross-engine contract: counts are exact ints; expected/residual
+    are (double x double / double) in pinned order with round(6)
+    output only."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
+    exp = (
+        F.sum("n_obs").over(Window.partitionBy("lang")).cast("double")
+        * F.sum("n_obs").over(Window.partitionBy("source")).cast("double")
+        / F.sum("n_obs").over(Window.partitionBy()).cast("double")
+    )
+    cells = cells.withColumn("e", exp)
+    return cells.select(
+        "lang",
+        "source",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round("e", 6).alias("expected"),
+        F.round(
+            (F.col("n_obs").cast("double") - F.col("e")) / F.sqrt("e"), 6
+        ).alias("std_residual"),
+    )
+
+
+def q_cross_source_dup_matrix(spark, sf_dir):
+    """Cross-source near-duplicate leakage matrix: for every verified
+    MinHash-LSH near-dup pair (the same bounded doc_id < 500 tier and
+    config as minhash_lsh_candidates), which SOURCES do the two copies
+    come from? Within-source mass on the diagonal is normal mirroring;
+    off-diagonal mass is content leaking between supposedly independent
+    sources — the signal that decides whether dedup must run globally
+    or can shard per source at 100 TB. Plan: the LSH chain's shuffles
+    plus two broadcast-size joins to the (doc_id, source) projection
+    and ONE bounded groupBy (|sources|² output)."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=8, bands=4, threshold=0.8
+    )
+    src = d.select("doc_id", "source")
+    j = pairs.join(
+        src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa")),
+        "a_id",
+    ).join(
+        src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb")),
+        "b_id",
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -3682,6 +3806,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with the per-round full-catalog artifact (ORACLES_FULL_r{N}.json,
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
+    "json_field_audit": q_json_field_audit,
+    "field_independence": q_field_independence,
+    "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "token_pmi": q_token_pmi,
     "null_cooccurrence": q_null_cooccurrence,
     "gap_anomaly": q_gap_anomaly,
@@ -6784,4 +6911,91 @@ ORACLES["null_cooccurrence"] = """
                       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END, 6)
              AS lift
     FROM pairs
+"""
+
+
+# Same deterministic JSON synthesis as _synth_props_json, rebuilt in
+# SQL; presence via json_keys (json_extract conflates JSON null with
+# absent), types normalized to the shared portable enum.
+ORACLES["json_field_audit"] = """
+    WITH raw AS (
+      SELECT CASE WHEN event_id % 97 = 0 THEN '{"k": '
+        ELSE '{"k": ' || (event_id % 100)
+          || CASE WHEN event_id % 3 = 0
+                  THEN ', "tag": "t' || (event_id % 5) || '"' ELSE '' END
+          || CASE WHEN event_id % 17 = 0 THEN ', "score": "NaN"'
+                  WHEN event_id % 2 = 0
+                  THEN ', "score": ' || (event_id % 9) || '.25'
+                  ELSE ', "score": ' || (event_id % 100) END
+          || CASE WHEN event_id % 7 = 0
+                  THEN ', "flags": [' || (event_id % 2) || ', '
+                       || (event_id % 3) || ']' ELSE '' END
+          || CASE WHEN event_id % 11 = 0
+                  THEN ', "meta": {"depth": ' || (event_id % 4) || '}'
+                  ELSE '' END
+          || CASE WHEN event_id % 13 = 0 THEN ', "opt": null' ELSE '' END
+          || '}' END AS j
+      FROM events
+    ), tot AS (
+      SELECT count(j) AS n_raw,
+             sum(CASE WHEN j IS NOT NULL AND try_cast(j AS JSON) IS NULL
+                 THEN 1 ELSE 0 END) AS n_mal
+      FROM raw
+    ), parsed AS (
+      SELECT j FROM raw
+      WHERE j IS NOT NULL AND try_cast(j AS JSON) IS NOT NULL
+    ), kv AS (
+      SELECT u.k AS key,
+        CASE WHEN NOT list_contains(json_keys(j), u.k) THEN NULL
+             WHEN json_type(j, '$.' || u.k) IS NULL THEN 'null'
+             WHEN json_type(j, '$.' || u.k) IN ('UBIGINT','BIGINT','DOUBLE')
+               THEN 'number'
+             WHEN json_type(j, '$.' || u.k) = 'VARCHAR' THEN 'string'
+             WHEN json_type(j, '$.' || u.k) = 'BOOLEAN' THEN 'bool'
+             WHEN json_type(j, '$.' || u.k) = 'ARRAY' THEN 'array'
+             WHEN json_type(j, '$.' || u.k) = 'OBJECT' THEN 'object'
+             ELSE 'other' END AS vtype
+      FROM parsed,
+           unnest(['flags','k','meta','opt','score','tag']) AS u(k)
+    )
+    SELECT key, vtype, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / (SELECT n_raw FROM tot), 6) AS rate
+    FROM kv WHERE vtype IS NOT NULL GROUP BY key, vtype
+    UNION ALL
+    SELECT '__malformed__', 'malformed', CAST(n_mal AS BIGINT),
+           round(n_mal * 1.0 / n_raw, 6)
+    FROM tot WHERE n_mal > 0
+"""
+
+# Pinned arithmetic: expected = double(row_total) * double(col_total)
+# / double(n) computed ONCE in a subquery, reused unrounded by the
+# residual — identical expression order on the Spark side.
+ORACLES["field_independence"] = """
+    WITH cells AS (
+      SELECT lang, source, count(*) AS n_obs
+      FROM documents GROUP BY lang, source
+    ), m AS (
+      SELECT lang, source, n_obs,
+             CAST(sum(n_obs) OVER (PARTITION BY lang) AS DOUBLE)
+             * CAST(sum(n_obs) OVER (PARTITION BY source) AS DOUBLE)
+             / CAST(sum(n_obs) OVER () AS DOUBLE) AS e
+      FROM cells
+    )
+    SELECT lang, source, CAST(n_obs AS BIGINT) AS n_obs,
+           round(e, 6) AS expected,
+           round((CAST(n_obs AS DOUBLE) - e) / sqrt(e), 6) AS std_residual
+    FROM m
+"""
+
+# Reuses the full minhash LSH oracle as the pair source, then joins
+# the (doc_id, source) projection on both endpoints.
+ORACLES["cross_source_dup_matrix"] = f"""
+    WITH cand AS ({ORACLES["minhash_lsh_candidates"]})
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.a_id
+    JOIN documents db ON db.doc_id = c.b_id
+    GROUP BY 1, 2
 """

@@ -1,0 +1,152 @@
+"""Round-4m additions: semi-structured JSON field audit
+(operators/semistructured.py), the lang x source independence audit,
+and the cross-source near-dup leakage matrix — planted fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators.semistructured import (
+    MALFORMED_KEY,
+    discover_json_keys,
+    json_field_audit,
+)
+
+
+def _jdf(spark, blobs):
+    return spark.createDataFrame([(b,) for b in blobs], "j string")
+
+
+def test_json_field_audit_planted(spark):
+    """Every output row pinned on a 6-blob fixture covering the whole
+    type enum, a type-mix key, explicit JSON null vs absent, a
+    malformed blob, and a NULL raw value (excluded from n_raw's
+    complement but counted in the denominator contract: rate is over
+    NON-NULL raw rows)."""
+    blobs = [
+        '{"a": 1, "b": "x"}',          # a number, b string
+        '{"a": "oops", "b": "y"}',     # a TYPE-MIX: string here
+        '{"a": 2.5, "c": [1], "d": {"e": 1}, "f": true, "g": null}',
+        '{"a": 3}',
+        '{"bad":',                     # malformed
+        None,                          # NULL raw: not in n_raw
+    ]
+    out = {
+        (r.key, r.vtype): (r.n, r.rate)
+        for r in json_field_audit(_jdf(spark, blobs), "j").collect()
+    }
+    n_raw = 5  # non-null raw rows
+    assert out[("a", "number")] == (3, round(3 / n_raw, 6))
+    assert out[("a", "string")] == (1, round(1 / n_raw, 6))
+    assert out[("b", "string")] == (2, round(2 / n_raw, 6))
+    assert out[("c", "array")] == (1, round(1 / n_raw, 6))
+    assert out[("d", "object")] == (1, round(1 / n_raw, 6))
+    assert out[("f", "bool")] == (1, round(1 / n_raw, 6))
+    assert out[("g", "null")] == (1, round(1 / n_raw, 6))
+    assert out[(MALFORMED_KEY, "malformed")] == (1, round(1 / n_raw, 6))
+    assert len(out) == 8  # nothing else: absent keys contribute no row
+
+
+def test_json_field_audit_no_malformed_row_when_clean(spark):
+    out = json_field_audit(_jdf(spark, ['{"a": 1}', '{"a": 2}']), "j")
+    rows = out.collect()
+    assert {(r.key, r.vtype, r.n) for r in rows} == {("a", "number", 2)}
+
+
+def test_json_field_audit_key_quoting(spark):
+    """Keys with spaces and quotes survive the bracket-path build."""
+    out = json_field_audit(
+        _jdf(spark, ['{"a b": 1, "c\'d": "x"}']), "j"
+    ).collect()
+    assert {(r.key, r.vtype) for r in out} == {
+        ("a b", "number"),
+        ("c'd", "string"),
+    }
+
+
+def test_discover_json_keys_cap(spark):
+    blobs = ['{"k%d": 1}' % i for i in range(12)]
+    with pytest.raises(ValueError, match="more than 8"):
+        discover_json_keys(_jdf(spark, blobs), "j", max_keys=8)
+    assert len(discover_json_keys(_jdf(spark, blobs), "j", max_keys=12)) == 12
+
+
+def test_field_independence_planted_bias(spark):
+    """2x2 fixture with an engineered dependent cell: ('en','s1')
+    holds 30 of 60 rows where independence expects 40*40/60 ~ 26.67.
+    Residuals checked against the closed form."""
+    rows = (
+        [("en", "s1")] * 30
+        + [("en", "s2")] * 10
+        + [("de", "s1")] * 10
+        + [("de", "s2")] * 10
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    from anomalydetection_spark.queries import q_field_independence
+
+    import anomalydetection_spark.queries as Q
+
+    # route the query through the planted frame
+    orig = Q._t
+    Q._t = lambda spark, sf_dir, name: df
+    try:
+        got = {
+            (r.lang, r.source): (r.n_obs, r.expected, r.std_residual)
+            for r in q_field_independence(spark, "ignored").collect()
+        }
+    finally:
+        Q._t = orig
+    e = 40.0 * 40.0 / 60.0
+    assert got[("en", "s1")] == (
+        30,
+        round(e, 6),
+        round((30 - e) / math.sqrt(e), 6),
+    )
+    # residuals of the complementary cells are negative
+    assert got[("en", "s2")][2] < 0 and got[("de", "s1")][2] < 0
+    assert got[("de", "s2")][2] > 0
+
+
+def test_cross_source_dup_matrix_planted(spark):
+    """Two exact copies in DIFFERENT sources -> one off-diagonal pair;
+    two copies in the SAME source -> one diagonal pair; the unique doc
+    contributes nothing."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    dup2 = "one two three four five six seven eight nine"
+    df = spark.createDataFrame(
+        [
+            (0, dup, "srcA"),
+            (1, dup, "srcB"),
+            (2, dup2, "srcC"),
+            (3, dup2, "srcC"),
+            (4, "totally different words entirely unrelated here", "srcA"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from anomalydetection_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", n_hashes=8, bands=4, threshold=0.8
+    )
+    src = df.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa")),
+            "a_id",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb")),
+            "b_id",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .count()
+    )
+    got = {(r.source_a, r.source_b): r["count"] for r in j.collect()}
+    assert got == {("srcA", "srcB"): 1, ("srcC", "srcC"): 1}
