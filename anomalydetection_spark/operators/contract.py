@@ -67,6 +67,34 @@ class ElementRule:
 
 
 @dataclass(frozen=True)
+class JsonRule:
+    """Shape expectations for a JSON STRING column (the payload class
+    the typed rules can't see). Compiles into the SAME single agg pass
+    as every other rule, entirely via JVM VARIANT expressions
+    (``try_parse_json`` / ``variant_get`` / ``schema_of_variant``) —
+    no UDF, no explode:
+
+    - ``json_malformed``: non-null values that fail to parse; budget
+      via ``max_malformed_rate``.
+    - ``json_required:<key>``: parseable rows where <key> is ABSENT
+      (an explicit JSON null counts as present — it normalizes to the
+      'null' type, so pair ``required`` with a ``types`` entry that
+      excludes 'null' to forbid it).
+    - ``json_type:<key>``: rows where <key> is present but its value's
+      normalized type (number/string/bool/array/object/null — see
+      operators/semistructured.py) is outside the allowed set.
+
+    Declared under ``Contract.json`` keyed by column name. A json rule
+    on a non-string column is a STRUCTURAL failure
+    (schema:invalid_json_rule), not a crash in the agg pass."""
+
+    required: tuple = ()
+    # key -> allowed normalized-type names, e.g. {"score": ("number",)}
+    types: dict | None = None
+    max_malformed_rate: float = 0.0
+
+
+@dataclass(frozen=True)
 class ExpressionRule:
     """Cross-column row rule: a SQL boolean that must hold per row.
     A row violates when the expression is false OR null (three-valued
@@ -89,6 +117,9 @@ class Contract:
     # {"spans.kind": ElementRule(allowed=("text", "image", ...)),
     #  "spans.text": ElementRule(max_null_rate=0.01)}
     elements: dict[str, ElementRule] = field(default_factory=dict)
+    # JSON-shape rules keyed by string column name, e.g.
+    # {"props": JsonRule(required=("k",), types={"k": ("number",)})}
+    json: dict[str, JsonRule] = field(default_factory=dict)
 
 
 def _element_paths(
@@ -125,6 +156,35 @@ def _element_paths(
             continue
         valid[path] = (a, fld)
     return valid, issues
+
+
+def _json_valid_cols(observed: T.StructType, contract: Contract) -> list[str]:
+    """JSON-ruled columns that exist AND are string-typed — the only
+    ones the data tier compiles; the rest become structural issues."""
+    fields = {f.name: f.dataType for f in observed.fields}
+    return [
+        c
+        for c in contract.json
+        if isinstance(fields.get(c), T.StringType)
+    ]
+
+
+def _json_structural_issues(
+    observed: T.StructType, contract: Contract
+) -> list[dict]:
+    fields = {f.name: f.dataType for f in observed.fields}
+    out = []
+    for c in contract.json:
+        if c not in fields:
+            out.append({"column": c, "issue": "invalid_json_rule",
+                        "detail": "column absent"})
+        elif not isinstance(fields[c], T.StringType):
+            out.append({
+                "column": c, "issue": "invalid_json_rule",
+                "detail": f"expected string column, got "
+                          f"{fields[c].simpleString()}",
+            })
+    return out
 
 
 def schema_diff(observed: T.StructType, contract: Contract) -> list[dict]:
@@ -263,6 +323,39 @@ def contract_violation_counts(
             eadd("max_value", _max(fld, er.max_value))
         if er.rlike is not None:
             eadd("rlike", _rlike(fld, er.rlike))
+
+    # JSON-shape rules: parse once per ruled column, then every
+    # malformed / required-key / type-mix check is a conditional count
+    # in the SAME agg. Non-string columns are skipped here (structural
+    # tier's problem); _norm_type/variant_path are shared with the
+    # json_field_audit operator so the type enum cannot drift.
+    if contract.json:
+        from .semistructured import _norm_type, variant_path
+
+        for c in _json_valid_cols(df.schema, contract):
+            jr = contract.json[c]
+            col = F.col(c)
+            v = F.try_parse_json(col)
+            if jr.max_malformed_rate is not None:
+                add(c, "json_malformed", col.isNotNull() & v.isNull())
+            for k in jr.required:
+                add(
+                    c,
+                    f"json_required:{k}",
+                    v.isNotNull()
+                    & F.variant_get(v, variant_path(k), "variant").isNull(),
+                )
+            for k, allowed_types in (jr.types or {}).items():
+                t = _norm_type(
+                    F.schema_of_variant(
+                        F.variant_get(v, variant_path(k), "variant")
+                    )
+                )
+                add(
+                    c,
+                    f"json_type:{k}",
+                    t.isNotNull() & ~t.isin(*allowed_types),
+                )
 
     if not keys:
         # dtype-only contract: no data rules at all — stack(0, ...) is a
@@ -405,7 +498,10 @@ def contract_verdicts(df: DataFrame, contract: Contract) -> DataFrame:
     struct_rows = [
         ("schema:" + i["issue"], i["column"], None, None, "fail",
          i["detail"])
-        for i in schema_diff(df.schema, contract)
+        for i in (
+            schema_diff(df.schema, contract)
+            + _json_structural_issues(df.schema, contract)
+        )
     ]
     # expressions that don't compile against this schema become
     # structural failures instead of crashing the agg pass
@@ -480,6 +576,17 @@ def _data_tier_verdicts(
         if contract.expressions
         else F.lit(None).cast("double")
     )
+    # malformed-rate budgets keyed by JSON-ruled column; required/type
+    # json rules are zero-tolerance (any violation fails, the generic
+    # n_violations == 0 branch)
+    json_budget_lookup = (
+        F.create_map(
+            *[x for c, jr in contract.json.items()
+              for x in (F.lit(c), F.lit(jr.max_malformed_rate or 0.0))]
+        )[F.col("column")]
+        if contract.json
+        else F.lit(None).cast("double")
+    )
     return counts.select(
         *lead_cols,
         F.concat(F.lit("rule:"), "rule").alias("check"),
@@ -494,6 +601,11 @@ def _data_tier_verdicts(
         .when(
             F.col("rule").startswith("expr:")
             & (F.col("violation_rate") <= expr_budget_lookup),
+            "pass",
+        )
+        .when(
+            (F.col("rule") == "json_malformed")
+            & (F.col("violation_rate") <= json_budget_lookup),
             "pass",
         )
         .when(F.col("n_violations") == 0, "pass")
@@ -584,10 +696,28 @@ def contract_from_dict(d: dict) -> Contract:
     for path, er in elems.items():
         if er.allowed is not None:
             elems[path] = _replace(er, allowed=tuple(er.allowed))
-    extra = set(d) - {"columns", "expressions", "elements", "closed"}
+    json_rules = {}
+    for cname, jr in (d.get("json") or {}).items():
+        if not isinstance(jr, dict):
+            raise ValueError(
+                f"json rule for {cname!r} must be a dict of rule "
+                f"fields, got {type(jr).__name__}"
+            )
+        built = _build(JsonRule, jr)
+        json_rules[cname] = _replace(
+            built,
+            required=tuple(built.required),
+            types=(
+                {k: tuple(v) for k, v in built.types.items()}
+                if built.types
+                else None
+            ),
+        )
+    extra = set(d) - {"columns", "expressions", "elements", "json",
+                      "closed"}
     if extra:
         raise ValueError(f"unknown Contract keys: {sorted(extra)}")
     return Contract(
         columns=cols, closed=bool(d.get("closed", False)),
-        expressions=exprs, elements=elems,
+        expressions=exprs, elements=elems, json=json_rules,
     )

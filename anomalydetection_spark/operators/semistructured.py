@@ -43,9 +43,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["json_field_audit", "discover_json_keys", "MALFORMED_KEY"]
+__all__ = [
+    "json_field_audit",
+    "discover_json_keys",
+    "variant_path",
+    "MALFORMED_KEY",
+]
 
 MALFORMED_KEY = "__malformed__"
+
+
+def variant_path(k: str) -> str:
+    """Variant extraction path for a top-level key, bracket syntax
+    (tolerant of spaces/dots). Variant paths have NO escape syntax, so
+    pick the quote the key does not contain; a key containing BOTH
+    quote kinds is inexpressible and refused rather than silently
+    mis-pathed."""
+    if '"' not in k:
+        return '$["' + k + '"]'
+    if "'" not in k:
+        return "$['" + k + "']"
+    raise ValueError(
+        f"JSON key {k!r} contains both quote characters; "
+        "variant paths cannot address it"
+    )
 
 
 def _norm_type(schema: Column) -> Column:
@@ -111,19 +132,7 @@ def json_field_audit(
     raw = F.col(json_col)
     parsed = df.select(raw.alias("_raw"), F.try_parse_json(raw).alias("_v"))
 
-    def path(k: str) -> str:
-        # bracket syntax: tolerant of keys with spaces/dots. Variant
-        # paths have NO escape syntax, so pick the quote the key does
-        # not contain; a key containing BOTH quote kinds is
-        # inexpressible and refused rather than silently mis-pathed.
-        if '"' not in k:
-            return '$["' + k + '"]'
-        if "'" not in k:
-            return "$['" + k + "']"
-        raise ValueError(
-            f"JSON key {k!r} contains both quote characters; "
-            "variant paths cannot address it"
-        )
+    path = variant_path
 
     kv = F.array(
         *[

@@ -3794,6 +3794,40 @@ def q_cross_source_dup_matrix(spark, sf_dir):
     )
 
 
+def q_json_contract(spark, sf_dir):
+    """Declared JSON-shape contract judged by the engine's contract
+    system (operators/contract.py::JsonRule): the semi-structured
+    audit's findings expressed as enforceable rules — a malformed-rate
+    budget (planted 1/97 truncation rate, budget 2%: pass), required
+    keys (k, score: present in every parseable row: pass), and per-key
+    type sets where the planted number-vs-string `score` producer bug
+    FAILS while every other key conforms. All rules compile into the
+    contract's ONE map-side-combinable agg pass alongside any
+    row/element rules — VARIANT expressions, no UDF, no extra scan."""
+    from .operators.contract import Contract, JsonRule, contract_verdicts
+
+    ev = _t(spark, sf_dir, "events").select(
+        _synth_props_json(F.col("event_id")).alias("props2")
+    )
+    c = Contract(
+        json={
+            "props2": JsonRule(
+                required=("k", "score"),
+                types={
+                    "k": ("number",),
+                    "score": ("number",),
+                    "tag": ("string",),
+                    "opt": ("null",),
+                    "flags": ("array",),
+                    "meta": ("object",),
+                },
+                max_malformed_rate=0.02,
+            )
+        }
+    )
+    return contract_verdicts(ev, c)
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -3807,6 +3841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
     "json_field_audit": q_json_field_audit,
+    "json_contract": q_json_contract,
     "field_independence": q_field_independence,
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "token_pmi": q_token_pmi,
@@ -6998,4 +7033,79 @@ ORACLES["cross_source_dup_matrix"] = f"""
     JOIN documents da ON da.doc_id = c.a_id
     JOIN documents db ON db.doc_id = c.b_id
     GROUP BY 1, 2
+"""
+
+
+# Same JSON synthesis; each declared rule recomputed as a conditional
+# count with the contract's verdict CASE. Denominator for every rate
+# is the table row count (contract_violation_counts' __n).
+ORACLES["json_contract"] = """
+    WITH raw AS (
+      SELECT CASE WHEN event_id % 97 = 0 THEN '{"k": '
+        ELSE '{"k": ' || (event_id % 100)
+          || CASE WHEN event_id % 3 = 0
+                  THEN ', "tag": "t' || (event_id % 5) || '"' ELSE '' END
+          || CASE WHEN event_id % 17 = 0 THEN ', "score": "NaN"'
+                  WHEN event_id % 2 = 0
+                  THEN ', "score": ' || (event_id % 9) || '.25'
+                  ELSE ', "score": ' || (event_id % 100) END
+          || CASE WHEN event_id % 7 = 0
+                  THEN ', "flags": [' || (event_id % 2) || ', '
+                       || (event_id % 3) || ']' ELSE '' END
+          || CASE WHEN event_id % 11 = 0
+                  THEN ', "meta": {"depth": ' || (event_id % 4) || '}'
+                  ELSE '' END
+          || CASE WHEN event_id % 13 = 0 THEN ', "opt": null' ELSE '' END
+          || '}' END AS j
+      FROM events
+    ), typed AS (
+      SELECT j,
+             j IS NOT NULL AND try_cast(j AS JSON) IS NULL AS malformed,
+             try_cast(j AS JSON) IS NOT NULL AS parseable
+      FROM raw
+    ), norm AS (
+      SELECT u.k AS key,
+        CASE WHEN NOT list_contains(json_keys(j), u.k) THEN NULL
+             WHEN json_type(j, '$.' || u.k) IS NULL THEN 'null'
+             WHEN json_type(j, '$.' || u.k) IN ('UBIGINT','BIGINT','DOUBLE')
+               THEN 'number'
+             WHEN json_type(j, '$.' || u.k) = 'VARCHAR' THEN 'string'
+             WHEN json_type(j, '$.' || u.k) = 'BOOLEAN' THEN 'bool'
+             WHEN json_type(j, '$.' || u.k) = 'ARRAY' THEN 'array'
+             WHEN json_type(j, '$.' || u.k) = 'OBJECT' THEN 'object'
+             ELSE 'other' END AS vtype,
+        j
+      FROM typed,
+           unnest(['flags','k','meta','opt','score','tag']) AS u(k)
+      WHERE parseable
+    ), counts AS (
+      SELECT 'rule:json_malformed' AS "check",
+             sum(CASE WHEN malformed THEN 1 ELSE 0 END) AS v
+      FROM typed
+      UNION ALL
+      SELECT 'rule:json_required:' || r.k,
+             sum(CASE WHEN parseable
+                       AND NOT list_contains(json_keys(j), r.k)
+                 THEN 1 ELSE 0 END)
+      FROM typed, unnest(['k','score']) AS r(k) GROUP BY r.k
+      UNION ALL
+      SELECT 'rule:json_type:' || key,
+             sum(CASE WHEN vtype IS NOT NULL AND vtype <> a.t
+                 THEN 1 ELSE 0 END)
+      FROM norm
+      JOIN (VALUES ('k','number'), ('score','number'), ('tag','string'),
+                   ('opt','null'), ('flags','array'), ('meta','object'))
+           AS a(key2, t) ON key2 = key
+      GROUP BY key, a.t
+    ), tot AS (SELECT count(*) AS n FROM typed)
+    SELECT "check", 'props2' AS "column",
+           CAST(v AS BIGINT) AS n_violations,
+           round(CAST(v AS DOUBLE) / (SELECT n FROM tot), 6)
+             AS violation_rate,
+           CASE WHEN "check" = 'rule:json_malformed'
+                     AND CAST(v AS DOUBLE) / (SELECT n FROM tot) <= 0.02
+                THEN 'pass'
+                WHEN v = 0 THEN 'pass' ELSE 'fail' END AS verdict,
+           CAST(NULL AS VARCHAR) AS detail
+    FROM counts
 """

@@ -150,3 +150,103 @@ def test_cross_source_dup_matrix_planted(spark):
     )
     got = {(r.source_a, r.source_b): r["count"] for r in j.collect()}
     assert got == {("srcA", "srcB"): 1, ("srcC", "srcC"): 1}
+
+
+def test_json_contract_rules_planted(spark):
+    """JsonRule verdicts on a 5-row fixture: malformed within budget
+    passes, required-key absence fails, a type-mix key fails, a
+    conforming key passes."""
+    from anomalydetection_spark.operators.contract import (
+        Contract,
+        JsonRule,
+        contract_verdicts,
+    )
+
+    df = _jdf(
+        spark,
+        [
+            '{"k": 1, "s": "a"}',
+            '{"k": 2, "s": "b"}',
+            '{"k": "oops", "s": "c"}',   # type-mix on k
+            '{"s": "d"}',                # k absent
+            "{bad",                      # malformed
+        ],
+    )
+    c = Contract(
+        json={
+            "j": JsonRule(
+                required=("k", "s"),
+                types={"k": ("number",), "s": ("string",)},
+                max_malformed_rate=0.25,  # 1/5 = 0.2 <= budget
+            )
+        }
+    )
+    got = {
+        r.check: (r.n_violations, r.violation_rate, r.verdict)
+        for r in contract_verdicts(df, c).collect()
+    }
+    assert got["rule:json_malformed"] == (1, 0.2, "pass")
+    assert got["rule:json_required:k"] == (1, 0.2, "fail")
+    assert got["rule:json_required:s"] == (0, 0.0, "pass")
+    assert got["rule:json_type:k"] == (1, 0.2, "fail")
+    assert got["rule:json_type:s"] == (0, 0.0, "pass")
+    # zero budget flips malformed to fail
+    c0 = Contract(json={"j": JsonRule(max_malformed_rate=0.0)})
+    got0 = {
+        r.check: r.verdict for r in contract_verdicts(df, c0).collect()
+    }
+    assert got0["rule:json_malformed"] == "fail"
+
+
+def test_json_contract_structural(spark):
+    """A json rule on a non-string or absent column is a structural
+    failure, never an agg-pass crash."""
+    from anomalydetection_spark.operators.contract import (
+        Contract,
+        JsonRule,
+        contract_verdicts,
+    )
+
+    df = spark.createDataFrame([(1, '{"a":1}')], "n long, j string")
+    c = Contract(
+        json={
+            "n": JsonRule(required=("a",)),
+            "zz": JsonRule(required=("a",)),
+            "j": JsonRule(required=("a",)),
+        }
+    )
+    rows = contract_verdicts(df, c).collect()
+    struct = {
+        r.column: r.detail
+        for r in rows
+        if r.check == "schema:invalid_json_rule"
+    }
+    assert "expected string column" in struct["n"]
+    assert struct["zz"] == "column absent"
+    data = {r.check: r.verdict for r in rows if r.check.startswith("rule:")}
+    # the valid column's rules still compiled and ran
+    assert data["rule:json_required:a"] == "pass"
+
+
+def test_json_contract_from_dict(spark):
+    from anomalydetection_spark.operators.contract import (
+        contract_from_dict,
+        contract_verdicts,
+    )
+
+    c = contract_from_dict(
+        {
+            "json": {
+                "j": {
+                    "required": ["k"],
+                    "types": {"k": ["number", "null"]},
+                    "max_malformed_rate": 0.5,
+                }
+            }
+        }
+    )
+    assert c.json["j"].required == ("k",)
+    assert c.json["j"].types == {"k": ("number", "null")}
+    df = _jdf(spark, ['{"k": 1}', '{"k": null}'])
+    got = {r.check: r.verdict for r in contract_verdicts(df, c).collect()}
+    assert set(got.values()) == {"pass"}
