@@ -384,12 +384,22 @@ def contract_violation_counts(
         *by,
         "column",
         "rule",
-        F.col("n_violations").cast("long").alias("n_violations"),
+        # coalesce: sum() over ZERO rows is NULL — an empty table (or
+        # empty segment) has 0 violations, and a NULL here would fall
+        # through every verdict branch to 'fail'
+        F.coalesce(F.col("n_violations"), F.lit(0))
+        .cast("long")
+        .alias("n_violations"),
         # try_divide: an element-ruled array column whose arrays are all
         # empty/NULL has denominator 0 — rate is NULL, not a DIVIDE_BY_ZERO
         # crash under Spark 4 ANSI defaults
-        F.round(F.try_divide(F.col("n_violations"), F.col("__denom")), 6)
-        .alias("violation_rate"),
+        F.round(
+            F.try_divide(
+                F.coalesce(F.col("n_violations"), F.lit(0)),
+                F.col("__denom"),
+            ),
+            6,
+        ).alias("violation_rate"),
     )
 
 

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "json_field_audit",
     "discover_json_keys",
+    "suggest_json_rule",
     "variant_path",
     "MALFORMED_KEY",
 ]
@@ -134,26 +135,33 @@ def json_field_audit(
 
     path = variant_path
 
-    kv = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("key"),
-                _norm_type(
-                    F.schema_of_variant(
-                        F.variant_get(F.col("_v"), path(k), "variant")
-                    )
-                ).alias("vtype"),
-            )
-            for k in keys
-        ]
-    )
-    counts = (
-        parsed.select(F.explode(kv).alias("kv"))
-        .select("kv.key", "kv.vtype")
-        .filter(F.col("vtype").isNotNull())
-        .groupBy("key", "vtype")
-        .agg(F.count("*").alias("n"))
-    )
+    if keys:
+        kv = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("key"),
+                    _norm_type(
+                        F.schema_of_variant(
+                            F.variant_get(F.col("_v"), path(k), "variant")
+                        )
+                    ).alias("vtype"),
+                )
+                for k in keys
+            ]
+        )
+        counts = (
+            parsed.select(F.explode(kv).alias("kv"))
+            .select("kv.key", "kv.vtype")
+            .filter(F.col("vtype").isNotNull())
+            .groupBy("key", "vtype")
+            .agg(F.count("*").alias("n"))
+        )
+    else:
+        # no keys (empty/unparseable corpus or an explicit []): the
+        # audit degenerates to the malformed row alone
+        counts = df.sparkSession.createDataFrame(
+            [], "key string, vtype string, n long"
+        )
     totals = parsed.agg(
         F.count("_raw").alias("n_raw"),
         F.sum(
@@ -177,3 +185,56 @@ def json_field_audit(
             ),
         )
     )
+
+
+def suggest_json_rule(
+    df: DataFrame,
+    json_col: str,
+    malformed_slack: float = 2.0,
+    max_keys: int = 256,
+) -> dict:
+    """Derive a JSON-shape contract from the observed data — the
+    semi-structured arm of operators/suggest.py: audit once, then
+    propose ``required`` = keys present in EVERY parseable row,
+    ``types`` = the exact observed type set per key, and a
+    ``max_malformed_rate`` budget = observed rate x ``malformed_slack``
+    (6dp away-from-zero rounded, floored at 1e-6 when any malformed
+    row was observed; 0.0 when none were — a clean column stays
+    zero-tolerance). Returns a ``Contract.json``-value dict compatible
+    with ``contract_from_dict`` ({"json": {col: <this>}}); by
+    construction the profiled table passes its own suggestion (pinned
+    in tests).
+
+    Cost: the audit pass (|keys| x |types| output) plus one 1-row
+    totals aggregate; the derivation itself runs on the collected
+    audit rows — metadata scale."""
+    from .suggest import _r6
+
+    audit = json_field_audit(df, json_col, max_keys=max_keys).collect()
+    raw = F.col(json_col)
+    tot = df.agg(
+        F.count(raw).alias("n_raw"),
+        F.sum(
+            (raw.isNotNull() & F.try_parse_json(raw).isNull()).cast("long")
+        ).alias("n_mal"),
+    ).first()
+    n_parseable = (tot.n_raw or 0) - (tot.n_mal or 0)
+    present: dict[str, int] = {}
+    types: dict[str, set] = {}
+    for r in audit:
+        if r.key == MALFORMED_KEY:
+            continue
+        present[r.key] = present.get(r.key, 0) + r.n
+        types.setdefault(r.key, set()).add(r.vtype)
+    budget = 0.0
+    if tot.n_mal:
+        budget = max(
+            _r6(min(1.0, tot.n_mal / tot.n_raw * malformed_slack)), 1e-6
+        )
+    return {
+        "required": sorted(
+            k for k, n in present.items() if n == n_parseable and n > 0
+        ),
+        "types": {k: sorted(v) for k, v in sorted(types.items())},
+        "max_malformed_rate": budget,
+    }

@@ -3828,6 +3828,35 @@ def q_json_contract(spark, sf_dir):
     return contract_verdicts(ev, c)
 
 
+def q_suggested_json_rules(spark, sf_dir):
+    """JSON-shape constraint suggestion (operators/semistructured.py::
+    suggest_json_rule) — the semi-structured arm of the Deequ-style
+    suggest loop: audit the synthesized payload column once, then
+    propose required keys (present in every parseable row), the exact
+    observed type set per key, and a malformed budget = observed rate
+    x 2 slack (6dp away-from-zero, floored at 1e-6). The oracle
+    re-derives every proposal in SQL, so a hash match proves the
+    derivation arithmetic is engine-portable; the suggested contract
+    self-validates on the same table (pinned in test_semistructured).
+    Derivation runs on collected audit rows — |keys| x |types|,
+    metadata scale."""
+    from .operators.semistructured import suggest_json_rule
+
+    ev = _t(spark, sf_dir, "events").select(
+        _synth_props_json(F.col("event_id")).alias("j")
+    )
+    sug = suggest_json_rule(ev, "j")
+    rows = [
+        (k, k in sug["required"], ",".join(sug["types"][k]), None)
+        for k in sorted(sug["types"])
+    ] + [("__malformed__", False, "", sug["max_malformed_rate"])]
+    return spark.createDataFrame(
+        rows,
+        "key string, required boolean, types string, "
+        "malformed_budget double",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -3842,6 +3871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # row each round regardless of window size.
     "json_field_audit": q_json_field_audit,
     "json_contract": q_json_contract,
+    "suggested_json_rules": q_suggested_json_rules,
     "field_independence": q_field_independence,
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "token_pmi": q_token_pmi,
@@ -7108,4 +7138,64 @@ ORACLES["json_contract"] = """
                 WHEN v = 0 THEN 'pass' ELSE 'fail' END AS verdict,
            CAST(NULL AS VARCHAR) AS detail
     FROM counts
+"""
+
+
+# Re-derives the suggestion: required = present in every parseable
+# row; types = comma-joined sorted observed enum; budget =
+# round((n_mal/n_raw)*2, 6) floored at 1e-6 — the same (m/r)*slack
+# operation order as the Python derivation.
+ORACLES["suggested_json_rules"] = """
+    WITH raw AS (
+      SELECT CASE WHEN event_id % 97 = 0 THEN '{"k": '
+        ELSE '{"k": ' || (event_id % 100)
+          || CASE WHEN event_id % 3 = 0
+                  THEN ', "tag": "t' || (event_id % 5) || '"' ELSE '' END
+          || CASE WHEN event_id % 17 = 0 THEN ', "score": "NaN"'
+                  WHEN event_id % 2 = 0
+                  THEN ', "score": ' || (event_id % 9) || '.25'
+                  ELSE ', "score": ' || (event_id % 100) END
+          || CASE WHEN event_id % 7 = 0
+                  THEN ', "flags": [' || (event_id % 2) || ', '
+                       || (event_id % 3) || ']' ELSE '' END
+          || CASE WHEN event_id % 11 = 0
+                  THEN ', "meta": {"depth": ' || (event_id % 4) || '}'
+                  ELSE '' END
+          || CASE WHEN event_id % 13 = 0 THEN ', "opt": null' ELSE '' END
+          || '}' END AS j
+      FROM events
+    ), tot AS (
+      SELECT count(j) AS n_raw,
+             sum(CASE WHEN j IS NOT NULL AND try_cast(j AS JSON) IS NULL
+                 THEN 1 ELSE 0 END) AS n_mal,
+             sum(CASE WHEN try_cast(j AS JSON) IS NOT NULL
+                 THEN 1 ELSE 0 END) AS n_parse
+      FROM raw
+    ), kv AS (
+      SELECT u.k AS key,
+        CASE WHEN NOT list_contains(json_keys(j), u.k) THEN NULL
+             WHEN json_type(j, '$.' || u.k) IS NULL THEN 'null'
+             WHEN json_type(j, '$.' || u.k) IN ('UBIGINT','BIGINT','DOUBLE')
+               THEN 'number'
+             WHEN json_type(j, '$.' || u.k) = 'VARCHAR' THEN 'string'
+             WHEN json_type(j, '$.' || u.k) = 'BOOLEAN' THEN 'bool'
+             WHEN json_type(j, '$.' || u.k) = 'ARRAY' THEN 'array'
+             WHEN json_type(j, '$.' || u.k) = 'OBJECT' THEN 'object'
+             ELSE 'other' END AS vtype
+      FROM raw, unnest(['flags','k','meta','opt','score','tag']) AS u(k)
+      WHERE try_cast(j AS JSON) IS NOT NULL
+    )
+    SELECT key,
+           count(vtype) = (SELECT n_parse FROM tot) AS required,
+           array_to_string(list_sort(list_distinct(list(vtype))), ',')
+             AS types,
+           CAST(NULL AS DOUBLE) AS malformed_budget
+    FROM kv WHERE vtype IS NOT NULL GROUP BY key
+    UNION ALL
+    SELECT '__malformed__', false, '',
+           CASE WHEN n_mal > 0
+                THEN greatest(
+                  round(CAST(n_mal AS DOUBLE) / n_raw * 2.0, 6), 1e-6)
+                ELSE 0.0 END
+    FROM tot
 """

@@ -261,3 +261,36 @@ def test_gaps_islands_queries_empty(spark, tmp_path):
     assert q_coverage_gaps(spark, str(tmp_path)).count() == 0
     assert q_scd2_intervals(spark, str(tmp_path)).count() == 0
     assert q_k_anonymity(spark, str(tmp_path)).count() == 0
+
+
+def test_semistructured_empty(spark):
+    from anomalydetection_spark.operators.semistructured import (
+        discover_json_keys,
+        json_field_audit,
+        suggest_json_rule,
+    )
+
+    empty = spark.createDataFrame([], "j string")
+    assert discover_json_keys(empty, "j") == []
+    # explicit keys: no rows -> no count rows, no malformed row
+    assert json_field_audit(empty, "j", keys=["a"]).count() == 0
+    sug = suggest_json_rule(empty, "j", max_keys=4)
+    assert sug == {"required": [], "types": {}, "max_malformed_rate": 0.0}
+    # all-null column behaves like empty (n_raw = 0, no crash)
+    nulls = spark.createDataFrame([(None,), (None,)], "j string")
+    assert json_field_audit(nulls, "j", keys=["a"]).count() == 0
+
+
+def test_json_contract_empty_frame(spark):
+    from anomalydetection_spark.operators.contract import (
+        Contract,
+        JsonRule,
+        contract_verdicts,
+    )
+
+    df = spark.createDataFrame([], "j string")
+    c = Contract(json={"j": JsonRule(required=("k",),
+                                     types={"k": ("number",)})})
+    got = {r.check: r.verdict for r in contract_verdicts(df, c).collect()}
+    # zero rows violate nothing
+    assert set(got.values()) == {"pass"}

@@ -250,3 +250,48 @@ def test_json_contract_from_dict(spark):
     df = _jdf(spark, ['{"k": 1}', '{"k": null}'])
     got = {r.check: r.verdict for r in contract_verdicts(df, c).collect()}
     assert set(got.values()) == {"pass"}
+
+
+def test_suggest_json_rule_planted_and_self_validates(spark):
+    from anomalydetection_spark.operators.contract import (
+        contract_from_dict,
+        contract_verdicts,
+    )
+    from anomalydetection_spark.operators.semistructured import (
+        suggest_json_rule,
+    )
+
+    df = _jdf(
+        spark,
+        [
+            '{"k": 1, "s": "a"}',
+            '{"k": 2.5, "s": "b", "extra": true}',
+            '{"k": "mixed", "s": "c"}',
+            "{oops",                      # malformed
+            None,
+        ],
+    )
+    sug = suggest_json_rule(df, "j")
+    # k and s appear in all 3 parseable rows; extra only in one
+    assert sug["required"] == ["k", "s"]
+    assert sug["types"] == {
+        "extra": ["bool"],
+        "k": ["number", "string"],
+        "s": ["string"],
+    }
+    # observed malformed rate 1/4 non-null rows, x2 slack
+    assert sug["max_malformed_rate"] == 0.5
+    # the suggestion validates its own table
+    c = contract_from_dict({"json": {"j": sug}})
+    verdicts = contract_verdicts(df, c).collect()
+    assert all(r.verdict == "pass" for r in verdicts), verdicts
+
+
+def test_suggest_json_rule_clean_column_zero_budget(spark):
+    from anomalydetection_spark.operators.semistructured import (
+        suggest_json_rule,
+    )
+
+    sug = suggest_json_rule(_jdf(spark, ['{"a": 1}', '{"a": 2}']), "j")
+    assert sug["max_malformed_rate"] == 0.0
+    assert sug["required"] == ["a"]
