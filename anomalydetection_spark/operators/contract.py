@@ -486,6 +486,37 @@ def annotate_violations(
         if er.rlike is not None:
             etag("rlike", _rlike(fld, er.rlike))
 
+    # json rules: same VARIANT conditions as the counts path, tagged
+    # per row; non-string/absent columns are skipped (they're the
+    # structural tier's finding, and tags must never crash)
+    if contract.json:
+        from .semistructured import _norm_type, variant_path
+
+        for c in _json_valid_cols(df.schema, contract):
+            jr = contract.json[c]
+            col = F.col(c)
+            v = F.try_parse_json(col)
+            if jr.max_malformed_rate is not None:
+                conds.append(
+                    (f"{c}::json_malformed", col.isNotNull() & v.isNull())
+                )
+            for k in jr.required:
+                conds.append((
+                    f"{c}::json_required:{k}",
+                    v.isNotNull()
+                    & F.variant_get(v, variant_path(k), "variant").isNull(),
+                ))
+            for k, allowed_types in (jr.types or {}).items():
+                t = _norm_type(
+                    F.schema_of_variant(
+                        F.variant_get(v, variant_path(k), "variant")
+                    )
+                )
+                conds.append((
+                    f"{c}::json_type:{k}",
+                    t.isNotNull() & ~t.isin(*allowed_types),
+                ))
+
     if not conds:
         return df.withColumn(out_col, F.array().cast("array<string>"))
     tags = F.array_sort(

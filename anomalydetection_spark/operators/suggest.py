@@ -188,18 +188,55 @@ def suggest_rules(
     )
 
 
+def detect_json_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    min_object_rate: float = 0.9,
+) -> list[str]:
+    """String columns whose non-null values are >= ``min_object_rate``
+    parseable JSON OBJECTS (leading '{' required: bare numbers and
+    quoted scalars parse as variants too, but a payload column means
+    objects). ONE map-side-combinable aggregate over the candidate
+    string columns — two conditional counts per column, no UDF."""
+    cand = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType)
+        and (columns is None or f.name in columns)
+    ]
+    if not cand:
+        return []
+    aggs = []
+    for c in cand:
+        col = F.col(c)
+        ok = F.try_parse_json(col).isNotNull() & F.trim(col).startswith("{")
+        aggs.append(F.count(col).alias(f"{c}__n"))
+        aggs.append(F.sum(ok.cast("long")).alias(f"{c}__ok"))
+    r = df.agg(*aggs).first()
+    return [
+        c
+        for c in cand
+        if (r[f"{c}__n"] or 0) > 0
+        and (r[f"{c}__ok"] or 0) / r[f"{c}__n"] >= min_object_rate
+    ]
+
+
 def suggest_contract(
     df: DataFrame,
     columns: list[str] | None = None,
+    detect_json: bool = True,
     **kwargs,
 ) -> tuple[dict, list[str]]:
     """(contract dict, uniqueness candidates).
 
     The dict is ``contract_from_dict``-compatible — dtype pinned from
-    the observed schema, data rules from :func:`suggest_rules`.
-    Uniqueness candidates are returned separately: uniqueness is the
-    uniqueness OPERATOR's job (salted exact check), not a per-row
-    contract rule."""
+    the observed schema, data rules from :func:`suggest_rules`, and
+    (``detect_json``) JSON-shape rules for string columns whose values
+    are overwhelmingly JSON objects (:func:`detect_json_columns` →
+    ``semistructured.suggest_json_rule``): required keys, observed
+    type sets, malformed budget. Uniqueness candidates are returned
+    separately: uniqueness is the uniqueness OPERATOR's job (salted
+    exact check), not a per-row contract rule."""
     schema = {f.name: f.dataType for f in df.schema.fields}
     sug = suggest_rules(df, columns, **kwargs).collect()
     cols: dict[str, dict] = {}
@@ -219,4 +256,16 @@ def suggest_contract(
             rule["allowed"] = r["str_value"].split(",")
         elif r["rule"] == "unique_candidate":
             unique.append(c)
-    return {"closed": False, "columns": cols}, unique
+    out: dict = {"closed": False, "columns": cols}
+    if detect_json:
+        jcols = detect_json_columns(df, columns)
+        if jcols:
+            from .semistructured import suggest_json_rule
+
+            out["json"] = {c: suggest_json_rule(df, c) for c in jcols}
+            # a JSON payload column is shaped by its json rule, not by
+            # a closed value set over raw blobs
+            for c in jcols:
+                if c in cols:
+                    cols[c].pop("allowed", None)
+    return out, unique

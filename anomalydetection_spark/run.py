@@ -433,6 +433,7 @@ def suggest_round(spark, args) -> dict:
     return {
         "suggest_contract": args.suggest_contract,
         "n_columns": len(contract["columns"]),
+        "n_json_columns": len(contract.get("json", {})),
         "unique_candidates": unique,
     }
 

@@ -756,3 +756,62 @@ def test_annotate_round_cli(spark, docs_path, catalog, tmp_path):
                         "--out", out, "--annotate"]),
             "rann2",
         )
+
+
+def test_json_rule_config_round(spark, docs_path, catalog, tmp_path):
+    """A --config JSON-shape rule on a payload column flows through
+    the CLI end to end: required/type/malformed verdict rows appear,
+    with a planted number-vs-string type mix failing and the clean
+    rules passing."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(docs_path)
+    # deterministic payload column: every doc carries k (number),
+    # except ids ending in '3' where a producer wrote a string
+    docs2 = docs.withColumn(
+        "props",
+        F.when(
+            F.col("doc_id").endswith("3"), F.lit('{"k": "oops"}')
+        ).otherwise(
+            F.concat(
+                F.lit('{"k": '),
+                F.length("doc_id").cast("string"),
+                F.lit("}"),
+            )
+        ),
+    )
+    p2 = str(tmp_path / "docs_json")
+    docs2.write.parquet(p2)
+    cat_path = str(tmp_path / "catalog")
+    catalog.write.mode("overwrite").parquet(cat_path)
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(
+            {
+                "contract": {
+                    "json": {
+                        "props": {
+                            "required": ["k"],
+                            "types": {"k": ["number"]},
+                            "max_malformed_rate": 0.0,
+                        }
+                    }
+                }
+            },
+            f,
+        )
+    out = str(tmp_path / "out")
+    s = one_round(
+        spark,
+        parse_args(["--docs", p2, "--catalog", cat_path,
+                    "--out", out, "--config", cfg_path]),
+        "rjson",
+    )
+    v = spark.read.parquet(s["verdicts"])
+    by = {
+        r.check: r.verdict
+        for r in v.filter(F.col("partition_id").isNull()).collect()
+    }
+    assert by["rule:json_malformed:props"] == "pass"
+    assert by["rule:json_required:k:props"] == "pass"
+    assert by["rule:json_type:k:props"] == "fail"

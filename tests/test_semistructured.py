@@ -295,3 +295,69 @@ def test_suggest_json_rule_clean_column_zero_budget(spark):
     sug = suggest_json_rule(_jdf(spark, ['{"a": 1}', '{"a": 2}']), "j")
     assert sug["max_malformed_rate"] == 0.0
     assert sug["required"] == ["a"]
+
+
+def test_annotate_violations_json_tags(spark):
+    """Keep-and-tag covers json rules: each row gains the exact
+    column::json_* labels it violates, clean rows get []."""
+    from anomalydetection_spark.operators.contract import (
+        Contract,
+        JsonRule,
+        annotate_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, '{"k": 1}'),
+            (1, '{"k": "oops"}'),
+            (2, '{"z": 9}'),
+            (3, "{bad"),
+            (4, None),
+        ],
+        "i long, j string",
+    )
+    c = Contract(
+        json={"j": JsonRule(required=("k",), types={"k": ("number",)})}
+    )
+    got = {
+        r.i: list(r.violations)
+        for r in annotate_violations(df, c).collect()
+    }
+    assert got[0] == []
+    assert got[1] == ["j::json_type:k"]
+    assert got[2] == ["j::json_required:k"]
+    assert got[3] == ["j::json_malformed"]
+    assert got[4] == []  # NULL raw: not malformed, not required-checked
+
+
+def test_detect_json_columns_and_suggest_integration(spark):
+    """suggest_contract auto-detects the JSON payload column, attaches
+    a self-validating json rule, and leaves plain string columns
+    alone (bare scalars don't count as payloads)."""
+    from anomalydetection_spark.operators.contract import (
+        contract_from_dict,
+        contract_verdicts,
+    )
+    from anomalydetection_spark.operators.suggest import (
+        detect_json_columns,
+        suggest_contract,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 1}', "plain", "5"),
+            (2, '{"k": 2}', "text", "6"),
+            (3, '{"k": 3}', "here", "7"),
+        ],
+        "i long, payload string, s string, numstr string",
+    )
+    # numstr parses as a variant scalar but is NOT an object column
+    assert detect_json_columns(df) == ["payload"]
+    contract, _unique = suggest_contract(df, exact_distinct=True)
+    assert set(contract["json"]) == {"payload"}
+    assert contract["json"]["payload"]["required"] == ["k"]
+    # payload must not ALSO carry a closed value set over raw blobs
+    assert "allowed" not in contract["columns"].get("payload", {})
+    # the whole suggestion (typed + json) self-validates
+    verdicts = contract_verdicts(df, contract_from_dict(contract))
+    assert all(r.verdict == "pass" for r in verdicts.collect())
