@@ -234,14 +234,19 @@ def contract_violation_counts(
     by = list(by) if by else []
     present = set(df.columns)
     aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
-    # (column label, rule, denominator agg alias)
-    keys: list[tuple[str, str, str]] = []
+    # (column label, rule, violation agg alias, denominator agg alias).
+    # Aliases are INDEXED (__v0, __v1, ...), never derived from column
+    # or rule names: rule labels carry data-derived JSON keys
+    # (json_type:<key>), and interpolating those into SQL text or
+    # identifiers would let a key with a quote/backtick crash — or
+    # worse, rewrite — the verdict query. Labels only ever travel as
+    # F.lit() values.
+    keys: list[tuple[str, str, str, str]] = []
 
     def add(c: str, rule: str, cond) -> None:
-        aggs.append(
-            F.sum(F.when(cond, 1).otherwise(0)).alias(f"{c}::{rule}")
-        )
-        keys.append((c, rule, "__n"))
+        alias = f"__v{len(keys)}"
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(alias))
+        keys.append((c, rule, alias, "__n"))
 
     for c, rule in contract.columns.items():
         if c not in present:
@@ -276,7 +281,7 @@ def contract_violation_counts(
         a, fld = elem_ok[path]
         arr = F.col(a)
         if a not in denoms:
-            alias = f"__elems::{a}"
+            alias = f"__e{len(denoms)}"
             aggs.append(
                 F.sum(
                     F.when(arr.isNull(), 0).otherwise(F.size(arr))
@@ -286,14 +291,15 @@ def contract_violation_counts(
         label = f"{a}[*].{fld}"
 
         def eadd(rule: str, cond) -> None:
+            alias = f"__v{len(keys)}"
             aggs.append(
                 F.sum(
                     F.when(arr.isNull(), 0).otherwise(
                         F.size(F.filter(arr, cond))
                     )
-                ).alias(f"{label}::{rule}")
+                ).alias(alias)
             )
-            keys.append((label, rule, denoms[a]))
+            keys.append((label, rule, alias, denoms[a]))
 
         # single-parameter lambdas only: pyspark's higher-order-function
         # bridge derives the SQL lambda arity from the Python signature,
@@ -372,14 +378,21 @@ def contract_violation_counts(
             schema = schema.add(n, t)
         return df.sparkSession.createDataFrame([], schema)
     one = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
-    quads = ", ".join(
-        f"'{c}', '{r}', cast(`{c}::{r}` as double), `{d}`"
-        for c, r, d in keys
-    )
-    return one.selectExpr(
-        *[f"`{c}`" for c in by],
-        f"stack({len(keys)}, {quads})"
-        " as (column, rule, n_violations, __denom)"
+    # F.stack over F.lit labels — the labels never touch a SQL parser,
+    # so data-derived rule names (JSON keys) cannot break the query
+    quad_cols: list = []
+    for c, r, alias, d in keys:
+        quad_cols += [
+            F.lit(c),
+            F.lit(r),
+            F.col(alias).cast("double"),
+            F.col(d),
+        ]
+    return one.select(
+        *[F.col(c) for c in by],
+        F.stack(F.lit(len(keys)), *quad_cols).alias(
+            "column", "rule", "n_violations", "__denom"
+        ),
     ).select(
         *by,
         "column",
@@ -744,6 +757,20 @@ def contract_from_dict(d: dict) -> Contract:
                 f"json rule for {cname!r} must be a dict of rule "
                 f"fields, got {type(jr).__name__}"
             )
+        # bare strings would tuple() into characters ("number" ->
+        # ('n','u',...)) and silently fail every row — config typos
+        # must not silently validate
+        if isinstance(jr.get("required"), str):
+            raise ValueError(
+                f"json rule for {cname!r}: 'required' must be a list "
+                f"of keys, got the string {jr['required']!r}"
+            )
+        for k, tv in (jr.get("types") or {}).items():
+            if isinstance(tv, str):
+                raise ValueError(
+                    f"json rule for {cname!r}: types[{k!r}] must be a "
+                    f"list of type names, got the string {tv!r}"
+                )
         built = _build(JsonRule, jr)
         json_rules[cname] = _replace(
             built,

@@ -331,7 +331,12 @@ def setsim_prefix_pairs(
         # the tokenize scan per branch (4x at 100 TB — tokenization is
         # the single heaviest narrow stage). MEMORY_AND_DISK spills
         # rather than OOMs when the token table exceeds executor
-        # memory; Spark's LRU eviction reclaims it after the job.
+        # memory. The cache is NOT explicitly unpersisted (this
+        # function returns a lazy plan; the cache must outlive it) —
+        # Spark's LRU eviction reclaims it under storage pressure, and
+        # callers that loop (catalog sweeps, dedup rounds) can pass
+        # materialize=False or spark.catalog.clearCache() between
+        # rounds if they need deterministic reclamation.
         from pyspark import StorageLevel
 
         t = t.persist(StorageLevel.MEMORY_AND_DISK)
@@ -397,28 +402,32 @@ def setsim_prefix_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "m"))).alias("mem"))
         .filter(F.size("mem") >= 2)
     )
-    mem = F.col("mem")
-    pairs_nested = F.transform(
-        mem,
-        lambda x: F.transform(
-            F.filter(
-                mem,
-                lambda y: (y["doc_id"] > x["doc_id"])
-                & (
-                    F.least(x["m"], y["m"]).cast("double")
-                    >= F.lit(threshold) * F.greatest(x["m"], y["m"])
-                ),
-            ),
-            lambda y: F.struct(
-                x["doc_id"].alias("a_id"), y["doc_id"].alias("b_id")
+    # explode to one row per (bucket, member x), THEN build only x's
+    # partners inside the row: per-row state is O(|bucket|) — the mem
+    # array each row carries — never the O(|bucket|²) a nested
+    # transform-of-transforms would materialize in a single buffer
+    # before its explode (a hot bucket of 100k members would exceed
+    # Spark's single-array limit there; here it streams |bucket| rows).
+    # The Σ|bucket|² candidate COUNT is unchanged — that is the
+    # algorithm's cost, bounded by df-ordered prefixes keeping buckets
+    # small; what changes is peak memory per row.
+    exploded = buckets.select("mem", F.explode("mem").alias("x"))
+    x = F.col("x")
+    partners = F.transform(
+        F.filter(
+            F.col("mem"),
+            lambda y: (y["doc_id"] > x["doc_id"])
+            & (
+                F.least(x["m"], y["m"]).cast("double")
+                >= F.lit(threshold) * F.greatest(x["m"], y["m"])
             ),
         ),
+        lambda y: y["doc_id"],
     )
     cand = (
-        buckets.select(
-            F.explode(F.flatten(pairs_nested)).alias("pair")
+        exploded.select(
+            x["doc_id"].alias("a_id"), F.explode(partners).alias("b_id")
         )
-        .select(F.col("pair.a_id").alias("a_id"), F.col("pair.b_id").alias("b_id"))
         .distinct()
     )
     sets = t.select("doc_id", "toks")

@@ -21,8 +21,9 @@ Python UDF anywhere:
    literal variant paths, explode, and run a map-side-combinable
    groupBy (key, vtype). Output cardinality = |keys| x |types|,
    independent of row count.
-3. ONE 1-row totals aggregate (raw non-null rows, parse failures)
-   broadcast back for the rates.
+3. ONE 1-row totals aggregate (raw non-null rows, parse failures),
+   COLLECTED driver-side and inlined as literals — cross-joining it
+   back would duplicate the parse subtree into every consumer branch.
 
 Type normalization pins a cross-engine enum — number / string / bool /
 array / object / null — because Spark reports physical variant types
@@ -129,9 +130,43 @@ def json_field_audit(
     """
     if keys is None:
         keys = discover_json_keys(df, json_col, max_keys=max_keys)
+    tot = _totals(df, json_col)
+    counts = _audit_counts(df, json_col, keys)
+    if tot.n_mal:
+        counts = counts.unionByName(
+            df.sparkSession.createDataFrame(
+                [(MALFORMED_KEY, "malformed", int(tot.n_mal))],
+                "key string, vtype string, n long",
+            )
+        )
+    return counts.select(
+        "key",
+        "vtype",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.lit(int(tot.n_raw or 0)), 6
+        ).alias("rate"),
+    )
 
+
+def _totals(df: DataFrame, json_col: str):
+    """ONE aggregate, collected driver-side: (n_raw = non-null values,
+    n_mal = parse failures). Collected rather than cross-joined back so
+    the parse subtree is not duplicated into every consumer branch."""
     raw = F.col(json_col)
-    parsed = df.select(raw.alias("_raw"), F.try_parse_json(raw).alias("_v"))
+    return df.agg(
+        F.count(raw).alias("n_raw"),
+        F.sum(
+            (raw.isNotNull() & F.try_parse_json(raw).isNull()).cast("long")
+        ).alias("n_mal"),
+    ).first()
+
+
+def _audit_counts(df: DataFrame, json_col: str, keys: list[str]) -> DataFrame:
+    """(key, vtype, n) counts plan over the declared keys — the single
+    audit scan; empty key list degenerates to an empty frame."""
+    raw = F.col(json_col)
+    parsed = df.select(F.try_parse_json(raw).alias("_v"))
 
     path = variant_path
 
@@ -154,7 +189,7 @@ def json_field_audit(
             .select("kv.key", "kv.vtype")
             .filter(F.col("vtype").isNotNull())
             .groupBy("key", "vtype")
-            .agg(F.count("*").alias("n"))
+            .agg(F.count("*").cast("long").alias("n"))
         )
     else:
         # no keys (empty/unparseable corpus or an explicit []): the
@@ -162,29 +197,7 @@ def json_field_audit(
         counts = df.sparkSession.createDataFrame(
             [], "key string, vtype string, n long"
         )
-    totals = parsed.agg(
-        F.count("_raw").alias("n_raw"),
-        F.sum(
-            (F.col("_raw").isNotNull() & F.col("_v").isNull()).cast("long")
-        ).alias("n_mal"),
-    )
-    mal_row = totals.filter(F.col("n_mal") > 0).select(
-        F.lit(MALFORMED_KEY).alias("key"),
-        F.lit("malformed").alias("vtype"),
-        F.col("n_mal").alias("n"),
-    )
-    return (
-        counts.unionByName(mal_row)
-        .crossJoin(F.broadcast(totals.select("n_raw")))
-        .select(
-            "key",
-            "vtype",
-            F.col("n").cast("long").alias("n"),
-            F.round(F.col("n").cast("double") / F.col("n_raw"), 6).alias(
-                "rate"
-            ),
-        )
-    )
+    return counts
 
 
 def suggest_json_rule(
@@ -205,19 +218,15 @@ def suggest_json_rule(
     construction the profiled table passes its own suggestion (pinned
     in tests).
 
-    Cost: the audit pass (|keys| x |types| output) plus one 1-row
-    totals aggregate; the derivation itself runs on the collected
-    audit rows — metadata scale."""
+    Cost: key discovery + ONE totals aggregate + ONE audit counts scan
+    (the same internals the audit uses — nothing is computed twice);
+    the derivation itself runs on the collected counts rows —
+    metadata scale."""
     from .suggest import _r6
 
-    audit = json_field_audit(df, json_col, max_keys=max_keys).collect()
-    raw = F.col(json_col)
-    tot = df.agg(
-        F.count(raw).alias("n_raw"),
-        F.sum(
-            (raw.isNotNull() & F.try_parse_json(raw).isNull()).cast("long")
-        ).alias("n_mal"),
-    ).first()
+    keys = discover_json_keys(df, json_col, max_keys=max_keys)
+    tot = _totals(df, json_col)
+    audit = _audit_counts(df, json_col, keys).collect()
     n_parseable = (tot.n_raw or 0) - (tot.n_mal or 0)
     present: dict[str, int] = {}
     types: dict[str, set] = {}

@@ -6979,11 +6979,13 @@ ORACLES["null_cooccurrence"] = """
 """
 
 
-# Same deterministic JSON synthesis as _synth_props_json, rebuilt in
-# SQL; presence via json_keys (json_extract conflates JSON null with
-# absent), types normalized to the shared portable enum.
-ORACLES["json_field_audit"] = """
-    WITH raw AS (
+# Shared SQL fragments for the three JSON oracles — ONE copy of the
+# deterministic synthesis (must stay bit-identical to
+# _synth_props_json) and ONE copy of the portable type-enum CASE
+# (must stay aligned with semistructured._norm_type). Plain-string
+# concatenation, not f-strings: the synthesized JSON text is full of
+# braces.
+_SYNTH_JSON_SQL = """
       SELECT CASE WHEN event_id % 97 = 0 THEN '{"k": '
         ELSE '{"k": ' || (event_id % 100)
           || CASE WHEN event_id % 3 = 0
@@ -7001,16 +7003,9 @@ ORACLES["json_field_audit"] = """
           || CASE WHEN event_id % 13 = 0 THEN ', "opt": null' ELSE '' END
           || '}' END AS j
       FROM events
-    ), tot AS (
-      SELECT count(j) AS n_raw,
-             sum(CASE WHEN j IS NOT NULL AND try_cast(j AS JSON) IS NULL
-                 THEN 1 ELSE 0 END) AS n_mal
-      FROM raw
-    ), parsed AS (
-      SELECT j FROM raw
-      WHERE j IS NOT NULL AND try_cast(j AS JSON) IS NOT NULL
-    ), kv AS (
-      SELECT u.k AS key,
+"""
+
+_JSON_TYPE_CASE_SQL = """
         CASE WHEN NOT list_contains(json_keys(j), u.k) THEN NULL
              WHEN json_type(j, '$.' || u.k) IS NULL THEN 'null'
              WHEN json_type(j, '$.' || u.k) IN ('UBIGINT','BIGINT','DOUBLE')
@@ -7019,7 +7014,24 @@ ORACLES["json_field_audit"] = """
              WHEN json_type(j, '$.' || u.k) = 'BOOLEAN' THEN 'bool'
              WHEN json_type(j, '$.' || u.k) = 'ARRAY' THEN 'array'
              WHEN json_type(j, '$.' || u.k) = 'OBJECT' THEN 'object'
-             ELSE 'other' END AS vtype
+             ELSE 'other' END
+"""
+
+
+# Same deterministic JSON synthesis as _synth_props_json, rebuilt in
+# SQL; presence via json_keys (json_extract conflates JSON null with
+# absent), types normalized to the shared portable enum.
+ORACLES["json_field_audit"] = (
+    "WITH raw AS (" + _SYNTH_JSON_SQL + """), tot AS (
+      SELECT count(j) AS n_raw,
+             sum(CASE WHEN j IS NOT NULL AND try_cast(j AS JSON) IS NULL
+                 THEN 1 ELSE 0 END) AS n_mal
+      FROM raw
+    ), parsed AS (
+      SELECT j FROM raw
+      WHERE j IS NOT NULL AND try_cast(j AS JSON) IS NOT NULL
+    ), kv AS (
+      SELECT u.k AS key, """ + _JSON_TYPE_CASE_SQL + """ AS vtype
       FROM parsed,
            unnest(['flags','k','meta','opt','score','tag']) AS u(k)
     )
@@ -7031,6 +7043,7 @@ ORACLES["json_field_audit"] = """
            round(n_mal * 1.0 / n_raw, 6)
     FROM tot WHERE n_mal > 0
 """
+)
 
 # Pinned arithmetic: expected = double(row_total) * double(col_total)
 # / double(n) computed ONCE in a subquery, reused unrounded by the
@@ -7069,42 +7082,14 @@ ORACLES["cross_source_dup_matrix"] = f"""
 # Same JSON synthesis; each declared rule recomputed as a conditional
 # count with the contract's verdict CASE. Denominator for every rate
 # is the table row count (contract_violation_counts' __n).
-ORACLES["json_contract"] = """
-    WITH raw AS (
-      SELECT CASE WHEN event_id % 97 = 0 THEN '{"k": '
-        ELSE '{"k": ' || (event_id % 100)
-          || CASE WHEN event_id % 3 = 0
-                  THEN ', "tag": "t' || (event_id % 5) || '"' ELSE '' END
-          || CASE WHEN event_id % 17 = 0 THEN ', "score": "NaN"'
-                  WHEN event_id % 2 = 0
-                  THEN ', "score": ' || (event_id % 9) || '.25'
-                  ELSE ', "score": ' || (event_id % 100) END
-          || CASE WHEN event_id % 7 = 0
-                  THEN ', "flags": [' || (event_id % 2) || ', '
-                       || (event_id % 3) || ']' ELSE '' END
-          || CASE WHEN event_id % 11 = 0
-                  THEN ', "meta": {"depth": ' || (event_id % 4) || '}'
-                  ELSE '' END
-          || CASE WHEN event_id % 13 = 0 THEN ', "opt": null' ELSE '' END
-          || '}' END AS j
-      FROM events
-    ), typed AS (
+ORACLES["json_contract"] = (
+    "WITH raw AS (" + _SYNTH_JSON_SQL + """), typed AS (
       SELECT j,
              j IS NOT NULL AND try_cast(j AS JSON) IS NULL AS malformed,
              try_cast(j AS JSON) IS NOT NULL AS parseable
       FROM raw
     ), norm AS (
-      SELECT u.k AS key,
-        CASE WHEN NOT list_contains(json_keys(j), u.k) THEN NULL
-             WHEN json_type(j, '$.' || u.k) IS NULL THEN 'null'
-             WHEN json_type(j, '$.' || u.k) IN ('UBIGINT','BIGINT','DOUBLE')
-               THEN 'number'
-             WHEN json_type(j, '$.' || u.k) = 'VARCHAR' THEN 'string'
-             WHEN json_type(j, '$.' || u.k) = 'BOOLEAN' THEN 'bool'
-             WHEN json_type(j, '$.' || u.k) = 'ARRAY' THEN 'array'
-             WHEN json_type(j, '$.' || u.k) = 'OBJECT' THEN 'object'
-             ELSE 'other' END AS vtype,
-        j
+      SELECT u.k AS key, """ + _JSON_TYPE_CASE_SQL + """ AS vtype, j
       FROM typed,
            unnest(['flags','k','meta','opt','score','tag']) AS u(k)
       WHERE parseable
@@ -7139,32 +7124,15 @@ ORACLES["json_contract"] = """
            CAST(NULL AS VARCHAR) AS detail
     FROM counts
 """
+)
 
 
 # Re-derives the suggestion: required = present in every parseable
 # row; types = comma-joined sorted observed enum; budget =
 # round((n_mal/n_raw)*2, 6) floored at 1e-6 — the same (m/r)*slack
 # operation order as the Python derivation.
-ORACLES["suggested_json_rules"] = """
-    WITH raw AS (
-      SELECT CASE WHEN event_id % 97 = 0 THEN '{"k": '
-        ELSE '{"k": ' || (event_id % 100)
-          || CASE WHEN event_id % 3 = 0
-                  THEN ', "tag": "t' || (event_id % 5) || '"' ELSE '' END
-          || CASE WHEN event_id % 17 = 0 THEN ', "score": "NaN"'
-                  WHEN event_id % 2 = 0
-                  THEN ', "score": ' || (event_id % 9) || '.25'
-                  ELSE ', "score": ' || (event_id % 100) END
-          || CASE WHEN event_id % 7 = 0
-                  THEN ', "flags": [' || (event_id % 2) || ', '
-                       || (event_id % 3) || ']' ELSE '' END
-          || CASE WHEN event_id % 11 = 0
-                  THEN ', "meta": {"depth": ' || (event_id % 4) || '}'
-                  ELSE '' END
-          || CASE WHEN event_id % 13 = 0 THEN ', "opt": null' ELSE '' END
-          || '}' END AS j
-      FROM events
-    ), tot AS (
+ORACLES["suggested_json_rules"] = (
+    "WITH raw AS (" + _SYNTH_JSON_SQL + """), tot AS (
       SELECT count(j) AS n_raw,
              sum(CASE WHEN j IS NOT NULL AND try_cast(j AS JSON) IS NULL
                  THEN 1 ELSE 0 END) AS n_mal,
@@ -7172,16 +7140,7 @@ ORACLES["suggested_json_rules"] = """
                  THEN 1 ELSE 0 END) AS n_parse
       FROM raw
     ), kv AS (
-      SELECT u.k AS key,
-        CASE WHEN NOT list_contains(json_keys(j), u.k) THEN NULL
-             WHEN json_type(j, '$.' || u.k) IS NULL THEN 'null'
-             WHEN json_type(j, '$.' || u.k) IN ('UBIGINT','BIGINT','DOUBLE')
-               THEN 'number'
-             WHEN json_type(j, '$.' || u.k) = 'VARCHAR' THEN 'string'
-             WHEN json_type(j, '$.' || u.k) = 'BOOLEAN' THEN 'bool'
-             WHEN json_type(j, '$.' || u.k) = 'ARRAY' THEN 'array'
-             WHEN json_type(j, '$.' || u.k) = 'OBJECT' THEN 'object'
-             ELSE 'other' END AS vtype
+      SELECT u.k AS key, """ + _JSON_TYPE_CASE_SQL + """ AS vtype
       FROM raw, unnest(['flags','k','meta','opt','score','tag']) AS u(k)
       WHERE try_cast(j AS JSON) IS NOT NULL
     )
@@ -7199,3 +7158,4 @@ ORACLES["suggested_json_rules"] = """
                 ELSE 0.0 END
     FROM tot
 """
+)

@@ -361,3 +361,41 @@ def test_detect_json_columns_and_suggest_integration(spark):
     # the whole suggestion (typed + json) self-validates
     verdicts = contract_verdicts(df, contract_from_dict(contract))
     assert all(r.verdict == "pass" for r in verdicts.collect())
+
+
+def test_json_rule_data_derived_key_with_quote(spark):
+    """A JSON key containing a quote (data-derived keys reach rule
+    labels via suggest_contract) must flow through the whole verdict
+    path — labels never touch a SQL parser."""
+    from anomalydetection_spark.operators.contract import (
+        Contract,
+        JsonRule,
+        annotate_violations,
+        contract_verdicts,
+    )
+
+    df = _jdf(spark, ['{"it\'s": 1}', '{"it\'s": "x"}'])
+    c = Contract(
+        json={"j": JsonRule(required=("it's",), types={"it's": ("number",)})}
+    )
+    got = {
+        r.check: r.verdict for r in contract_verdicts(df, c).collect()
+    }
+    assert got["rule:json_required:it's"] == "pass"
+    assert got["rule:json_type:it's"] == "fail"
+    tags = [
+        list(r.violations)
+        for r in annotate_violations(df, c).collect()
+    ]
+    assert tags == [[], ["j::json_type:it's"]]
+
+
+def test_json_contract_from_dict_rejects_bare_strings(spark):
+    """A string where a list is expected must raise, not silently
+    explode into characters."""
+    from anomalydetection_spark.operators.contract import contract_from_dict
+
+    with pytest.raises(ValueError, match="'required' must be a list"):
+        contract_from_dict({"json": {"j": {"required": "key"}}})
+    with pytest.raises(ValueError, match="must be a list of type names"):
+        contract_from_dict({"json": {"j": {"types": {"k": "number"}}}})
