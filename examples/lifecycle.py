@@ -9,6 +9,9 @@ at toy scale (~20k docs, finishes in about a minute on local[8]):
 5. PROFILE incrementally: second round scans only the appended
    partitions; moment + distribution drift come from stored state
 6. DEDUP: LSH near-dup split (kept / duplicate)
+7. JSON payload arm: synthesize a props column, auto-DETECT it,
+   SUGGEST a JSON-shape rule, VALIDATE it, keep-and-tag the type-mix
+   rows (operators/semistructured.py + contract JsonRule)
 
 Usage: python examples/lifecycle.py [workdir]
 (workdir defaults to a fresh temp directory)
@@ -77,6 +80,7 @@ def main(workdir: str | None = None, stop: bool = True) -> dict:
     from anomalydetection_spark.operators.contract import (
         annotate_violations,
         contract_from_dict,
+        contract_verdicts,
     )
 
     ann = annotate_violations(docs, contract_from_dict(contract))
@@ -143,6 +147,54 @@ def main(workdir: str | None = None, stop: bool = True) -> dict:
         k: split[k] for k in ("n_kept", "n_duplicates", "n_clusters")
         if k in split
     }
+
+    # 7. JSON payload arm: a props column with a planted type-mix bug
+    #    (every 50th doc's "k" is a string) and a planted truncation
+    #    (every 97th doc malformed). detect -> suggest -> validate ->
+    #    keep-and-tag, all through the same contract system.
+    from anomalydetection_spark.operators.suggest import (
+        detect_json_columns,
+    )
+
+    h = F.abs(F.xxhash64("doc_id"))
+    payload = docs.select(
+        "doc_id",
+        F.when(h % 97 == 0, F.lit('{"k": '))
+        .when(
+            h % 50 == 0,
+            F.concat(F.lit('{"k": "v'), (h % 9).cast("string"), F.lit('"}')),
+        )
+        .otherwise(
+            F.concat(F.lit('{"k": '), (h % 1000).cast("string"), F.lit("}"))
+        )
+        .alias("props"),
+    )
+    jcols = detect_json_columns(payload)
+    summary["json_detected"] = jcols  # ['props']; doc_id is not JSON
+    jcontract, _ = suggest_contract(payload, columns=["props"])
+    jrule = jcontract["json"]["props"]
+    summary["json_suggested"] = {
+        "required": jrule["required"],
+        "types": jrule["types"],
+        "max_malformed_rate": jrule["max_malformed_rate"],
+    }
+    jv = contract_verdicts(
+        payload, contract_from_dict({"json": jcontract["json"]})
+    )
+    summary["json_verdicts"] = {
+        r["check"]: r["verdict"]
+        for r in jv.filter(F.col("check").startswith("rule:")).collect()
+    }
+    tagged = annotate_violations(
+        payload,
+        contract_from_dict(
+            {"json": {"props": {"required": ["k"],
+                                "types": {"k": ["number"]}}}}
+        ),
+    )
+    summary["json_type_mix_rows"] = tagged.filter(
+        F.array_contains("violations", "props::json_type:k")
+    ).count()
 
     if stop:
         spark.stop()

@@ -36,3 +36,19 @@ def test_lifecycle_demo(spark, tmp_path):
     d = s["dedup"]
     assert d["n_kept"] + d["n_duplicates"] == 20_000
     assert d["n_duplicates"] >= d["n_clusters"] > 0
+
+
+def test_lifecycle_json_arm(spark, tmp_path):
+    """The JSON payload arm of the demo: detection finds exactly the
+    payload column, the suggestion reflects the planted type mix and
+    malformed budget, the suggested contract passes its own table,
+    and the strict number-only contract tags the planted string rows."""
+    import lifecycle
+
+    s = lifecycle.main(str(tmp_path / "wd"), stop=False)
+    assert s["json_detected"] == ["props"]
+    assert s["json_suggested"]["required"] == ["k"]
+    assert sorted(s["json_suggested"]["types"]["k"]) == ["number", "string"]
+    assert s["json_suggested"]["max_malformed_rate"] > 0
+    assert set(s["json_verdicts"].values()) == {"pass"}  # self-validates
+    assert s["json_type_mix_rows"] > 0
