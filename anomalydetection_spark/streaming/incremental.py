@@ -26,6 +26,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators import stats as stats_ops
 from ..operators.referential import orphan_refs
@@ -33,11 +34,16 @@ from ..operators.uniqueness import duplicate_keys
 from ..schema import DOCUMENTS_SCHEMA
 
 
-def read_documents_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_documents_stream(
+    spark: SparkSession, input_dir: str, schema: T.StructType | None = None
+) -> DataFrame:
     """File-source stream over a documents directory (schema pinned —
-    streaming sources never infer)."""
+    streaming sources never infer). ``schema`` overrides the default
+    documents shape for tables carrying extra payload columns (e.g. a
+    JSON props column a contract wants to judge); it must still contain
+    the core validation columns (doc_id, spans, partition_id)."""
     return (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        spark.readStream.schema(schema or DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )
@@ -185,6 +191,8 @@ def stream_validate(
     max_violation_exemplars: int | None = None,
     histogram_bins: int = 64,
     histogram_bin_width: int = 8,
+    contract=None,
+    schema: T.StructType | None = None,
 ):
     """Run incremental validation over arriving document files.
 
@@ -197,7 +205,20 @@ def stream_validate(
     table). ``max_violation_exemplars``: cap the stored rows at K per
     (check, partition) per batch — verdict counts stay exact via the
     window aggregates stamped by the capping pass (same trade-off as the
-    batch pipeline's ``ValidationConfig.max_violation_exemplars``)."""
+    batch pipeline's ``ValidationConfig.max_violation_exemplars``).
+
+    ``contract``: a :class:`~..operators.contract.Contract` — judged per
+    micro-batch via the SAME two-tier ``contract_verdicts`` as batch
+    (data tier is ONE map-side-combinable agg; structural issues and
+    uncompilable expressions become ``schema:*`` fail rows, never
+    crashes) and written under ``output_dir/contract_verdicts/
+    batch_id=N`` (overwrite → idempotent on replay). Structural rows are
+    schema-scoped so they repeat identically per batch — harmless, and
+    it keeps every batch directory a self-contained verdict set.
+
+    ``schema``: optional stream schema override (see
+    :func:`read_documents_stream`) for document tables carrying extra
+    payload columns a contract wants to judge."""
     from ..functions.bloom import build_bloom
     from ..operators.referential import (
         BLOOM_MIN_CATALOG_ROWS,
@@ -206,9 +227,12 @@ def stream_validate(
         orphan_refs_rowlocal_udf,
     )
 
-    stream = read_documents_stream(spark, input_dir)
+    stream = read_documents_stream(spark, input_dir, schema=schema)
     verdicts_dir = os.path.join(output_dir, "verdicts")
     violations_dir = os.path.join(output_dir, "violations")
+    contract_dir = os.path.join(output_dir, "contract_verdicts")
+    if contract is not None:
+        from ..operators.contract import contract_verdicts
     catalog_n = catalog.count() if catalog is not None else None
     # referential machinery built ONCE for the stream's lifetime (a
     # micro-batch must never re-scan the catalog):
@@ -254,6 +278,10 @@ def stream_validate(
         v.write.mode("overwrite").parquet(
             os.path.join(verdicts_dir, f"batch_id={batch_id}")
         )
+        if contract is not None:
+            contract_verdicts(batch, contract).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(contract_dir, f"batch_id={batch_id}"))
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -4,7 +4,7 @@
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from anomalydetection_spark.functions import tdigest as td
@@ -107,6 +107,28 @@ ref_str = st.text(
     ),
     st.lists(ref_str, max_size=30),
 )
+# pinned counterexamples from the id-keyed catalog-cache bug (fixed by
+# building the Arrow value_set once per task in the UDF closure): the
+# crash was address-reuse-dependent, so the exact inputs that surfaced
+# it stay as permanent anchors
+@example(rows=[["ɣ", "0"], ["0"]], catalog=[]).via("discovered failure")
+@example(
+    rows=[
+        [""],
+        [None, None, "", None, None, "ἔƅ5ɧɥħ"],
+        [None, None, "", None, None, "ἔƅ5ɧɥħ"],
+        None,
+        None,
+        [],
+        [None, None, "", None, None, "ţĭſɥ"],
+        None,
+        None,
+        None,
+        None,
+        ["𝟻ɖæὢÿɨ"],
+    ],
+    catalog=["ȅșéṣ𑇑ĭ", "ǥőȃȭűǒ", "", "", "êǫ", "ſ9ɩ", "ţĭſɥ", "чǜůǎæⴚ"],
+).via("discovered failure")
 def test_orphan_kernel_matches_python_reference(rows, catalog):
     """The Arrow orphan kernel must agree with a per-row Python
     reference for arbitrary ref lists — null rows, null ELEMENTS

