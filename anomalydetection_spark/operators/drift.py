@@ -354,6 +354,35 @@ def ema_3sigma(
     )
 
 
+def fresh_validated(hist: DataFrame) -> DataFrame:
+    """FRESH observations in a manifest history (``Manifest.history_df``
+    shape): rows with status 'validated' whose record CONTENT differs
+    from the same partition's record at the previous version. Versions
+    are full snapshots, so lease/stats commits (and validation runs
+    that skipped unchanged partitions) copy records forward verbatim —
+    feeding those copies into a metric series would satisfy min_history
+    with duplicates of one real observation and collapse the trailing
+    stddev exactly when a later genuine jump needs catching.
+
+    Content comparison (not the ``record_run_id == run_id`` heuristic)
+    because a carry-forward commit made under the SAME run id that
+    validated — e.g. a run that validates and then stamps stats — would
+    otherwise still count as fresh."""
+    w = Window.partitionBy("partition_id").orderBy("version")
+    cur = F.struct(
+        "status", "record_run_id", "validated_at", "n_rows",
+        "n_violations", "verdict",
+    )
+    return (
+        hist.withColumn("_prev_rec", F.lag(cur).over(w))
+        .filter(
+            (F.col("status") == "validated")
+            & ~F.col("_prev_rec").eqNullSafe(cur)
+        )
+        .drop("_prev_rec")
+    )
+
+
 def manifest_history_drift(
     spark,
     manifest,
@@ -370,17 +399,9 @@ def manifest_history_drift(
     (versions × partitions rows — metadata scale), so this runs in
     milliseconds regardless of table size."""
     hist = (
-        manifest.history_df(spark)
-        # FRESH observations only: lease/stats commits (and validation
-        # runs that skipped unchanged partitions) carry prior records
-        # forward verbatim — feeding those copies into the series would
-        # satisfy min_history with duplicates of one real observation
-        # and collapse the trailing stddev to 0, making a later genuine
-        # jump structurally undetectable
-        .filter(
-            (F.col("status") == "validated")
-            & (F.col("record_run_id") == F.col("run_id"))
-        )
+        # FRESH observations only — see fresh_validated: carry-forward
+        # copies would collapse the trailing stddev and mask real jumps
+        fresh_validated(manifest.history_df(spark))
         .filter(F.col("n_rows").isNotNull() & (F.col("n_rows") > 0))
         .withColumn(
             "violation_rate",

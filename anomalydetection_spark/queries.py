@@ -320,6 +320,49 @@ def q_ema_hourly(spark, sf_dir):
     )
 
 
+def q_metric_history_anomaly(spark, sf_dir):
+    """Keyed metric-history anomaly (operators/metric_history.py::
+    metric_history_anomaly): the reference's EMA+3σ running-score rule
+    applied to a validation engine's own metric series across runs —
+    Deequ's metric-repository anomaly checks. The manifest-walk twin
+    (manifest_metric_history + the --metric-anomaly CLI) is
+    filesystem-bound and pytest-pinned (tests/test_metric_history.py);
+    the anomaly rule itself is oracled here over a deterministic
+    synthesized run-history: version = months since 1992-01 of
+    o_orderdate, one metric series per order status, value = order
+    count. Each (metric) series folds independently — the keyed
+    partitionBy path ema_hourly's single global series never
+    exercises."""
+    from .operators.metric_history import metric_history_anomaly
+
+    o = _t(spark, sf_dir, "orders")
+    hist = (
+        o.groupBy(
+            F.months_between(
+                F.trunc("o_orderdate", "MM"), F.lit("1992-01-01")
+            )
+            .cast("int")
+            .alias("version"),
+            F.col("o_orderstatus").alias("metric"),
+        )
+        .agg(F.count("*").cast("double").alias("value"))
+        .withColumn(
+            "run_id",
+            F.concat(F.lit("run-"), F.col("version").cast("string")),
+        )
+        .withColumn("partition_id", F.lit(None).cast("int"))
+    )
+    out = metric_history_anomaly(hist, min_history=3)
+    return out.select(
+        "version",
+        "run_id",
+        "metric",
+        F.col("value").cast("long").alias("n"),
+        F.round("ema", 4).alias("ema"),
+        "is_anomaly",
+    )
+
+
 # --------------------------------------------------------------------------
 # dedup family (training-data pipeline ops over the flat corpus)
 # --------------------------------------------------------------------------
@@ -3869,6 +3912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with the per-round full-catalog artifact (ORACLES_FULL_r{N}.json,
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
+    "metric_history_anomaly": q_metric_history_anomaly,
     "json_field_audit": q_json_field_audit,
     "json_contract": q_json_contract,
     "suggested_json_rules": q_suggested_json_rules,
@@ -5535,6 +5579,49 @@ ORACLES: dict[str, str] = {
     # Replays ema_3sigma: trailing-20 window list + stddev; list_reduce fold
     # seeded with the first element AND folding over it again (list_prepend)
     # to match Spark's aggregate(_prev, _prev[0], ...) semantics exactly.
+    # Replays metric_history_anomaly's keyed EMA fold exactly like the
+    # ema_hourly oracle (list_reduce seeded with prev[1] AND folding
+    # over it again, matching Spark's aggregate(_prev, _prev[0], ...)),
+    # but PARTITION BY metric — every status series folds
+    # independently. ema is round(round(x,6),4) because the operator
+    # rounds to 6dp before the query's display rounding.
+    "metric_history_anomaly": """
+        WITH h AS (
+          SELECT datediff('month', DATE '1992-01-01', o_orderdate)
+                   AS version,
+                 o_orderstatus AS metric,
+                 CAST(count(*) AS DOUBLE) AS value
+          FROM orders GROUP BY 1, 2
+        ),
+        w AS (
+          SELECT version, metric, value,
+                 list(value) OVER win AS prev,
+                 stddev_samp(value) OVER win AS sd
+          FROM h
+          WINDOW win AS (PARTITION BY metric ORDER BY version
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        ),
+        e AS (
+          SELECT version, metric, value, sd,
+                 coalesce(len(prev), 0) AS n_prev,
+                 CASE WHEN coalesce(len(prev), 0) = 0 THEN value
+                      ELSE list_reduce(list_prepend(prev[1], prev),
+                                       (s, x) -> 0.3 * x + 0.7 * s)
+                 END AS ema
+          FROM w
+        )
+        SELECT version,
+               'run-' || version AS run_id,
+               metric,
+               CAST(value AS BIGINT) AS n,
+               round(round(ema, 6), 4) AS ema,
+               (n_prev >= 3 AND
+                CASE WHEN sd IS NULL OR sd < 1e-6 THEN
+                       CASE WHEN abs(value - ema) > 1e-6 THEN 1e308
+                            ELSE 0.0 END
+                     ELSE abs(value - ema) / sd END > 3.0) AS is_anomaly
+        FROM e
+    """,
     "ema_hourly": """
         WITH h AS (
           SELECT date_trunc('hour', ts) AS bucket_ts,

@@ -226,6 +226,21 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "partitions are scanned, the table profile is "
                         "merged from state and written under "
                         "<out>/profile/<run_id>")
+    p.add_argument("--metric-anomaly", action="store_true",
+                   help="instead of a validation round, run the EMA+3σ "
+                        "anomaly rule over the metric history stored in "
+                        "--manifest-dir (the reference's running-score "
+                        "loop applied to the engine's own runs): "
+                        "table-level total_rows / total_violations / "
+                        "violation_rate / n_failed_partitions series "
+                        "per manifest version; full point set written "
+                        "under <out>/metric_anomaly, flagged points "
+                        "summarized on stdout")
+    p.add_argument("--metric-anomaly-scope", choices=("table", "partition"),
+                   default="table",
+                   help="'partition' keys the series per (metric, "
+                        "partition) to catch one partition degrading "
+                        "while table totals stay calm")
     p.add_argument("--suggest-contract", metavar="OUT_JSON",
                    help="instead of a validation round, profile --docs "
                         "and write a --config-compatible JSON whose "
@@ -435,6 +450,40 @@ def suggest_round(spark, args) -> dict:
         "n_columns": len(contract["columns"]),
         "n_json_columns": len(contract.get("json", {})),
         "unique_candidates": unique,
+    }
+
+
+def metric_anomaly_round(spark, args) -> dict:
+    """--metric-anomaly: EMA+3σ over the manifest's own metric history
+    (operators/metric_history.py). Full point set → parquet; flagged
+    points → summary. No data scan — the manifest is metadata."""
+    from pyspark.sql import functions as F
+
+    from .operators.metric_history import metric_run_anomaly
+
+    if not args.manifest_dir:
+        raise SystemExit("--metric-anomaly requires --manifest-dir")
+    out = metric_run_anomaly(
+        spark, args.manifest_dir, scope=args.metric_anomaly_scope
+    )
+    dest = os.path.join(args.out, "metric_anomaly")
+    out.write.mode("overwrite").parquet(dest)
+    pts = spark.read.parquet(dest)
+    flagged = [
+        {
+            k: r[k]
+            for k in r.asDict()
+            if k in ("version", "run_id", "partition_id", "metric",
+                     "value", "ema", "zscore")
+        }
+        for r in pts.filter(F.col("is_anomaly")).collect()
+    ]
+    return {
+        "metric_anomaly": dest,
+        "scope": args.metric_anomaly_scope,
+        "n_points": pts.count(),
+        "n_flagged": len(flagged),
+        "flagged": flagged,
     }
 
 
@@ -957,6 +1006,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.suggest_contract:
         try:
             print(json.dumps(suggest_round(spark, args)))
+            return 0
+        finally:
+            spark.stop()
+    if args.metric_anomaly:
+        try:
+            print(json.dumps(metric_anomaly_round(spark, args)))
             return 0
         finally:
             spark.stop()
