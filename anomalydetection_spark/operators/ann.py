@@ -400,3 +400,89 @@ def refine_ivf_centroids(
             new[int(r.sid)] = v / max(_np.linalg.norm(v), 1e-12)
         cent = new
     return cent
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    z_k: float = 2.0,
+) -> DataFrame:
+    """Embedding-space outliers: the reference's score→threshold anomaly
+    rule (model_manager.py:200-228) applied to vector space — per-group
+    centroid, per-vector Euclidean distance to its OWN group's
+    centroid, flag distances whose z-score within the group exceeds
+    ``z_k``. The training-data read: "which documents landed far from
+    everything else their label/source clusters around" — mislabeled or
+    off-distribution rows that per-column validation can't see.
+
+    Scale shape (two passes over the vectors, all exchanges metadata):
+    1. centroid: posexplode → map-side-combined avg per (group, dim) —
+       the wire carries |groups|×dims rows, never vectors; centroids
+       broadcast back.
+    2. distance: row-local zip_with fold against the broadcast
+       centroid; distance STATS (mean/σ per group) are another
+       map-side-combined agg over the same pass's subtree, broadcast
+       back for the row-local z flag. Only flagged rows reach the
+       final (tiny) rank window.
+
+    Distances round to 6dp BEFORE the stats so the z threshold is a
+    pinned cross-engine contract (same convention as iqr_outliers'
+    fence rounding); ranks break ties on ``id_col``."""
+    e = emb.filter(
+        F.col(vec_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    cent = (
+        e.select(group_col, F.posexplode(vec_col).alias("_d", "_x"))
+        .groupBy(group_col, "_d")
+        .agg(F.round(F.avg(F.col("_x").cast("double")), 6).alias("_c"))
+        .groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_d", "_c"))
+            ).alias("_dc")
+        )
+        .select(
+            group_col,
+            F.expr("transform(_dc, p -> p._c)").alias("_centroid"),
+        )
+    )
+    dist = e.join(F.broadcast(cent), group_col).withColumn(
+        "dist",
+        F.round(
+            F.sqrt(
+                F.expr(
+                    f"aggregate(zip_with({vec_col}, _centroid,"
+                    " (x, c) -> (cast(x as double) - c)"
+                    " * (cast(x as double) - c)),"
+                    " cast(0.0 as double), (s, v) -> s + v)"
+                )
+            ),
+            6,
+        ),
+    )
+    stats = dist.groupBy(group_col).agg(
+        F.avg("dist").alias("_mu"),
+        F.stddev_samp("dist").alias("_sd"),
+    )
+    flagged = (
+        dist.join(F.broadcast(stats), group_col)
+        .withColumn(
+            "z",
+            F.when(
+                F.col("_sd").isNull() | (F.col("_sd") < 1e-12), F.lit(0.0)
+            ).otherwise((F.col("dist") - F.col("_mu")) / F.col("_sd")),
+        )
+        .filter(F.col("z") > z_k)
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("dist").desc(), F.col(id_col).asc()
+    )
+    return flagged.select(
+        group_col,
+        id_col,
+        "dist",
+        F.round("z", 4).alias("z"),
+        F.row_number().over(w).alias("rank"),
+    )

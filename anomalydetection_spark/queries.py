@@ -880,6 +880,21 @@ def q_embedding_stats(spark, sf_dir):
     )
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding-space outliers (operators/ann.py::centroid_outliers):
+    per-label centroid → per-vector Euclidean distance to its own
+    label's centroid → z > 2 flags, ranked per label. The reference's
+    score→threshold anomaly rule applied to vector space — the
+    mislabeled/off-distribution detector per-column validation can't
+    express. Two vector passes; every exchange after partial agg is
+    |labels|×dims or |labels|-sized."""
+    from .operators.ann import centroid_outliers
+
+    return centroid_outliers(
+        _t(spark, sf_dir, "embeddings"), z_k=2.0
+    )
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     """16-bit SimHash per doc (doc_id < 100): per-bit ±1 vote over
     md5-hashed distinct tokens, fingerprint = Σ 2^j·[vote_j > 0]."""
@@ -3913,6 +3928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tools/check_oracles.py --json) every query has a current green
     # row each round regardless of window size.
     "metric_history_anomaly": q_metric_history_anomaly,
+    "embedding_outliers": q_embedding_outliers,
     "json_field_audit": q_json_field_audit,
     "json_contract": q_json_contract,
     "suggested_json_rules": q_suggested_json_rules,
@@ -5579,6 +5595,50 @@ ORACLES: dict[str, str] = {
     # Replays ema_3sigma: trailing-20 window list + stddev; list_reduce fold
     # seeded with the first element AND folding over it again (list_prepend)
     # to match Spark's aggregate(_prev, _prev[0], ...) semantics exactly.
+    # Replays centroid_outliers: per-(label,dim) avg rounded 6dp →
+    # centroid list, Euclidean distance rounded 6dp BEFORE the
+    # mean/stddev stats (the pinned cross-engine contract), z rounded 4,
+    # rank ties broken on vec_id. Same unnest(range)/list_zip vector
+    # machinery as the kmeans_refine oracle.
+    "embedding_outliers": """
+        WITH e AS (
+          SELECT vec_id, label, embedding FROM embeddings
+          WHERE embedding IS NOT NULL AND label IS NOT NULL
+        ),
+        comp AS (
+          SELECT label, r.d AS dim, CAST(embedding[r.d] AS DOUBLE) AS val
+          FROM e, unnest(range(1, len(embedding) + 1)) AS r(d)
+        ),
+        cent AS (
+          SELECT label, list(c ORDER BY dim) AS centroid FROM (
+            SELECT label, dim, round(avg(val), 6) AS c
+            FROM comp GROUP BY label, dim)
+          GROUP BY label
+        ),
+        d AS (
+          SELECT e.vec_id, e.label,
+                 round(sqrt(list_aggregate(list_transform(
+                   list_zip(e.embedding, c.centroid),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                   'sum')), 6) AS dist
+          FROM e JOIN cent c USING (label)
+        ),
+        s AS (
+          SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sd
+          FROM d GROUP BY label
+        ),
+        z AS (
+          SELECT d.label, d.vec_id, d.dist,
+                 CASE WHEN s.sd IS NULL OR s.sd < 1e-12 THEN 0.0
+                      ELSE (d.dist - s.mu) / s.sd END AS z
+          FROM d JOIN s USING (label)
+        )
+        SELECT label, vec_id, dist, round(z, 4) AS z,
+               CAST(row_number() OVER (PARTITION BY label
+                    ORDER BY dist DESC, vec_id ASC) AS INT) AS rank
+        FROM z WHERE z > 2.0
+    """,
     # Replays metric_history_anomaly's keyed EMA fold exactly like the
     # ema_hourly oracle (list_reduce seeded with prev[1] AND folding
     # over it again, matching Spark's aggregate(_prev, _prev[0], ...)),

@@ -698,10 +698,14 @@ def snapshot_diff_round(spark, args, run_id: str) -> dict:
     from pyspark.sql import functions as F
 
     from .operators.diff import STATUS_UNCHANGED, snapshot_diff
+    from .operators.schema_evolution import schema_compat
     from .sources.tables import read_table
 
     current = read_table(spark, args.docs)
     prev = read_table(spark, args.snapshot_diff)
+    # schema evolution verdicts ride along: prev is the OLD version,
+    # current the NEW — pure metadata, costs nothing at any scale
+    evolution = schema_compat(prev.schema, current.schema)
     keys = [c.strip() for c in args.diff_key.split(",") if c.strip()]
     compare = (
         [c.strip() for c in args.diff_compare.split(",") if c.strip()]
@@ -748,6 +752,7 @@ def snapshot_diff_round(spark, args, run_id: str) -> dict:
         "mode": "snapshot_diff",
         "key": keys,
         "summary": summary,
+        "schema_evolution": evolution,
         "changed_keys": changed_out,
         "seconds": round(time.time() - t0, 2),
     }

@@ -705,3 +705,36 @@ def test_dedup_split_keeps_best_quality_copy(spark, tmp_path):
     out2 = write_dedup_split(docs, str(tmp_path / "split2"))
     kept2 = {r["doc_id"] for r in spark.read.parquet(out2["kept"]).collect()}
     assert kept2 == {1, 3}
+
+
+def test_centroid_outliers_flags_planted_vector(spark):
+    """centroid_outliers: a vector planted far from its label's tight
+    cluster is flagged rank 1; the clean cluster and a two-member
+    degenerate group produce no flags."""
+    import math
+
+    from anomalydetection_spark.operators.ann import centroid_outliers
+
+    rows = []
+    # label 0: tight ring around (1, 0, ...) + one far-away plant.
+    # Cluster distances must VARY (a constant-radius ring makes the
+    # pre-plant stddev ~0 and the z of every point explode).
+    for i in range(20):
+        rows.append(
+            (i, [1.0 + 0.01 * math.cos(i), 0.01 * math.sin(i) * (i % 3),
+                 0.001 * i, 0.0], 0)
+        )
+    rows.append((99, [50.0, 50.0, 50.0, 50.0], 0))  # the plant
+    # label 1: two identical vectors -> sd of distances 0 -> no flags
+    rows.append((200, [0.5, 0.5, 0.0, 0.0], 1))
+    rows.append((201, [0.5, 0.5, 0.0, 0.0], 1))
+    # null rows ignored
+    rows.append((300, None, 0))
+    rows.append((301, [1.0, 0.0, 0.0, 0.0], None))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = centroid_outliers(emb, z_k=2.0).collect()
+    assert [(r.label, r.vec_id, r.rank) for r in out] == [(0, 99, 1)]
+    assert out[0].z > 2.0
+    assert out[0].dist > 50.0  # far from the (≈1,0,0,0)-ish centroid
