@@ -461,7 +461,12 @@ def centroid_outliers(
             ),
             6,
         ),
-    )
+    # persisted: the stats agg AND the flag projection both read the
+    # dist relation — without it Spark recomputes the scan+centroid
+    # subtree per branch (4 vector scans instead of 2). Lifetime is
+    # LRU-reclaimed block-manager state, same convention as
+    # setsim_prefix_pairs' token relation
+    ).persist()
     stats = dist.groupBy(group_col).agg(
         F.avg("dist").alias("_mu"),
         F.stddev_samp("dist").alias("_sd"),

@@ -895,6 +895,33 @@ def q_embedding_outliers(spark, sf_dir):
     )
 
 
+def q_inclusion_dependencies(spark, sf_dir):
+    """Join-key discovery (operators/inclusion.py): containment matrix
+    over declared candidate key columns of five TPC-H tables — the
+    data-catalog step that SURFACES the FKs the referential operator
+    then validates. Expect the real FKs at containment 1.0
+    (n_regionkey⊆r_regionkey, c_nationkey⊆n_nationkey,
+    s_nationkey⊆n_nationkey, o_custkey⊆c_custkey) plus the honest
+    value-domain artifacts every IND miner reports (small integer
+    domains nest: regionkeys ⊆ nationkeys). ONE distinct over the
+    stacked candidates, one value self-join bounded by
+    |values|×|cols|²."""
+    from .operators.inclusion import inclusion_dependencies
+
+    cands = {
+        "region": ["r_regionkey"],
+        "nation": ["n_nationkey", "n_regionkey"],
+        "customer": ["c_custkey", "c_nationkey"],
+        "supplier": ["s_nationkey"],
+        "orders": ["o_custkey"],
+    }
+    return inclusion_dependencies(
+        {t: _t(spark, sf_dir, t) for t in cands},
+        cands,
+        min_containment=0.9,
+    )
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     """16-bit SimHash per doc (doc_id < 100): per-bit ±1 vote over
     md5-hashed distinct tokens, fingerprint = Σ 2^j·[vote_j > 0]."""
@@ -3929,6 +3956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # row each round regardless of window size.
     "metric_history_anomaly": q_metric_history_anomaly,
     "embedding_outliers": q_embedding_outliers,
+    "inclusion_dependencies": q_inclusion_dependencies,
     "json_field_audit": q_json_field_audit,
     "json_contract": q_json_contract,
     "suggested_json_rules": q_suggested_json_rules,
@@ -5595,6 +5623,62 @@ ORACLES: dict[str, str] = {
     # Replays ema_3sigma: trailing-20 window list + stddev; list_reduce fold
     # seeded with the first element AND folding over it again (list_prepend)
     # to match Spark's aggregate(_prev, _prev[0], ...) semantics exactly.
+    # Replays inclusion_dependencies: stacked canonicalized candidate
+    # values → distinct → self-join on value → containment per ordered
+    # pair. Integral candidates canonicalize through BIGINT→VARCHAR in
+    # both engines.
+    "inclusion_dependencies": """
+        WITH stacked AS (
+          SELECT 'region.r_regionkey' AS col_id,
+                 CAST(CAST(r_regionkey AS BIGINT) AS VARCHAR) AS value
+          FROM region WHERE r_regionkey IS NOT NULL
+          UNION ALL
+          SELECT 'nation.n_nationkey',
+                 CAST(CAST(n_nationkey AS BIGINT) AS VARCHAR)
+          FROM nation WHERE n_nationkey IS NOT NULL
+          UNION ALL
+          SELECT 'nation.n_regionkey',
+                 CAST(CAST(n_regionkey AS BIGINT) AS VARCHAR)
+          FROM nation WHERE n_regionkey IS NOT NULL
+          UNION ALL
+          SELECT 'customer.c_custkey',
+                 CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)
+          FROM customer WHERE c_custkey IS NOT NULL
+          UNION ALL
+          SELECT 'customer.c_nationkey',
+                 CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR)
+          FROM customer WHERE c_nationkey IS NOT NULL
+          UNION ALL
+          SELECT 'supplier.s_nationkey',
+                 CAST(CAST(s_nationkey AS BIGINT) AS VARCHAR)
+          FROM supplier WHERE s_nationkey IS NOT NULL
+          UNION ALL
+          SELECT 'orders.o_custkey',
+                 CAST(CAST(o_custkey AS BIGINT) AS VARCHAR)
+          FROM orders WHERE o_custkey IS NOT NULL
+        ),
+        dv AS (SELECT DISTINCT col_id, value FROM stacked),
+        sizes AS (
+          SELECT col_id, count(*) AS n_from FROM dv GROUP BY col_id
+        ),
+        pairs AS (
+          SELECT a.col_id AS from_id, b.col_id AS to_id,
+                 count(*) AS n_overlap
+          FROM dv a JOIN dv b USING (value)
+          WHERE a.col_id <> b.col_id
+          GROUP BY 1, 2
+        )
+        SELECT split_part(from_id, '.', 1) AS from_table,
+               split_part(from_id, '.', 2) AS from_column,
+               split_part(to_id, '.', 1) AS to_table,
+               split_part(to_id, '.', 2) AS to_column,
+               n_from, n_overlap,
+               round(n_overlap / CAST(n_from AS DOUBLE), 6)
+                 AS containment,
+               n_overlap = n_from AS exact
+        FROM pairs JOIN sizes ON sizes.col_id = pairs.from_id
+        WHERE round(n_overlap / CAST(n_from AS DOUBLE), 6) >= 0.9
+    """,
     # Replays centroid_outliers: per-(label,dim) avg rounded 6dp →
     # centroid list, Euclidean distance rounded 6dp BEFORE the
     # mean/stddev stats (the pinned cross-engine contract), z rounded 4,

@@ -233,3 +233,49 @@ def test_join_diagnostics_empty_and_disjoint(spark):
 
     with pytest.raises(ValueError):
         join_diagnostics(left, right, ["k"], ["a", "b"])
+
+
+def test_inclusion_dependencies_discovers_planted_fk(spark):
+    """inclusion_dependencies: a clean FK surfaces at containment 1.0
+    with exact=True, a partial overlap below the threshold is silent,
+    int32/int64 candidates match through canonicalization, and a float
+    candidate is rejected loudly."""
+    import pytest
+
+    from anomalydetection_spark.operators.inclusion import (
+        inclusion_dependencies,
+    )
+
+    dims = spark.createDataFrame(
+        [(i,) for i in range(10)], "dim_id int"
+    )
+    facts = spark.createDataFrame(
+        [(i % 10, float(i)) for i in range(50)],
+        "fk bigint, x double",
+    )
+    other = spark.createDataFrame(
+        [(i,) for i in range(5, 25)], "mostly_outside int"
+    )
+    out = inclusion_dependencies(
+        {"dims": dims, "facts": facts, "other": other},
+        {"dims": ["dim_id"], "facts": ["fk"],
+         "other": ["mostly_outside"]},
+        min_containment=0.9,
+    ).collect()
+    got = {
+        (r.from_table, r.from_column, r.to_table, r.to_column):
+        (r.containment, r.exact)
+        for r in out
+    }
+    # fk (int64) ⊆ dim_id (int32) through canonicalization, both ways
+    assert got[("facts", "fk", "dims", "dim_id")] == (1.0, True)
+    assert got[("dims", "dim_id", "facts", "fk")] == (1.0, True)
+    # mostly_outside shares only 5/20 with dims -> silent; dims shares
+    # 5/10 with mostly_outside -> silent
+    assert not any(t == "other" or tt == "other"
+                   for (t, _, tt, _) in got)
+
+    with pytest.raises(ValueError, match="integral or string"):
+        inclusion_dependencies(
+            {"facts": facts}, {"facts": ["x"]}
+        )
