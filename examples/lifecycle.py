@@ -12,6 +12,9 @@ at toy scale (~20k docs, finishes in about a minute on local[8]):
 7. JSON payload arm: synthesize a props column, auto-DETECT it,
    SUGGEST a JSON-shape rule, VALIDATE it, keep-and-tag the type-mix
    rows (operators/semistructured.py + contract JsonRule)
+8. WATCH ITSELF: simulated later runs extend the manifest's metric
+   history; the EMA+3σ metric-anomaly rule flags the regression run
+   from the stored series alone (operators/metric_history.py)
 
 Usage: python examples/lifecycle.py [workdir]
 (workdir defaults to a fresh temp directory)
@@ -195,6 +198,43 @@ def main(workdir: str | None = None, stop: bool = True) -> dict:
     summary["json_type_mix_rows"] = tagged.filter(
         F.array_contains("violations", "props::json_type:k")
     ).count()
+
+    # 8. the engine watching itself: replay a (simulated) week of
+    #    later validation runs into the SAME manifest's metric history
+    #    — calm rounds with jittered violation counts, then one
+    #    regression round at 10× — and let the reference's EMA+3σ
+    #    running-score rule flag the regression run from the metric
+    #    series alone (operators/metric_history.py, no data scan)
+    from anomalydetection_spark.operators.metric_history import (
+        metric_run_anomaly,
+    )
+    from anomalydetection_spark.sources.manifest import Manifest
+
+    m = Manifest(os.path.join(wd, "manifest"))
+    state = m.load()
+    for i in range(3, 10):
+        spike = 10 if i == 9 else 1
+        m.commit_validated(
+            [
+                {
+                    "partition_id": rec["partition_id"],
+                    "snapshot_hash": f"sim-{i}-{pid}",
+                    "n_rows": rec["n_rows"],
+                    "n_violations": spike
+                    * (int(rec["n_violations"] or 0) + (i * 13 + int(pid)) % 7),
+                    "verdict": rec["verdict"],
+                }
+                for pid, rec in state.items()
+            ],
+            f"r{i}",
+            f"2024-01-0{i}T00:00:00",
+        )
+    ma = metric_run_anomaly(spark, os.path.join(wd, "manifest"))
+    flagged = ma.filter(F.col("is_anomaly")).collect()
+    last_v = max(r["version"] for r in ma.collect())
+    summary["metric_anomaly_flagged"] = sorted(
+        {r["metric"] for r in flagged if r["version"] == last_v}
+    )
 
     if stop:
         spark.stop()

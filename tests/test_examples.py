@@ -36,6 +36,11 @@ def test_lifecycle_demo(spark, tmp_path):
     d = s["dedup"]
     assert d["n_kept"] + d["n_duplicates"] == 20_000
     assert d["n_duplicates"] >= d["n_clusters"] > 0
+    # stage 8: the 10x regression run is flagged from the manifest's
+    # own metric series (stable total_rows stays quiet)
+    assert "total_violations" in s["metric_anomaly_flagged"]
+    assert "violation_rate" in s["metric_anomaly_flagged"]
+    assert "total_rows" not in s["metric_anomaly_flagged"]
 
 
 def test_lifecycle_json_arm(spark, tmp_path):
