@@ -922,6 +922,38 @@ def q_inclusion_dependencies(spark, sf_dir):
     )
 
 
+def q_golden_records(spark, sf_dir):
+    """Golden-record consolidation (operators/consolidate.py): orders
+    folded to one canonical record per customer under four
+    survivorship policies — max price, earliest date, status carried
+    by the FIRST order (min o_orderkey, non-null), most-frequent
+    priority (ties to the string-wise largest value). Every policy is
+    a deterministic contract, so the merge is oracle-able — never
+    "whatever row Spark saw first". One agg pass + one stacked mode
+    count shuffle + an aggregated-to-aggregated join."""
+    from .operators.consolidate import golden_records
+
+    g = golden_records(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        {
+            "o_totalprice": "max",
+            "o_orderdate": "min",
+            "o_orderstatus": "first",
+            "o_orderpriority": "mode",
+        },
+        id_col="o_orderkey",
+    )
+    return g.select(
+        "o_custkey",
+        "n_members",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     """16-bit SimHash per doc (doc_id < 100): per-bit ±1 vote over
     md5-hashed distinct tokens, fingerprint = Σ 2^j·[vote_j > 0]."""
@@ -3957,6 +3989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metric_history_anomaly": q_metric_history_anomaly,
     "embedding_outliers": q_embedding_outliers,
     "inclusion_dependencies": q_inclusion_dependencies,
+    "golden_records": q_golden_records,
     "json_field_audit": q_json_field_audit,
     "json_contract": q_json_contract,
     "suggested_json_rules": q_suggested_json_rules,
@@ -5623,6 +5656,42 @@ ORACLES: dict[str, str] = {
     # Replays ema_3sigma: trailing-20 window list + stddev; list_reduce fold
     # seeded with the first element AND folding over it again (list_prepend)
     # to match Spark's aggregate(_prev, _prev[0], ...) semantics exactly.
+    # Replays golden_records' survivorship contracts: plain extrema,
+    # first-by-min-orderkey over non-null, mode with (count desc,
+    # string-form value desc) tie-break. LEFT joins so an all-null
+    # field keeps its cluster row (mirrors the agg's null result).
+    "golden_records": """
+        WITH agg AS (
+          SELECT o_custkey, count(*) AS n_members,
+                 max(o_totalprice) AS o_totalprice,
+                 min(o_orderdate) AS o_orderdate
+          FROM orders GROUP BY 1
+        ),
+        firsts AS (
+          SELECT o_custkey, o_orderstatus FROM (
+            SELECT o_custkey, o_orderstatus,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) AS rk
+            FROM orders WHERE o_orderstatus IS NOT NULL) WHERE rk = 1
+        ),
+        pcounts AS (
+          SELECT o_custkey, o_orderpriority, count(*) AS n
+          FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2
+        ),
+        modes AS (
+          SELECT o_custkey, o_orderpriority FROM (
+            SELECT o_custkey, o_orderpriority,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY n DESC,
+                              CAST(o_orderpriority AS VARCHAR) DESC) AS rk
+            FROM pcounts) WHERE rk = 1
+        )
+        SELECT a.o_custkey, a.n_members, a.o_totalprice, a.o_orderdate,
+               f.o_orderstatus, m.o_orderpriority
+        FROM agg a
+        LEFT JOIN firsts f USING (o_custkey)
+        LEFT JOIN modes m USING (o_custkey)
+    """,
     # Replays inclusion_dependencies: stacked canonicalized candidate
     # values → distinct → self-join on value → containment per ordered
     # pair. Integral candidates canonicalize through BIGINT→VARCHAR in
