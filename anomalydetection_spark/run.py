@@ -469,10 +469,16 @@ def metric_anomaly_round(spark, args) -> dict:
     dest = os.path.join(args.out, "metric_anomaly")
     out.write.mode("overwrite").parquet(dest)
     pts = spark.read.parquet(dest)
+    import math
+
     flagged = [
         {
-            k: r[k]
-            for k in r.asDict()
+            # an infinite zscore (jump after a zero-variance history)
+            # is real but not strict JSON — report it as null with the
+            # verdict already carried by the row's presence here
+            k: (None if isinstance(v, float) and not math.isfinite(v)
+                else v)
+            for k, v in r.asDict().items()
             if k in ("version", "run_id", "partition_id", "metric",
                      "value", "ema", "zscore")
         }
