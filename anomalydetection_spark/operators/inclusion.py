@@ -72,7 +72,12 @@ def inclusion_dependencies(
             stacked = part if stacked is None else stacked.unionByName(part)
     if stacked is None:
         raise ValueError("no candidate columns declared")
-    dv = stacked.distinct()
+    # persisted: the sizes agg and BOTH self-join sides read the
+    # distinct relation — without it Spark re-unions and re-distincts
+    # the candidate scans per branch (3 reads of every input table).
+    # Lifetime is LRU-reclaimed block-manager state, same convention
+    # as setsim_prefix_pairs' token relation
+    dv = stacked.distinct().persist()
     sizes = dv.groupBy("col_id").agg(F.count("*").alias("n_from"))
     pairs = (
         dv.alias("a")

@@ -67,6 +67,12 @@ def _type_change(path: str, old: T.DataType, new: T.DataType,
                 "compat": READER_BREAK,
                 "detail": "array element optional→required",
             })
+        elif not old.containsNull and new.containsNull:
+            out.append({
+                "path": f"{path}.element", "change": "optional",
+                "compat": OK,
+                "detail": "array element required→optional",
+            })
         return
     if isinstance(old, T.MapType) and isinstance(new, T.MapType):
         if old.keyType.simpleString() != new.keyType.simpleString():
@@ -83,6 +89,12 @@ def _type_change(path: str, old: T.DataType, new: T.DataType,
                 "path": f"{path}.value", "change": "required",
                 "compat": READER_BREAK,
                 "detail": "map value optional→required",
+            })
+        elif not old.valueContainsNull and new.valueContainsNull:
+            out.append({
+                "path": f"{path}.value", "change": "optional",
+                "compat": OK,
+                "detail": "map value required→optional",
             })
         return
     if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
