@@ -3974,11 +3974,55 @@ def q_suggested_json_rules(spark, sf_dir):
     )
 
 
+def q_edit_similarity_join(spark, sf_dir):
+    """Exact edit-distance join with lossless PassJoin segment
+    filtering (operators/fuzzy.py::edit_similarity_join) — the
+    scalable form of the bounded all-pairs Levenshtein tier
+    (q_levenshtein_pairs; reference model_manager.py:315-325). Corpus:
+    distinct 30-char document snippets (grouped to min doc_id first —
+    the synthetic corpus plants byte-identical duplicates whose ed=0
+    groups would make the TRUE result quadratic in group size) plus a
+    deterministically corrupted twin for every third snippet (one char
+    deleted at a position derived from the id), so the k=2 join has a
+    guaranteed planted-positive set alongside any natural near-pairs.
+    The DuckDB oracle IS the brute-force all-pairs join over the same
+    synthesized corpus, so a hash match certifies the segment filter's
+    losslessness end-to-end: every shuffle in the Spark plan is linear
+    in the corpus (index O(n*(k+1)) rows, probe O(n*45) at k=2), while
+    the oracle's quadratic form is only viable at oracle scale."""
+    from .operators.fuzzy import edit_similarity_join
+
+    d = _t(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            F.substring(F.trim("text"), 1, 30).alias("snip"), "doc_id"
+        )
+        .filter(F.length("snip") >= 20)
+        .groupBy("snip")
+        .agg(F.min("doc_id").alias("id"))
+    )
+    twins = (
+        base.filter(F.col("id") % 3 == 0)
+        .withColumn("p", (F.col("id") % 15 + 5).cast("int"))
+        .select(
+            (F.col("id") + 1000000).alias("id"),
+            F.expr(
+                "concat(substring(snip, 1, p), substring(snip, p + 2, 30))"
+            ).alias("snip"),
+        )
+    )
+    corpus = base.select("id", "snip").unionByName(twins)
+    return edit_similarity_join(corpus, "id", "snip", k=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "edit_similarity_join": q_edit_similarity_join,
     # Deterministic least-recently-attested rotation: the external
     # correctness gate records only the leading ~50 entries, so the
     # dict leads with never-attested queries, then those whose last
@@ -7459,3 +7503,30 @@ ORACLES["suggested_json_rules"] = (
     FROM tot
 """
 )
+
+# Brute-force certification of the PassJoin segment filter: the same
+# snippet corpus + deleted-char twins, joined all-pairs with a length
+# filter only — if the lossless claim holds, the hash matches exactly.
+# Twin synthesis is nested so the derived position p binds to the RAW
+# id (DuckDB lateral alias resolution would otherwise be ambiguous).
+ORACLES["edit_similarity_join"] = """
+    WITH raw AS (
+      SELECT min(doc_id) AS id, snip FROM (
+        SELECT doc_id, substr(trim(text), 1, 30) AS snip FROM documents
+      ) WHERE length(snip) >= 20 GROUP BY snip
+    ),
+    twins AS (
+      SELECT id + 1000000 AS id,
+             substr(snip, 1, p) || substr(snip, p + 2) AS snip
+      FROM (SELECT id, snip, CAST(id % 15 + 5 AS INT) AS p
+            FROM raw WHERE id % 3 = 0)
+    ),
+    u AS (SELECT * FROM raw UNION ALL SELECT * FROM twins)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.snip, b.snip) AS BIGINT) AS edit_distance
+    FROM u a JOIN u b
+      ON a.id < b.id
+     AND abs(length(a.snip) - length(b.snip)) <= 2
+    WHERE levenshtein(a.snip, b.snip) <= 2
+    ORDER BY id_a, id_b
+"""
