@@ -594,3 +594,86 @@ def cusum_changepoints(
         .when(fires_up, F.lit("up"))
         .when(fires_dn, F.lit("down")),
     ).drop("_mu", "_sd", "_k", "_h", "_c_pos", "_c_neg")
+
+
+def holt_residual_anomaly(
+    history: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.4,
+    beta: float = 0.3,
+    sigma_k: float = 3.0,
+    min_history: int = 8,
+    window_size: int = 24,
+) -> DataFrame:
+    """Holt linear-trend (double exponential smoothing) forecast
+    residual anomaly per key — the trend-aware upgrade of
+    ``ema_3sigma``: a steadily growing series is NOT anomalous under
+    Holt (the trend term absorbs the slope), while plain EMA lags a
+    ramp and can flag every point of it.
+
+    For each row, fold the trailing ``window_size`` predecessors
+    (exclusive) through the Holt recurrence, seeded at
+    ``(level=x0, trend=0)``:
+
+        level' = alpha*x + (1-alpha)*(level + trend)
+        trend' = beta*(level' - level) + (1-beta)*trend
+
+    one-step forecast = level + trend of the final state; flag points
+    where |value - forecast| exceeds ``sigma_k`` trailing stddevs
+    (same degenerate-variance handling as ``ema_3sigma``: a real
+    deviation after a perfectly flat history is infinitely surprising,
+    an unchanged value is not).
+
+    Plan shape: ONE window (collect_list + stddev over the same frame)
+    then a row-local ``aggregate`` HOF with a struct accumulator —
+    JVM-side, no UDF, no self-join; shuffle = one hash exchange on the
+    keys. The fold visits <= window_size elements per row, a constant.
+    Re-expresses the reference's running-score thresholding
+    (model_manager.py:200-228) like ema_3sigma but with the
+    level+trend state the reference's EMA lacks.
+    """
+    w_hist = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(-window_size, -1)
+    )
+    lvl = f"{alpha} * x + {1 - alpha} * (s.l + s.b)"
+    # get() (not _prev[0]) so the empty first-row window yields a NULL
+    # seed instead of an ANSI array-index error; the n_prev == 0 branch
+    # below overrides the forecast for that row anyway
+    fold = (
+        f"aggregate(slice(_prev, 2, greatest(0, size(_prev) - 1)),"
+        f" named_struct('l', cast(get(_prev, 0) as double), 'b', cast(0.0 as double)),"
+        f" (s, x) -> named_struct("
+        f"   'l', {lvl},"
+        f"   'b', {beta} * (({lvl}) - s.l) + {1 - beta} * s.b))"
+    )
+    d = (
+        history.withColumn("_prev", F.collect_list(value_col).over(w_hist))
+        .withColumn("_sd", F.stddev_samp(value_col).over(w_hist))
+        .withColumn("_n_prev", F.size("_prev"))
+        .withColumn("_st", F.expr(fold))
+        .withColumn(
+            "forecast",
+            F.when(F.col("_n_prev") == 0, F.col(value_col).cast("double"))
+            .otherwise(F.col("_st.l") + F.col("_st.b")),
+        )
+        .withColumn("residual", F.col(value_col) - F.col("forecast"))
+    )
+    zscore = F.when(
+        F.col("_sd").isNull() | (F.col("_sd") < EPS),
+        F.when(F.abs("residual") > EPS, F.lit(float("inf"))).otherwise(
+            F.lit(0.0)
+        ),
+    ).otherwise(F.abs("residual") / F.col("_sd"))
+    return (
+        d.withColumn("zscore", zscore)
+        .withColumn(
+            "is_anomaly",
+            (F.col("_n_prev") >= min_history) & (F.col("zscore") > sigma_k),
+        )
+        .drop("_prev", "_st", "_n_prev")
+        .withColumnRenamed("_sd", "trailing_sd")
+    )

@@ -3974,6 +3974,47 @@ def q_suggested_json_rules(spark, sf_dir):
     )
 
 
+def q_holt_anomaly(spark, sf_dir):
+    """Holt linear-trend forecast residual anomaly per event_type over
+    the hourly count series (operators/drift.py::holt_residual_anomaly)
+    — the trend-aware upgrade of ema_hourly: the (level, trend) state
+    folds JVM-side via an aggregate HOF with a struct accumulator. The
+    DuckDB oracle replays the identical recurrence with list_reduce
+    over {'l','b'} structs — its init-is-first-element semantics IS the
+    Spark seed (level=x0, trend=0) by construction, so the two folds
+    are the same double-precision operation sequence and the forecast
+    hashes bit-exactly at 4dp. Exercises the keyed partitionBy path
+    with per-key state that ema_hourly's single global series never
+    touches."""
+    from .operators.drift import holt_residual_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_timestamp_ntz(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00")
+        ).alias("bucket_ts"),
+    ).agg(F.count("*").cast("double").alias("n"))
+    out = holt_residual_anomaly(
+        hourly,
+        ["event_type"],
+        "bucket_ts",
+        "n",
+        alpha=0.4,
+        beta=0.3,
+        sigma_k=3.0,
+        min_history=8,
+        window_size=24,
+    )
+    return out.select(
+        "event_type",
+        "bucket_ts",
+        F.col("n").cast("long").alias("n"),
+        F.round("forecast", 4).alias("forecast"),
+        F.col("is_anomaly"),
+    )
+
+
 def q_edit_similarity_join(spark, sf_dir):
     """Exact edit-distance join with lossless PassJoin segment
     filtering (operators/fuzzy.py::edit_similarity_join) — the
@@ -4022,6 +4063,7 @@ def q_edit_similarity_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "holt_anomaly": q_holt_anomaly,
     "edit_similarity_join": q_edit_similarity_join,
     # Deterministic least-recently-attested rotation: the external
     # correctness gate records only the leading ~50 entries, so the
@@ -7529,4 +7571,56 @@ ORACLES["edit_similarity_join"] = """
      AND abs(length(a.snip) - length(b.snip)) <= 2
     WHERE levenshtein(a.snip, b.snip) <= 2
     ORDER BY id_a, id_b
+"""
+
+# Holt recurrence replay. State travels as a 2-element DOUBLE list
+# [level, trend], NOT a struct: DuckDB v1.0.0's list_reduce writes a
+# struct accumulator's fields in place DURING lambda evaluation, so a
+# second field referencing s.l reads the freshly-written l' instead of
+# the old level (verified: [3,2,1] folds to trend -0.21216 instead of
+# -0.2976). List accumulators evaluate atomically. list_reduce's
+# init-is-first-element semantics IS the Spark seed [x0, 0] once
+# elements are pre-lifted to [x, 0.0] pairs.
+ORACLES["holt_anomaly"] = """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, bucket_ts, n,
+             list(n) OVER win AS prev,
+             stddev_samp(n) OVER win AS sd
+      FROM h
+      WINDOW win AS (PARTITION BY event_type ORDER BY bucket_ts
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    e AS (
+      SELECT event_type, bucket_ts, n, sd,
+             coalesce(len(prev), 0) AS n_prev,
+             CASE WHEN coalesce(len(prev), 0) = 0 THEN NULL
+                  ELSE list_reduce(
+                    list_transform(prev, x ->
+                      [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+                    (s, x) -> [
+                      0.4 * x[1] + 0.6 * (s[1] + s[2]),
+                      0.3 * ((0.4 * x[1] + 0.6 * (s[1] + s[2])) - s[1])
+                      + 0.7 * s[2]])
+             END AS st
+      FROM w
+    ),
+    f AS (
+      SELECT event_type, bucket_ts, n, sd, n_prev,
+             CASE WHEN n_prev = 0 THEN n ELSE st[1] + st[2] END AS forecast
+      FROM e
+    )
+    SELECT event_type, bucket_ts,
+           CAST(n AS BIGINT) AS n,
+           round(forecast, 4) AS forecast,
+           (n_prev >= 8 AND
+            CASE WHEN sd IS NULL OR sd < 1e-6 THEN
+                   CASE WHEN abs(n - forecast) > 1e-6 THEN 1e308
+                        ELSE 0.0 END
+                 ELSE abs(n - forecast) / sd END > 3.0) AS is_anomaly
+    FROM f
 """

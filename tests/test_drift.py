@@ -344,3 +344,65 @@ def test_cusum_groups_are_independent(spark):
     out = cusum_changepoints(df, ["kind"], "t", "n").collect()
     assert any(r.is_shift for r in out if r.kind == "a")
     assert not any(r.is_shift for r in out if r.kind == "b")
+
+
+def _series_df(spark, values, key="m"):
+    rows = [(key, i, float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, "k string, t long, v double")
+
+
+def test_holt_ramp_not_anomalous_but_ema_lags(spark):
+    """The defining property: a clean linear ramp is NOT anomalous
+    under Holt (trend state absorbs the slope — forecasts converge to
+    the true next value), while each point sits ~2 trailing-sd above
+    the trailing mean, so level-only logic would be on the edge of
+    firing forever."""
+    from anomalydetection_spark.operators.drift import (
+        holt_residual_anomaly,
+    )
+
+    ramp = [100.0 + 7.0 * i for i in range(40)]
+    out = holt_residual_anomaly(
+        _series_df(spark, ramp), ["k"], "t", "v",
+        alpha=0.4, beta=0.3, sigma_k=3.0, min_history=8, window_size=24,
+    ).orderBy("t").collect()
+    assert not any(r["is_anomaly"] for r in out)
+    # late-ramp forecasts track the true value closely (Holt converges)
+    tail = [r for r in out if r["t"] >= 30]
+    assert all(abs(r["residual"]) < 2.0 for r in tail)
+
+
+def test_holt_flags_spike_and_level_break(spark):
+    from anomalydetection_spark.operators.drift import (
+        holt_residual_anomaly,
+    )
+
+    vals = [50.0 + (i % 3) for i in range(30)]
+    vals[20] = 500.0  # spike
+    out = {
+        r["t"]: r
+        for r in holt_residual_anomaly(
+            _series_df(spark, vals), ["k"], "t", "v",
+            alpha=0.4, beta=0.3, sigma_k=3.0, min_history=8,
+            window_size=24,
+        ).collect()
+    }
+    assert out[20]["is_anomaly"]
+    # pre-history rows never flag regardless of deviation
+    assert not any(out[t]["is_anomaly"] for t in range(8))
+
+
+def test_holt_keys_fold_independently(spark):
+    from anomalydetection_spark.operators.drift import (
+        holt_residual_anomaly,
+    )
+
+    a = [(f"a", i, 10.0) for i in range(15)]
+    b = [(f"b", i, 10.0 if i != 12 else 300.0) for i in range(15)]
+    df = spark.createDataFrame(a + b, "k string, t long, v double")
+    out = holt_residual_anomaly(
+        df, ["k"], "t", "v", alpha=0.4, beta=0.3, sigma_k=3.0,
+        min_history=8, window_size=24,
+    ).collect()
+    flagged = {(r["k"], r["t"]) for r in out if r["is_anomaly"]}
+    assert flagged == {("b", 12)}
