@@ -3974,6 +3974,55 @@ def q_suggested_json_rules(spark, sf_dir):
     )
 
 
+# Fellegi-Sunter m/u priors for q_record_linkage — module-level so the
+# Spark literals and the f-string oracle weights are the SAME doubles.
+_FS_FIELDS = [
+    # (name, m, u): declared priors, no EM fit (deterministic tier)
+    ("seg", 0.90, 0.20),
+    ("bal", 0.85, 0.25),
+    ("nm3", 0.90, 0.02),
+]
+
+
+def q_record_linkage(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage
+    (operators/linkage.py::fellegi_sunter) over customers blocked by
+    nation: per-field agreement log2(m/u) weights summed into a match
+    score, two-threshold match/possible/non_match classification —
+    the decision layer between pair generation (LSH/blocking) and
+    golden-record consolidation. Fields: market segment equality,
+    account balance within 500, name 3-char-suffix equality (the id
+    digits — a low-u high-selectivity field).
+    Declared tier c_custkey < 800 bounds intra-block pairs; the plan
+    is ONE blocked self-join + row-local literal-weight arithmetic.
+    The oracle recomputes every weight from the same priors via
+    f-string literals, so a hash match certifies the scoring
+    arithmetic end-to-end, not just the classification."""
+    from .operators.linkage import LinkField, fellegi_sunter, within
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 800)
+    pri = dict((n, (m, u)) for n, m, u in _FS_FIELDS)
+    fields = [
+        LinkField("seg", "a_c_mktsegment = b_c_mktsegment", *pri["seg"]),
+        LinkField("bal", within("c_acctbal", 500.0), *pri["bal"]),
+        LinkField(
+            "nm3", "right(a_c_name, 3) = right(b_c_name, 3)", *pri["nm3"]
+        ),
+    ]
+    out = fellegi_sunter(
+        cust, "c_custkey", ["c_nationkey"], fields, upper=2.0, lower=0.0
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "agree_seg",
+        "agree_bal",
+        "agree_nm3",
+        F.round("score", 4).alias("score"),
+        "match_class",
+    )
+
+
 def q_holt_anomaly(spark, sf_dir):
     """Holt linear-trend forecast residual anomaly per event_type over
     the hourly count series (operators/drift.py::holt_residual_anomaly)
@@ -4063,6 +4112,7 @@ def q_edit_similarity_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "record_linkage": q_record_linkage,
     "holt_anomaly": q_holt_anomaly,
     "edit_similarity_join": q_edit_similarity_join,
     # Deterministic least-recently-attested rotation: the external
@@ -7623,4 +7673,42 @@ ORACLES["holt_anomaly"] = """
                         ELSE 0.0 END
                  ELSE abs(n - forecast) / sd END > 3.0) AS is_anomaly
     FROM f
+"""
+
+# Weights recomputed from the SAME _FS_FIELDS priors through Python's
+# math.log2, embedded as full-precision repr literals — DuckDB parses
+# them back to the identical doubles, and the CASE sum follows the
+# same field order as the Spark column sum.
+import math as _math  # noqa: E402
+
+_FS_W = {
+    n: (_math.log2(m / u), _math.log2((1.0 - m) / (1.0 - u)))
+    for n, m, u in _FS_FIELDS
+}
+ORACLES["record_linkage"] = f"""
+    WITH c AS (SELECT * FROM customer WHERE c_custkey < 800),
+    p AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             (a.c_mktsegment = b.c_mktsegment) AS agree_seg,
+             (abs(a.c_acctbal - b.c_acctbal) <= 500.0) AS agree_bal,
+             (right(a.c_name, 3) = right(b.c_name, 3)) AS agree_nm3
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ),
+    s AS (
+      SELECT *,
+        (CASE WHEN agree_seg THEN CAST({_FS_W['seg'][0]!r} AS DOUBLE)
+              ELSE CAST({_FS_W['seg'][1]!r} AS DOUBLE) END
+         + CASE WHEN agree_bal THEN CAST({_FS_W['bal'][0]!r} AS DOUBLE)
+                ELSE CAST({_FS_W['bal'][1]!r} AS DOUBLE) END
+         + CASE WHEN agree_nm3 THEN CAST({_FS_W['nm3'][0]!r} AS DOUBLE)
+                ELSE CAST({_FS_W['nm3'][1]!r} AS DOUBLE) END) AS raw
+      FROM p
+    )
+    SELECT id_a, id_b, agree_seg, agree_bal, agree_nm3,
+           round(raw, 4) AS score,
+           CASE WHEN raw >= 2.0 THEN 'match'
+                WHEN raw >= 0.0 THEN 'possible'
+                ELSE 'non_match' END AS match_class
+    FROM s
 """

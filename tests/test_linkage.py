@@ -1,0 +1,100 @@
+"""Round-4q: Fellegi-Sunter record linkage
+(operators/linkage.py::fellegi_sunter)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from anomalydetection_spark.operators.linkage import (
+    LinkField,
+    exact,
+    fellegi_sunter,
+    within,
+)
+
+
+def _people(spark):
+    rows = [
+        # block 1: 1<->2 near-duplicate entity, 3 unrelated
+        (1, 1, "alice", "oak st", 100.0),
+        (2, 1, "alice", "oak st", 140.0),
+        (3, 1, "zed", "elm ave", 9000.0),
+        # block 2: agree on nothing
+        (4, 2, "bob", "pine rd", 5.0),
+        (5, 2, "carol", "main st", 800.0),
+        # block 2: null name never raises the score
+        (6, 2, None, "main st", 810.0),
+    ]
+    return spark.createDataFrame(
+        rows, "pid long, blk int, name string, addr string, bal double"
+    )
+
+
+FIELDS = [
+    LinkField("name", exact("name"), 0.95, 0.05),
+    LinkField("addr", exact("addr"), 0.90, 0.10),
+    LinkField("bal", within("bal", 50.0), 0.80, 0.20),
+]
+
+
+def test_planted_duplicate_classified_match(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in fellegi_sunter(
+            _people(spark), "pid", ["blk"], FIELDS, upper=2.0, lower=0.0
+        ).collect()
+    }
+    r12 = out[(1, 2)]
+    assert r12["match_class"] == "match"
+    assert r12["agree_name"] and r12["agree_addr"] and r12["agree_bal"]
+    expected = sum(math.log2(f.m / f.u) for f in FIELDS)
+    assert abs(r12["score"] - expected) < 1e-9
+    assert out[(1, 3)]["match_class"] == "non_match"
+    assert out[(4, 5)]["match_class"] == "non_match"
+    # cross-block pairs never materialize
+    assert (1, 4) not in out and (3, 5) not in out
+
+
+def test_null_field_counts_as_disagreement(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in fellegi_sunter(
+            _people(spark), "pid", ["blk"], FIELDS
+        ).collect()
+    }
+    r56 = out[(5, 6)]
+    assert not r56["agree_name"]  # NULL name: no evidence, no credit
+    assert r56["agree_addr"] and r56["agree_bal"]
+
+
+def test_possible_band_between_thresholds(spark):
+    # agree on addr+bal but not name: score = -w_name + w_addr + w_bal
+    rows = [
+        (1, 1, "ann", "oak st", 100.0),
+        (2, 1, "anne", "oak st", 120.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, blk int, name string, addr string, bal double"
+    )
+    s = (
+        math.log2(0.05 / 0.95)
+        + math.log2(0.90 / 0.10)
+        + math.log2(0.80 / 0.20)
+    )
+    out = fellegi_sunter(
+        df, "pid", ["blk"], FIELDS, upper=s + 0.5, lower=s - 0.5
+    ).collect()[0]
+    assert out["match_class"] == "possible"
+    assert abs(out["score"] - s) < 1e-9
+
+
+def test_invalid_priors_raise(spark):
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        fellegi_sunter(
+            _people(spark),
+            "pid",
+            ["blk"],
+            [LinkField("bad", exact("name"), 0.2, 0.9)],
+        ).collect()
