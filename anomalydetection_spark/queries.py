@@ -3974,6 +3974,43 @@ def q_suggested_json_rules(spark, sf_dir):
     )
 
 
+def q_cms_frequency(spark, sf_dir):
+    """Count-min sketch point-frequency estimates
+    (functions/cms.py): the sketch is a mergeable (d, b, c) relation
+    built in ONE map-side-combinable groupBy (depth x width = 1024
+    rows regardless of input size), probed for partkeys 1..40 via a
+    broadcast join + min-over-depth. Width 256 against ~2000 distinct
+    parts at sf0.01 forces real collisions, so the min-over-depth and
+    the one-sided error (estimate >= exact, always) are genuinely
+    exercised. The md5 bucket scheme reproduces in DuckDB, so the
+    ESTIMATES — not just the exact counts — hash bit-exactly: the
+    sketch is an auditable artifact."""
+    from .functions.cms import cms_build, cms_estimate
+
+    W, D = 256, 4
+    li = _t(spark, sf_dir, "lineitem")
+    sketch = cms_build(li, "l_partkey", width=W, depth=D)
+    keys = spark.range(1, 41).select(F.col("id").alias("key"))
+    est = cms_estimate(sketch, keys, "key", width=W, depth=D)
+    exact = (
+        li.filter(F.col("l_partkey").between(1, 40))
+        .groupBy(F.col("l_partkey").cast("long").alias("key"))
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "key", "left")
+        .fillna(0, ["exact_count"])
+        .select(
+            F.col("key").cast("long").alias("partkey"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") >= F.col("exact_count")).alias(
+                "bound_holds"
+            ),
+        )
+    )
+
+
 # Fellegi-Sunter m/u priors for q_record_linkage — module-level so the
 # Spark literals and the f-string oracle weights are the SAME doubles.
 _FS_FIELDS = [
@@ -4112,6 +4149,7 @@ def q_edit_similarity_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cms_frequency": q_cms_frequency,
     "record_linkage": q_record_linkage,
     "holt_anomaly": q_holt_anomaly,
     "edit_similarity_join": q_edit_similarity_join,
@@ -7711,4 +7749,41 @@ ORACLES["record_linkage"] = f"""
                 WHEN raw >= 0.0 THEN 'possible'
                 ELSE 'non_match' END AS match_class
     FROM s
+"""
+
+# The sketch replayed in SQL: same md5 -> first-8-nibbles -> BIGINT %
+# width buckets per depth row, same min-over-depth probe — the
+# estimates match bit-exactly, certifying the sketch contents.
+ORACLES["cms_frequency"] = """
+    WITH ds AS (SELECT unnest(range(0, 4)) AS d),
+    rows_h AS (
+      SELECT d.d,
+             CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                    CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 256 AS b
+      FROM lineitem, ds d WHERE l_partkey IS NOT NULL
+    ),
+    sketch AS (SELECT d, b, count(*) AS c FROM rows_h GROUP BY d, b),
+    keys AS (SELECT CAST(unnest(range(1, 41)) AS BIGINT) AS key),
+    kb AS (
+      SELECT k.key, d.d,
+             CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                    CAST(k.key AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 256 AS b
+      FROM keys k, ds d
+    ),
+    est AS (
+      SELECT kb.key, min(coalesce(s.c, 0)) AS cms_estimate
+      FROM kb LEFT JOIN sketch s ON kb.d = s.d AND kb.b = s.b
+      GROUP BY kb.key
+    ),
+    ex AS (
+      SELECT CAST(l_partkey AS BIGINT) AS key, count(*) AS exact_count
+      FROM lineitem WHERE l_partkey BETWEEN 1 AND 40 GROUP BY 1
+    )
+    SELECT est.key AS partkey,
+           CAST(coalesce(ex.exact_count, 0) AS BIGINT) AS exact_count,
+           CAST(est.cms_estimate AS BIGINT) AS cms_estimate,
+           est.cms_estimate >= coalesce(ex.exact_count, 0) AS bound_holds
+    FROM est LEFT JOIN ex ON est.key = ex.key
 """
