@@ -205,3 +205,60 @@ def conformance_violations(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("detail") != "")
     )
+
+
+def hll_pairwise_overlap(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Pairwise distinct-set overlap between groups, estimated from
+    HLL sketches alone — |A∩B| by inclusion-exclusion
+    (est_a + est_b - est_union) without ever shuffling the underlying
+    values across groups.
+
+    Why this shape at 100 TB: the exact answer is a value-level
+    self-join (shuffle = the full distinct relation, per pair); the
+    sketch answer aggregates each group to a ~4 KB DataSketches HLL
+    in ONE pass (hll_sketch_agg is partition-mergeable), then the
+    |G|^2/2 pair join runs over |G| sketch ROWS — metadata scale for
+    any bounded group count. hll_union is the lossless sketch merge,
+    so est_union inherits the single-sketch error bound; the
+    intersection estimate's ABSOLUTE error is ~the union's, so its
+    relative error degrades as |A∩B| / |A∪B| shrinks — callers gating
+    on jaccard_est should treat small-overlap pairs as "below
+    detection", not as precise zeros (same honesty contract as the
+    Bloom degradation path in decontaminate.py).
+
+    Output: one row per unordered group pair with est_a/est_b/
+    est_union/est_intersection (floats, sketch-derived) and
+    jaccard_est.
+    """
+    sk = df.filter(F.col(value_col).isNotNull()).groupBy(group_col).agg(
+        F.expr(f"hll_sketch_agg({value_col})").alias("_s")
+    )
+    a = sk.select(
+        F.col(group_col).alias("group_a"), F.col("_s").alias("_sa")
+    )
+    b = sk.select(
+        F.col(group_col).alias("group_b"), F.col("_s").alias("_sb")
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.expr("hll_sketch_estimate(_sa)").alias("est_a"),
+        F.expr("hll_sketch_estimate(_sb)").alias("est_b"),
+        F.expr("hll_sketch_estimate(hll_union(_sa, _sb))").alias(
+            "est_union"
+        ),
+    ).select(
+        "group_a",
+        "group_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_intersection"
+        ),
+        (
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            / F.col("est_union")
+        ).alias("jaccard_est"),
+    )

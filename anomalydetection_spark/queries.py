@@ -3974,6 +3974,54 @@ def q_suggested_json_rules(spark, sf_dir):
     )
 
 
+def q_hll_overlap(spark, sf_dir):
+    """Pairwise distinct-set overlap from HLL sketches alone
+    (operators/stats.py::hll_pairwise_overlap): |A∩B| by
+    inclusion-exclusion over per-group DataSketches HLLs — the
+    cross-source audit (can dedup shard per source? how much key
+    space do two partitions share?) WITHOUT the value-level self-join
+    the exact answer needs. Sets: partkeys ordered by customers of
+    nations 0-4 (measured partial overlap, ~0.85-0.55 Jaccard).
+    Tolerance-banded oracle (hll_distinct pattern): exact sizes +
+    intersections come from SQL; the est_ok flag asserts the
+    inclusion-exclusion estimate lands within 10% of exact (measured
+    ≤2.8% at sf0.01) — a degraded sketch flips it and the hash
+    mismatches."""
+    from .operators.stats import hll_pairwise_overlap
+
+    sf = sf_dir
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").filter(F.col("c_nationkey") < 5)
+    sets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(F.col("c_nationkey").alias("nation"), "l_partkey")
+    )
+    ov = hll_pairwise_overlap(sets, "nation", "l_partkey")
+    du = sets.distinct()
+    xa = du.select(F.col("nation").alias("group_a"), "l_partkey")
+    xb = du.select(F.col("nation").alias("group_b"), "l_partkey")
+    exact = (
+        xa.join(xb, "l_partkey")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.countDistinct("l_partkey").alias("exact_intersection"))
+    )
+    return ov.join(exact, ["group_a", "group_b"]).select(
+        F.col("group_a").cast("long").alias("nation_a"),
+        F.col("group_b").cast("long").alias("nation_b"),
+        F.col("exact_intersection").cast("long").alias(
+            "exact_intersection"
+        ),
+        (
+            F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+            / F.col("exact_intersection")
+            <= 0.10
+        ).alias("est_ok"),
+    )
+
+
 def q_cms_frequency(spark, sf_dir):
     """Count-min sketch point-frequency estimates
     (functions/cms.py): the sketch is a mergeable (d, b, c) relation
@@ -4149,6 +4197,7 @@ def q_edit_similarity_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hll_overlap": q_hll_overlap,
     "cms_frequency": q_cms_frequency,
     "record_linkage": q_record_linkage,
     "holt_anomaly": q_holt_anomaly,
@@ -7786,4 +7835,25 @@ ORACLES["cms_frequency"] = """
            CAST(est.cms_estimate AS BIGINT) AS cms_estimate,
            est.cms_estimate >= coalesce(ex.exact_count, 0) AS bound_holds
     FROM est LEFT JOIN ex ON est.key = ex.key
+"""
+
+# Exact pairwise intersections in SQL; est_ok is asserted true (the
+# hll_distinct tolerance-band pattern — DuckDB has no DataSketches
+# HLL, so the oracle pins the CLAIM and a degraded sketch breaks the
+# hash).
+ORACLES["hll_overlap"] = """
+    WITH sets AS (
+      SELECT DISTINCT c.c_nationkey AS nation, l.l_partkey
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey < 5
+    )
+    SELECT CAST(a.nation AS BIGINT) AS nation_a,
+           CAST(b.nation AS BIGINT) AS nation_b,
+           CAST(count(*) AS BIGINT) AS exact_intersection,
+           true AS est_ok
+    FROM sets a JOIN sets b
+      ON a.l_partkey = b.l_partkey AND a.nation < b.nation
+    GROUP BY 1, 2
 """

@@ -190,3 +190,44 @@ def test_profile_drift_semantics(spark):
     assert out[("new", "avg")].status == "added"
     assert out[("new", "avg")].verdict == "fail"
     assert out[("new", "avg")].base_value is None
+
+
+def test_hll_pairwise_overlap_controlled_sets(spark):
+    """Planted overlap: A=0..2999, B=2000..4999, C=9000..9099 (tiny,
+    disjoint from A). Inclusion-exclusion must land within a few
+    percent on the big partial overlap and report ~0 for the disjoint
+    pair."""
+    from anomalydetection_spark.operators.stats import (
+        hll_pairwise_overlap,
+    )
+
+    rows = (
+        [("A", i) for i in range(0, 3000)]
+        + [("B", i) for i in range(2000, 5000)]
+        + [("C", i) for i in range(9000, 9100)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in hll_pairwise_overlap(df, "g", "v").collect()
+    }
+    ab = out[("A", "B")]
+    assert abs(ab["est_intersection"] - 1000) / 1000 < 0.08
+    assert abs(ab["est_union"] - 5000) / 5000 < 0.05
+    ac = out[("A", "C")]
+    # disjoint: estimate is noise around zero, bounded by union error
+    assert abs(ac["est_intersection"]) < 0.05 * 3100
+    assert 0.15 < ab["jaccard_est"] < 0.25
+
+
+def test_hll_pairwise_overlap_null_values_excluded(spark):
+    from anomalydetection_spark.operators.stats import (
+        hll_pairwise_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", None), ("B", 1), ("B", 2)], "g string, v long"
+    )
+    r = hll_pairwise_overlap(df, "g", "v").collect()[0]
+    assert round(r["est_a"]) == 1 and round(r["est_b"]) == 2
+    assert round(r["est_intersection"]) == 1
