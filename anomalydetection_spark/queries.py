@@ -3974,6 +3974,59 @@ def q_suggested_json_rules(spark, sf_dir):
     )
 
 
+# Declared discovery candidates for q_candidate_keys / q_afd_confidence
+# — module-level so the Spark calls and the generated oracles share one
+# definition and cannot drift.
+_CK_CANDIDATES = [
+    ["o_orderkey"],
+    ["o_custkey"],
+    ["o_orderdate"],
+    ["o_custkey", "o_orderdate"],
+    ["o_orderkey", "o_custkey"],  # unique but NOT minimal
+]
+_AFD_PAIRS = [
+    ("orders", "o_orderkey", "o_orderpriority"),   # key FD: holds
+    ("orders", "o_custkey", "o_orderpriority"),    # approximate
+    ("customer", "c_nationkey", "c_mktsegment"),   # weak
+    ("lineitem", "l_orderkey", "l_returnflag"),    # strong-ish
+]
+
+
+def q_candidate_keys(spark, sf_dir):
+    """Candidate-key mining (operators/keys.py::candidate_keys):
+    which declared column combos uniquely identify orders rows —
+    uniqueness over non-null member rows (Deequ isUnique convention),
+    minimality against the declared candidate set. All combos stack
+    into ONE (combo_id, key-tuple) relation and one two-level
+    map-side-combinable agg answers every candidate — testing a set
+    of N candidates costs one pass, not N. Completes the discovery
+    triad with inclusion_dependencies (FKs) and afd_confidence
+    (dependencies)."""
+    from .operators.keys import candidate_keys
+
+    o = _t(spark, sf_dir, "orders")
+    return candidate_keys(spark, o, _CK_CANDIDATES)
+
+
+def q_afd_confidence(spark, sf_dir):
+    """Approximate-FD confidence by the g3 measure
+    (operators/keys.py::afd_confidence): the fraction of rows that
+    survive if every lhs group keeps only its majority rhs value —
+    1.0 iff the FD holds exactly, the standard approximate-dependency
+    score. Stacked (pair, lhs, rhs) counts shrink at every agg level;
+    the pairs span three tables via unionByName of per-table calls."""
+    from .operators.keys import afd_confidence
+
+    out = None
+    for tbl in ("orders", "customer", "lineitem"):
+        prs = [(l, r) for t, l, r in _AFD_PAIRS if t == tbl]
+        if not prs:
+            continue
+        cur = afd_confidence(_t(spark, sf_dir, tbl), prs)
+        out = cur if out is None else out.unionByName(cur)
+    return out
+
+
 def q_hll_overlap(spark, sf_dir):
     """Pairwise distinct-set overlap from HLL sketches alone
     (operators/stats.py::hll_pairwise_overlap): |A∩B| by
@@ -4197,6 +4250,8 @@ def q_edit_similarity_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "candidate_keys": q_candidate_keys,
+    "afd_confidence": q_afd_confidence,
     "hll_overlap": q_hll_overlap,
     "cms_frequency": q_cms_frequency,
     "record_linkage": q_record_linkage,
@@ -7857,3 +7912,82 @@ ORACLES["hll_overlap"] = """
       ON a.l_partkey = b.l_partkey AND a.nation < b.nation
     GROUP BY 1, 2
 """
+
+# Generated from the same _CK_CANDIDATES / _AFD_PAIRS declarations the
+# Spark queries read. Uniqueness is re-derived per combo from data;
+# minimality's subset relation is STRUCTURAL (which candidate combos
+# are proper subsets of which) so it is computed here in Python and
+# only the subset combos' uniqueness flags enter the SQL.
+def _ck_oracle() -> str:
+    parts = []
+    for cid, combo in enumerate(_CK_CANDIDATES):
+        nn = " AND ".join(f"{c} IS NOT NULL" for c in combo)
+        tup = "(" + ", ".join(combo) + ")" if len(combo) > 1 else combo[0]
+        parts.append(f"""
+          SELECT {cid} AS cid, '{",".join(combo)}' AS combo,
+                 (SELECT count(*) FROM orders) AS n_rows,
+                 (SELECT count(*) FROM orders WHERE NOT ({nn}))
+                   AS n_withnull,
+                 (SELECT count(DISTINCT {tup}) FROM orders WHERE {nn})
+                   AS n_distinct""")
+    subsets = {
+        cid: [
+            j
+            for j, sub in enumerate(_CK_CANDIDATES)
+            if set(sub) < set(combo)
+        ]
+        for cid, combo in enumerate(_CK_CANDIDATES)
+    }
+    minimal_expr = []
+    for cid in range(len(_CK_CANDIDATES)):
+        subs = subsets[cid]
+        if subs:
+            cond = " OR ".join(
+                f"(SELECT is_unique FROM u WHERE cid = {j})" for j in subs
+            )
+            minimal_expr.append(
+                f"WHEN cid = {cid} THEN is_unique AND NOT ({cond})"
+            )
+        else:
+            minimal_expr.append(f"WHEN cid = {cid} THEN is_unique")
+    return f"""
+      WITH s AS ({" UNION ALL ".join(parts)}),
+      u AS (
+        SELECT *,
+               n_distinct > 0
+               AND n_distinct = n_rows - n_withnull AS is_unique
+        FROM s
+      )
+      SELECT combo, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(n_withnull AS BIGINT) AS n_withnull,
+             CAST(n_distinct AS BIGINT) AS n_distinct,
+             is_unique,
+             CASE {" ".join(minimal_expr)} END AS is_minimal_key
+      FROM u
+    """
+
+
+ORACLES["candidate_keys"] = _ck_oracle()
+
+
+def _afd_oracle() -> str:
+    parts = []
+    for tbl, lhs, rhs in _AFD_PAIRS:
+        parts.append(f"""
+          SELECT '{lhs}->{rhs}' AS fd,
+                 CAST(sum(tot) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 round(sum(keep) / sum(tot), 6) AS confidence,
+                 round(sum(keep) / sum(tot), 6) >= 1.0 AS holds
+          FROM (
+            SELECT lhs, max(c) AS keep, sum(c) AS tot FROM (
+              SELECT {lhs} AS lhs, {rhs} AS rhs, count(*) AS c
+              FROM {tbl}
+              WHERE {lhs} IS NOT NULL AND {rhs} IS NOT NULL
+              GROUP BY 1, 2
+            ) GROUP BY lhs
+          )""")
+    return " UNION ALL ".join(parts)
+
+
+ORACLES["afd_confidence"] = _afd_oracle()
