@@ -194,3 +194,60 @@ def contaminated_docs_bloom(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_matched_grams"))
     )
+
+
+def novelty_scores(
+    corpus: DataFrame,
+    baseline: DataFrame,
+    id_col: str = "doc_id",
+    text_col="text",
+    n: int = 3,
+    broadcast_grams: bool = True,
+) -> DataFrame:
+    """Per-document n-gram novelty against a baseline corpus: the
+    fraction of a doc's DISTINCT word n-grams absent from the
+    baseline's gram set — the inverse of contamination, used to rank
+    candidate training data by how much NEW text it contributes
+    (near-1 = fresh content, near-0 = re-crawl/boilerplate the
+    baseline already covers).
+
+    Same scale shape as ``contaminated_docs``: the baseline collapses
+    to its DISTINCT gram relation once (broadcast below
+    BROADCAST_MAX_GRAMS, shuffled join above, Bloom tier beyond
+    that); the corpus explodes grams and aggregates per doc with a
+    map-side-combinable count. Docs with fewer than ``n`` tokens have
+    no grams: n_grams = 0 and novelty NULL (no evidence ≠ novel).
+
+    Output: (id, n_grams, n_novel, novelty)."""
+    base = benchmark_grams(baseline, text_col, n).withColumn(
+        "_seen", F.lit(1)
+    )
+    if broadcast_grams:
+        base = F.broadcast(base)
+    tc = F.col(text_col) if isinstance(text_col, str) else text_col
+    grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(tc, n)).alias("gram")
+    )
+    per_doc = (
+        grams.join(base, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("n_novel") / F.col("n_grams"),
+            ).alias("novelty"),
+        )
+    )

@@ -3974,6 +3974,29 @@ def q_suggested_json_rules(spark, sf_dir):
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty vs a baseline corpus
+    (operators/decontaminate.py::novelty_scores): fraction of a doc's
+    distinct word 3-grams absent from the baseline — ranks candidate
+    training data by new-content contribution (the inverse of the
+    contamination check, sharing its gram machinery and broadcast/
+    shuffle/Bloom degradation tiers). Baseline = doc_id % 10 < 7,
+    probe = the rest; docs under 3 tokens report n_grams 0 and NULL
+    novelty (no evidence is not novelty)."""
+    from .operators.decontaminate import novelty_scores
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 < 7)
+    probe = d.filter(F.col("doc_id") % 10 >= 7)
+    out = novelty_scores(probe, base, n=3, broadcast_grams=True)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round("novelty", 4).alias("novelty"),
+    )
+
+
 # Declared discovery candidates for q_candidate_keys / q_afd_confidence
 # — module-level so the Spark calls and the generated oracles share one
 # definition and cannot drift.
@@ -4250,6 +4273,7 @@ def q_edit_similarity_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ngram_novelty": q_ngram_novelty,
     "candidate_keys": q_candidate_keys,
     "afd_confidence": q_afd_confidence,
     "hll_overlap": q_hll_overlap,
@@ -7991,3 +8015,33 @@ def _afd_oracle() -> str:
 
 
 ORACLES["afd_confidence"] = _afd_oracle()
+
+# Same tokenize/3-gram derivation as the decontamination oracle
+# (string_split + slice windows), baseline = doc_id % 10 < 7.
+ORACLES["ngram_novelty"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+      FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3
+    ), base AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 10 < 7
+    ), per_doc AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN b.gram IS NULL THEN 1 ELSE 0 END) AS n_novel
+      FROM grams g LEFT JOIN base b USING (gram)
+      WHERE g.doc_id % 10 >= 7
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN coalesce(p.n_grams, 0) > 0
+                THEN round(p.n_novel * 1.0 / p.n_grams, 4)
+           END AS novelty
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 7) d
+    LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -129,3 +129,30 @@ def test_bloom_path_superset_of_exact(spark):
         assert bloom[d] >= c, (d, bloom[d], c)
     # the planted contaminated docs are all flagged on both paths
     assert all(i in exact for i in range(40))
+
+
+def test_novelty_scores_planted(spark):
+    from anomalydetection_spark.operators.decontaminate import (
+        novelty_scores,
+    )
+
+    base = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # fully covered -> 0.0
+            (2, "omega psi chi phi"),        # fully novel -> 1.0
+            (3, "alpha beta gamma omega"),   # 1 of 2 grams novel
+            (4, "hi"),                       # < 3 tokens -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in novelty_scores(probe, base, n=3).collect()
+    }
+    assert out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
+    assert out[3]["n_grams"] == 2 and out[3]["n_novel"] == 1
+    assert out[4]["n_grams"] == 0 and out[4]["novelty"] is None
