@@ -697,3 +697,101 @@ def stateful_cross_batch_dups(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    watermark: str = "30 minutes",
+):
+    """Streaming gap-based sessionization (applyInPandasWithState +
+    event-time timeout): the cross-batch twin of the batch
+    ``sessionization`` catalog query. A session is a maximal run of a
+    user's events with inter-event gaps <= ``gap_s``; sessions CLOSE
+    either when a later event arrives beyond the gap (closed_by =
+    'gap') or when the event-time watermark passes the open session's
+    end + gap (closed_by = 'timeout') — so idle users' sessions are
+    flushed without waiting for their next visit, and state never
+    outlives its usefulness.
+
+    State per user is THREE scalars (start, end, n_events) — O(keys),
+    not O(events): the numpy gap-split handles any number of
+    micro-batch events row-locally, and only the open tail survives
+    the batch. Late rows beyond the watermark are dropped by the
+    engine before they reach the state function (same contract as
+    windowed_event_time_drift).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    s = stream.withWatermark(ts_col, watermark)
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            st, en, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user": key[0],
+                        "session_start": pd.to_datetime(st, unit="s"),
+                        "session_end": pd.to_datetime(en, unit="s"),
+                        "n_events": n,
+                        "closed_by": "timeout",
+                    }
+                ]
+            )
+            return
+        parts = [pdf[ts_col] for pdf in pdfs]
+        if not parts:
+            return
+        ts = pd.concat(parts).sort_values()
+        arr = ts.to_numpy().astype("datetime64[s]").astype(np.int64)
+        if len(arr) == 0:
+            return
+        cur = state.get if state.exists else None  # (st, en, n)
+        closed = []
+        cuts = np.flatnonzero(np.diff(arr) > gap_s) + 1
+        for seg in np.split(arr, cuts):
+            if cur is not None and seg[0] - cur[1] <= gap_s:
+                cur = (cur[0], int(seg[-1]), cur[2] + len(seg))
+            else:
+                if cur is not None:
+                    closed.append(cur)
+                cur = (int(seg[0]), int(seg[-1]), len(seg))
+        state.update(cur)
+        # flush when the watermark passes the open session's gap window
+        state.setTimeoutTimestamp((cur[1] + gap_s) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user": key[0],
+                        "session_start": pd.to_datetime(st, unit="s"),
+                        "session_end": pd.to_datetime(en, unit="s"),
+                        "n_events": n,
+                        "closed_by": "gap",
+                    }
+                    for st, en, n in closed
+                ]
+            )
+
+    user_t = s.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"user {user_t}, session_start timestamp,"
+        " session_end timestamp, n_events long, closed_by string"
+    )
+    return (
+        s.select(F.col(user_col).alias("__u"), F.col(ts_col))
+        .groupBy("__u")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="st long, en long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -537,3 +537,56 @@ def test_stream_validate_contract_verdicts(spark, docs, catalog, tmp_path):
         if d.startswith("batch_id=")
     ]
     assert len(batch_dirs) >= 1
+
+
+def test_stateful_sessionize_gap_and_timeout(spark, tmp_path):
+    """Cross-batch session assembly: a later-batch event beyond the
+    gap closes the open session ('gap'); the event-time watermark
+    advancing past an idle session's window flushes it ('timeout')."""
+    import os
+    import pandas as pd
+
+    from anomalydetection_spark.streaming.incremental import (
+        stateful_sessionize,
+    )
+
+    inp = str(tmp_path / "sess_in")
+    os.makedirs(inp, exist_ok=True)
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    batches = [
+        [(1, t0), (1, t0 + pd.Timedelta(seconds=10))],
+        [(1, t0 + pd.Timedelta(hours=1))],      # gap closes session A
+        [(2, t0 + pd.Timedelta(hours=5))],      # advances watermark
+        [(2, t0 + pd.Timedelta(hours=6))],      # timeout evaluated
+    ]
+    for b, rows in enumerate(batches):
+        pd.DataFrame(rows, columns=["user_id", "ts"]).to_parquet(
+            f"{inp}/f{b}.parquet",
+            coerce_timestamps="us",  # Spark reads micros, pandas writes ns
+        )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = stateful_sessionize(
+        stream, "user_id", "ts", gap_s=1800, watermark="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT * FROM sessions_out ORDER BY session_start"
+    ).collect()
+    u1 = [r for r in rows if r.user == 1]
+    assert len(u1) == 2
+    a, b = u1
+    assert a.closed_by == "gap" and a.n_events == 2
+    assert a.session_end.second == 10
+    assert b.closed_by == "timeout" and b.n_events == 1
