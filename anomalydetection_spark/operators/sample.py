@@ -269,3 +269,33 @@ def plan_mixture(
             ).otherwise(F.lit("ok")),
         )
     )
+
+
+def assign_folds(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+    group_col: str | None = None,
+    salt: str = "folds",
+) -> DataFrame:
+    """Deterministic k-fold split assignment, optionally GROUP-AWARE:
+    when ``group_col`` is given (e.g. the dedup cluster id), every row
+    of a group lands in the SAME fold — near-duplicate copies can
+    never straddle a train/eval boundary, which is the split-level
+    fix for the leakage the cross-split near-dup matrix
+    (q_cross_source_dup_matrix) measures after the fact.
+
+    Fold = first 8 md5 nibbles of (salt ':' fold-key) mod k — the
+    repo's engine-replayable hash scheme: no RNG, no state, stable
+    under re-runs/backfills, and any engine (or the DuckDB oracle)
+    recomputes the same assignment from the same keys. Row-local
+    projection, zero shuffle; expected fold skew is the binomial
+    deviation around n/k (auditable with q_partition_skew)."""
+    fold = (
+        F.expr(
+            f"cast(conv(substring(md5(concat('{salt}', ':', "
+            f"cast({group_col if group_col else id_col} as string)"
+            f")), 1, 8), 16, 10) as bigint) % {k}"
+        )
+    ).alias("fold")
+    return df.withColumn("fold", fold)

@@ -3974,6 +3974,26 @@ def q_suggested_json_rules(spark, sf_dir):
     )
 
 
+def q_fold_assignment(spark, sf_dir):
+    """Group-aware deterministic k-fold assignment
+    (operators/sample.py::assign_folds): folds derive from
+    md5(salt:group) so every member of a duplicate group (here the
+    exact-text group, md5(trim(text))) lands in the same fold —
+    near-dup copies can never straddle a train/eval boundary. Zero
+    shuffle (row-local projection); the oracle replays the same md5
+    arithmetic per doc, so the hash match certifies the ASSIGNMENT,
+    not just the fold sizes."""
+    from .operators.sample import assign_folds
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text_group", F.md5(F.trim("text"))
+    )
+    out = assign_folds(d, "doc_id", k=5, group_col="text_group")
+    return out.select(
+        "doc_id", "text_group", F.col("fold").cast("long").alias("fold")
+    )
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Per-document n-gram novelty vs a baseline corpus
     (operators/decontaminate.py::novelty_scores): fraction of a doc's
@@ -4273,6 +4293,7 @@ def q_edit_similarity_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "fold_assignment": q_fold_assignment,
     "ngram_novelty": q_ngram_novelty,
     "candidate_keys": q_candidate_keys,
     "afd_confidence": q_afd_confidence,
@@ -8044,4 +8065,12 @@ ORACLES["ngram_novelty"] = """
            END AS novelty
     FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 7) d
     LEFT JOIN per_doc p USING (doc_id)
+"""
+
+ORACLES["fold_assignment"] = """
+    SELECT doc_id,
+           md5(trim(text)) AS text_group,
+           CAST(('0x' || substr(md5('folds:' || md5(trim(text))), 1, 8))
+                AS BIGINT) % 5 AS fold
+    FROM documents
 """

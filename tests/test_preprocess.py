@@ -239,3 +239,36 @@ def test_preprocess_cli_scrub_on_interleaved_corpus(spark, docs_path, tmp_path):
     # N-token window that >=2 distinct docs shared
     assert kept.filter(F.col("scrubbed_text").isNull()).count() == 0
     assert kept.count() == s["n_kept"]
+
+
+def test_assign_folds_group_integrity_and_balance(spark):
+    from anomalydetection_spark.operators.sample import assign_folds
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"g{i % 40}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = assign_folds(df, "id", k=5, group_col="grp")
+    # every group lands wholly in one fold
+    per_grp = out.groupBy("grp").agg(
+        F.countDistinct("fold").alias("nf")
+    ).collect()
+    assert all(r["nf"] == 1 for r in per_grp)
+    # all folds populated, deterministic across calls
+    sizes = {r["fold"]: r["c"] for r in out.groupBy("fold").agg(F.count("*").alias("c")).collect()}
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    again = assign_folds(df, "id", k=5, group_col="grp")
+    assert out.collect() == again.collect()
+    # different salt reshuffles at least one group
+    other = assign_folds(df, "id", k=5, group_col="grp", salt="v2")
+    joined = out.alias("a").join(other.alias("b"), "id").filter(
+        F.col("a.fold") != F.col("b.fold")
+    )
+    assert joined.count() > 0
+
+
+def test_assign_folds_rowwise_without_group(spark):
+    from anomalydetection_spark.operators.sample import assign_folds
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    out = assign_folds(df, "id", k=3)
+    assert out.select("fold").distinct().count() == 3
