@@ -677,3 +677,60 @@ def holt_residual_anomaly(
         .drop("_prev", "_st", "_n_prev")
         .withColumnRenamed("_sd", "trailing_sd")
     )
+
+
+def delta_attribution(
+    df: DataFrame,
+    period_expr,
+    dims: list[str],
+    measure_col: str,
+) -> DataFrame:
+    """Segment-level attribution of a metric change between two
+    periods — the drill-down that answers the question a fired drift
+    verdict raises: WHICH segment moved the metric. ``period_expr``
+    is a boolean column/SQL string (true = current period, false =
+    baseline); for every declared dimension, each segment reports its
+    baseline/current totals, absolute delta, share of the dimension's
+    total delta, and a deterministic rank by |delta|.
+
+    All dimensions stack into ONE (dim, value, is_cur, measure)
+    relation -> one map-side-combinable agg -> a window over the
+    bounded (dim x segments) result: attribution over N dimensions
+    costs one pass over the fact table, not N. share_of_delta is NULL
+    when the dimension's total delta is 0 (nothing to attribute — a
+    0/0, not a 0%)."""
+    pe = F.expr(period_expr) if isinstance(period_expr, str) else period_expr
+    stacked = None
+    for d in dims:
+        rows = df.select(
+            F.lit(d).alias("dim"),
+            F.col(d).cast("string").alias("segment"),
+            pe.cast("boolean").alias("_cur"),
+            F.col(measure_col).cast("double").alias("_m"),
+        )
+        stacked = rows if stacked is None else stacked.unionByName(rows)
+    g = stacked.groupBy("dim", "segment").agg(
+        F.sum(F.when(~F.col("_cur"), F.col("_m")).otherwise(0.0)).alias(
+            "base_total"
+        ),
+        F.sum(F.when(F.col("_cur"), F.col("_m")).otherwise(0.0)).alias(
+            "cur_total"
+        ),
+    )
+    w = Window.partitionBy("dim")
+    wr = Window.partitionBy("dim").orderBy(
+        F.abs(F.col("delta")).desc(), F.col("segment")
+    )
+    return (
+        g.withColumn("delta", F.col("cur_total") - F.col("base_total"))
+        .withColumn("_total_delta", F.sum("delta").over(w))
+        .withColumn(
+            "share_of_delta",
+            F.when(
+                F.abs("_total_delta") > 1e-12,
+                F.col("delta") / F.col("_total_delta"),
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .drop("_total_delta")
+    )

@@ -3974,6 +3974,34 @@ def q_suggested_json_rules(spark, sf_dir):
     )
 
 
+def q_delta_attribution(spark, sf_dir):
+    """Segment attribution of a metric change
+    (operators/drift.py::delta_attribution): which segments moved
+    total order revenue between the pre/post-1995 periods, for two
+    dimensions (priority, status) in ONE stacked pass over orders —
+    the drill-down a fired drift verdict hands the operator. Output
+    is bounded (dims x segments); share_of_delta is NULL when a
+    dimension's total delta is zero (0/0, not 0%)."""
+    from .operators.drift import delta_attribution
+
+    o = _t(spark, sf_dir, "orders")
+    out = delta_attribution(
+        o,
+        "o_orderdate >= DATE'1995-01-01'",
+        ["o_orderpriority", "o_orderstatus"],
+        "o_totalprice",
+    )
+    return out.select(
+        "dim",
+        "segment",
+        F.round("base_total", 2).alias("base_total"),
+        F.round("cur_total", 2).alias("cur_total"),
+        F.round("delta", 2).alias("delta"),
+        F.round("share_of_delta", 4).alias("share_of_delta"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_fold_assignment(spark, sf_dir):
     """Group-aware deterministic k-fold assignment
     (operators/sample.py::assign_folds): folds derive from
@@ -4293,6 +4321,7 @@ def q_edit_similarity_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "delta_attribution": q_delta_attribution,
     "fold_assignment": q_fold_assignment,
     "ngram_novelty": q_ngram_novelty,
     "candidate_keys": q_candidate_keys,
@@ -8073,4 +8102,39 @@ ORACLES["fold_assignment"] = """
            CAST(('0x' || substr(md5('folds:' || md5(trim(text))), 1, 8))
                 AS BIGINT) % 5 AS fold
     FROM documents
+"""
+
+ORACLES["delta_attribution"] = """
+    WITH stacked AS (
+      SELECT 'o_orderpriority' AS dim, o_orderpriority AS segment,
+             o_orderdate >= DATE '1995-01-01' AS is_cur,
+             CAST(o_totalprice AS DOUBLE) AS m
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus,
+             o_orderdate >= DATE '1995-01-01',
+             CAST(o_totalprice AS DOUBLE)
+      FROM orders
+    ),
+    g AS (
+      SELECT dim, segment,
+             sum(CASE WHEN NOT is_cur THEN m ELSE 0.0 END) AS base_total,
+             sum(CASE WHEN is_cur THEN m ELSE 0.0 END) AS cur_total
+      FROM stacked GROUP BY dim, segment
+    ),
+    d AS (
+      SELECT *, cur_total - base_total AS delta,
+             sum(cur_total - base_total) OVER (PARTITION BY dim)
+               AS total_delta
+      FROM g
+    )
+    SELECT dim, segment,
+           round(base_total, 2) AS base_total,
+           round(cur_total, 2) AS cur_total,
+           round(delta, 2) AS delta,
+           CASE WHEN abs(total_delta) > 1e-12
+                THEN round(delta / total_delta, 4) END AS share_of_delta,
+           CAST(row_number() OVER (PARTITION BY dim
+                ORDER BY abs(delta) DESC, segment) AS BIGINT) AS rank
+    FROM d
 """

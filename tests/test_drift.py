@@ -406,3 +406,34 @@ def test_holt_keys_fold_independently(spark):
     ).collect()
     flagged = {(r["k"], r["t"]) for r in out if r["is_anomaly"]}
     assert flagged == {("b", 12)}
+
+
+def test_delta_attribution_planted_mover(spark):
+    """One segment moves +100, another -20, third flat: shares are
+    signed fractions of the NET +80 and rank orders by |delta|."""
+    from anomalydetection_spark.operators.drift import delta_attribution
+
+    rows = (
+        [("a", False, 100.0), ("a", True, 200.0)]   # +100
+        + [("b", False, 50.0), ("b", True, 30.0)]   # -20
+        + [("c", False, 10.0), ("c", True, 10.0)]   # 0
+    )
+    df = spark.createDataFrame(rows, "seg string, cur boolean, m double")
+    out = {
+        r["segment"]: r
+        for r in delta_attribution(df, F.col("cur"), ["seg"], "m").collect()
+    }
+    assert out["a"]["delta"] == 100.0 and out["a"]["rank"] == 1
+    assert abs(out["a"]["share_of_delta"] - 100.0 / 80.0) < 1e-9
+    assert abs(out["b"]["share_of_delta"] - (-20.0 / 80.0)) < 1e-9
+    assert out["c"]["delta"] == 0.0 and out["c"]["rank"] == 3
+
+
+def test_delta_attribution_zero_net_delta_null_share(spark):
+    from anomalydetection_spark.operators.drift import delta_attribution
+
+    rows = [("a", False, 10.0), ("a", True, 30.0),
+            ("b", False, 30.0), ("b", True, 10.0)]
+    df = spark.createDataFrame(rows, "seg string, cur boolean, m double")
+    out = delta_attribution(df, F.col("cur"), ["seg"], "m").collect()
+    assert all(r["share_of_delta"] is None for r in out)
