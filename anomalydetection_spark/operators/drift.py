@@ -734,3 +734,50 @@ def delta_attribution(
         .withColumn("rank", F.row_number().over(wr))
         .drop("_total_delta")
     )
+
+
+def acf_lags(
+    series: DataFrame,
+    index_col: str,
+    value_col: str,
+    max_lag: int = 48,
+) -> DataFrame:
+    """Autocorrelation function of a regularly-indexed series at lags
+    1..max_lag — the periodicity detector behind seasonal baselines:
+    a dominant peak at lag 24 on an hourly series says "daily cycle",
+    telling seasonal_anomaly/windowed drift WHICH period to
+    deseasonalize by instead of assuming one.
+
+    ``index_col`` must be an integer position (e.g. epoch-hours);
+    missing positions simply contribute no pair at the lags they
+    would span — ACF over a gapped series, same convention as
+    gap-tolerant trend_slopes. Plan: the series (already aggregated,
+    bounded buckets) explodes into max_lag shifted copies and
+    re-joins itself on the index — ONE equi-join shuffling
+    max_lag x |buckets| rows, then corr() per lag; no windows, no
+    driver loops, no per-lag passes."""
+    s = series.select(
+        F.col(index_col).cast("long").alias("i"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    shifted = s.select(
+        F.explode(F.expr(f"sequence(1, {max_lag})")).alias("lag"),
+        (F.col("i")).alias("i0"),
+        F.col("x").alias("x_lag"),
+    ).select("lag", (F.col("i0") + F.col("lag")).alias("i"), "x_lag")
+    pairs = s.join(shifted, "i")
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.corr("x", "x_lag").alias("acf"),
+        )
+        .withColumn(
+            # rank on 6dp-rounded acf: near-ties must break on the lag,
+            # not on which engine's corr() kept the last ulp
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc(F.round("acf", 6)), F.asc("lag"))
+            ),
+        )
+    )

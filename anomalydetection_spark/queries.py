@@ -3974,6 +3974,32 @@ def q_suggested_json_rules(spark, sf_dir):
     )
 
 
+def q_acf_periodicity(spark, sf_dir):
+    """ACF periodicity detection (operators/drift.py::acf_lags) over
+    the hourly event-count series: autocorrelation at lags 1..48 via
+    one explode-shift self-join on the integer hour index (no per-lag
+    passes), ranked on 6dp-rounded acf so near-ties break on the lag
+    across engines — the detector that tells the seasonal baseline
+    which period to use. On THIS corpus the ranked ACF is nearly flat
+    (max ~0.07): the synthetic hour-of-day amplitude is small against
+    Poisson noise at this SF, and reporting that honestly (no
+    dominant period -> don't deseasonalize) is the operator's point;
+    detection of a genuine planted cycle is pinned in test_drift."""
+    from .operators.drift import acf_lags
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).alias("h")
+    ).agg(F.count("*").cast("double").alias("n"))
+    out = acf_lags(hourly, "h", "n", max_lag=48)
+    return out.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("acf", 4).alias("acf"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_delta_attribution(spark, sf_dir):
     """Segment attribution of a metric change
     (operators/drift.py::delta_attribution): which segments moved
@@ -4321,6 +4347,7 @@ def q_edit_similarity_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "acf_periodicity": q_acf_periodicity,
     "delta_attribution": q_delta_attribution,
     "fold_assignment": q_fold_assignment,
     "ngram_novelty": q_ngram_novelty,
@@ -8137,4 +8164,33 @@ ORACLES["delta_attribution"] = """
            CAST(row_number() OVER (PARTITION BY dim
                 ORDER BY abs(delta) DESC, segment) AS BIGINT) AS rank
     FROM d
+"""
+
+# unix_timestamp in Spark is session-TZ-dependent for timestamp_ntz?
+# events.ts loads as TIMESTAMP (no zone); both engines floor epoch
+# seconds of the same wall-clock instant under UTC sessions (the
+# repo's Spark session pins spark.sql.session.timeZone=UTC; DuckDB
+# epoch() is zone-naive on TIMESTAMP).
+ORACLES["acf_periodicity"] = """
+    WITH h AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS i,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT l.lag, a.x, b.x AS x_lag
+      FROM (SELECT unnest(range(1, 49)) AS lag) l
+      JOIN h a ON true
+      JOIN h b ON a.i = b.i + l.lag
+    ),
+    agg AS (
+      SELECT lag, count(*) AS n_pairs, corr(x, x_lag) AS acf
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(acf, 4) AS acf,
+           CAST(row_number() OVER (ORDER BY round(acf, 6) DESC, lag)
+                AS BIGINT) AS rank
+    FROM agg
 """

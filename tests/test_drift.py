@@ -437,3 +437,35 @@ def test_delta_attribution_zero_net_delta_null_share(spark):
     df = spark.createDataFrame(rows, "seg string, cur boolean, m double")
     out = delta_attribution(df, F.col("cur"), ["seg"], "m").collect()
     assert all(r["share_of_delta"] is None for r in out)
+
+
+def test_acf_detects_planted_daily_cycle(spark):
+    import math
+
+    from anomalydetection_spark.operators.drift import acf_lags
+
+    rows = [
+        (i, 100.0 + 40.0 * math.sin(2 * math.pi * i / 24.0)
+         + 5.0 * math.sin(i * 0.7))
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "h long, n double")
+    out = acf_lags(df, "h", "n", max_lag=36).collect()
+    by_lag = {r["lag"]: r for r in out}
+    top = min(out, key=lambda r: r["rank"])
+    assert top["lag"] == 24 and top["acf"] > 0.9
+    # half-period anticorrelation
+    assert by_lag[12]["acf"] < -0.8
+    # pair counts shrink with the lag on a gapless series
+    assert by_lag[36]["n_pairs"] == 240 - 36
+
+
+def test_acf_gapped_series_skips_missing_pairs(spark):
+    from anomalydetection_spark.operators.drift import acf_lags
+
+    # indexes 0..9 with 5 missing: lag-1 pairs only where adjacent
+    rows = [(i, float(i)) for i in [0, 1, 2, 3, 4, 6, 7, 8, 9]]
+    df = spark.createDataFrame(rows, "h long, n double")
+    out = {r["lag"]: r for r in acf_lags(df, "h", "n", max_lag=2).collect()}
+    assert out[1]["n_pairs"] == 7  # (0..4)->4 pairs + (6..9)->3
+    assert out[2]["n_pairs"] == 6  # within-run + the 4-6 bridge
