@@ -31,7 +31,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -118,4 +118,54 @@ def fellegi_sunter(
         .when(F.col("score") >= lower, F.lit("possible"))
         .otherwise(F.lit("non_match"))
         .alias("match_class"),
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_expr,
+    window: int = 3,
+    partition_expr=None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez/Stolfo merge-purge):
+    order the records by a fuzzy-tolerant sort key and pair each row
+    with its next ``window`` neighbors — the ER candidate generator
+    for fields where equality blocking fails (typos in the block key
+    kill hash blocks; a sort key like soundex/prefix keeps
+    near-values ADJACENT instead of equal). Complements
+    ``fellegi_sunter``: generate candidates here, score them there.
+
+    Plan: rank within optional coarse partitions (one window — at
+    scale pass ``partition_expr`` so the sort never runs unpartitioned
+    over the full table; neighbors never pair across partitions, the
+    standard multi-pass mitigation is a second call with a different
+    key), explode the +1..+window offsets, self-join on the rank —
+    shuffle is window x n rows, never n^2. Output: (id_a, id_b,
+    distance) with distance = rank gap in [1, window], deterministic
+    by (sort key, id) tie-break."""
+    se = F.expr(sort_expr) if isinstance(sort_expr, str) else sort_expr
+    part = (
+        (F.expr(partition_expr) if isinstance(partition_expr, str) else partition_expr)
+        if partition_expr is not None
+        else F.lit(0)
+    )
+    ranked = df.select(
+        F.col(id_col).alias("_id"),
+        part.alias("_p"),
+        F.row_number().over(
+            Window.partitionBy(part).orderBy(se.asc(), F.col(id_col).asc())
+        ).alias("_rn"),
+    )
+    probes = ranked.select(
+        "_p",
+        F.col("_id").alias("id_a"),
+        F.explode(F.expr(f"sequence(1, {window})")).alias("distance"),
+        F.col("_rn").alias("_rn0"),
+    ).select(
+        "_p", "id_a", "distance", (F.col("_rn0") + F.col("distance")).alias("_rn")
+    )
+    right = ranked.select("_p", F.col("_id").alias("id_b"), "_rn")
+    return probes.join(right, ["_p", "_rn"]).select(
+        "id_a", "id_b", F.col("distance").cast("long").alias("distance")
     )

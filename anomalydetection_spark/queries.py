@@ -3974,6 +3974,33 @@ def q_suggested_json_rules(spark, sf_dir):
     )
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood ER blocking
+    (operators/linkage.py::sorted_neighborhood_pairs): customers
+    ordered by account balance inside each market-segment partition,
+    paired with their next 3 rank-neighbors — the candidate generator
+    for typo-prone keys where equality blocking fails; feed the pairs
+    to fellegi_sunter for scoring. Shuffle = window x n rows, never
+    n²; declared tier c_custkey < 600. The oracle replays the exact
+    (sort key, id) ranking, so the hash certifies the neighbor
+    structure, not just the pair count."""
+    from .operators.linkage import sorted_neighborhood_pairs
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    out = sorted_neighborhood_pairs(
+        cust,
+        "c_custkey",
+        F.col("c_acctbal"),
+        window=3,
+        partition_expr=F.col("c_mktsegment"),
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "distance",
+    )
+
+
 def q_acf_periodicity(spark, sf_dir):
     """ACF periodicity detection (operators/drift.py::acf_lags) over
     the hourly event-count series: autocorrelation at lags 1..48 via
@@ -4347,6 +4374,7 @@ def q_edit_similarity_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sorted_neighborhood": q_sorted_neighborhood,
     "acf_periodicity": q_acf_periodicity,
     "delta_attribution": q_delta_attribution,
     "fold_assignment": q_fold_assignment,
@@ -8193,4 +8221,18 @@ ORACLES["acf_periodicity"] = """
            CAST(row_number() OVER (ORDER BY round(acf, 6) DESC, lag)
                 AS BIGINT) AS rank
     FROM agg
+"""
+
+ORACLES["sorted_neighborhood"] = """
+    WITH r AS (
+      SELECT c_custkey AS id, c_mktsegment AS p,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rn
+      FROM customer WHERE c_custkey < 600
+    )
+    SELECT CAST(a.id AS BIGINT) AS id_a,
+           CAST(b.id AS BIGINT) AS id_b,
+           CAST(b.rn - a.rn AS BIGINT) AS distance
+    FROM r a JOIN r b
+      ON a.p = b.p AND b.rn - a.rn BETWEEN 1 AND 3
 """

@@ -98,3 +98,54 @@ def test_invalid_priors_raise(spark):
             ["blk"],
             [LinkField("bad", exact("name"), 0.2, 0.9)],
         ).collect()
+
+
+def test_sorted_neighborhood_adjacent_typo_found(spark):
+    """Equality blocking on the name would separate 'jon'/'john'; a
+    name sort key keeps them adjacent so SN pairs them."""
+    from anomalydetection_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "john"), (2, "jon"), (3, "jonathan"),
+        (4, "zara"), (5, "zora"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", F.col("name"), window=1
+        ).collect()
+    }
+    # sort order: john, jon, jonathan, zara, zora
+    assert pairs == {(1, 2), (2, 3), (3, 4), (4, 5)}
+
+
+def test_sorted_neighborhood_partitions_do_not_cross(spark):
+    from anomalydetection_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, "x", 1.0), (2, "x", 2.0), (3, "y", 1.5), (4, "y", 2.5)]
+    df = spark.createDataFrame(rows, "id long, p string, v double")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", F.col("v"), window=2, partition_expr=F.col("p")
+        ).collect()
+    }
+    assert pairs == {(1, 2), (3, 4)}
+
+
+def test_sorted_neighborhood_window_width(spark):
+    from anomalydetection_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(6)], "id long, v double")
+    out = sorted_neighborhood_pairs(df, "id", F.col("v"), window=2)
+    assert out.count() == 5 + 4  # distance-1 and distance-2 chains
