@@ -7,9 +7,10 @@ and chance-agreement probability ``u_f = P(agree | different
 entities)``, an agreeing pair earns ``log2(m_f / u_f)`` and a
 disagreeing pair ``log2((1-m_f) / (1-u_f))`` (negative); the pair
 score is the sum and two thresholds split match / possible / non-match.
-The m/u priors here are DECLARED by the caller (no EM fitting — the
-deterministic tier the oracle can replay; an EM loop would sit on top
-of exactly this scoring pass).
+The m/u priors are either DECLARED by the caller (the deterministic
+tier the oracle replays) or FITTED unsupervised with ``fs_fit_em`` —
+Winkler's EM over agreement-pattern counts, whose cluster-wide cost
+is one groupBy collapsing all pairs to <= 2^|fields| rows.
 
 Plan shape: one hash-shuffle self-join on the blocking keys
 (candidate count is sum over blocks of C(|block|, 2) — the caller's
@@ -169,3 +170,72 @@ def sorted_neighborhood_pairs(
     return probes.join(right, ["_p", "_rn"]).select(
         "id_a", "id_b", F.col("distance").cast("long").alias("distance")
     )
+
+
+def fs_fit_em(
+    pairs: DataFrame,
+    field_names: list[str],
+    iters: int = 20,
+    init_match_rate: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> dict:
+    """Fit Fellegi-Sunter m/u probabilities by EM over agreement
+    PATTERNS — the standard unsupervised estimator (Winkler's EM for
+    the FS model, public literature), shaped for scale: the only
+    cluster-wide pass is ONE groupBy over the candidate pairs'
+    boolean agreement columns, collapsing them to at most
+    2^|fields| pattern-count rows; the EM loop then iterates
+    driver-side on that tiny table. A billion pairs cost the same
+    driver work as a thousand.
+
+    Assumes conditional independence of fields given match status
+    (the classic FS assumption). Returns {'fields': {name: (m, u)},
+    'match_rate': p, 'n_pairs': n} — feed the fitted values back into
+    ``LinkField``/``fellegi_sunter`` for scoring. Degenerate fits are
+    clamped to (1e-6, 1-1e-6) so downstream log-weights stay finite.
+    """
+    counts = [
+        (tuple(bool(r[f]) for f in field_names), r["__n"])
+        for r in pairs.groupBy(
+            *[F.coalesce(F.col(f), F.lit(False)).alias(f) for f in field_names]
+        )
+        .agg(F.count("*").alias("__n"))
+        .collect()
+    ]
+    n = sum(c for _, c in counts)
+    if n == 0:
+        raise ValueError("no candidate pairs to fit on")
+    k = len(field_names)
+    p = init_match_rate
+    m = [init_m] * k
+    u = [init_u] * k
+    clamp = lambda x: min(1.0 - 1e-6, max(1e-6, x))
+    for _ in range(iters):
+        # E-step: P(match | pattern) per distinct pattern
+        m_new = [0.0] * k
+        u_new = [0.0] * k
+        pm_tot = 0.0
+        for pat, c in counts:
+            lm = p
+            lu = 1.0 - p
+            for j in range(k):
+                lm *= m[j] if pat[j] else (1.0 - m[j])
+                lu *= u[j] if pat[j] else (1.0 - u[j])
+            g = lm / (lm + lu) if (lm + lu) > 0 else 0.0
+            pm_tot += g * c
+            for j in range(k):
+                if pat[j]:
+                    m_new[j] += g * c
+                    u_new[j] += (1.0 - g) * c
+        # M-step
+        if pm_tot <= 0 or pm_tot >= n:
+            break
+        m = [clamp(m_new[j] / pm_tot) for j in range(k)]
+        u = [clamp(u_new[j] / (n - pm_tot)) for j in range(k)]
+        p = clamp(pm_tot / n)
+    return {
+        "fields": {f: (m[j], u[j]) for j, f in enumerate(field_names)},
+        "match_rate": p,
+        "n_pairs": n,
+    }

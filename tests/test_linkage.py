@@ -149,3 +149,48 @@ def test_sorted_neighborhood_window_width(spark):
     df = spark.createDataFrame([(i, float(i)) for i in range(6)], "id long, v double")
     out = sorted_neighborhood_pairs(df, "id", F.col("v"), window=2)
     assert out.count() == 5 + 4  # distance-1 and distance-2 chains
+
+
+def test_fs_fit_em_recovers_planted_structure(spark):
+    """Two planted populations: 10% 'true matches' agree on both
+    fields ~90% of the time; non-matches agree ~10%/20%. EM from a
+    generic init should recover m >> u per field and a match rate
+    near the planted 10%."""
+    import itertools
+
+    rows = []
+    x = 99991
+    def rnd():
+        nonlocal x
+        x = (x * 1103515245 + 12345) % (2**31)
+        return (x >> 7) % 1000 / 1000.0
+    for i in range(3000):
+        is_match = rnd() < 0.10
+        if is_match:
+            a1, a2 = rnd() < 0.9, rnd() < 0.85
+        else:
+            a1, a2 = rnd() < 0.1, rnd() < 0.2
+        rows.append((a1, a2))
+    df = spark.createDataFrame(rows, "f1 boolean, f2 boolean")
+    from anomalydetection_spark.operators.linkage import fs_fit_em
+
+    fit = fs_fit_em(df, ["f1", "f2"], iters=50)
+    (m1, u1), (m2, u2) = fit["fields"]["f1"], fit["fields"]["f2"]
+    assert m1 > 0.7 > 0.3 > u1
+    assert m2 > 0.6 > 0.35 > u2
+    assert 0.03 < fit["match_rate"] < 0.25
+    assert fit["n_pairs"] == 3000
+    # fitted values are valid LinkField priors
+    from anomalydetection_spark.operators.linkage import LinkField
+
+    LinkField("f1", "a_x = b_x", m1, u1).weights()
+
+
+def test_fs_fit_em_empty_raises(spark):
+    import pytest as _pytest
+
+    from anomalydetection_spark.operators.linkage import fs_fit_em
+
+    df = spark.createDataFrame([], "f1 boolean")
+    with _pytest.raises(ValueError, match="no candidate pairs"):
+        fs_fit_em(df, ["f1"])
