@@ -4373,7 +4373,377 @@ def q_edit_similarity_join(spark, sf_dir):
 # registry + oracles
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# round 4r: conditional dependencies, deterministic exact-k sampling,
+# completeness grid, calendar volume anomaly, pairwise source drift,
+# event-sequence support mining, multi-detector consensus
+# --------------------------------------------------------------------------
+
+def q_cfd_conformance(spark, sf_dir):
+    """Conditional functional dependency (CFD) conformance — the
+    pattern-tableau extension of fd_violations/afd_confidence
+    (Bohannon et al.: FDs that hold only WHERE a condition column
+    takes a constant). Declared tableau rows (cond_col=cond_val ⇒
+    rhs_col functionally constant) all compile into ONE scan: each
+    rule contributes a conditional struct, array_compact drops the
+    rows outside the condition, and a single map-side-combinable
+    groupBy yields the bounded (rule × rhs-value) table. Majority
+    value, confidence = exact-long division (bit-identical across
+    engines), and the ≥0.95 verdict compares that unrounded exact
+    ratio — a pinned cross-engine contract. At 10^12 rows the only
+    shuffle is the (rules × |rhs domain|)-row count table."""
+    li = _t(spark, sf_dir, "lineitem")
+    rules = [
+        ("ret_R_status", "l_returnflag", "R", "l_linestatus"),
+        ("ret_N_status", "l_returnflag", "N", "l_linestatus"),
+        ("status_F_ret", "l_linestatus", "F", "l_returnflag"),
+    ]
+    branches = [
+        F.when(
+            F.col(cc) == cv,
+            F.struct(
+                F.lit(rid).alias("rule"),
+                F.col(rc).cast("string").alias("rhs"),
+            ),
+        )
+        for rid, cc, cv, rc in rules
+    ]
+    stacked = (
+        li.select(F.array_compact(F.array(*branches)).alias("a"))
+        .select(F.explode("a").alias("s"))
+        .select("s.rule", "s.rhs")
+    )
+    counts = stacked.groupBy("rule", "rhs").agg(F.count("*").alias("n"))
+    w_tot = Window.partitionBy("rule")
+    w_rk = Window.partitionBy("rule").orderBy(F.desc("n"), "rhs")
+    return (
+        counts.withColumn("n_cond", F.sum("n").over(w_tot))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "rule",
+            F.col("rhs").alias("majority_rhs"),
+            F.col("n_cond").cast("long").alias("n_cond"),
+            F.col("n").cast("long").alias("n_majority"),
+            F.round(F.col("n") / F.col("n_cond"), 6).alias("confidence"),
+            (F.col("n") / F.col("n_cond") >= 0.95).alias("holds"),
+        )
+    )
+
+
+def q_reservoir_sample(spark, sf_dir):
+    """Deterministic exact-k per-stratum sample (seeded reservoir
+    semantics without an RNG): rank documents per source by
+    md5('rsv42:'||doc_id) and keep the first k=50 — re-runnable,
+    order-independent, and replayable by any engine with md5 (the
+    property a random() reservoir lacks). Plan: one hash projection +
+    one per-group top-k window (rank sort is per-source). At 10^12
+    docs the scale tier prefilters with a hash-prefix threshold chosen
+    from the per-group counts (expected survivors ≈ a few k, then the
+    exact window runs on the survivors); the fraction-based sibling is
+    operators/sample.py::stratified_sample. k=50 × |sources| output."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("rsv42:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        d.select("source", "doc_id", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select(
+            "source",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def q_completeness_grid(spark, sf_dir):
+    """Per-(day × column) completeness heatmap over events — Deequ's
+    Completeness analyzer segmented by ingestion day, the first chart
+    every data-quality dashboard draws. ONE scan: a single groupBy on
+    day computes all four conditional null counts map-side-combinably;
+    the stack() unpivot then runs on the bounded |days|×|cols| grid,
+    never on raw rows (unpivot-first would 4× the shuffle input).
+    Completeness = exact-long division rounded 6dp."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "value", "props"]
+    aggs = [F.count("*").alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
+        for c in cols
+    ]
+    g = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', __null_{c}" for c in cols)
+    return g.select(
+        "day",
+        "n_rows",
+        F.expr(f"stack({len(cols)}, {stack_expr}) AS (col, n_null)"),
+    ).select(
+        "day",
+        "col",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.round(1 - F.col("n_null") / F.col("n_rows"), 6).alias(
+            "completeness"
+        ),
+    )
+
+
+def q_volume_anomaly(spark, sf_dir):
+    """Calendar-aware volume anomaly: is today's row count abnormal
+    FOR ITS WEEKDAY? (Mondays are not Sundays — a global 3σ band
+    flags every weekend.) Day-of-week is pure integer arithmetic
+    (days since Monday 1970-01-05, mod 7) so no engine-specific DOW
+    convention leaks in. The baseline per day is LEAVE-ONE-OUT
+    mean/σ of its same-DOW siblings — with the point included, sample
+    σ bounds |z| at (m−1)/√m (≈2.0 at six Mondays) and a 3σ rule can
+    NEVER fire on short histories; LOO also stops the anomaly from
+    inflating its own baseline. All stats derive from EXACT integer
+    sums (n_days, Σy, Σy²) minus the current point, so the z-score is
+    a fixed sequence of IEEE ops on identical operands — bit-stable
+    across engines (same discipline as trend_slopes; streaming
+    stddev_samp was rejected). Plan: one count shuffle to the |days|
+    series, one 7-row agg broadcast back. The |z|>3 verdict needs ≥4
+    observed same-DOW days."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    d2 = daily.withColumn(
+        "dow",
+        (
+            F.datediff(F.to_date("day"), F.to_date(F.lit("1970-01-05")))
+            % 7
+        ).cast("int"),
+    )
+    g = d2.groupBy("dow").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("sy"),
+        F.sum(F.col("n") * F.col("n")).alias("syy"),
+    )
+    j = d2.join(F.broadcast(g), "dow")
+    m = (F.col("n_days") - 1).cast("double")  # LOO sample size
+    sy_loo = (F.col("sy") - F.col("n")).cast("double")
+    ssq_loo = (
+        F.col("syy") - F.col("n") * F.col("n")
+    ).cast("double")
+    mu = sy_loo / m
+    var = (ssq_loo - sy_loo * sy_loo / m) / (m - 1.0)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(
+        (F.col("n_days") >= 3) & (sd > 1e-9), (F.col("n") - mu) / sd
+    )
+    return j.select(
+        "day",
+        "dow",
+        F.col("n").cast("long").alias("n"),
+        F.round(mu, 6).alias("dow_mean"),
+        F.round(z, 6).alias("z"),
+        (
+            (F.col("n_days") >= 4) & z.isNotNull() & (F.abs(z) > 3.0)
+        ).alias("is_anomaly"),
+    )
+
+
+def q_source_drift_matrix(spark, sf_dir):
+    """Pairwise PSI between per-source document-length distributions —
+    WHICH sources disagree, not just whether the corpus drifted from a
+    baseline (the drift_* family). Integer bucketing (n_chars div 256,
+    capped at 15) avoids float-log bucket edges; the full source×16
+    grid is materialized so zero buckets exist on both sides, with
+    Laplace smoothing (+0.5 per bucket) pinning PSI finite. The PSI
+    fold runs over the 16 buckets in ascending order via an aggregate
+    HOF on an array_sort'ed struct list — float summation order is
+    part of the cross-engine contract, not an accident. Plan: one raw
+    count shuffle to (source×bucket), everything after runs on
+    metadata-scale grids (|sources|²×16 pair rows)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 256), F.lit(15))
+        .cast("int")
+        .alias("b"),
+    ).agg(F.count("*").alias("n"))
+    grid = (
+        counts.select("source").distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(16).select(F.col("id").cast("int").alias("b"))
+            )
+        )
+    )
+    filled = grid.join(counts, ["source", "b"], "left").fillna(0, "n")
+    w_tot = Window.partitionBy("source")
+    p = filled.withColumn(
+        "p", (F.col("n") + 0.5) / (F.sum("n").over(w_tot) + 8.0)
+    )
+    a = p.select(F.col("source").alias("source_a"), "b", F.col("p").alias("pa"))
+    bb = p.select(F.col("source").alias("source_b"), "b", F.col("p").alias("pb"))
+    pairs = (
+        a.join(bb, "b")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .withColumn(
+            "term",
+            (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")),
+        )
+    )
+    agg = pairs.groupBy("source_a", "source_b").agg(
+        F.array_sort(F.collect_list(F.struct("b", "term"))).alias("ts")
+    )
+    psi = F.expr(
+        "aggregate(ts, cast(0.0 as double), (s, t) -> s + t.term)"
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        F.round(psi, 6).alias("psi"),
+    ).withColumn(
+        "verdict",
+        F.when(F.col("psi") > 0.25, "drift")
+        .when(F.col("psi") > 0.1, "warn")
+        .otherwise("ok"),
+    )
+
+
+def q_sequence_support(spark, sf_dir):
+    """Frequent contiguous event-type trigrams across user histories —
+    the support-mining layer under sequence_likelihood (which scores
+    transitions, but can't say which multi-step paths are COMMON).
+    ONE shuffle: per-user ordered sequences via
+    array_sort(collect_list(struct(ts, event_id, event_type)))
+    (deterministic total order — event_id breaks ts ties), trigram
+    extraction is a row-local transform over index windows, and the
+    count table is bounded by |event_types|³. Top-20 with pinned
+    (n desc, trigram) ties; share's denominator is ALL trigrams
+    (window before the rank filter)."""
+    ev = _t(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "struct(ts, event_id, event_type))), s -> s.event_type)"
+        ).alias("seq")
+    )
+    tri = seqs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(seq) >= 3 THEN "
+                "transform(sequence(0, size(seq) - 3), "
+                "i -> concat_ws('>', seq[i], seq[i+1], seq[i+2])) "
+                "ELSE array() END"
+            )
+        ).alias("trigram")
+    )
+    counts = tri.groupBy("trigram").agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy()
+    w_rk = Window.orderBy(F.desc("n"), "trigram")
+    return (
+        counts.withColumn("total", F.sum("n").over(w_all))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "trigram",
+            F.col("n").cast("long").alias("n"),
+            F.col("rk").cast("long").alias("rk"),
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+def q_anomaly_consensus(spark, sf_dir):
+    """Ensemble verdict over the daily event-count series: three
+    deterministic detectors — robust z (MAD, 0.6745·|x−med|/mad>3.5),
+    Tukey IQR fences (1.5·IQR, fences rounded 6dp before comparison),
+    and the reference's EMA+3σ running rule (operators/drift.py::
+    ema_3sigma) — vote, consensus = ≥2 votes. Single detectors
+    disagree precisely on the points that matter (a level shift fools
+    MAD, a slow ramp fools IQR); the ensemble is the production
+    answer. Each detector reuses its already-oracled determinism
+    contract (robust_zscore / iqr_outliers / ema_hourly). Plan: ONE
+    raw-scan count shuffle to the |days| series; all three detectors
+    run on that bounded table (broadcast stats, single-partition
+    ordered window over ≤|days| rows — declared metadata-scale
+    tier)."""
+    from .operators.drift import ema_3sigma
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    # robust z: exact interpolated median/MAD, rounded 6dp (pinned)
+    med_t = daily.agg(
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("med")
+    )
+    dev = daily.crossJoin(F.broadcast(med_t)).withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad_t = dev.agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    rz = dev.crossJoin(F.broadcast(mad_t)).select(
+        "day",
+        "n",
+        (
+            (F.col("mad") > 0)
+            & (0.6745 * F.col("adev") / F.col("mad") > 3.5)
+        ).alias("rz_flag"),
+    )
+    # IQR fences, rounded before the boundary decision
+    q_t = daily.agg(
+        F.expr("percentile(n, 0.25)").alias("q1r"),
+        F.expr("percentile(n, 0.75)").alias("q3r"),
+    ).select(
+        F.round(
+            F.col("q1r") - 1.5 * (F.col("q3r") - F.col("q1r")), 6
+        ).alias("lo"),
+        F.round(
+            F.col("q3r") + 1.5 * (F.col("q3r") - F.col("q1r")), 6
+        ).alias("hi"),
+    )
+    iqr = daily.crossJoin(F.broadcast(q_t)).select(
+        "day",
+        ((F.col("n") < F.col("lo")) | (F.col("n") > F.col("hi"))).alias(
+            "iqr_flag"
+        ),
+    )
+    # EMA+3σ (reference rule), single global series
+    ema = ema_3sigma(
+        daily.withColumn("k", F.lit(1)),
+        ["k"],
+        "day",
+        "n",
+        alpha=0.3,
+        sigma_k=3.0,
+        min_history=5,
+    ).select("day", F.col("is_anomaly").alias("ema_flag"))
+    votes = (
+        F.col("rz_flag").cast("int")
+        + F.col("iqr_flag").cast("int")
+        + F.col("ema_flag").cast("int")
+    )
+    return (
+        rz.join(iqr, "day")
+        .join(ema, "day")
+        .select(
+            "day",
+            F.col("n").cast("long").alias("n"),
+            "rz_flag",
+            "iqr_flag",
+            "ema_flag",
+            votes.cast("int").alias("votes"),
+            (votes >= 2).alias("consensus"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cfd_conformance": q_cfd_conformance,
+    "reservoir_sample": q_reservoir_sample,
+    "completeness_grid": q_completeness_grid,
+    "volume_anomaly": q_volume_anomaly,
+    "source_drift_matrix": q_source_drift_matrix,
+    "sequence_support": q_sequence_support,
+    "anomaly_consensus": q_anomaly_consensus,
     "sorted_neighborhood": q_sorted_neighborhood,
     "acf_periodicity": q_acf_periodicity,
     "delta_attribution": q_delta_attribution,
@@ -8235,4 +8605,212 @@ ORACLES["sorted_neighborhood"] = """
            CAST(b.rn - a.rn AS BIGINT) AS distance
     FROM r a JOIN r b
       ON a.p = b.p AND b.rn - a.rn BETWEEN 1 AND 3
+"""
+
+# round 4r oracles ---------------------------------------------------------
+
+ORACLES["cfd_conformance"] = """
+    WITH stacked AS (
+      SELECT 'ret_R_status' AS rule, l_linestatus AS rhs
+        FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL SELECT 'ret_N_status', l_linestatus
+        FROM lineitem WHERE l_returnflag = 'N'
+      UNION ALL SELECT 'status_F_ret', l_returnflag
+        FROM lineitem WHERE l_linestatus = 'F'
+    ), counts AS (
+      SELECT rule, rhs, count(*) AS n FROM stacked GROUP BY 1, 2
+    )
+    SELECT rule, rhs AS majority_rhs,
+           CAST(sum(n) OVER (PARTITION BY rule) AS BIGINT) AS n_cond,
+           CAST(n AS BIGINT) AS n_majority,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY rule), 6)
+             AS confidence,
+           n * 1.0 / sum(n) OVER (PARTITION BY rule) >= 0.95 AS holds
+    FROM counts
+    QUALIFY row_number() OVER (PARTITION BY rule
+                               ORDER BY n DESC, rhs) = 1
+"""
+
+ORACLES["reservoir_sample"] = """
+    SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5('rsv42:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS rk
+    FROM documents
+    QUALIFY rk <= 50
+"""
+
+ORACLES["completeness_grid"] = """
+    WITH g AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows,
+        sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nu,
+        sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS ne,
+        sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nv,
+        sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS np
+      FROM events GROUP BY 1
+    ), u AS (
+      SELECT day, 'user_id' AS col, n_rows, nu AS n_null FROM g
+      UNION ALL SELECT day, 'event_type', n_rows, ne FROM g
+      UNION ALL SELECT day, 'value', n_rows, nv FROM g
+      UNION ALL SELECT day, 'props', n_rows, np FROM g
+    )
+    SELECT day, col, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null,
+           round(1 - n_null * 1.0 / n_rows, 6) AS completeness
+    FROM u
+"""
+
+# Leave-one-out mean/σ from exact-integer sums (n_days, Σy, Σy²) minus
+# the current point, replayed with the identical cast ordering;
+# dow = days-since-Monday-epoch mod 7 in both engines.
+ORACLES["volume_anomaly"] = """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ), d2 AS (
+      SELECT day, n,
+             CAST(datediff('day', DATE '1970-01-05',
+                           CAST(day AS DATE)) % 7 AS INT) AS dow
+      FROM daily
+    ), g AS (
+      SELECT dow, count(*) AS n_days, sum(n) AS sy,
+             sum(n * n) AS syy
+      FROM d2 GROUP BY 1
+    ), j AS (
+      SELECT d2.day, d2.dow, d2.n, g.n_days,
+             CAST(g.sy - d2.n AS DOUBLE)
+               / CAST(g.n_days - 1 AS DOUBLE) AS mu,
+             sqrt(greatest(
+               (CAST(g.syy - d2.n * d2.n AS DOUBLE)
+                - CAST(g.sy - d2.n AS DOUBLE)
+                  * CAST(g.sy - d2.n AS DOUBLE)
+                  / CAST(g.n_days - 1 AS DOUBLE))
+               / (CAST(g.n_days - 1 AS DOUBLE) - 1.0), 0.0)) AS sd
+      FROM d2 JOIN g USING (dow)
+    )
+    SELECT day, dow, CAST(n AS BIGINT) AS n,
+           round(mu, 6) AS dow_mean,
+           round(CASE WHEN n_days >= 3 AND sd > 1e-9
+                      THEN (n - mu) / sd END, 6) AS z,
+           coalesce(n_days >= 4 AND sd > 1e-9
+                    AND abs((n - mu) / sd) > 3.0, FALSE) AS is_anomaly
+    FROM j
+"""
+
+# The PSI fold replays in ascending-bucket order (list_reduce with a
+# prepended 0.0 seed) — float summation order is the pinned contract.
+ORACLES["source_drift_matrix"] = """
+    WITH counts AS (
+      SELECT source,
+             CAST(least(n_chars // 256, 15) AS INT) AS b,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ), grid AS (
+      SELECT s.source, g.b
+      FROM (SELECT DISTINCT source FROM counts) s
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) g
+    ), filled AS (
+      SELECT grid.source, grid.b, coalesce(counts.n, 0) AS n
+      FROM grid LEFT JOIN counts USING (source, b)
+    ), p AS (
+      SELECT source, b,
+             (n + 0.5) / (sum(n) OVER (PARTITION BY source) + 8.0) AS p
+      FROM filled
+    ), pairs AS (
+      SELECT a.source AS source_a, bb.source AS source_b, a.b,
+             (a.p - bb.p) * ln(a.p / bb.p) AS term
+      FROM p a JOIN p bb ON a.b = bb.b AND a.source < bb.source
+    ), agg AS (
+      SELECT source_a, source_b,
+             list_reduce(list_prepend(0.0, list(term ORDER BY b)),
+                         (s, x) -> s + x) AS psi_raw
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, round(psi_raw, 6) AS psi,
+           CASE WHEN round(psi_raw, 6) > 0.25 THEN 'drift'
+                WHEN round(psi_raw, 6) > 0.1 THEN 'warn'
+                ELSE 'ok' END AS verdict
+    FROM agg
+"""
+
+ORACLES["sequence_support"] = """
+    WITH seqs AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ), tri AS (
+      SELECT seq[i] || '>' || seq[i + 1] || '>' || seq[i + 2] AS trigram
+      FROM seqs
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(seq) - 2)) AS i
+      ) g
+      WHERE len(seq) >= 3
+    ), counts AS (
+      SELECT trigram, count(*) AS n FROM tri GROUP BY 1
+    )
+    SELECT trigram, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, trigram)
+                AS BIGINT) AS rk,
+           round(n * 1.0 / sum(n) OVER (), 6) AS share
+    FROM counts
+    QUALIFY rk <= 20
+"""
+
+# Each detector replays its already-oracled contract: MAD/IQR stats are
+# rounded 6dp BEFORE the boundary comparison; the EMA fold repeats the
+# engine's seed-plus-fold first-element double visit via list_prepend.
+ORACLES["anomaly_consensus"] = """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ), med AS (
+      SELECT round(quantile_cont(n, 0.5), 6) AS med FROM daily
+    ), dev AS (
+      SELECT day, n, abs(n - med.med) AS adev FROM daily, med
+    ), mad AS (
+      SELECT round(quantile_cont(adev, 0.5), 6) AS mad FROM dev
+    ), rz AS (
+      SELECT day, n,
+             (mad.mad > 0 AND 0.6745 * adev / mad.mad > 3.5) AS rz_flag
+      FROM dev, mad
+    ), q AS (
+      SELECT quantile_cont(n, 0.25) AS q1r,
+             quantile_cont(n, 0.75) AS q3r
+      FROM daily
+    ), fences AS (
+      SELECT round(q1r - 1.5 * (q3r - q1r), 6) AS lo,
+             round(q3r + 1.5 * (q3r - q1r), 6) AS hi
+      FROM q
+    ), iqr AS (
+      SELECT day, (n < lo OR n > hi) AS iqr_flag FROM daily, fences
+    ), w AS (
+      SELECT day, n, list(n) OVER win AS prev,
+             stddev_samp(n) OVER win AS sd
+      FROM daily
+      WINDOW win AS (ORDER BY day
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ), e AS (
+      SELECT day, n, sd, coalesce(len(prev), 0) AS n_prev,
+             CASE WHEN coalesce(len(prev), 0) = 0 THEN n
+                  ELSE list_reduce(list_prepend(prev[1], prev),
+                                   (s, x) -> 0.3 * x + 0.7 * s)
+             END AS ema
+      FROM w
+    ), ema AS (
+      SELECT day,
+             (n_prev >= 5 AND
+              CASE WHEN sd IS NULL OR sd < 1e-6 THEN
+                     CASE WHEN abs(n - ema) > 1e-6 THEN 1e308
+                          ELSE 0.0 END
+                   ELSE abs(n - ema) / sd END > 3.0) AS ema_flag
+      FROM e
+    )
+    SELECT rz.day, CAST(rz.n AS BIGINT) AS n,
+           rz.rz_flag, iqr.iqr_flag, ema.ema_flag,
+           CAST(rz.rz_flag::INT + iqr.iqr_flag::INT + ema.ema_flag::INT
+                AS INT) AS votes,
+           (rz.rz_flag::INT + iqr.iqr_flag::INT + ema.ema_flag::INT)
+             >= 2 AS consensus
+    FROM rz JOIN iqr USING (day) JOIN ema USING (day)
 """

@@ -1,0 +1,234 @@
+"""Planted-fixture semantics for the round-4r batch: CFD conformance,
+deterministic exact-k sampling, completeness grid, calendar volume
+anomaly, pairwise source drift, sequence support, detector consensus.
+(Oracle parity for all seven runs in tools/check_oracles.py — these
+tests pin the BEHAVIOR on constructed inputs.)"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from anomalydetection_spark.queries import (
+    q_anomaly_consensus,
+    q_cfd_conformance,
+    q_completeness_grid,
+    q_reservoir_sample,
+    q_sequence_support,
+    q_source_drift_matrix,
+    q_volume_anomaly,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write(df, tmp_path, name):
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+    return d
+
+
+def _events(spark, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value, props)."""
+    return spark.createDataFrame(
+        [
+            (eid, ts, uid, et, v, p)
+            for eid, ts, uid, et, v, p in rows
+        ],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def test_cfd_holds_and_breaks(spark, tmp_path):
+    """A perfect conditional FD reports confidence 1.0 / holds; a 50/50
+    split under the condition reports 0.5 / broken; majority value and
+    counts are exact."""
+    li = spark.createDataFrame(
+        # R -> always F (perfect); N -> half O half F (broken)
+        [("R", "F")] * 10 + [("N", "O")] * 5 + [("N", "F")] * 5
+        # the third rule (status F -> returnflag) sees 10 R + 5 N
+        ,
+        "l_returnflag string, l_linestatus string",
+    )
+    d = _write(li, tmp_path, "lineitem")
+    rows = {r["rule"]: r for r in q_cfd_conformance(spark, d).collect()}
+    assert rows["ret_R_status"]["majority_rhs"] == "F"
+    assert rows["ret_R_status"]["confidence"] == 1.0
+    assert rows["ret_R_status"]["holds"] is True
+    assert rows["ret_N_status"]["n_cond"] == 10
+    assert rows["ret_N_status"]["confidence"] == 0.5
+    assert rows["ret_N_status"]["holds"] is False
+    # ties break lexicographically: F vs O at 5/5 -> F
+    assert rows["ret_N_status"]["majority_rhs"] == "F"
+    assert rows["status_F_ret"]["n_cond"] == 15
+    assert rows["status_F_ret"]["majority_rhs"] == "R"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="testdata absent")
+def test_reservoir_sample_exact_k_and_deterministic(spark):
+    """Every stratum yields min(k, |stratum|) rows with dense ranks
+    1..k, and two independent runs return the identical id set (the
+    property a random() reservoir lacks)."""
+    out = q_reservoir_sample(spark, SF)
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for s, n in per.items():
+        assert n == min(50, sizes[s])
+    ranks = out.groupBy("source").agg(
+        F.max("rk").alias("mx"), F.count("*").alias("n")
+    )
+    assert all(r["mx"] == r["n"] for r in ranks.collect())
+    a = sorted((r["source"], r["doc_id"]) for r in out.collect())
+    b = sorted(
+        (r["source"], r["doc_id"]) for r in q_reservoir_sample(spark, SF).collect()
+    )
+    assert a == b
+
+
+def test_completeness_grid_planted_nulls(spark, tmp_path):
+    """Day 1: 2/4 user_ids null -> 0.5; day 2 fully complete -> 1.0;
+    value nulls only on day 2 -> 0.75."""
+    rows = [
+        (1, "2026-01-01 01:00:00", None, "a", 1.0, "{}"),
+        (2, "2026-01-01 02:00:00", None, "a", 2.0, "{}"),
+        (3, "2026-01-01 03:00:00", 7, "a", 3.0, "{}"),
+        (4, "2026-01-01 04:00:00", 8, "a", 4.0, "{}"),
+        (5, "2026-01-02 01:00:00", 1, "b", None, "{}"),
+        (6, "2026-01-02 02:00:00", 2, "b", 1.0, "{}"),
+        (7, "2026-01-02 03:00:00", 3, "b", 2.0, "{}"),
+        (8, "2026-01-02 04:00:00", 4, "b", 3.0, "{}"),
+    ]
+    d = _write(_events(spark, rows), tmp_path, "events")
+    out = {
+        (r["day"], r["col"]): r
+        for r in q_completeness_grid(spark, d).collect()
+    }
+    assert out[("2026-01-01", "user_id")]["completeness"] == 0.5
+    assert out[("2026-01-01", "user_id")]["n_null"] == 2
+    assert out[("2026-01-02", "user_id")]["completeness"] == 1.0
+    assert out[("2026-01-02", "value")]["completeness"] == 0.75
+    assert out[("2026-01-01", "props")]["completeness"] == 1.0
+    assert len(out) == 8  # 2 days x 4 columns
+
+
+def test_volume_anomaly_flags_same_weekday_spike(spark, tmp_path):
+    """Five calm Mondays at ~100 rows plus one 10x Monday: only the
+    spike Monday flags; its dow is 0 (1970-01-05 anchor is a Monday).
+    Tuesdays with a different but internally-calm level never flag —
+    the calendar profile, not a global band, is the contract."""
+    mondays = ["2026-01-05", "2026-01-12", "2026-01-19", "2026-01-26",
+               "2026-02-02", "2026-02-09"]
+    tuesdays = ["2026-01-06", "2026-01-13", "2026-01-20", "2026-01-27",
+                "2026-02-03"]
+    rows, eid = [], 0
+    for i, day in enumerate(mondays):
+        n = 1000 if i == 5 else 100 + i  # slight jitter, then a 10x spike
+        for j in range(n):
+            rows.append((eid, f"{day} 06:00:00", 1, "a", 0.0, "{}"))
+            eid += 1
+    for i, day in enumerate(tuesdays):
+        for j in range(500 + i):  # different level, calm
+            rows.append((eid, f"{day} 06:00:00", 1, "a", 0.0, "{}"))
+            eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    out = {r["day"]: r for r in q_volume_anomaly(spark, d).collect()}
+    assert all(out[m]["dow"] == 0 for m in mondays)
+    assert all(out[t]["dow"] == 1 for t in tuesdays)
+    assert out["2026-02-09"]["is_anomaly"] is True
+    assert not any(
+        out[day]["is_anomaly"] for day in mondays[:5] + tuesdays
+    )
+
+
+def test_source_drift_matrix_identical_vs_shifted(spark, tmp_path):
+    """Two sources with identical length distributions sit at psi~0
+    ('ok'); a third source shifted into different buckets scores
+    higher against both; only a<b pairs appear."""
+    docs = []
+    i = 0
+    for src, base in (("s1", 100), ("s2", 100), ("s3", 3000)):
+        for j in range(200):
+            docs.append((i, "x", "en", src, base + j))
+            i += 1
+    d = _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+        tmp_path,
+        "documents",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in q_source_drift_matrix(spark, d).collect()
+    }
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert abs(out[("s1", "s2")]["psi"]) < 1e-9
+    assert out[("s1", "s2")]["verdict"] == "ok"
+    assert out[("s1", "s3")]["psi"] > 0.25
+    assert out[("s1", "s3")]["verdict"] == "drift"
+
+
+def test_sequence_support_counts_contiguous_trigrams(spark, tmp_path):
+    """Two users each emit a>b>c>d: trigrams a>b>c and b>c>d appear
+    twice each; a 2-event user contributes nothing; ties rank
+    lexicographically."""
+    rows = []
+    eid = 0
+    for uid in (1, 2):
+        for i, et in enumerate("abcd"):
+            rows.append(
+                (eid, f"2026-01-01 0{i + 1}:00:00", uid, et, 0.0, "{}")
+            )
+            eid += 1
+    rows.append((eid, "2026-01-01 01:00:00", 3, "a", 0.0, "{}"))
+    rows.append((eid + 1, "2026-01-01 02:00:00", 3, "b", 0.0, "{}"))
+    d = _write(_events(spark, rows), tmp_path, "events")
+    out = q_sequence_support(spark, d).collect()
+    assert [(r["trigram"], r["n"], r["rk"]) for r in out] == [
+        ("a>b>c", 2, 1),
+        ("b>c>d", 2, 2),
+    ]
+    assert all(r["share"] == 0.5 for r in out)
+
+
+def test_anomaly_consensus_spike_gets_all_votes(spark, tmp_path):
+    """30 calm days at ~100 rows plus one 20x day: the spike collects
+    all three votes (consensus), calm days collect none. Detector
+    columns stay individually visible for triage."""
+    rows, eid = [], 0
+    for day in range(1, 31):
+        n = 2000 if day == 25 else 100 + (day % 3)
+        for j in range(n):
+            rows.append(
+                (eid, f"2026-01-{day:02d} 06:00:00", 1, "a", 0.0, "{}")
+            )
+            eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    out = {r["day"]: r for r in q_anomaly_consensus(spark, d).collect()}
+    spike = out["2026-01-25"]
+    assert spike["votes"] == 3 and spike["consensus"] is True
+    assert spike["rz_flag"] and spike["iqr_flag"] and spike["ema_flag"]
+    calm = [r for day, r in out.items() if day != "2026-01-25"]
+    assert all(r["consensus"] is False for r in calm)
+    assert sum(r["votes"] for r in calm) <= 2  # at most stray single votes
