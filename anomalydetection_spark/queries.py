@@ -4736,7 +4736,142 @@ def q_anomaly_consensus(spark, sf_dir):
     )
 
 
+def q_rolling_distinct(spark, sf_dir):
+    """7-day rolling distinct users per day from MERGEABLE daily HLL
+    sketches (hll_sketch_agg lgK=14 per day, hll_union_agg over a
+    6-preceding window) — the incremental-cardinality shape the
+    10^12-doc design point needs: raw rows are touched ONCE to build
+    |days| ~4 KB sketches, every window after that merges metadata.
+    Re-counting distinct per window (the naive plan) re-shuffles the
+    raw rows |window| times. The exact tier (one distinct projection +
+    a ≤7× bounded fan-out join against the broadcast day list) runs
+    alongside to certify the estimate within 5% relative error —
+    the same self-certifying contract as hll_distinct."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    j = du.alias("a").join(
+        F.broadcast(days.alias("d")),
+        (
+            F.datediff(F.to_date("d.day"), F.to_date("a.day")) >= 0
+        )
+        & (F.datediff(F.to_date("d.day"), F.to_date("a.day")) <= 6),
+    )
+    exact = j.groupBy(F.col("d.day").alias("day")).agg(
+        F.countDistinct("a.user_id").alias("n_exact")
+    )
+    sk = ev.groupBy(day.alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    est = sk.select(
+        "day",
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg(sk) OVER "
+            "(ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))"
+        ).alias("est"),
+    )
+    return exact.join(est, "day").select(
+        "day",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
+def q_histogram_quantiles(spark, sf_dir):
+    """Quantiles from a first-pass histogram — the quantile path that
+    actually runs at 10^12 rows: ONE map-side-combinable groupBy
+    collapses raw values to (type × 2dp-bucket) weighted counts, and
+    p50/p90/p99 are read off the cumulative weights of that bounded
+    table (lower weighted quantile: smallest bucket whose cumulative
+    count reaches ceil(q·n)). No per-group sort of raw rows, no
+    interpolation — every boundary decision is an integer-rank
+    comparison, so the result is bit-exact across engines by
+    construction (the discipline percentile/quantile_cont interpolation
+    can only approximate via 6dp rounding). The t-digest operator is
+    the streaming-mergeable sibling; this is the exact-on-histogram
+    tier."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hist = ev.groupBy(
+        "event_type", F.round("value", 2).alias("bucket")
+    ).agg(F.count("*").alias("w"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    c = hist.withColumn("cum", F.sum("w").over(w_cum)).withColumn(
+        "n", F.sum("w").over(w_tot)
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.lit(q) * F.col("n").cast("double")),
+                F.col("bucket"),
+            )
+        ).alias(name)
+        for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+    ]
+    return c.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"), *picks
+    )
+
+
+def q_dqi_scorecard(spark, sf_dir):
+    """Per-source composite data-quality index — the executive
+    scorecard every DQ product ships: completeness (substantive text,
+    ≥100 chars), validity (lang in the declared set), uniqueness
+    (Deequ null-aware distinct/non-null) folded into one weighted
+    score with letter grades. ONE agg pass per source (conditional
+    sums + exact distinct); every component is an exact-long ratio and
+    the grade thresholds compare the 6dp-ROUNDED score — pinned
+    cross-engine contract. The point of the composite: a source can
+    pass every individual gate at 0.94 and still be the one to
+    quarantine first."""
+    d = _t(spark, sf_dir, "documents")
+    langs = ("de", "en", "es", "fr", "zh")
+    g = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (
+                F.col("text").isNotNull() & (F.col("n_chars") >= 100)
+            ).cast("long")
+        ).alias("n_complete"),
+        F.sum(F.col("lang").isin(*langs).cast("long")).alias("n_valid"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+        F.sum(F.col("doc_id").isNotNull().cast("long")).alias("n_keyed"),
+    )
+    comp = F.col("n_complete") / F.col("n")
+    valid = F.col("n_valid") / F.col("n")
+    uniq = F.when(
+        F.col("n_keyed") > 0, F.col("n_distinct") / F.col("n_keyed")
+    ).otherwise(F.lit(1.0))
+    dqi = F.round(0.4 * comp + 0.3 * valid + 0.3 * uniq, 6)
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.round(comp, 6).alias("completeness"),
+        F.round(valid, 6).alias("validity"),
+        F.round(uniq, 6).alias("uniqueness"),
+        dqi.alias("dqi"),
+        F.when(dqi >= 0.95, "A")
+        .when(dqi >= 0.85, "B")
+        .when(dqi >= 0.7, "C")
+        .otherwise("D")
+        .alias("grade"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rolling_distinct": q_rolling_distinct,
+    "histogram_quantiles": q_histogram_quantiles,
+    "dqi_scorecard": q_dqi_scorecard,
     "cfd_conformance": q_cfd_conformance,
     "reservoir_sample": q_reservoir_sample,
     "completeness_grid": q_completeness_grid,
@@ -8813,4 +8948,78 @@ ORACLES["anomaly_consensus"] = """
            (rz.rz_flag::INT + iqr.iqr_flag::INT + ema.ema_flag::INT)
              >= 2 AS consensus
     FROM rz JOIN iqr USING (day) JOIN ema USING (day)
+"""
+
+# round 4s oracles ---------------------------------------------------------
+
+# Exact tier only — the sketch estimate certifies itself Spark-side
+# (within_5pct), mirroring the hll_distinct contract.
+ORACLES["rolling_distinct"] = """
+    WITH du AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_exact,
+           true AS within_5pct
+    FROM days d JOIN du a
+      ON datediff('day', CAST(a.day AS DATE), CAST(d.day AS DATE))
+         BETWEEN 0 AND 6
+    GROUP BY 1
+"""
+
+# Integer-rank boundary decisions replayed on the identical histogram;
+# ceil(q * n) is the pinned threshold in both engines.
+ORACLES["histogram_quantiles"] = """
+    WITH hist AS (
+      SELECT event_type, round(value, 2) AS bucket, count(*) AS w
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bucket, w,
+             sum(w) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE))
+                THEN bucket END) AS p50,
+       min(CASE WHEN cum >= ceil(0.9 * CAST(n AS DOUBLE))
+                THEN bucket END) AS p90,
+       min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE))
+                THEN bucket END) AS p99
+    FROM c GROUP BY 1
+"""
+
+ORACLES["dqi_scorecard"] = """
+    WITH g AS (
+      SELECT source, count(*) AS n,
+        sum(CASE WHEN text IS NOT NULL AND n_chars >= 100
+                 THEN 1 ELSE 0 END) AS n_complete,
+        sum(CASE WHEN lang IN ('de','en','es','fr','zh')
+                 THEN 1 ELSE 0 END) AS n_valid,
+        count(DISTINCT doc_id) AS n_distinct,
+        sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_keyed
+      FROM documents GROUP BY 1
+    ), s AS (
+      SELECT source, n,
+        n_complete * 1.0 / n AS comp,
+        n_valid * 1.0 / n AS valid,
+        CASE WHEN n_keyed > 0 THEN n_distinct * 1.0 / n_keyed
+             ELSE 1.0 END AS uniq
+      FROM g
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+      round(comp, 6) AS completeness,
+      round(valid, 6) AS validity,
+      round(uniq, 6) AS uniqueness,
+      round(0.4 * comp + 0.3 * valid + 0.3 * uniq, 6) AS dqi,
+      CASE WHEN round(0.4 * comp + 0.3 * valid + 0.3 * uniq, 6) >= 0.95
+             THEN 'A'
+           WHEN round(0.4 * comp + 0.3 * valid + 0.3 * uniq, 6) >= 0.85
+             THEN 'B'
+           WHEN round(0.4 * comp + 0.3 * valid + 0.3 * uniq, 6) >= 0.7
+             THEN 'C'
+           ELSE 'D' END AS grade
+    FROM s
 """

@@ -232,3 +232,93 @@ def test_anomaly_consensus_spike_gets_all_votes(spark, tmp_path):
     calm = [r for day, r in out.items() if day != "2026-01-25"]
     assert all(r["consensus"] is False for r in calm)
     assert sum(r["votes"] for r in calm) <= 2  # at most stray single votes
+
+
+# round 4s ------------------------------------------------------------------
+
+def test_rolling_distinct_window_union(spark, tmp_path):
+    """10 users on day 1, 10 fresh users on day 5: day 5's 7-day window
+    holds 20 distinct; day 8+ (window slides past day 1) drops back to
+    10; sketch estimate certifies within 5%."""
+    rows, eid = [], 0
+    for day, base in ((1, 0), (5, 100)):
+        for u in range(10):
+            rows.append(
+                (eid, f"2026-01-{day:02d} 01:00:00", base + u, "a", 0.0, "{}")
+            )
+            eid += 1
+    # keep every day present so the day grid is dense
+    for day in range(1, 11):
+        rows.append((eid, f"2026-01-{day:02d} 02:00:00", 0, "a", 0.0, "{}"))
+        eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_rolling_distinct
+
+    out = {r["day"]: r for r in q_rolling_distinct(spark, d).collect()}
+    assert out["2026-01-01"]["n_exact"] == 10  # users 0..9 (0 overlaps)
+    assert out["2026-01-05"]["n_exact"] == 20  # both cohorts + user 0
+    assert out["2026-01-07"]["n_exact"] == 20  # day 1 still in window
+    assert out["2026-01-08"]["n_exact"] == 11  # day 1 slid out
+    assert all(r["within_5pct"] for r in out.values())
+
+
+def test_histogram_quantiles_lower_weighted_semantics(spark, tmp_path):
+    """Values 1..100 once each: lower weighted quantile picks bucket
+    ceil(q*n) exactly — p50=50, p90=90, p99=99; a heavy repeated value
+    pulls every quantile onto itself."""
+    rows = [
+        (i, "2026-01-01 01:00:00", 1, "a", float(i % 100 + 1), "{}")
+        for i in range(100)
+    ]
+    rows += [
+        (1000 + i, "2026-01-01 01:00:00", 1, "b", 7.0, "{}")
+        for i in range(100)
+    ]
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_histogram_quantiles
+
+    out = {r["event_type"]: r for r in q_histogram_quantiles(spark, d).collect()}
+    assert (out["a"]["p50"], out["a"]["p90"], out["a"]["p99"]) == (
+        50.0, 90.0, 99.0,
+    )
+    assert (out["b"]["p50"], out["b"]["p90"], out["b"]["p99"]) == (
+        7.0, 7.0, 7.0,
+    )
+
+
+def test_dqi_scorecard_grades_and_null_aware_uniqueness(spark, tmp_path):
+    """A clean source grades A at dqi 1.0; a source with short texts,
+    an out-of-set lang, and duplicate ids is scored down on exactly
+    the right components."""
+    docs = []
+    for i in range(10):  # clean source
+        docs.append((i, "x" * 200, "en", "good", 200))
+    for i in range(10):  # half short, two dup ids, one bad lang
+        docs.append(
+            (
+                100 + (i % 8),  # 8 distinct ids over 10 rows
+                "x" * (50 if i < 5 else 200),
+                "xx" if i == 0 else "en",
+                "bad",
+                50 if i < 5 else 200,
+            )
+        )
+    d = _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+        tmp_path,
+        "documents",
+    )
+    from anomalydetection_spark.queries import q_dqi_scorecard
+
+    out = {r["source"]: r for r in q_dqi_scorecard(spark, d).collect()}
+    assert out["good"]["dqi"] == 1.0 and out["good"]["grade"] == "A"
+    b = out["bad"]
+    assert b["completeness"] == 0.5
+    assert b["validity"] == 0.9
+    assert b["uniqueness"] == 0.8
+    assert b["dqi"] == round(0.4 * 0.5 + 0.3 * 0.9 + 0.3 * 0.8, 6)
+    assert b["grade"] == "C"
