@@ -4868,7 +4868,238 @@ def q_dqi_scorecard(spark, sf_dir):
     )
 
 
+def q_psi_timeline(spark, sf_dir):
+    """Week-over-week PSI series per event_type — drift as a TIMELINE,
+    not a single baseline-vs-current verdict (the drift_* family):
+    which week did the distribution move, and did it recover? ONE
+    map-side-combinable histogram agg over raw rows (type × week ×
+    value-bucket); the zero-filled grid, Laplace smoothing (+0.5), and
+    the consecutive-week join all run on metadata-scale tables. The
+    PSI fold walks the 11 buckets in ascending order via an aggregate
+    HOF over an array_sort'ed list — float summation order is pinned,
+    as in source_drift_matrix. Week index is integer arithmetic from
+    the Monday anchor (no engine WEEK() conventions)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-05"))) / 7
+    ).cast("long")
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(10)).cast("int")
+    counts = ev.groupBy(
+        "event_type", week.alias("week"), bucket.alias("b")
+    ).agg(F.count("*").alias("n"))
+    grid = (
+        counts.select("event_type", "week").distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(11).select(F.col("id").cast("int").alias("b"))
+            )
+        )
+    )
+    filled = grid.join(counts, ["event_type", "week", "b"], "left").fillna(
+        0, "n"
+    )
+    w_tot = Window.partitionBy("event_type", "week")
+    p = filled.withColumn(
+        "p", (F.col("n") + 0.5) / (F.sum("n").over(w_tot) + 5.5)
+    )
+    prev = p.select(
+        "event_type",
+        (F.col("week") + 1).alias("week"),
+        "b",
+        F.col("p").alias("p_prev"),
+    )
+    pairs = (
+        p.join(prev, ["event_type", "week", "b"])
+        .withColumn(
+            "term",
+            (F.col("p") - F.col("p_prev"))
+            * F.log(F.col("p") / F.col("p_prev")),
+        )
+    )
+    agg = pairs.groupBy("event_type", "week").agg(
+        F.array_sort(F.collect_list(F.struct("b", "term"))).alias("ts")
+    )
+    psi = F.expr("aggregate(ts, cast(0.0 as double), (s, t) -> s + t.term)")
+    return agg.select(
+        "event_type",
+        "week",
+        F.round(psi, 6).alias("psi"),
+    ).withColumn(
+        "verdict",
+        F.when(F.col("psi") > 0.25, "drift")
+        .when(F.col("psi") > 0.1, "warn")
+        .otherwise("ok"),
+    )
+
+
+def q_theil_sen_trend(spark, sf_dir):
+    """Theil–Sen robust trend per event_type: the MEDIAN of all
+    pairwise slopes of the daily-count series — one wild day shifts a
+    least-squares slope (trend_slopes) but not the pairwise-slope
+    median (breakdown point ~29%). The quadratic pair set is over the
+    DAILY series, not raw rows: |days|² ≈ 900 pairs per type at a
+    30-day span — metadata scale by construction, declared as such.
+    Slopes are exact-long divisions; the median interpolation is
+    rounded 6dp (the percentile contract shared with robust_zscore);
+    the flat-band verdict compares the ROUNDED slope."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w_min = Window.partitionBy("event_type")
+    d2 = daily.withColumn(
+        "x",
+        F.datediff(
+            F.to_date("day"), F.min(F.to_date("day")).over(w_min)
+        ).cast("long"),
+    ).select("event_type", "x", "n")
+    a = d2.alias("a")
+    b = d2.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.n") - F.col("a.n")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    out = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("slope"),
+    )
+    return out.select(
+        "event_type",
+        "n_pairs",
+        "slope",
+        F.when(F.col("slope") > 0.5, "up")
+        .when(F.col("slope") < -0.5, "down")
+        .otherwise("flat")
+        .alias("direction"),
+    )
+
+
+def q_token_budget(spark, sf_dir):
+    """Token-budget accounting per source — the planning table for
+    'what fills my N-token training budget': whitespace token counts
+    (the token_stats convention), share of corpus, and CUMULATIVE
+    share in descending-contribution order, so the reader sees
+    directly that the top-k sources cover X%. ONE raw agg; share /
+    cum_share / rank run as windows over the |sources|-row grid.
+    Exact-long token sums; shares rounded 6dp; rank ties broken on
+    source for determinism."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    g = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.length(F.trim("text")) > 0, toks).otherwise(0)
+        ).cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy(F.desc("n_tokens"), "source").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_rk = Window.orderBy(F.desc("n_tokens"), "source")
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w_all), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.sum("n_tokens").over(w_cum) / F.sum("n_tokens").over(w_all), 6
+        ).alias("cum_share"),
+        F.row_number().over(w_rk).cast("long").alias("rank"),
+    )
+
+
+def q_enum_drift(spark, sf_dir):
+    """Categorical-domain drift: which enum values APPEARED or
+    VANISHED between a baseline and the current slice (deterministic
+    halves on event_id parity)? Distribution drift (drift_chi2 et al.)
+    measures reweighting of a SHARED domain; a brand-new category or
+    a silently-dropped one is a schema-ish event that those tests
+    dilute. Two filtered branches of ONE scan aggregate to per-type
+    counts; the full outer join runs on the |domain|-row grids.
+    Frequency ratio is exact-share division rounded 6dp, NULL for
+    added/removed (no meaningful ratio)."""
+    ev = _t(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_base"))
+    )
+    curr = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_curr"))
+    )
+    tb = F.sum("n_base").over(Window.partitionBy())
+    tc = F.sum("n_curr").over(Window.partitionBy())
+    j = base.join(curr, "event_type", "full_outer")
+    return j.select(
+        "event_type",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_curr", F.lit(0)).cast("long").alias("n_curr"),
+        F.when(F.col("n_base").isNull(), "added")
+        .when(F.col("n_curr").isNull(), "removed")
+        .otherwise("stable")
+        .alias("status"),
+        F.round(
+            (F.col("n_curr") / tc) / (F.col("n_base") / tb), 6
+        ).alias("freq_ratio"),
+    )
+
+
+def q_spearman_correlation(spark, sf_dir):
+    """Spearman rank correlation between value and event time per
+    event_type — the monotone-dependence detector Pearson
+    (numeric_correlations) misses when the relation is nonlinear.
+    Ranks are row_number with pinned tie-breaks (value,event_id /
+    ts,event_id), making them exact distinct integers, so
+    ρ = 1 − 6·Σd²/(n(n²−1)) is computed ENTIRELY from exact longs —
+    the only float op is one final division (bit-identical across
+    engines; averaged tie-ranks would reintroduce float folds). The
+    two rank windows are per-type sorts of raw rows — the same
+    declared tier as exact quantiles; at 10^12 rows the scale path is
+    bucketed approximate ranks over a first-pass histogram
+    (histogram_quantiles' machinery)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w_v = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_t = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    r = ev.select(
+        "event_type",
+        F.row_number().over(w_v).alias("rx"),
+        F.row_number().over(w_t).alias("ry"),
+    ).withColumn(
+        "d2",
+        (F.col("rx") - F.col("ry")).cast("long")
+        * (F.col("rx") - F.col("ry")).cast("long"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d2").cast("long").alias("sd2"),
+    )
+    nn = F.col("n").cast("double")
+    rho = 1.0 - 6.0 * F.col("sd2").cast("double") / (nn * (nn * nn - 1.0))
+    return g.select(
+        "event_type",
+        "n",
+        F.round(rho, 6).alias("rho"),
+        (F.abs(rho) > 0.3).alias("is_monotone"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "psi_timeline": q_psi_timeline,
+    "theil_sen_trend": q_theil_sen_trend,
+    "token_budget": q_token_budget,
+    "enum_drift": q_enum_drift,
+    "spearman_correlation": q_spearman_correlation,
     "rolling_distinct": q_rolling_distinct,
     "histogram_quantiles": q_histogram_quantiles,
     "dqi_scorecard": q_dqi_scorecard,
@@ -9022,4 +9253,149 @@ ORACLES["dqi_scorecard"] = """
              THEN 'C'
            ELSE 'D' END AS grade
     FROM s
+"""
+
+# round 4t oracles ---------------------------------------------------------
+
+# Ascending-bucket fold via list_reduce with a prepended 0.0 seed —
+# float summation order pinned, as in source_drift_matrix.
+ORACLES["psi_timeline"] = """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(datediff('day', DATE '1970-01-05',
+                                 CAST(ts AS DATE)) / 7.0) AS BIGINT)
+               AS week,
+             CAST(least(floor(value / 50), 10) AS INT) AS b
+      FROM events WHERE value IS NOT NULL
+    ), counts AS (
+      SELECT event_type, week, b, count(*) AS n
+      FROM ev GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT tw.event_type, tw.week, g.b
+      FROM (SELECT DISTINCT event_type, week FROM counts) tw
+      CROSS JOIN (SELECT unnest(generate_series(0, 10)) AS b) g
+    ), filled AS (
+      SELECT grid.event_type, grid.week, grid.b,
+             coalesce(counts.n, 0) AS n
+      FROM grid LEFT JOIN counts USING (event_type, week, b)
+    ), p AS (
+      SELECT event_type, week, b,
+             (n + 0.5)
+               / (sum(n) OVER (PARTITION BY event_type, week) + 5.5) AS p
+      FROM filled
+    ), pairs AS (
+      SELECT c.event_type, c.week, c.b,
+             (c.p - pr.p) * ln(c.p / pr.p) AS term
+      FROM p c JOIN p pr
+        ON c.event_type = pr.event_type AND c.b = pr.b
+       AND c.week = pr.week + 1
+    ), agg AS (
+      SELECT event_type, week,
+             list_reduce(list_prepend(0.0, list(term ORDER BY b)),
+                         (s, x) -> s + x) AS psi_raw
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, week, round(psi_raw, 6) AS psi,
+           CASE WHEN round(psi_raw, 6) > 0.25 THEN 'drift'
+                WHEN round(psi_raw, 6) > 0.1 THEN 'warn'
+                ELSE 'ok' END AS verdict
+    FROM agg
+"""
+
+ORACLES["theil_sen_trend"] = """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), d2 AS (
+      SELECT event_type, n,
+             datediff('day',
+                      min(CAST(day AS DATE)) OVER (PARTITION BY event_type),
+                      CAST(day AS DATE)) AS x
+      FROM daily
+    ), pairs AS (
+      SELECT a.event_type,
+             CAST(b.n - a.n AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+               AS slope
+      FROM d2 a JOIN d2 b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             round(quantile_cont(slope, 0.5), 6) AS slope
+      FROM pairs GROUP BY 1
+    )
+    SELECT event_type, n_pairs, slope,
+           CASE WHEN slope > 0.5 THEN 'up'
+                WHEN slope < -0.5 THEN 'down'
+                ELSE 'flat' END AS direction
+    FROM agg
+"""
+
+# DuckDB's regexp split differs on leading empties; both engines count
+# whitespace-delimited tokens of the TRIMMED text, 0 for blank docs.
+ORACLES["token_budget"] = """
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN length(trim(text)) > 0
+                       THEN len(regexp_split_to_array(trim(text), '\\s+'))
+                       ELSE 0 END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS share,
+           round(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                                     ROWS UNBOUNDED PRECEDING)
+                 * 1.0 / sum(n_tokens) OVER (), 6) AS cum_share,
+           CAST(row_number() OVER (ORDER BY n_tokens DESC, source)
+                AS BIGINT) AS rank
+    FROM g
+"""
+
+ORACLES["enum_drift"] = """
+    WITH base AS (
+      SELECT event_type, count(*) AS n_base FROM events
+      WHERE event_id % 2 = 0 GROUP BY 1
+    ), curr AS (
+      SELECT event_type, count(*) AS n_curr FROM events
+      WHERE event_id % 2 = 1 GROUP BY 1
+    ), j AS (
+      SELECT coalesce(base.event_type, curr.event_type) AS event_type,
+             base.n_base AS nb, curr.n_curr AS nc
+      FROM base FULL OUTER JOIN curr USING (event_type)
+    )
+    SELECT event_type,
+           CAST(coalesce(nb, 0) AS BIGINT) AS n_base,
+           CAST(coalesce(nc, 0) AS BIGINT) AS n_curr,
+           CASE WHEN nb IS NULL THEN 'added'
+                WHEN nc IS NULL THEN 'removed'
+                ELSE 'stable' END AS status,
+           round((nc * 1.0 / sum(nc) OVER ())
+                 / (nb * 1.0 / sum(nb) OVER ()), 6) AS freq_ratio
+    FROM j
+"""
+
+# Distinct integer ranks (pinned tie-breaks) make rho exact-long
+# arithmetic with ONE final float division.
+ORACLES["spearman_correlation"] = """
+    WITH r AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rx,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS ry
+      FROM events WHERE value IS NOT NULL
+    ), g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+      FROM r GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)),
+                 6) AS rho,
+           abs(1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+               / (CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)))
+             > 0.3 AS is_monotone
+    FROM g
 """

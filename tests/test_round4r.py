@@ -322,3 +322,141 @@ def test_dqi_scorecard_grades_and_null_aware_uniqueness(spark, tmp_path):
     assert b["uniqueness"] == 0.8
     assert b["dqi"] == round(0.4 * 0.5 + 0.3 * 0.9 + 0.3 * 0.8, 6)
     assert b["grade"] == "C"
+
+
+# round 4t ------------------------------------------------------------------
+
+def test_psi_timeline_flags_the_moved_week(spark, tmp_path):
+    """Three weeks of a low-value distribution, then a week shifted
+    into high buckets: only the transition week drifts; the stable
+    week-over-week pairs stay ok. Weeks are Monday-anchored indexes."""
+    rows, eid = [], 0
+    # weeks of 2026-01: Mon 5th, 12th, 19th, 26th
+    for wstart, lo in (("05", True), ("12", True), ("19", True), ("26", False)):
+        for j in range(200):
+            v = float(10 + j % 30) if lo else float(400 + j % 30)
+            rows.append(
+                (eid, f"2026-01-{wstart} 06:00:00", 1, "a", v, "{}")
+            )
+            eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_psi_timeline
+
+    out = {r["week"]: r for r in q_psi_timeline(spark, d).collect()}
+    weeks = sorted(out)
+    assert len(weeks) == 3  # three consecutive-week comparisons
+    assert out[weeks[0]]["verdict"] == "ok"
+    assert out[weeks[1]]["verdict"] == "ok"
+    assert out[weeks[2]]["verdict"] == "drift"
+    assert out[weeks[2]]["psi"] > out[weeks[0]]["psi"]
+
+
+def test_theil_sen_ignores_single_wild_day(spark, tmp_path):
+    """A clean +10/day ramp keeps slope 10 even with one 20x outlier
+    day in the middle (least squares would be dragged); a flat series
+    reads 'flat'."""
+    rows, eid = [], 0
+    for day in range(1, 11):
+        n = 2000 if day == 5 else 100 + 10 * day
+        for j in range(n):
+            rows.append((eid, f"2026-01-{day:02d} 06:00:00", 1, "ramp", 0.0, "{}"))
+            eid += 1
+        for j in range(50):
+            rows.append((eid, f"2026-01-{day:02d} 07:00:00", 1, "flat", 0.0, "{}"))
+            eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_theil_sen_trend
+
+    out = {r["event_type"]: r for r in q_theil_sen_trend(spark, d).collect()}
+    assert out["ramp"]["slope"] == 10.0
+    assert out["ramp"]["direction"] == "up"
+    assert out["flat"]["slope"] == 0.0
+    assert out["flat"]["direction"] == "flat"
+    assert out["ramp"]["n_pairs"] == 45  # C(10,2)
+
+
+def test_token_budget_cumulative_order(spark, tmp_path):
+    """Sources rank by token contribution; cum_share is monotone and
+    ends at 1.0; blank docs contribute zero tokens."""
+    docs = []
+    i = 0
+    for src, words, ndocs in (("big", 100, 10), ("mid", 10, 10), ("tiny", 1, 5)):
+        for j in range(ndocs):
+            docs.append((i, " ".join(["w"] * words), "en", src, 0))
+            i += 1
+    docs.append((i, "   ", "en", "tiny", 0))  # blank -> 0 tokens
+    d = _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+        tmp_path,
+        "documents",
+    )
+    from anomalydetection_spark.queries import q_token_budget
+
+    out = sorted(q_token_budget(spark, d).collect(), key=lambda r: r["rank"])
+    assert [r["source"] for r in out] == ["big", "mid", "tiny"]
+    assert out[0]["n_tokens"] == 1000 and out[2]["n_tokens"] == 5
+    assert out[-1]["cum_share"] == 1.0
+    shares = [r["cum_share"] for r in out]
+    assert shares == sorted(shares)
+
+
+def test_enum_drift_added_removed_stable(spark, tmp_path):
+    """A type only in the odd half reads 'added', only in the even
+    half 'removed', both halves 'stable' with a finite freq_ratio;
+    added/removed have NULL ratio."""
+    rows = []
+    eid = 0
+    for _ in range(10):  # stable: both parities
+        rows.append((eid, "2026-01-01 01:00:00", 1, "stable", 0.0, "{}")); eid += 1
+    for _ in range(5):  # only even ids
+        while eid % 2 != 0:
+            eid += 1
+        rows.append((eid, "2026-01-01 01:00:00", 1, "old", 0.0, "{}")); eid += 1
+    for _ in range(5):  # only odd ids
+        while eid % 2 != 1:
+            eid += 1
+        rows.append((eid, "2026-01-01 01:00:00", 1, "new", 0.0, "{}")); eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_enum_drift
+
+    out = {r["event_type"]: r for r in q_enum_drift(spark, d).collect()}
+    assert out["new"]["status"] == "added" and out["new"]["n_base"] == 0
+    assert out["old"]["status"] == "removed" and out["old"]["n_curr"] == 0
+    assert out["stable"]["status"] == "stable"
+    assert out["new"]["freq_ratio"] is None
+    assert out["old"]["freq_ratio"] is None
+    assert out["stable"]["freq_ratio"] is not None
+
+
+def test_spearman_detects_nonlinear_monotone(spark, tmp_path):
+    """value = exp(hour) is perfectly monotone in time: rho = 1.0
+    (Pearson would be well below); a value that reverses halfway
+    scores near 0."""
+    rows, eid = [], 0
+    import math
+
+    for h in range(1, 21):
+        rows.append(
+            (eid, f"2026-01-01 {h:02d}:30:00", 1, "mono",
+             math.exp(h / 3.0), "{}")
+        )
+        eid += 1
+    for h in range(1, 21):
+        v = float(h if h <= 10 else 21 - h)
+        rows.append(
+            (eid, f"2026-01-01 {h:02d}:30:00", 1, "vee", v, "{}")
+        )
+        eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_spearman_correlation
+
+    out = {
+        r["event_type"]: r
+        for r in q_spearman_correlation(spark, d).collect()
+    }
+    assert out["mono"]["rho"] == 1.0 and out["mono"]["is_monotone"] is True
+    assert abs(out["vee"]["rho"]) < 0.3 and out["vee"]["is_monotone"] is False
