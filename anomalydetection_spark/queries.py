@@ -5094,7 +5094,123 @@ def q_spearman_correlation(spark, sf_dir):
     )
 
 
+def q_join_fanout(spark, sf_dir):
+    """Join-key fan-out audit on orders.o_custkey — the pre-join
+    explosion guard partition_skew can't give (it profiles storage
+    partitions; THIS profiles the shuffle key a join would hash on).
+    The (fanout → how many keys have it) histogram is what decides
+    broadcast vs salt vs AQE-skew before any 100 TB join runs: row
+    share tells you how much of the probe side lands on hot keys.
+    TWO-level agg (key counts → fanout histogram), both map-side
+    combinable; the share windows run on the bounded histogram."""
+    o = _t(spark, sf_dir, "orders")
+    keys = o.groupBy("o_custkey").agg(F.count("*").alias("fanout"))
+    hist = keys.groupBy("fanout").agg(F.count("*").alias("n_keys"))
+    w_all = Window.partitionBy()
+    return (
+        hist.withColumn("n_rows", F.col("fanout") * F.col("n_keys"))
+        .select(
+            F.col("fanout").cast("long").alias("fanout"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(
+                F.col("n_rows") / F.sum("n_rows").over(w_all), 6
+            ).alias("row_share"),
+            (
+                F.col("fanout")
+                >= 10 * (F.sum("n_rows").over(w_all)
+                         / F.sum("n_keys").over(w_all))
+            ).alias("is_hot_tier"),
+        )
+    )
+
+
+def q_row_completeness(spark, sf_dir):
+    """Row-level completeness histogram over events: how many of the
+    5 payload fields are populated PER ROW, and how are rows
+    distributed over that score? Column-level null rates
+    (null_conformance_rates / completeness_grid) can't distinguish
+    'every row missing one field' from '20% of rows missing
+    everything' — the row histogram can, and the two failure modes
+    need different fixes. Row-local scoring (zero shuffle) + ONE
+    map-side-combinable agg to a ≤6-row histogram."""
+    ev = _t(spark, sf_dir, "events")
+    score = sum(
+        F.col(c).isNotNull().cast("int")
+        for c in ("ts", "user_id", "event_type", "value", "props")
+    )
+    g = ev.groupBy(score.alias("n_nonnull")).agg(
+        F.count("*").alias("n_rows")
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        F.col("n_nonnull").cast("int").alias("n_nonnull"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("n_rows") / F.sum("n_rows").over(w_all), 6).alias(
+            "share"
+        ),
+    )
+
+
+def q_persistent_anomaly(spark, sf_dir):
+    """Persistence-gated anomaly: users whose daily event volume
+    exceeds 3× their own median on ≥2 CONSECUTIVE days. Single-day
+    spikes are noise at 10^12-event scale; a RUN is a behavior change
+    — the run-length gate is the alert-fatigue fix every production
+    monitor ships. Per-(user,day) counts (one shuffle on user), per-
+    user median (exact percentile over the bounded day series inside
+    the same key partition), then the classic islands trick
+    (day-index − row_number over flagged days) finds maximal runs
+    with NO self-join. Everything after the first agg stays
+    partitioned by user — scales with users, not events. Output
+    bounded to flagged users."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    med = daily.groupBy("user_id").agg(
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("med")
+    )
+    flagged = (
+        daily.join(med, "user_id")
+        .filter(F.col("n") > 3 * F.col("med"))
+        .withColumn(
+            "di",
+            F.datediff(
+                F.to_date("day"), F.to_date(F.lit("1970-01-05"))
+            ),
+        )
+    )
+    w_u = Window.partitionBy("user_id").orderBy("di")
+    runs = flagged.withColumn(
+        "grp", F.col("di") - F.row_number().over(w_u)
+    )
+    per_run = runs.groupBy("user_id", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.count("*").alias("n_days")
+    )
+    out = per_run.groupBy("user_id").agg(
+        F.sum("run_len").cast("long").alias("n_flagged"),
+        F.max("run_len").cast("long").alias("max_run"),
+    )
+    return (
+        out.join(stats, "user_id")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_days").cast("long").alias("n_days"),
+            "n_flagged",
+            "max_run",
+            (F.col("max_run") >= 2).alias("is_persistent"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "join_fanout": q_join_fanout,
+    "row_completeness": q_row_completeness,
+    "persistent_anomaly": q_persistent_anomaly,
     "psi_timeline": q_psi_timeline,
     "theil_sen_trend": q_theil_sen_trend,
     "token_budget": q_token_budget,
@@ -9398,4 +9514,77 @@ ORACLES["spearman_correlation"] = """
                   * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)))
              > 0.3 AS is_monotone
     FROM g
+"""
+
+# round 4u oracles ---------------------------------------------------------
+
+ORACLES["join_fanout"] = """
+    WITH keys AS (
+      SELECT o_custkey, count(*) AS fanout FROM orders GROUP BY 1
+    ), hist AS (
+      SELECT fanout, count(*) AS n_keys FROM keys GROUP BY 1
+    )
+    SELECT CAST(fanout AS BIGINT) AS fanout,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(fanout * n_keys AS BIGINT) AS n_rows,
+           round(fanout * n_keys * 1.0
+                 / sum(fanout * n_keys) OVER (), 6) AS row_share,
+           fanout >= 10 * (sum(fanout * n_keys) OVER ()
+                           * 1.0 / sum(n_keys) OVER ()) AS is_hot_tier
+    FROM hist
+"""
+
+ORACLES["row_completeness"] = """
+    WITH s AS (
+      SELECT (CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_nonnull
+      FROM events
+    ), g AS (
+      SELECT n_nonnull, count(*) AS n_rows FROM s GROUP BY 1
+    )
+    SELECT CAST(n_nonnull AS INT) AS n_nonnull,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           round(n_rows * 1.0 / sum(n_rows) OVER (), 6) AS share
+    FROM g
+"""
+
+# Islands trick replayed: day-index minus row_number over flagged days
+# groups maximal consecutive runs; median rounded 6dp before the gate.
+ORACLES["persistent_anomaly"] = """
+    WITH daily AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT user_id, round(quantile_cont(n, 0.5), 6) AS med
+      FROM daily GROUP BY 1
+    ), flagged AS (
+      SELECT daily.user_id, daily.n,
+             datediff('day', DATE '1970-01-05',
+                      CAST(daily.day AS DATE)) AS di
+      FROM daily JOIN med USING (user_id)
+      WHERE daily.n > 3 * med.med
+    ), runs AS (
+      SELECT user_id,
+             di - row_number() OVER (PARTITION BY user_id
+                                     ORDER BY di) AS grp
+      FROM flagged
+    ), per_run AS (
+      SELECT user_id, grp, count(*) AS run_len
+      FROM runs GROUP BY 1, 2
+    ), stats AS (
+      SELECT user_id, count(*) AS n_days FROM daily GROUP BY 1
+    ), agg AS (
+      SELECT user_id, CAST(sum(run_len) AS BIGINT) AS n_flagged,
+             CAST(max(run_len) AS BIGINT) AS max_run
+      FROM per_run GROUP BY 1
+    )
+    SELECT CAST(agg.user_id AS BIGINT) AS user_id,
+           CAST(stats.n_days AS BIGINT) AS n_days,
+           agg.n_flagged, agg.max_run,
+           agg.max_run >= 2 AS is_persistent
+    FROM agg JOIN stats USING (user_id)
 """

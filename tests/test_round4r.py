@@ -460,3 +460,65 @@ def test_spearman_detects_nonlinear_monotone(spark, tmp_path):
     }
     assert out["mono"]["rho"] == 1.0 and out["mono"]["is_monotone"] is True
     assert abs(out["vee"]["rho"]) < 0.3 and out["vee"]["is_monotone"] is False
+
+
+# round 4u ------------------------------------------------------------------
+
+def test_join_fanout_histogram_and_hot_tier(spark, tmp_path):
+    """95 keys with 1 child + one key with 100 children: the hot key's
+    fanout tier is flagged (>=10x mean rows/key), shares sum to 1."""
+    rows = [(i, i, "O", 1.0, "2026-01-01", "P") for i in range(95)]
+    rows += [(1000 + j, 999, "O", 1.0, "2026-01-01", "P") for j in range(100)]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    from anomalydetection_spark.queries import q_join_fanout
+
+    out = {r["fanout"]: r for r in q_join_fanout(spark, d).collect()}
+    assert out[1]["n_keys"] == 95 and out[100]["n_keys"] == 1
+    assert out[100]["is_hot_tier"] is True
+    assert out[1]["is_hot_tier"] is False
+    assert abs(sum(r["row_share"] for r in out.values()) - 1.0) < 1e-6
+
+
+def test_row_completeness_separates_failure_modes(spark, tmp_path):
+    """8 rows each missing one field score 4/5; 2 rows missing three
+    fields score 2/5 — the histogram separates what column-level null
+    rates would average together."""
+    rows = [(i, "2026-01-01 01:00:00", None, "a", 1.0, "{}")
+            for i in range(8)]
+    rows += [(100 + i, "2026-01-01 01:00:00", None, None, None, "{}")
+             for i in range(2)]
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_row_completeness
+
+    out = {r["n_nonnull"]: r for r in q_row_completeness(spark, d).collect()}
+    assert out[4]["n_rows"] == 8 and out[4]["share"] == 0.8
+    assert out[2]["n_rows"] == 2 and out[2]["share"] == 0.2
+
+
+def test_persistent_anomaly_requires_consecutive_run(spark, tmp_path):
+    """User 1 spikes on two CONSECUTIVE days -> persistent (max_run 2);
+    user 2 spikes on two separated days -> flagged twice but NOT
+    persistent; user 3 never spikes and does not appear."""
+    rows, eid = [], 0
+    for day in range(1, 11):
+        for uid, spike_days in ((1, (5, 6)), (2, (3, 8)), (3, ())):
+            n = 50 if day in spike_days else 10
+            for _ in range(n):
+                rows.append(
+                    (eid, f"2026-01-{day:02d} 06:00:00", uid, "a", 0.0, "{}")
+                )
+                eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_persistent_anomaly
+
+    out = {r["user_id"]: r for r in q_persistent_anomaly(spark, d).collect()}
+    assert out[1]["max_run"] == 2 and out[1]["is_persistent"] is True
+    assert out[2]["n_flagged"] == 2 and out[2]["max_run"] == 1
+    assert out[2]["is_persistent"] is False
+    assert 3 not in out
