@@ -5207,7 +5207,93 @@ def q_persistent_anomaly(spark, sf_dir):
     )
 
 
+def _nulled_events(spark, sf_dir):
+    """Deterministic null planting for the repair family (the corpus
+    has no organic nulls): value NULL on event_id≡0 (mod 7), user_id
+    on ≡0 (mod 11), event_type on ≡0 (mod 13) — the same perturbation
+    convention as snapshot_diff."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    return ev.select(
+        "event_id",
+        "ts",
+        F.when(k % 11 != 0, F.col("user_id")).alias("user_id"),
+        F.when(k % 13 != 0, F.col("event_type")).alias("event_type"),
+        F.when(k % 7 != 0, F.col("value")).alias("value"),
+        "props",
+    )
+
+
+def q_repair_plan(spark, sf_dir):
+    """Imputation planning (operators/repair.py::plan_repairs) — the
+    step AFTER a failed completeness gate: numeric columns get their
+    MEDIAN (robust; the mean is dragged by the outliers the drift
+    family flags), categoricals their MODE (deterministic lexical
+    tie-break), columns beyond the 50% null budget are REFUSED
+    (imputing a mostly-missing column manufactures data). ONE stacked
+    profile pass plans every column; the plan itself is a bounded
+    |columns|-row relation. The oracle re-derives each rule's
+    strategy, fill value, and confidence from scratch in SQL. The
+    reference drops unparseable records silently (log_parser.py) —
+    this makes the drop/fill decision explicit and auditable."""
+    from .operators.repair import plan_repairs
+
+    ev = _nulled_events(spark, sf_dir)
+    rules = plan_repairs(
+        ev, columns=["user_id", "event_type", "value"]
+    )
+    return spark.createDataFrame(
+        [
+            (r.column, r.strategy, r.fill_value, r.n_null, r.null_rate,
+             r.confidence)
+            for r in rules
+        ],
+        "col string, strategy string, fill_value string, n_null long,"
+        " null_rate double, confidence double",
+    )
+
+
+def q_repaired_conformance(spark, sf_dir):
+    """Repair round-trip reconciliation: apply the plan
+    (operators/repair.py::apply_repairs — zero-shuffle coalesce with a
+    per-row __repaired lineage array) and prove conservation in ONE
+    agg: every planted null became exactly one repaired cell, no
+    nulls remain, untouched rows carry an empty lineage. The lineage
+    array is what lets a training pipeline mask imputed cells out of
+    the loss — repairs that can't be found again are corruptions."""
+    from .operators.repair import apply_repairs, plan_repairs
+
+    ev = _nulled_events(spark, sf_dir)
+    rules = plan_repairs(
+        ev, columns=["user_id", "event_type", "value"]
+    )
+    rep = apply_repairs(ev, rules)
+    return rep.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.size("__repaired")).cast("long").alias("n_repaired_cells"),
+        F.sum(
+            F.array_contains("__repaired", "value").cast("long")
+        ).alias("n_repaired_value"),
+        F.sum(
+            F.array_contains("__repaired", "user_id").cast("long")
+        ).alias("n_repaired_user_id"),
+        F.sum(
+            F.array_contains("__repaired", "event_type").cast("long")
+        ).alias("n_repaired_event_type"),
+        (
+            F.sum(F.col("value").isNull().cast("long"))
+            + F.sum(F.col("user_id").isNull().cast("long"))
+            + F.sum(F.col("event_type").isNull().cast("long"))
+        ).cast("long").alias("nulls_after"),
+        F.sum(
+            (F.size("__repaired") == 0).cast("long")
+        ).cast("long").alias("n_untouched"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "repair_plan": q_repair_plan,
+    "repaired_conformance": q_repaired_conformance,
     "join_fanout": q_join_fanout,
     "row_completeness": q_row_completeness,
     "persistent_anomaly": q_persistent_anomaly,
@@ -9587,4 +9673,75 @@ ORACLES["persistent_anomaly"] = """
            agg.n_flagged, agg.max_run,
            agg.max_run >= 2 AS is_persistent
     FROM agg JOIN stats USING (user_id)
+"""
+
+# round 4v oracles ---------------------------------------------------------
+
+# Each rule re-derived from scratch: median via quantile_cont rounded
+# 6dp then shortest-roundtrip VARCHAR (Python repr parity), mode with
+# (count desc, value asc) tie-break, confidence = mode share of
+# non-nulls, rates as exact-long ratios.
+ORACLES["repair_plan"] = """
+    WITH ev AS (
+      SELECT CASE WHEN event_id % 11 <> 0 THEN user_id END AS user_id,
+             CASE WHEN event_id % 13 <> 0 THEN event_type END
+               AS event_type,
+             CASE WHEN event_id % 7 <> 0 THEN value END AS value
+      FROM events
+    ), n AS (SELECT count(*) AS n FROM ev),
+    mode_t AS (
+      SELECT event_type AS val, count(*) AS c FROM ev
+      WHERE event_type IS NOT NULL GROUP BY 1
+      ORDER BY c DESC, val ASC LIMIT 1
+    )
+    SELECT 'event_type' AS col, 'fill_mode' AS strategy,
+           (SELECT val FROM mode_t) AS fill_value,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           round(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / (SELECT n FROM n), 6) AS null_rate,
+           round((SELECT c FROM mode_t) * 1.0
+                 / sum(CASE WHEN event_type IS NOT NULL
+                       THEN 1 ELSE 0 END), 6) AS confidence
+    FROM ev
+    UNION ALL
+    SELECT 'user_id', 'fill_median',
+           CAST(round(quantile_cont(user_id, 0.5), 6) AS VARCHAR),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           round(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / (SELECT n FROM n), 6),
+           1.0
+    FROM ev
+    UNION ALL
+    SELECT 'value', 'fill_median',
+           CAST(round(quantile_cont(value, 0.5), 6) AS VARCHAR),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / (SELECT n FROM n), 6),
+           1.0
+    FROM ev
+"""
+
+# Conservation arithmetic: planted-null counts ARE the repaired-cell
+# counts; nothing stays null; untouched = rows hitting none of the
+# three residue classes.
+ORACLES["repaired_conformance"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum((CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END))
+            AS BIGINT) AS n_repaired_cells,
+       CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repaired_value,
+       CAST(sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repaired_user_id,
+       CAST(sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repaired_event_type,
+       CAST(0 AS BIGINT) AS nulls_after,
+       CAST(sum(CASE WHEN event_id % 7 <> 0 AND event_id % 11 <> 0
+                      AND event_id % 13 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_untouched
+    FROM events
 """
