@@ -241,6 +241,24 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="'partition' keys the series per (metric, "
                         "partition) to catch one partition degrading "
                         "while table totals stay calm")
+    p.add_argument("--repair", action="store_true",
+                   help="instead of a validation round, plan median/"
+                        "mode imputation over --docs (50%% null-budget "
+                        "refusal), apply it, and write the repaired "
+                        "table (+ per-row __repaired lineage array) "
+                        "under <out>/repair/<run_id>/repaired with the "
+                        "plan at plan.json; summary reconciles "
+                        "repaired-cell counts against planted nulls")
+    p.add_argument("--repair-columns", metavar="CSV", default=None,
+                   help="with --repair, restrict planning to these "
+                        "columns (default: every numeric/string "
+                        "column)")
+    p.add_argument("--repair-max-null-rate", type=float, default=0.5,
+                   metavar="R",
+                   help="with --repair, refuse to impute columns with "
+                        "null_rate > R (default 0.5) — a mostly-"
+                        "missing column needs a source fix, not a "
+                        "fill")
     p.add_argument("--suggest-contract", metavar="OUT_JSON",
                    help="instead of a validation round, profile --docs "
                         "and write a --config-compatible JSON whose "
@@ -450,6 +468,64 @@ def suggest_round(spark, args) -> dict:
         "n_columns": len(contract["columns"]),
         "n_json_columns": len(contract.get("json", {})),
         "unique_candidates": unique,
+    }
+
+
+def repair_round(spark, args, run_id: str) -> dict:
+    """--repair: plan → apply → reconcile in one round. The repaired
+    table (with its per-row ``__repaired`` lineage array) lands under
+    <out>/repair/<run_id>/repaired; the plan is a plain-data JSON
+    sidecar (plan.json) so a later run — or a human — can audit
+    exactly what was filled with what and why. The summary
+    reconciliation re-reads the WRITTEN output (not the lineage in
+    memory): repaired cells counted from disk must equal the plan's
+    null counts, or the write itself corrupted the repair."""
+    from dataclasses import asdict
+
+    from pyspark.sql import functions as F
+
+    from .operators.repair import apply_repairs, plan_repairs
+    from .sources.tables import read_table
+
+    docs = read_table(spark, args.docs)
+    cols = (
+        [c.strip() for c in args.repair_columns.split(",") if c.strip()]
+        if args.repair_columns
+        else None
+    )
+    rules = plan_repairs(
+        docs, columns=cols, max_null_rate=args.repair_max_null_rate
+    )
+    dest = os.path.join(args.out, "repair", run_id)
+    os.makedirs(dest, exist_ok=True)
+    repaired_path = os.path.join(dest, "repaired")
+    apply_repairs(docs, rules).write.mode("overwrite").parquet(
+        repaired_path
+    )
+    plan_path = os.path.join(dest, "plan.json")
+    with open(plan_path, "w") as f:
+        json.dump([asdict(r) for r in rules], f, indent=2)
+    back = spark.read.parquet(repaired_path)
+    rec = back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.size("__repaired")).alias("n_repaired_cells"),
+        F.sum((F.size("__repaired") > 0).cast("long")).alias(
+            "n_repaired_rows"
+        ),
+    ).collect()[0]
+    planned_cells = sum(
+        r.n_null for r in rules if r.strategy != "refuse"
+    )
+    return {
+        "repair": repaired_path,
+        "plan": plan_path,
+        "n_rules": len(rules),
+        "n_refused": sum(1 for r in rules if r.strategy == "refuse"),
+        "rules": [asdict(r) for r in rules],
+        "n_rows": rec["n_rows"],
+        "n_repaired_cells": int(rec["n_repaired_cells"] or 0),
+        "n_repaired_rows": int(rec["n_repaired_rows"] or 0),
+        "reconciled": int(rec["n_repaired_cells"] or 0) == planned_cells,
     }
 
 
@@ -1023,6 +1099,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.metric_anomaly:
         try:
             print(json.dumps(metric_anomaly_round(spark, args)))
+            return 0
+        finally:
+            spark.stop()
+    if args.repair:
+        try:
+            rid = args.run_id or f"repair{int(time.time())}"
+            print(json.dumps(repair_round(spark, args, rid)))
             return 0
         finally:
             spark.stop()

@@ -815,3 +815,39 @@ def test_json_rule_config_round(spark, docs_path, catalog, tmp_path):
     assert by["rule:json_malformed:props"] == "pass"
     assert by["rule:json_required:k:props"] == "pass"
     assert by["rule:json_type:k:props"] == "fail"
+
+
+def test_repair_flag_round_trip(spark, tmp_path):
+    """--repair plans over a table with planted nulls, writes the
+    repaired parquet + plan.json, and the summary reconciles repaired
+    cells against planned nulls from the WRITTEN output."""
+    import pyspark.sql.functions as F
+
+    from anomalydetection_spark.run import parse_args, repair_round
+
+    src = str(tmp_path / "docs")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 != 0, F.lit(1.5)).alias("score"),
+        F.when(F.col("id") % 4 != 0, F.lit("en")).alias("lang"),
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    args = parse_args(
+        ["--docs", src, "--out", out, "--repair",
+         "--repair-columns", "score,lang"]
+    )
+    s = repair_round(spark, args, "r1")
+    json.dumps(s)
+    assert s["n_rules"] == 2 and s["n_refused"] == 0
+    assert s["reconciled"] is True
+    assert s["n_repaired_cells"] == 20 + 25
+    by_col = {r["column"]: r for r in s["rules"]}
+    assert by_col["score"]["strategy"] == "fill_median"
+    assert by_col["lang"]["strategy"] == "fill_mode"
+    back = spark.read.parquet(s["repair"])
+    assert back.filter(
+        F.col("score").isNull() | F.col("lang").isNull()
+    ).count() == 0
+    with open(s["plan"]) as f:
+        plan = json.load(f)
+    assert {p["column"] for p in plan} == {"score", "lang"}
