@@ -15,6 +15,9 @@ at toy scale (~20k docs, finishes in about a minute on local[8]):
 8. WATCH ITSELF: simulated later runs extend the manifest's metric
    history; the EMA+3σ metric-anomaly rule flags the regression run
    from the stored series alone (operators/metric_history.py)
+9. REPAIR: plant nulls into a copy of the corpus, plan median/mode
+   imputation (operators/repair.py), apply it with per-row lineage,
+   and reconcile repaired-cell counts against the plan
 
 Usage: python examples/lifecycle.py [workdir]
 (workdir defaults to a fresh temp directory)
@@ -235,6 +238,34 @@ def main(workdir: str | None = None, stop: bool = True) -> dict:
     summary["metric_anomaly_flagged"] = sorted(
         {r["metric"] for r in flagged if r["version"] == last_v}
     )
+
+    # 9. repair: a failed completeness gate's next step — plant nulls
+    #    into a projection of the corpus, plan median/mode fills,
+    #    apply with per-row lineage, and prove cell conservation
+    from anomalydetection_spark.operators.repair import (
+        apply_repairs,
+        plan_repairs,
+    )
+
+    did = F.substring("doc_id", 4, 12).cast("long")  # "doc123" -> 123
+    broken = docs.select(
+        "doc_id",
+        F.when(did % 9 != 0, F.size("spans").cast("double")).alias(
+            "n_spans"
+        ),
+        F.when(did % 11 != 0, F.lit("batch-a")).alias("batch"),
+    )
+    rules = plan_repairs(broken, columns=["n_spans", "batch"])
+    repaired = apply_repairs(broken, rules)
+    n_planned = sum(r.n_null for r in rules if r.strategy != "refuse")
+    n_cells = repaired.agg(
+        F.sum(F.size("__repaired"))
+    ).collect()[0][0]
+    summary["repair_rules"] = {
+        r.column: r.strategy for r in rules
+    }
+    summary["repair_reconciled"] = int(n_cells or 0) == n_planned
+    assert summary["repair_reconciled"]
 
     if stop:
         spark.stop()

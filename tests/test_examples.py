@@ -41,6 +41,12 @@ def test_lifecycle_demo(spark, tmp_path):
     assert "total_violations" in s["metric_anomaly_flagged"]
     assert "violation_rate" in s["metric_anomaly_flagged"]
     assert "total_rows" not in s["metric_anomaly_flagged"]
+    # stage 9: repair planned the right strategies and conserved cells
+    assert s["repair_rules"] == {
+        "n_spans": "fill_median",
+        "batch": "fill_mode",
+    }
+    assert s["repair_reconciled"] is True
 
 
 def test_lifecycle_json_arm(spark, tmp_path):
