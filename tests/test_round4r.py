@@ -522,3 +522,44 @@ def test_persistent_anomaly_requires_consecutive_run(spark, tmp_path):
     assert out[2]["n_flagged"] == 2 and out[2]["max_run"] == 1
     assert out[2]["is_persistent"] is False
     assert 3 not in out
+
+
+# plan-shape pins: the new batches keep the one-raw-shuffle discipline
+
+def _hash_exchanges(df):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return [
+        ln
+        for ln in buf.getvalue().splitlines()
+        if "Exchange" in ln
+        and "BroadcastExchange" not in ln
+        and "hashpartitioning" in ln
+    ]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="testdata absent")
+def test_new_queries_raw_shuffle_budget(spark):
+    """Each round-4r/s/t/u one-scan query hashes raw rows AT MOST
+    once; everything after runs on bounded grids (single-partition
+    exchanges for metadata windows are a separate, declared tier)."""
+    from anomalydetection_spark.queries import (
+        q_completeness_grid,
+        q_join_fanout,
+        q_row_completeness,
+        q_volume_anomaly,
+    )
+
+    # (query, max hash exchanges over RAW rows or bounded grids)
+    for fn, budget in (
+        (q_row_completeness, 1),   # one agg to <=6-row histogram
+        (q_completeness_grid, 1),  # one agg on day
+        (q_join_fanout, 2),        # key counts -> fanout histogram
+        (q_volume_anomaly, 2),     # daily series -> 7-row dow agg
+    ):
+        ex = _hash_exchanges(fn(spark, SF))
+        assert len(ex) <= budget, (fn.__name__, ex)
