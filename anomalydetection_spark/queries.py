@@ -5291,7 +5291,232 @@ def q_repaired_conformance(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weight-proportional sampling (Efraimidis–Spirakis
+    A-ES): rank documents per source by ln(u)/w where u is an
+    md5-derived uniform and w = n_chars — longer docs proportionally
+    likelier, yet the draw is REPLAYABLE by any engine with md5 (the
+    same determinism-over-RNG contract as reservoir_sample, which is
+    this query's uniform-weight special case). u = (first 52 hash bits
+    + 1)/2^52 ∈ (0,1], identical in both engines by integer
+    construction; the ln/division ordering is pinned and ties break on
+    doc_id. Plan: row-local key projection + per-source top-k window;
+    the scale tier prefilters on a per-group key threshold exactly as
+    reservoir_sample documents."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("ws42:"), F.col("doc_id").cast("string")))
+    u = (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("long") + 1
+    ) / F.lit(float(2 ** 52))
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.log(u) / w
+    win = Window.partitionBy("source").orderBy(
+        F.desc("key"), "doc_id"
+    )
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("key"),
+        )
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "source",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "weight",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def q_quantile_mapping(spark, sf_dir):
+    """Histogram quantile normalization (batch-effect correction for
+    training-data mixing): map each source's length distribution onto
+    the GLOBAL distribution — for every (source, bucket), the smallest
+    global bucket whose cumulative share covers the source's
+    cumulative share at that bucket. The comparison is EXACT long
+    cross-multiplication (cum_glob·N_src ≥ cum_src·N_glob) — no float
+    enters the boundary decision at all, the strongest cross-engine
+    contract in the drift family. ONE raw histogram agg; cum sums and
+    the ≤16×16-per-source mapping join run on metadata grids."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 256), F.lit(15))
+        .cast("int")
+        .alias("b"),
+    ).agg(F.count("*").alias("n"))
+    w_src = (
+        Window.partitionBy("source").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_src_all = Window.partitionBy("source")
+    src = counts.select(
+        "source",
+        "b",
+        F.sum("n").over(w_src).alias("cum_src"),
+        F.sum("n").over(w_src_all).alias("n_src"),
+    )
+    glob = (
+        counts.groupBy("b").agg(F.sum("n").alias("gn"))
+    )
+    w_g = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_g_all = Window.partitionBy()
+    g = glob.select(
+        F.col("b").alias("gb"),
+        F.sum("gn").over(w_g).alias("cum_glob"),
+        F.sum("gn").over(w_g_all).alias("n_glob"),
+    )
+    j = src.join(
+        F.broadcast(g),
+        F.col("cum_glob") * F.col("n_src")
+        >= F.col("cum_src") * F.col("n_glob"),
+    )
+    return (
+        j.groupBy("source", "b", "cum_src", "n_src")
+        .agg(F.min("gb").alias("mapped_b"))
+        .select(
+            "source",
+            F.col("b").cast("int").alias("bucket"),
+            F.col("mapped_b").cast("int").alias("mapped_bucket"),
+            F.round(F.col("cum_src") / F.col("n_src"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+def q_correlation_drift(spark, sf_dir):
+    """Dependence-structure drift: Pearson r for every lineitem
+    numeric pair computed on the baseline and current halves
+    (orderkey parity) and compared — marginal drift tests (PSI/KS per
+    column) are blind to a CHANGED RELATIONSHIP between columns with
+    stable marginals, the classic silent failure of a broken join
+    upstream. Both halves' six pairs compute in ONE aggregation pass
+    (conditional mergeable moments), reshaped from the single result
+    row; |Δr| > 0.1 flags, on 6dp-rounded values (the
+    numeric_correlations contract)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    base = F.col("l_orderkey") % 2 == 0
+    aggs = []
+    for a, b in pairs:
+        for tag, cond in (("base", base), ("curr", ~base)):
+            aggs.append(
+                F.round(
+                    F.corr(
+                        F.when(cond, F.col(a)).cast("double"),
+                        F.when(cond, F.col(b)).cast("double"),
+                    ),
+                    6,
+                ).alias(f"{tag}__{a}__{b}")
+            )
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', base__{a}__{b}, curr__{a}__{b}"
+        for a, b in pairs
+    )
+    out = one.selectExpr(
+        f"stack({len(pairs)}, {stack_args})"
+        " AS (col_a, col_b, r_base, r_curr)"
+    )
+    return out.select(
+        "col_a",
+        "col_b",
+        "r_base",
+        "r_curr",
+        F.round(F.abs(F.col("r_curr") - F.col("r_base")), 6).alias(
+            "abs_delta"
+        ),
+        (
+            F.abs(F.col("r_curr") - F.col("r_base")) > 0.1
+        ).alias("is_drifted"),
+    )
+
+
+def q_segmented_drift(spark, sf_dir):
+    """Per-segment PSI with aggregate-masking detection: the value
+    distribution compared between event_id-parity halves WITHIN each
+    event_type, alongside the pooled PSI — a segment can drift hard
+    while the aggregate stays calm (Simpson-style masking: opposite
+    shifts cancel in the pool), and the pooled-only test ships the
+    corruption. ONE histogram agg keyed (type × half × bucket); grids,
+    Laplace smoothing, and ordered HOF folds as in psi_timeline; the
+    pooled row rides the same plan as segment '__all__'."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    half = F.when(F.col("event_id") % 2 == 0, "base").otherwise("curr")
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(10)).cast("int")
+    seg = ev.select(
+        F.col("event_type").alias("segment"),
+        half.alias("half"),
+        bucket.alias("b"),
+    )
+    pooled = ev.select(
+        F.lit("__all__").alias("segment"), half.alias("half"),
+        bucket.alias("b"),
+    )
+    counts = (
+        seg.unionByName(pooled)
+        .groupBy("segment", "half", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    grid = (
+        counts.select("segment", "half").distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(11).select(F.col("id").cast("int").alias("b"))
+            )
+        )
+    )
+    filled = grid.join(counts, ["segment", "half", "b"], "left").fillna(
+        0, "n"
+    )
+    w_tot = Window.partitionBy("segment", "half")
+    p = filled.withColumn(
+        "p", (F.col("n") + 0.5) / (F.sum("n").over(w_tot) + 5.5)
+    )
+    wide = (
+        p.groupBy("segment", "b")
+        .pivot("half", ["base", "curr"])
+        .agg(F.first("p"))
+        .withColumn(
+            "term",
+            (F.col("curr") - F.col("base"))
+            * F.log(F.col("curr") / F.col("base")),
+        )
+    )
+    agg = wide.groupBy("segment").agg(
+        F.array_sort(F.collect_list(F.struct("b", "term"))).alias("ts")
+    )
+    psi = F.expr("aggregate(ts, cast(0.0 as double), (s, t) -> s + t.term)")
+    res = agg.select("segment", F.round(psi, 6).alias("psi"))
+    # pooled row surfaced via a window over the <=|segments|+1 result
+    # rows — a filter+crossJoin would recompute the whole subtree
+    # (2 scans) a second time
+    w_all = Window.partitionBy()
+    pooled_psi = F.max(
+        F.when(F.col("segment") == "__all__", F.col("psi"))
+    ).over(w_all)
+    return res.select(
+        "segment",
+        "psi",
+        pooled_psi.alias("pooled_psi"),
+        (
+            (F.col("psi") > 0.1)
+            & (pooled_psi <= 0.1)
+            & (F.col("segment") != "__all__")
+        ).alias("masked_by_aggregate"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "weighted_sample": q_weighted_sample,
+    "quantile_mapping": q_quantile_mapping,
+    "correlation_drift": q_correlation_drift,
+    "segmented_drift": q_segmented_drift,
     "repair_plan": q_repair_plan,
     "repaired_conformance": q_repaired_conformance,
     "join_fanout": q_join_fanout,
@@ -9744,4 +9969,174 @@ ORACLES["repaired_conformance"] = """
                       AND event_id % 13 <> 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_untouched
     FROM events
+"""
+
+# round 4w oracles ---------------------------------------------------------
+
+# u rebuilt by the identical integer construction; ln/division order
+# pinned; ties break on doc_id.
+ORACLES["weighted_sample"] = """
+    WITH k AS (
+      SELECT source, doc_id, n_chars,
+             ln((CAST(('0x' || substr(md5('ws42:'
+                        || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                 + 1) / 4503599627370496.0)
+               / CAST(greatest(n_chars, 1) AS DOUBLE) AS key
+      FROM documents
+    )
+    SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS weight,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY key DESC, doc_id)
+                AS BIGINT) AS rk
+    FROM k
+    QUALIFY rk <= 20
+"""
+
+# The boundary decision is exact long cross-multiplication — no float
+# anywhere in the mapping.
+ORACLES["quantile_mapping"] = """
+    WITH counts AS (
+      SELECT source,
+             CAST(least(n_chars // 256, 15) AS INT) AS b,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ), src AS (
+      SELECT source, b,
+             sum(n) OVER (PARTITION BY source ORDER BY b
+                          ROWS UNBOUNDED PRECEDING) AS cum_src,
+             sum(n) OVER (PARTITION BY source) AS n_src
+      FROM counts
+    ), gl AS (
+      SELECT b AS gb, sum(n) AS gn FROM counts GROUP BY 1
+    ), g AS (
+      SELECT gb,
+             sum(gn) OVER (ORDER BY gb ROWS UNBOUNDED PRECEDING)
+               AS cum_glob,
+             sum(gn) OVER () AS n_glob
+      FROM gl
+    )
+    SELECT src.source, CAST(src.b AS INT) AS bucket,
+           CAST(min(g.gb) AS INT) AS mapped_bucket,
+           round(src.cum_src * 1.0 / src.n_src, 6) AS cum_share
+    FROM src JOIN g
+      ON g.cum_glob * src.n_src >= src.cum_src * g.n_glob
+    GROUP BY 1, 2, src.cum_src, src.n_src
+"""
+
+ORACLES["correlation_drift"] = """
+    WITH s AS (
+      SELECT round(corr(CASE WHEN l_orderkey % 2 = 0
+                        THEN l_quantity END,
+                        CASE WHEN l_orderkey % 2 = 0
+                        THEN l_extendedprice END), 6) AS b_qe,
+             round(corr(CASE WHEN l_orderkey % 2 = 1
+                        THEN l_quantity END,
+                        CASE WHEN l_orderkey % 2 = 1
+                        THEN l_extendedprice END), 6) AS c_qe,
+             round(corr(CASE WHEN l_orderkey % 2 = 0
+                        THEN l_quantity END,
+                        CASE WHEN l_orderkey % 2 = 0
+                        THEN l_discount END), 6) AS b_qd,
+             round(corr(CASE WHEN l_orderkey % 2 = 1
+                        THEN l_quantity END,
+                        CASE WHEN l_orderkey % 2 = 1
+                        THEN l_discount END), 6) AS c_qd,
+             round(corr(CASE WHEN l_orderkey % 2 = 0
+                        THEN l_quantity END,
+                        CASE WHEN l_orderkey % 2 = 0
+                        THEN l_tax END), 6) AS b_qt,
+             round(corr(CASE WHEN l_orderkey % 2 = 1
+                        THEN l_quantity END,
+                        CASE WHEN l_orderkey % 2 = 1
+                        THEN l_tax END), 6) AS c_qt,
+             round(corr(CASE WHEN l_orderkey % 2 = 0
+                        THEN l_extendedprice END,
+                        CASE WHEN l_orderkey % 2 = 0
+                        THEN l_discount END), 6) AS b_ed,
+             round(corr(CASE WHEN l_orderkey % 2 = 1
+                        THEN l_extendedprice END,
+                        CASE WHEN l_orderkey % 2 = 1
+                        THEN l_discount END), 6) AS c_ed,
+             round(corr(CASE WHEN l_orderkey % 2 = 0
+                        THEN l_extendedprice END,
+                        CASE WHEN l_orderkey % 2 = 0
+                        THEN l_tax END), 6) AS b_et,
+             round(corr(CASE WHEN l_orderkey % 2 = 1
+                        THEN l_extendedprice END,
+                        CASE WHEN l_orderkey % 2 = 1
+                        THEN l_tax END), 6) AS c_et,
+             round(corr(CASE WHEN l_orderkey % 2 = 0
+                        THEN l_discount END,
+                        CASE WHEN l_orderkey % 2 = 0
+                        THEN l_tax END), 6) AS b_dt,
+             round(corr(CASE WHEN l_orderkey % 2 = 1
+                        THEN l_discount END,
+                        CASE WHEN l_orderkey % 2 = 1
+                        THEN l_tax END), 6) AS c_dt
+      FROM lineitem
+    ), u AS (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             b_qe AS r_base, c_qe AS r_curr FROM s
+      UNION ALL SELECT 'l_quantity', 'l_discount', b_qd, c_qd FROM s
+      UNION ALL SELECT 'l_quantity', 'l_tax', b_qt, c_qt FROM s
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', b_ed, c_ed
+        FROM s
+      UNION ALL SELECT 'l_extendedprice', 'l_tax', b_et, c_et FROM s
+      UNION ALL SELECT 'l_discount', 'l_tax', b_dt, c_dt FROM s
+    )
+    SELECT col_a, col_b, r_base, r_curr,
+           round(abs(r_curr - r_base), 6) AS abs_delta,
+           abs(r_curr - r_base) > 0.1 AS is_drifted
+    FROM u
+"""
+
+# Segment grids + pooled '__all__' ride one plan; ordered fold pinned.
+ORACLES["segmented_drift"] = """
+    WITH ev AS (
+      SELECT event_type, event_id, value FROM events
+      WHERE value IS NOT NULL
+    ), seg AS (
+      SELECT event_type AS segment,
+             CASE WHEN event_id % 2 = 0 THEN 'base' ELSE 'curr' END
+               AS half,
+             CAST(least(floor(value / 50), 10) AS INT) AS b
+      FROM ev
+      UNION ALL
+      SELECT '__all__',
+             CASE WHEN event_id % 2 = 0 THEN 'base' ELSE 'curr' END,
+             CAST(least(floor(value / 50), 10) AS INT)
+      FROM ev
+    ), counts AS (
+      SELECT segment, half, b, count(*) AS n FROM seg GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT sh.segment, sh.half, g.b
+      FROM (SELECT DISTINCT segment, half FROM counts) sh
+      CROSS JOIN (SELECT unnest(generate_series(0, 10)) AS b) g
+    ), filled AS (
+      SELECT grid.segment, grid.half, grid.b, coalesce(counts.n, 0) AS n
+      FROM grid LEFT JOIN counts USING (segment, half, b)
+    ), p AS (
+      SELECT segment, half, b,
+             (n + 0.5) / (sum(n) OVER (PARTITION BY segment, half)
+                          + 5.5) AS p
+      FROM filled
+    ), wide AS (
+      SELECT pb.segment, pb.b,
+             (pc.p - pb.p) * ln(pc.p / pb.p) AS term
+      FROM p pb JOIN p pc
+        ON pb.segment = pc.segment AND pb.b = pc.b
+       AND pb.half = 'base' AND pc.half = 'curr'
+    ), agg AS (
+      SELECT segment,
+             round(list_reduce(list_prepend(0.0, list(term ORDER BY b)),
+                               (s, x) -> s + x), 6) AS psi
+      FROM wide GROUP BY 1
+    ), pooled AS (
+      SELECT psi AS pooled_psi FROM agg WHERE segment = '__all__'
+    )
+    SELECT segment, psi, pooled.pooled_psi,
+           (psi > 0.1 AND pooled.pooled_psi <= 0.1
+            AND segment <> '__all__') AS masked_by_aggregate
+    FROM agg, pooled
 """

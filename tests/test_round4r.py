@@ -563,3 +563,141 @@ def test_new_queries_raw_shuffle_budget(spark):
     ):
         ex = _hash_exchanges(fn(spark, SF))
         assert len(ex) <= budget, (fn.__name__, ex)
+
+
+# round 4w ------------------------------------------------------------------
+
+def test_weighted_sample_overrepresents_heavy_docs(spark, tmp_path):
+    """200 light docs (w=10) + 20 heavy docs (w=10000): the top-20
+    A-ES draw is dominated by heavy docs; exactly k rows per source;
+    replay is deterministic."""
+    docs = [(i, "x", "en", "s", 10) for i in range(200)]
+    docs += [(1000 + i, "x", "en", "s", 10000) for i in range(20)]
+    d = _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+        tmp_path,
+        "documents",
+    )
+    from anomalydetection_spark.queries import q_weighted_sample
+
+    out = q_weighted_sample(spark, d).collect()
+    assert len(out) == 20
+    n_heavy = sum(1 for r in out if r["doc_id"] >= 1000)
+    assert n_heavy >= 15  # weight-proportional, not uniform
+    again = q_weighted_sample(spark, d).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in again
+    )
+
+
+def test_quantile_mapping_identity_and_shift(spark, tmp_path):
+    """A single source maps every occupied bucket to itself; with a
+    low-bucket source vs a high-bucket source, the low source's
+    buckets map onto the global (mixed) scale — monotone, and its top
+    cum_share reaches a global bucket >= its own."""
+    docs = [(i, "x", "en", "lo", 10 + (i % 4) * 256) for i in range(100)]
+    d1 = _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+        tmp_path,
+        "documents",
+    )
+    from anomalydetection_spark.queries import q_quantile_mapping
+
+    ident = q_quantile_mapping(spark, d1).collect()
+    assert all(r["bucket"] == r["mapped_bucket"] for r in ident)
+    docs += [(2000 + i, "x", "en", "hi", 12 * 256 + (i % 4) * 256)
+             for i in range(100)]
+    d2 = _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+        tmp_path,
+        "documents",
+    )
+    out = [
+        r for r in q_quantile_mapping(spark, d2).collect()
+        if r["source"] == "lo"
+    ]
+    out.sort(key=lambda r: r["bucket"])
+    mapped = [r["mapped_bucket"] for r in out]
+    assert mapped == sorted(mapped)  # monotone
+    # lo's last bucket covers cum_share 0.5 of the mix -> maps into
+    # the global scale at or beyond its own bucket
+    assert mapped[-1] >= out[-1]["bucket"]
+
+
+def test_correlation_drift_detects_flipped_relation(spark, tmp_path):
+    """Base half: price = 2*qty (r=1). Current half: price = -2*qty
+    (r=-1). That pair drifts with abs_delta 2; discount~tax stays
+    perfectly stable in both halves (delta 0)."""
+    rows = []
+    for i in range(200):
+        qty = float(i % 50 + 1)
+        even = 2 * i          # base half
+        odd = 2 * i + 1       # current half
+        rows.append((even, 1, 1, 1, qty, 2 * qty, 0.01 * (i % 9),
+                     0.02 * (i % 9), "N", "O", "2026-01-01"))
+        rows.append((odd, 1, 1, 1, qty, -2 * qty, 0.01 * (i % 9),
+                     0.02 * (i % 9), "N", "O", "2026-01-01"))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    from anomalydetection_spark.queries import q_correlation_drift
+
+    out = {
+        (r["col_a"], r["col_b"]): r
+        for r in q_correlation_drift(spark, d).collect()
+    }
+    flip = out[("l_quantity", "l_extendedprice")]
+    assert flip["r_base"] == 1.0 and flip["r_curr"] == -1.0
+    assert flip["abs_delta"] == 2.0 and flip["is_drifted"] is True
+    stable = out[("l_discount", "l_tax")]
+    assert stable["abs_delta"] == 0.0 and stable["is_drifted"] is False
+
+
+def test_segmented_drift_catches_simpson_masking(spark, tmp_path):
+    """Segment 'a' shifts low->high between halves, segment 'b' shifts
+    high->low by the same mass: each segment drifts hard but the
+    pooled distribution is unchanged — masked_by_aggregate fires for
+    both; the pooled row itself stays calm."""
+    rows, eid = [], 0
+    for seg, lo_half in (("a", "base"), ("b", "curr")):
+        for half in ("base", "curr"):
+            v = 10.0 if half == lo_half else 510.0
+            for _ in range(200):
+                # parity encodes the half
+                if half == "base":
+                    while eid % 2 != 0:
+                        eid += 1
+                else:
+                    while eid % 2 != 1:
+                        eid += 1
+                rows.append(
+                    (eid, "2026-01-01 01:00:00", 1, seg, v, "{}")
+                )
+                eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_segmented_drift
+
+    out = {r["segment"]: r for r in q_segmented_drift(spark, d).collect()}
+    assert out["__all__"]["psi"] <= 0.1
+    assert out["a"]["psi"] > 0.25 and out["b"]["psi"] > 0.25
+    assert out["a"]["masked_by_aggregate"] is True
+    assert out["b"]["masked_by_aggregate"] is True
+    assert out["__all__"]["masked_by_aggregate"] is False
