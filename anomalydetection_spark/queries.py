@@ -5512,7 +5512,73 @@ def q_segmented_drift(spark, sf_dir):
     )
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift between dataset halves (vec_id parity):
+    per-label centroid cosine similarity and norm ratio — the check a
+    training pipeline runs when the embedder version bumps: marginal
+    scalar stats (embedding_stats) can hold perfectly while the whole
+    space rotates. ONE raw shuffle: the (label × half × dim) component
+    agg (map-side combinable; dims explode row-locally); component
+    means are ROUNDED 6dp before any geometry (the centroid_outliers
+    contract), then cosine/norms fold dim-ascending via aggregate HOFs
+    over one array_sort'ed struct list — DuckDB replays with three
+    scalar list_reduce folds (struct accumulators are corrupt in
+    DuckDB 1.0, documented at the holt_anomaly oracle). Verdict:
+    rotated (cos < 0.98) or rescaled (ratio outside [0.9, 1.1])."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    half = F.when(F.col("vec_id") % 2 == 0, "base").otherwise("curr")
+    comp = e.select(
+        "label", half.alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    )
+    means = comp.groupBy("label", "half", "i").agg(
+        F.round(F.avg("x"), 6).alias("m")
+    )
+    wide = (
+        means.groupBy("label", "i")
+        .pivot("half", ["base", "curr"])
+        .agg(F.first("m"))
+    )
+    agg = wide.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct("i", "base", "curr"))
+        ).alias("ts"),
+        F.count("*").cast("long").alias("dim"),
+    )
+    dot = F.expr(
+        "aggregate(ts, cast(0.0 as double), (s, t) -> s + t.base * t.curr)"
+    )
+    nb = F.sqrt(
+        F.expr(
+            "aggregate(ts, cast(0.0 as double),"
+            " (s, t) -> s + t.base * t.base)"
+        )
+    )
+    nc = F.sqrt(
+        F.expr(
+            "aggregate(ts, cast(0.0 as double),"
+            " (s, t) -> s + t.curr * t.curr)"
+        )
+    )
+    cos = F.round(dot / (nb * nc), 6)
+    ratio = F.round(nc / nb, 6)
+    return agg.select(
+        "label",
+        "dim",
+        cos.alias("centroid_cosine"),
+        ratio.alias("norm_ratio"),
+        (
+            (cos < 0.98) | (ratio < 0.9) | (ratio > 1.1)
+        ).alias("is_drifted"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_drift": q_embedding_drift,
     "weighted_sample": q_weighted_sample,
     "quantile_mapping": q_quantile_mapping,
     "correlation_drift": q_correlation_drift,
@@ -10139,4 +10205,47 @@ ORACLES["segmented_drift"] = """
            (psi > 0.1 AND pooled.pooled_psi <= 0.1
             AND segment <> '__all__') AS masked_by_aggregate
     FROM agg, pooled
+"""
+
+# Component means rounded 6dp BEFORE geometry; three scalar
+# list_reduce folds ordered by dim (struct accumulators corrupt in
+# DuckDB 1.0 — see holt_anomaly).
+ORACLES["embedding_drift"] = """
+    WITH comp AS (
+      SELECT label,
+             CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'curr' END
+               AS half,
+             g.i, embedding[g.i] AS x
+      FROM embeddings
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i
+      ) g
+      WHERE embedding IS NOT NULL
+    ), means AS (
+      SELECT label, half, i, round(avg(x), 6) AS m
+      FROM comp GROUP BY 1, 2, 3
+    ), wide AS (
+      SELECT b.label, b.i, b.m AS base, c.m AS curr
+      FROM means b JOIN means c
+        ON b.label = c.label AND b.i = c.i
+       AND b.half = 'base' AND c.half = 'curr'
+    ), agg AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS dim,
+        list_reduce(list_prepend(0.0, list(base * curr ORDER BY i)),
+                    (s, x) -> s + x) AS dot,
+        sqrt(list_reduce(list_prepend(0.0,
+                                      list(base * base ORDER BY i)),
+                         (s, x) -> s + x)) AS nb,
+        sqrt(list_reduce(list_prepend(0.0,
+                                      list(curr * curr ORDER BY i)),
+                         (s, x) -> s + x)) AS nc
+      FROM wide GROUP BY 1
+    )
+    SELECT label, dim,
+           round(dot / (nb * nc), 6) AS centroid_cosine,
+           round(nc / nb, 6) AS norm_ratio,
+           (round(dot / (nb * nc), 6) < 0.98
+            OR round(nc / nb, 6) < 0.9
+            OR round(nc / nb, 6) > 1.1) AS is_drifted
+    FROM agg
 """

@@ -701,3 +701,40 @@ def test_segmented_drift_catches_simpson_masking(spark, tmp_path):
     assert out["a"]["masked_by_aggregate"] is True
     assert out["b"]["masked_by_aggregate"] is True
     assert out["__all__"]["masked_by_aggregate"] is False
+
+
+def test_embedding_drift_rotation_and_scale(spark, tmp_path):
+    """Label 0: identical centroids across halves -> cos 1.0, ratio
+    1.0, calm. Label 1: the current half is the base vector scaled
+    2x -> cos 1.0 but ratio 2.0 (rescaled). Label 2: current is an
+    orthogonal vector -> cos 0.0 (rotated)."""
+    rows = []
+    vid = 0
+    for _ in range(10):
+        for base, curr, label in (
+            ([1.0, 0.0, 1.0, 0.0], [1.0, 0.0, 1.0, 0.0], 0),
+            ([1.0, 0.0, 1.0, 0.0], [2.0, 0.0, 2.0, 0.0], 1),
+            ([1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], 2),
+        ):
+            while vid % 2 != 0:
+                vid += 1
+            rows.append((vid, base, label)); vid += 1
+            while vid % 2 != 1:
+                vid += 1
+            rows.append((vid, curr, label)); vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    from anomalydetection_spark.queries import q_embedding_drift
+
+    out = {r["label"]: r for r in q_embedding_drift(spark, d).collect()}
+    assert out[0]["centroid_cosine"] == 1.0
+    assert out[0]["norm_ratio"] == 1.0
+    assert out[0]["is_drifted"] is False
+    assert out[1]["centroid_cosine"] == 1.0
+    assert out[1]["norm_ratio"] == 2.0
+    assert out[1]["is_drifted"] is True
+    assert out[2]["centroid_cosine"] == 0.0
+    assert out[2]["is_drifted"] is True
