@@ -5577,7 +5577,129 @@ def q_embedding_drift(spark, sf_dir):
     )
 
 
+def q_charset_audit(spark, sf_dir):
+    """Encoding-corruption audit per source: ASCII share, U+FFFD
+    replacement-character rate (the smoking gun of a bad decode
+    upstream), and control-character rate — the checks a web-scale
+    text pipeline runs before trusting ANY downstream tokenizer
+    (mojibake survives every schema gate). Row-local codepoint
+    arithmetic (length diffs after targeted regexp_replace — counted
+    in codepoints identically by both engines) + ONE map-side-
+    combinable agg to the |sources| grid."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_chars = F.length("text")
+    n_non_ascii = n_chars - F.length(
+        F.regexp_replace("text", r"[^\x00-\x7F]", "")
+    )
+    n_repl = n_chars - F.length(
+        F.regexp_replace("text", "�", "")
+    )
+    n_ctrl = n_chars - F.length(
+        F.regexp_replace("text", r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    )
+    g = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n_chars).cast("long").alias("n_chars"),
+        F.sum(n_non_ascii).cast("long").alias("n_non_ascii"),
+        F.sum(n_repl).cast("long").alias("n_repl"),
+        F.sum(n_ctrl).cast("long").alias("n_ctrl"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(1 - F.col("n_non_ascii") / F.col("n_chars"), 6).alias(
+            "ascii_share"
+        ),
+        F.round(F.col("n_repl") / F.col("n_chars"), 6).alias(
+            "repl_char_rate"
+        ),
+        F.round(F.col("n_ctrl") / F.col("n_chars"), 6).alias(
+            "ctrl_char_rate"
+        ),
+        (
+            (F.col("n_repl") / F.col("n_chars") > 0.001)
+            | (F.col("n_ctrl") / F.col("n_chars") > 0.001)
+        ).alias("is_corrupt"),
+    )
+
+
+def q_precision_audit(spark, sf_dir):
+    """Numeric-precision profile of events.value: what decimal scale
+    does the data ACTUALLY carry? A column of prices silently cast
+    through float32, or a sensor feed truncated to integers, passes
+    every range gate — the precision histogram catches it. The test
+    `value == round(value, k)` is an EXACT double comparison: a value
+    already representable at scale k rounds to itself in every engine
+    (no tie-break is exercised), so the verdict is deterministic by
+    construction. Row-local + ONE agg to |types| rows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    is_int = F.col("value") == F.round("value", 0)
+    is_2dp = F.col("value") == F.round("value", 2)
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(is_int.cast("long")).cast("long").alias("n_int"),
+        F.sum(is_2dp.cast("long")).cast("long").alias("n_2dp"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(F.col("n_int") / F.col("n"), 6).alias("int_rate"),
+        F.round(F.col("n_2dp") / F.col("n"), 6).alias("dp2_rate"),
+        F.when(F.col("n_int") == F.col("n"), "integer")
+        .when(F.col("n_2dp") == F.col("n"), "decimal_2")
+        .otherwise("float")
+        .alias("inferred_scale"),
+    )
+
+
+def q_monotonicity_check(spark, sf_dir):
+    """Monotonicity constraint per key (Deequ's isNonDecreasing over
+    event time): for each user's value sequence ordered by (ts,
+    event_id), the rate of DECREASING steps — the invariant check for
+    cumulative counters, version numbers, watermark columns; a single
+    regression is an upstream replay or clock issue. One shuffle on
+    user_id; the lag compare is row-local within the sorted partition
+    (the sessionization tier). Violating users surface with their
+    worst drop."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("step"),
+    )
+    g = stepped.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        # when/otherwise, NOT a bare cast-sum: each row's first step is
+        # NULL and sum() skips NULLs, so a single-event user would sum
+        # to NULL (≠ the oracle's CASE...ELSE 0) — the explicit
+        # otherwise(0) pins 0 in both engines
+        F.sum(
+            F.when(F.col("step") < 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_decreasing"),
+        F.round(F.min(F.least(F.col("step"), F.lit(0.0))), 6).alias(
+            "worst_drop"
+        ),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        "n_decreasing",
+        F.round(
+            F.col("n_decreasing")
+            / F.greatest(F.col("n_events") - 1, F.lit(1)),
+            6,
+        ).alias("decreasing_rate"),
+        "worst_drop",
+        (F.col("n_decreasing") == 0).alias("is_monotone"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "charset_audit": q_charset_audit,
+    "precision_audit": q_precision_audit,
+    "monotonicity_check": q_monotonicity_check,
     "embedding_drift": q_embedding_drift,
     "weighted_sample": q_weighted_sample,
     "quantile_mapping": q_quantile_mapping,
@@ -10248,4 +10370,81 @@ ORACLES["embedding_drift"] = """
             OR round(nc / nb, 6) < 0.9
             OR round(nc / nb, 6) > 1.1) AS is_drifted
     FROM agg
+"""
+
+# round 4x oracles ---------------------------------------------------------
+
+# Codepoint-diff counting replayed; both engines count length() in
+# codepoints over UTF-8 text.
+ORACLES["charset_audit"] = """
+    WITH d AS (
+      SELECT source, text, length(text) AS nc,
+             length(text)
+               - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+               AS n_na,
+             length(text) - length(regexp_replace(text, '�', '', 'g'))
+               AS n_repl,
+             length(text)
+               - length(regexp_replace(text,
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))
+               AS n_ctrl
+      FROM documents WHERE text IS NOT NULL
+    ), g AS (
+      SELECT source, count(*) AS n_docs, sum(nc) AS n_chars,
+             sum(n_na) AS n_non_ascii, sum(n_repl) AS n_repl,
+             sum(n_ctrl) AS n_ctrl
+      FROM d GROUP BY 1
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(1 - n_non_ascii * 1.0 / n_chars, 6) AS ascii_share,
+           round(n_repl * 1.0 / n_chars, 6) AS repl_char_rate,
+           round(n_ctrl * 1.0 / n_chars, 6) AS ctrl_char_rate,
+           (n_repl * 1.0 / n_chars > 0.001
+            OR n_ctrl * 1.0 / n_chars > 0.001) AS is_corrupt
+    FROM g
+"""
+
+# value == round(value, k) is identity for values already at scale k —
+# no rounding tie-break is ever exercised, so engines cannot disagree.
+ORACLES["precision_audit"] = """
+    WITH ev AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), g AS (
+      SELECT event_type, count(*) AS n,
+             sum(CASE WHEN value = round(value, 0)
+                 THEN 1 ELSE 0 END) AS n_int,
+             sum(CASE WHEN value = round(value, 2)
+                 THEN 1 ELSE 0 END) AS n_2dp
+      FROM ev GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(n_int * 1.0 / n, 6) AS int_rate,
+           round(n_2dp * 1.0 / n, 6) AS dp2_rate,
+           CASE WHEN n_int = n THEN 'integer'
+                WHEN n_2dp = n THEN 'decimal_2'
+                ELSE 'float' END AS inferred_scale
+    FROM g
+"""
+
+ORACLES["monotonicity_check"] = """
+    WITH stepped AS (
+      SELECT user_id, value,
+             value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS step
+      FROM events WHERE value IS NOT NULL
+    ), g AS (
+      SELECT user_id, count(*) AS n_events,
+             sum(CASE WHEN step < 0 THEN 1 ELSE 0 END) AS n_dec,
+             round(min(least(step, 0.0)), 6) AS worst_drop
+      FROM stepped GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_dec AS BIGINT) AS n_decreasing,
+           round(n_dec * 1.0 / greatest(n_events - 1, 1), 6)
+             AS decreasing_rate,
+           worst_drop,
+           n_dec = 0 AS is_monotone
+    FROM g
 """

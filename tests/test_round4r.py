@@ -738,3 +738,86 @@ def test_embedding_drift_rotation_and_scale(spark, tmp_path):
     assert out[1]["is_drifted"] is True
     assert out[2]["centroid_cosine"] == 0.0
     assert out[2]["is_drifted"] is True
+
+
+# round 4x ------------------------------------------------------------------
+
+def test_charset_audit_flags_mojibake(spark, tmp_path):
+    """A clean ASCII source audits at ascii_share 1.0; a source with
+    replacement chars and control bytes crosses the 0.1% gates."""
+    docs = [(i, "clean ascii text here", "en", "good", 0)
+            for i in range(10)]
+    docs += [(100 + i, "bad � text \x01 here�", "en", "bad", 0)
+             for i in range(10)]
+    d = _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+        tmp_path,
+        "documents",
+    )
+    from anomalydetection_spark.queries import q_charset_audit
+
+    out = {r["source"]: r for r in q_charset_audit(spark, d).collect()}
+    g, b = out["good"], out["bad"]
+    assert g["ascii_share"] == 1.0
+    assert g["repl_char_rate"] == 0.0 and g["ctrl_char_rate"] == 0.0
+    assert g["is_corrupt"] is False
+    # "bad � text \x01 here�" = 18 codepoints: 2 repl chars (the only
+    # non-ASCII), 1 control byte
+    assert b["repl_char_rate"] == round(2 / 18, 6)
+    assert b["ctrl_char_rate"] == round(1 / 18, 6)
+    assert b["ascii_share"] == round(1 - 2 / 18, 6)
+    assert b["is_corrupt"] is True
+
+
+def test_precision_audit_infers_scale(spark, tmp_path):
+    """All-integer values infer 'integer'; 2dp prices infer
+    'decimal_2'; full-precision floats infer 'float'; rates exact."""
+    rows = []
+    eid = 0
+    for i in range(20):
+        rows.append((eid, "2026-01-01 01:00:00", 1, "ints",
+                     float(i), "{}")); eid += 1
+        rows.append((eid, "2026-01-01 01:00:00", 1, "prices",
+                     i + 0.25, "{}")); eid += 1
+        rows.append((eid, "2026-01-01 01:00:00", 1, "floats",
+                     i + 0.123456, "{}")); eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_precision_audit
+
+    out = {r["event_type"]: r for r in q_precision_audit(spark, d).collect()}
+    assert out["ints"]["inferred_scale"] == "integer"
+    assert out["ints"]["int_rate"] == 1.0
+    assert out["prices"]["inferred_scale"] == "decimal_2"
+    assert out["prices"]["int_rate"] == 0.0
+    assert out["prices"]["dp2_rate"] == 1.0
+    assert out["floats"]["inferred_scale"] == "float"
+
+
+def test_monotonicity_check_finds_the_regression(spark, tmp_path):
+    """A cumulative counter that resets once: flagged with the drop
+    magnitude; a clean counter is monotone; single-event users are
+    trivially monotone."""
+    rows = []
+    eid = 0
+    vals_bad = [1.0, 2.0, 5.0, 3.5, 6.0]   # one reset of -1.5
+    vals_good = [1.0, 1.0, 2.0, 9.0]       # ties are NOT decreases
+    for uid, vals in ((1, vals_bad), (2, vals_good), (3, [7.0])):
+        for i, v in enumerate(vals):
+            rows.append(
+                (eid, f"2026-01-01 {i + 1:02d}:00:00", uid, "c", v, "{}")
+            )
+            eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_monotonicity_check
+
+    out = {r["user_id"]: r for r in q_monotonicity_check(spark, d).collect()}
+    assert out[1]["n_decreasing"] == 1
+    assert out[1]["worst_drop"] == -1.5
+    assert out[1]["is_monotone"] is False
+    assert out[1]["decreasing_rate"] == 0.25
+    assert out[2]["is_monotone"] is True  # ties allowed
+    assert out[3]["is_monotone"] is True and out[3]["n_events"] == 1
