@@ -5696,7 +5696,157 @@ def q_monotonicity_check(spark, sf_dir):
     )
 
 
+def q_keyness_shift(spark, sf_dir):
+    """Token-level drift ATTRIBUTION between corpus halves (doc_id
+    parity): weighted log-odds with an informed Dirichlet prior
+    (Monroe et al.'s 'Fightin' Words') names WHICH words moved —
+    distribution-level drift verdicts (psi_timeline et al.) say that
+    drift happened; this is the drill-down an operator reads next.
+    The pooled counts are the prior (a_w = y_b + y_c, a0 = n_b+n_c),
+    variance 1/(y_c+a_w) + 1/(y_b+a_w); raw-frequency deltas would
+    rank stopwords first, the prior shrinks exactly them. ONE token
+    explode + ONE (token × half) count agg; every z derives row-
+    locally from exact long counts (pinned expression shape), ranking
+    on the 6dp-ROUNDED |z| with token tie-break (the acf_periodicity
+    contract). Top-20."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    half = F.when(F.col("doc_id") % 2 == 0, "base").otherwise("curr")
+    toks = d.select(
+        half.alias("half"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "token"
+        ),
+    ).filter(F.col("token") != "")
+    counts = (
+        toks.groupBy("token")
+        .pivot("half", ["base", "curr"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0)
+        .select(
+            "token",
+            F.col("base").cast("long").alias("yb"),
+            F.col("curr").cast("long").alias("yc"),
+        )
+    )
+    w_all = Window.partitionBy()
+    c = counts.withColumn("nb", F.sum("yb").over(w_all)).withColumn(
+        "nc", F.sum("yc").over(w_all)
+    )
+    aw = (F.col("yb") + F.col("yc")).cast("double")
+    a0 = (F.col("nb") + F.col("nc")).cast("double")
+    yb, yc = F.col("yb").cast("double"), F.col("yc").cast("double")
+    nb, nc = F.col("nb").cast("double"), F.col("nc").cast("double")
+    delta = F.log(
+        (yc + aw) / (nc + a0 - yc - aw)
+    ) - F.log((yb + aw) / (nb + a0 - yb - aw))
+    var = 1.0 / (yc + aw) + 1.0 / (yb + aw)
+    z = delta / F.sqrt(var)
+    scored = c.select(
+        "token",
+        F.col("yb").alias("n_base"),
+        F.col("yc").alias("n_curr"),
+        F.round(delta, 6).alias("log_odds_delta"),
+        F.round(z, 6).alias("z"),
+    )
+    w_rk = Window.orderBy(F.desc(F.abs(F.col("z"))), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "token",
+            "n_base",
+            "n_curr",
+            "log_odds_delta",
+            "z",
+            F.when(F.col("z") > 0, "up").otherwise("down").alias(
+                "direction"
+            ),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def q_sample_fidelity(spark, sf_dir):
+    """Does the engine's own deterministic sample LOOK like the
+    corpus? Per-source PSI between the full length-bucket distribution
+    and the md5-prefix ~10% sample (first 2 hex chars < '1a' ≈
+    26/256): the audit that certifies preflight estimates and
+    profile-on-sample shortcuts before anyone trusts them. ONE scan —
+    full and sample histograms are conditional sums in the same
+    (source × bucket) agg, never two passes; PSI folds bucket-
+    ascending over the zero-filled Laplace-smoothed grid (the
+    source_drift_matrix contract)."""
+    d = _t(spark, sf_dir, "documents")
+    in_sample = (
+        F.substring(
+            F.md5(F.concat(F.lit("sf42:"), F.col("doc_id").cast("string"))),
+            1,
+            2,
+        )
+        < "1a"
+    )
+    counts = d.groupBy(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 256), F.lit(15))
+        .cast("int")
+        .alias("b"),
+    ).agg(
+        F.count("*").alias("n_full"),
+        F.sum(in_sample.cast("long")).alias("n_samp"),
+    )
+    grid = (
+        counts.select("source").distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(16).select(F.col("id").cast("int").alias("b"))
+            )
+        )
+    )
+    filled = (
+        grid.join(counts, ["source", "b"], "left")
+        .fillna(0, ["n_full", "n_samp"])
+    )
+    w_src = Window.partitionBy("source")
+    p = filled.withColumn(
+        "pf", (F.col("n_full") + 0.5) / (F.sum("n_full").over(w_src) + 8.0)
+    ).withColumn(
+        "ps", (F.col("n_samp") + 0.5) / (F.sum("n_samp").over(w_src) + 8.0)
+    ).withColumn(
+        "term",
+        (F.col("ps") - F.col("pf")) * F.log(F.col("ps") / F.col("pf")),
+    )
+    agg = p.groupBy("source").agg(
+        F.sum("n_full").cast("long").alias("n_full"),
+        F.sum("n_samp").cast("long").alias("n_sample"),
+        F.array_sort(F.collect_list(F.struct("b", "term"))).alias("ts"),
+    )
+    psi = F.expr("aggregate(ts, cast(0.0 as double), (s, t) -> s + t.term)")
+    # expected PSI under H0 is ~(k-1)(1/n_sample + 1/n_full) (chi2/n
+    # approximation) — a flat gate flags pure sampling noise on small
+    # samples, so the threshold carries the noise floor explicitly
+    thr = 0.1 + 15.0 * (
+        1.0 / F.col("n_sample") + 1.0 / F.col("n_full")
+    )
+    return agg.select(
+        "source",
+        "n_full",
+        "n_sample",
+        F.round(F.col("n_sample") / F.col("n_full"), 6).alias(
+            "sample_rate"
+        ),
+        F.round(psi, 6).alias("psi"),
+        F.round(thr, 6).alias("threshold"),
+        F.when(
+            F.col("n_sample") > 0, F.round(psi, 6) <= F.round(thr, 6)
+        )
+        .otherwise(F.lit(False))
+        .alias("is_representative"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "keyness_shift": q_keyness_shift,
+    "sample_fidelity": q_sample_fidelity,
     "charset_audit": q_charset_audit,
     "precision_audit": q_precision_audit,
     "monotonicity_check": q_monotonicity_check,
@@ -10447,4 +10597,100 @@ ORACLES["monotonicity_check"] = """
            worst_drop,
            n_dec = 0 AS is_monotone
     FROM g
+"""
+
+# round 4y oracles ---------------------------------------------------------
+
+# Pooled-count prior replayed from the same exact longs; rank on
+# 6dp-rounded |z| with token tie-break.
+ORACLES["keyness_shift"] = """
+    WITH toks AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'curr' END
+               AS half,
+             t.token
+      FROM documents
+      CROSS JOIN LATERAL (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+          AS token
+      ) t
+      WHERE text IS NOT NULL AND t.token <> ''
+    ), counts AS (
+      SELECT token,
+             sum(CASE WHEN half = 'base' THEN 1 ELSE 0 END) AS yb,
+             sum(CASE WHEN half = 'curr' THEN 1 ELSE 0 END) AS yc
+      FROM toks GROUP BY 1
+    ), c AS (
+      SELECT token, yb, yc,
+             sum(yb) OVER () AS nb, sum(yc) OVER () AS nc
+      FROM counts
+    ), scored AS (
+      SELECT token, CAST(yb AS BIGINT) AS n_base,
+             CAST(yc AS BIGINT) AS n_curr,
+             round(
+               ln((yc + yb + yc * 1.0)
+                  / (nc + nb + nc - yc - (yb + yc) * 1.0))
+               - ln((yb + yb + yc * 1.0)
+                    / (nb + nb + nc - yb - (yb + yc) * 1.0)), 6)
+               AS log_odds_delta,
+             round(
+               (ln((yc + yb + yc * 1.0)
+                   / (nc + nb + nc - yc - (yb + yc) * 1.0))
+                - ln((yb + yb + yc * 1.0)
+                     / (nb + nb + nc - yb - (yb + yc) * 1.0)))
+               / sqrt(1.0 / (yc + yb + yc) + 1.0 / (yb + yb + yc)), 6)
+               AS z
+      FROM c
+    )
+    SELECT token, n_base, n_curr, log_odds_delta, z,
+           CASE WHEN z > 0 THEN 'up' ELSE 'down' END AS direction,
+           CAST(row_number() OVER (ORDER BY abs(z) DESC, token)
+                AS BIGINT) AS rk
+    FROM scored
+    QUALIFY rk <= 20
+"""
+
+ORACLES["sample_fidelity"] = """
+    WITH counts AS (
+      SELECT source,
+             CAST(least(n_chars // 256, 15) AS INT) AS b,
+             count(*) AS n_full,
+             sum(CASE WHEN substr(md5('sf42:'
+                        || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                 THEN 1 ELSE 0 END) AS n_samp
+      FROM documents GROUP BY 1, 2
+    ), grid AS (
+      SELECT s.source, g.b
+      FROM (SELECT DISTINCT source FROM counts) s
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) g
+    ), filled AS (
+      SELECT grid.source, grid.b,
+             coalesce(counts.n_full, 0) AS n_full,
+             coalesce(counts.n_samp, 0) AS n_samp
+      FROM grid LEFT JOIN counts USING (source, b)
+    ), p AS (
+      SELECT source, b, n_full, n_samp,
+        (n_full + 0.5)
+          / (sum(n_full) OVER (PARTITION BY source) + 8.0) AS pf,
+        (n_samp + 0.5)
+          / (sum(n_samp) OVER (PARTITION BY source) + 8.0) AS ps
+      FROM filled
+    ), agg AS (
+      SELECT source,
+             CAST(sum(n_full) AS BIGINT) AS n_full,
+             CAST(sum(n_samp) AS BIGINT) AS n_sample,
+             round(list_reduce(
+               list_prepend(0.0,
+                 list((ps - pf) * ln(ps / pf) ORDER BY b)),
+               (s, x) -> s + x), 6) AS psi
+      FROM p GROUP BY 1
+    )
+    SELECT source, n_full, n_sample,
+           round(n_sample * 1.0 / n_full, 6) AS sample_rate,
+           psi,
+           round(0.1 + 15.0 * (1.0 / n_sample + 1.0 / n_full), 6)
+             AS threshold,
+           CASE WHEN n_sample > 0 THEN
+             psi <= round(0.1 + 15.0 * (1.0 / n_sample + 1.0 / n_full), 6)
+           ELSE FALSE END AS is_representative
+    FROM agg
 """

@@ -821,3 +821,59 @@ def test_monotonicity_check_finds_the_regression(spark, tmp_path):
     assert out[1]["decreasing_rate"] == 0.25
     assert out[2]["is_monotone"] is True  # ties allowed
     assert out[3]["is_monotone"] is True and out[3]["n_events"] == 1
+
+
+# round 4y ------------------------------------------------------------------
+
+def test_keyness_shift_ranks_the_burst_token(spark, tmp_path):
+    """'breach' appears only in the current half, 'legacy' only in the
+    base half, filler is balanced: breach ranks #1 with direction up,
+    legacy is the top 'down' token, filler never makes the extremes."""
+    docs = []
+    i = 0
+    for _ in range(50):
+        # even ids -> base half, odd -> curr half
+        docs.append((2 * i, "filler words common to both legacy", "en", "s", 0))
+        docs.append((2 * i + 1, "filler words common to both breach breach", "en", "s", 0))
+        i += 1
+    d = _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+        tmp_path,
+        "documents",
+    )
+    from anomalydetection_spark.queries import q_keyness_shift
+
+    out = q_keyness_shift(spark, d).collect()
+    assert out[0]["token"] == "breach"
+    assert out[0]["direction"] == "up" and out[0]["n_base"] == 0
+    downs = [r for r in out if r["direction"] == "down"]
+    assert downs and downs[0]["token"] == "legacy"
+    top3 = {r["token"] for r in out[:3]}
+    assert "filler" not in top3
+
+
+def test_sample_fidelity_certifies_the_hash_sample(spark, tmp_path):
+    """A 2000-doc uniform source: the md5-prefix sample rate lands
+    near 26/256 and the sample's length distribution is
+    representative (psi <= 0.1); counts reconcile."""
+    docs = [(i, "x", "en", "s", (i % 16) * 256) for i in range(2000)]
+    d = _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+        tmp_path,
+        "documents",
+    )
+    from anomalydetection_spark.queries import q_sample_fidelity
+
+    (r,) = q_sample_fidelity(spark, d).collect()
+    assert r["n_full"] == 2000
+    assert 0.06 <= r["sample_rate"] <= 0.15  # ~26/256 with noise
+    assert r["is_representative"] is True
+    assert r["psi"] >= 0.0
