@@ -5844,7 +5844,109 @@ def q_sample_fidelity(spark, sf_dir):
     )
 
 
+def q_burstiness_index(spark, sf_dir):
+    """Burstiness of the daily arrival process per event_type:
+    B = (σ−μ)/(σ+μ) over the daily-count series (Goh–Barabási) —
+    B→1 bursty, B≈0 Poisson-like, B<0 quasi-periodic. Volume anomaly
+    asks 'is today abnormal?'; burstiness asks 'what KIND of process
+    is this?' — the prior every alert threshold should condition on
+    (a bursty source needs wider bands). σ and μ derive from EXACT
+    integer sums (n, Σy, Σy²) with pinned cast order (the
+    trend_slopes discipline); one count shuffle + a |types|-row
+    agg."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    g = daily.groupBy("event_type").agg(
+        F.count("*").alias("nd"),
+        F.sum("n").alias("sy"),
+        F.sum(F.col("n") * F.col("n")).alias("syy"),
+    )
+    nd = F.col("nd").cast("double")
+    mu = F.col("sy").cast("double") / nd
+    var = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / nd
+    ) / (nd - 1.0)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = (sd - mu) / (sd + mu)
+    return g.filter(F.col("nd") >= 2).select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_days"),
+        F.round(mu, 6).alias("mean_daily"),
+        F.round(sd, 6).alias("sd_daily"),
+        F.round(b, 6).alias("burstiness"),
+        F.when(F.round(b, 6) > 0.3, "bursty")
+        .when(F.round(b, 6) < -0.5, "periodic")
+        .otherwise("regular")
+        .alias("regime"),
+    )
+
+
+def q_type_cooccurrence(spark, sf_dir):
+    """Event-type co-occurrence lift across user histories (basket
+    analysis): lift(a,b) = P(a∧b)/(P(a)·P(b)) over per-user DISTINCT
+    type sets — which behaviors travel together, the segmentation
+    input sequence models (span_kind_transitions, sequence_support)
+    can't give because they only see ADJACENT events. ONE distinct
+    projection (user × type, ≤|types| rows per user), a per-user
+    self-join bounded by |types|² per user, and exact-count lift on
+    the |types|²-row grid; a<b pairs only, probabilities are
+    exact-long ratios over the user universe."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    universe = ut.agg(
+        F.countDistinct("user_id").alias("n_users")
+    )  # broadcast 1-row aggregate (the queries.py house pattern)
+    singles = ut.groupBy("event_type").agg(
+        F.count("*").alias("n_u")
+    )
+    pairs = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_u").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_u").alias("n_b")
+    )
+    j = (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(universe))
+    )
+    n = F.col("n_users").cast("double")
+    lift = (F.col("n_both") / n) / (
+        (F.col("n_a") / n) * (F.col("n_b") / n)
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        F.col("n_both").cast("long").alias("n_both"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(lift, 6).alias("lift"),
+        F.when(F.round(lift, 6) > 1.2, "associated")
+        .when(F.round(lift, 6) < 0.8, "exclusive")
+        .otherwise("independent")
+        .alias("relation"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "burstiness_index": q_burstiness_index,
+    "type_cooccurrence": q_type_cooccurrence,
     "keyness_shift": q_keyness_shift,
     "sample_fidelity": q_sample_fidelity,
     "charset_audit": q_charset_audit,
@@ -10693,4 +10795,77 @@ ORACLES["sample_fidelity"] = """
              psi <= round(0.1 + 15.0 * (1.0 / n_sample + 1.0 / n_full), 6)
            ELSE FALSE END AS is_representative
     FROM agg
+"""
+
+# round 4z oracles ---------------------------------------------------------
+
+ORACLES["burstiness_index"] = """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT event_type, count(*) AS nd, sum(n) AS sy,
+             sum(n * n) AS syy
+      FROM daily GROUP BY 1
+    ), s AS (
+      SELECT event_type, nd,
+             CAST(sy AS DOUBLE) / CAST(nd AS DOUBLE) AS mu,
+             sqrt(greatest(
+               (CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(nd AS DOUBLE))
+               / (CAST(nd AS DOUBLE) - 1.0), 0.0)) AS sd
+      FROM g WHERE nd >= 2
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+           round(mu, 6) AS mean_daily,
+           round(sd, 6) AS sd_daily,
+           round((sd - mu) / (sd + mu), 6) AS burstiness,
+           CASE WHEN round((sd - mu) / (sd + mu), 6) > 0.3
+                  THEN 'bursty'
+                WHEN round((sd - mu) / (sd + mu), 6) < -0.5
+                  THEN 'periodic'
+                ELSE 'regular' END AS regime
+    FROM s
+"""
+
+ORACLES["type_cooccurrence"] = """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), uni AS (
+      SELECT count(DISTINCT user_id) AS n_users FROM ut
+    ), singles AS (
+      SELECT event_type, count(*) AS n_u FROM ut GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT p.type_a, p.type_b, p.n_both, sa.n_u AS n_a,
+             sb.n_u AS n_b, uni.n_users
+      FROM pairs p
+      JOIN singles sa ON sa.event_type = p.type_a
+      JOIN singles sb ON sb.event_type = p.type_b
+      CROSS JOIN uni
+    )
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round((n_both / CAST(n_users AS DOUBLE))
+                 / ((n_a / CAST(n_users AS DOUBLE))
+                    * (n_b / CAST(n_users AS DOUBLE))), 6) AS lift,
+           CASE WHEN round((n_both / CAST(n_users AS DOUBLE))
+                 / ((n_a / CAST(n_users AS DOUBLE))
+                    * (n_b / CAST(n_users AS DOUBLE))), 6) > 1.2
+                  THEN 'associated'
+                WHEN round((n_both / CAST(n_users AS DOUBLE))
+                 / ((n_a / CAST(n_users AS DOUBLE))
+                    * (n_b / CAST(n_users AS DOUBLE))), 6) < 0.8
+                  THEN 'exclusive'
+                ELSE 'independent' END AS relation
+    FROM j
 """

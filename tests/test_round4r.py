@@ -877,3 +877,54 @@ def test_sample_fidelity_certifies_the_hash_sample(spark, tmp_path):
     assert 0.06 <= r["sample_rate"] <= 0.15  # ~26/256 with noise
     assert r["is_representative"] is True
     assert r["psi"] >= 0.0
+
+
+# round 4z ------------------------------------------------------------------
+
+def test_burstiness_regimes(spark, tmp_path):
+    """A constant 100/day series reads B = -1 (periodic); a series
+    that dumps everything on one of ten days reads strongly bursty;
+    exact σ/μ from integer sums."""
+    rows, eid = [], 0
+    for day in range(1, 11):
+        for _ in range(100):
+            rows.append((eid, f"2026-01-{day:02d} 06:00:00", 1,
+                         "steady", 0.0, "{}")); eid += 1
+        n = 991 if day == 5 else 1
+        for _ in range(n):
+            rows.append((eid, f"2026-01-{day:02d} 07:00:00", 1,
+                         "bursty", 0.0, "{}")); eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_burstiness_index
+
+    out = {r["event_type"]: r for r in q_burstiness_index(spark, d).collect()}
+    assert out["steady"]["burstiness"] == -1.0
+    assert out["steady"]["regime"] == "periodic"
+    assert out["bursty"]["burstiness"] > 0.3
+    assert out["bursty"]["regime"] == "bursty"
+    assert out["steady"]["mean_daily"] == 100.0
+
+
+def test_type_cooccurrence_lift(spark, tmp_path):
+    """Types 'a' and 'b' always co-occur in the same users (lift 2 on
+    a half-and-half universe: P(ab)=.5, P(a)=P(b)=.5); 'a' and 'c'
+    never share a user (lift 0, exclusive)."""
+    rows, eid = [], 0
+    for uid in range(10):          # users 0..9 do a AND b
+        for et in ("a", "b"):
+            rows.append((eid, "2026-01-01 01:00:00", uid, et, 0.0, "{}"))
+            eid += 1
+    for uid in range(10, 20):      # users 10..19 only c
+        rows.append((eid, "2026-01-01 01:00:00", uid, "c", 0.0, "{}"))
+        eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_type_cooccurrence
+
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in q_type_cooccurrence(spark, d).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n_both"] == 10 and ab["lift"] == 2.0
+    assert ab["relation"] == "associated"
+    assert ("a", "c") not in out  # zero co-occurrence -> no pair row
