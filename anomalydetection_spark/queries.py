@@ -5340,7 +5340,10 @@ def q_quantile_mapping(spark, sf_dir):
     cross-multiplication (cum_glob·N_src ≥ cum_src·N_glob) — no float
     enters the boundary decision at all, the strongest cross-engine
     contract in the drift family. ONE raw histogram agg; cum sums and
-    the ≤16×16-per-source mapping join run on metadata grids."""
+    the ≤16×16-per-source mapping join run on metadata grids. The
+    int64 product bounds the contract at ~3·10^9 rows per side
+    (√2^63); beyond that cast both factors to decimal(38,0) — the
+    decision stays exact, only the arithmetic type widens."""
     d = _t(spark, sf_dir, "documents")
     counts = d.groupBy(
         "source",
