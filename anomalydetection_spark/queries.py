@@ -5947,7 +5947,96 @@ def q_type_cooccurrence(spark, sf_dir):
     )
 
 
+def q_hill_tail_index(spark, sf_dir):
+    """Heavy-tail detection per source: the Hill estimator over the
+    top-50 order statistics of doc length — α ≤ ~2 means the length
+    distribution has effectively infinite variance, which at 10^12
+    docs is the difference between balanced partitions and a straggler
+    that OOMs an executor (mean-based size stats can't see it; the
+    tail index can). Per-source top-(k+1) via a partitioned rank
+    window (the scale tier is the two-phase partial top-k documented
+    at reservoir_sample), then Hill folds the 50 ln-ratios of EXACT
+    integer lengths in rank order via an aggregate HOF — pinned float
+    summation, ln of identical doubles."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    top = (
+        d.select("source", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 51)
+    )
+    w_min = Window.partitionBy("source")
+    t = top.withColumn("k1", F.max("rk").over(w_min)).withColumn(
+        "xmin", F.min("n_chars").over(w_min)
+    )
+    terms = t.filter(F.col("rk") < F.col("k1")).withColumn(
+        "term",
+        F.log(F.col("n_chars").cast("double") / F.col("xmin").cast("double")),
+    )
+    agg = terms.groupBy("source", "xmin").agg(
+        F.count("*").cast("long").alias("k"),
+        F.array_sort(F.collect_list(F.struct("rk", "term"))).alias("ts"),
+    )
+    hill = (
+        F.expr("aggregate(ts, cast(0.0 as double), (s, t) -> s + t.term)")
+        / F.col("k").cast("double")
+    )
+    # constant-length source -> hill 0 -> guard the division; a
+    # degenerate tail is 'light' by definition, not an infinity
+    alpha = F.when(F.round(hill, 6) > 0, F.round(1.0 / hill, 6))
+    return agg.select(
+        "source",
+        "k",
+        F.col("xmin").cast("long").alias("xmin"),
+        F.round(hill, 6).alias("hill"),
+        alpha.alias("alpha"),
+        F.when(alpha.isNull(), "light")
+        .when(alpha < 2.0, "heavy")
+        .when(alpha < 4.0, "moderate")
+        .otherwise("light")
+        .alias("tail"),
+    )
+
+
+def q_label_balance(spark, sf_dir):
+    """Class balance of the embeddings label column: chi² against the
+    uniform expectation — the pre-training check that catches a
+    skewed or collapsed label distribution before it silently skews
+    the loss. ONE count agg to the ≤|labels| grid; chi² folds
+    label-ascending over exact counts (pinned float order), verdict
+    at the ~2·dof rule of thumb on the 6dp-rounded statistic."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    counts = e.groupBy("label").agg(F.count("*").alias("n"))
+    one = counts.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_labels"),
+        F.max("n").cast("long").alias("n_max"),
+        F.array_sort(F.collect_list(F.struct("label", "n"))).alias("ts"),
+    )
+    exp_ = F.col("n_total").cast("double") / F.col("n_labels").cast(
+        "double"
+    )
+    chi2 = F.expr(
+        "aggregate(ts, cast(0.0 as double),"
+        " (s, t) -> s + (t.n - __exp) * (t.n - __exp) / __exp)"
+    )
+    out = one.withColumn("__exp", exp_).select(
+        "n_total",
+        "n_labels",
+        F.round(F.col("n_max") / F.col("n_total"), 6).alias("max_share"),
+        F.round(chi2, 6).alias("chi2"),
+        (
+            F.round(chi2, 6)
+            <= 2.0 * (F.col("n_labels").cast("double") - 1.0)
+        ).alias("is_balanced"),
+    )
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hill_tail_index": q_hill_tail_index,
+    "label_balance": q_label_balance,
     "burstiness_index": q_burstiness_index,
     "type_cooccurrence": q_type_cooccurrence,
     "keyness_shift": q_keyness_shift,
@@ -10871,4 +10960,70 @@ ORACLES["type_cooccurrence"] = """
                   THEN 'exclusive'
                 ELSE 'independent' END AS relation
     FROM j
+"""
+
+# round 4aa oracles --------------------------------------------------------
+
+# Hill terms fold in rank order (list_reduce, prepended 0.0 seed);
+# alpha guarded NULL for degenerate (constant-length) tails.
+ORACLES["hill_tail_index"] = """
+    WITH top AS (
+      SELECT source, n_chars, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents WHERE n_chars > 0
+      QUALIFY rk <= 51
+    ), t AS (
+      SELECT source, n_chars, rk,
+             max(rk) OVER (PARTITION BY source) AS k1,
+             min(n_chars) OVER (PARTITION BY source) AS xmin
+      FROM top
+    ), terms AS (
+      SELECT source, xmin, rk,
+             ln(CAST(n_chars AS DOUBLE) / CAST(xmin AS DOUBLE))
+               AS term
+      FROM t WHERE rk < k1
+    ), agg AS (
+      SELECT source, xmin, CAST(count(*) AS BIGINT) AS k,
+             round(list_reduce(list_prepend(0.0,
+                                            list(term ORDER BY rk)),
+                               (s, x) -> s + x)
+                   / count(*), 6) AS hill
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT source, k, CAST(xmin AS BIGINT) AS xmin, hill,
+           CASE WHEN hill > 0 THEN round(1.0 / hill, 6) END AS alpha,
+           CASE WHEN hill <= 0 THEN 'light'
+                WHEN round(1.0 / hill, 6) < 2.0 THEN 'heavy'
+                WHEN round(1.0 / hill, 6) < 4.0 THEN 'moderate'
+                ELSE 'light' END AS tail
+    FROM agg
+"""
+
+ORACLES["label_balance"] = """
+    WITH counts AS (
+      SELECT label, count(*) AS n FROM embeddings
+      WHERE label IS NOT NULL GROUP BY 1
+    ), one AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_labels,
+             CAST(max(n) AS BIGINT) AS n_max,
+             list(CAST(n AS DOUBLE) ORDER BY label) AS ns
+      FROM counts
+    )
+    SELECT n_total, n_labels,
+           round(n_max * 1.0 / n_total, 6) AS max_share,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), ns),
+                 (s, x) -> s
+                   + (x - CAST(n_total AS DOUBLE) / n_labels)
+                     * (x - CAST(n_total AS DOUBLE) / n_labels)
+                     / (CAST(n_total AS DOUBLE) / n_labels)), 6)
+             AS chi2,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), ns),
+                 (s, x) -> s
+                   + (x - CAST(n_total AS DOUBLE) / n_labels)
+                     * (x - CAST(n_total AS DOUBLE) / n_labels)
+                     / (CAST(n_total AS DOUBLE) / n_labels)), 6)
+             <= 2.0 * (n_labels - 1.0) AS is_balanced
+    FROM one
 """

@@ -928,3 +928,63 @@ def test_type_cooccurrence_lift(spark, tmp_path):
     assert ab["n_both"] == 10 and ab["lift"] == 2.0
     assert ab["relation"] == "associated"
     assert ("a", "c") not in out  # zero co-occurrence -> no pair row
+
+
+# round 4aa -----------------------------------------------------------------
+
+def test_hill_tail_index_heavy_vs_light(spark, tmp_path):
+    """A Pareto(α=1.2)-shaped source reads 'heavy'; a near-constant
+    source reads 'light' with a small hill; the degenerate
+    constant-length source gets NULL alpha, not infinity."""
+    docs = []
+    i = 0
+    for j in range(200):  # Pareto-ish: x = 100 / u^(1/1.2)
+        u = (j + 0.5) / 200
+        docs.append((i, "x", "en", "heavy", int(100 / (u ** (1 / 1.2)))))
+        i += 1
+    for j in range(200):  # tight range -> light tail
+        docs.append((i, "x", "en", "light", 1000 + (j % 7)))
+        i += 1
+    for j in range(60):   # constant -> degenerate
+        docs.append((i, "x", "en", "const", 500))
+        i += 1
+    d = _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+        tmp_path,
+        "documents",
+    )
+    from anomalydetection_spark.queries import q_hill_tail_index
+
+    out = {r["source"]: r for r in q_hill_tail_index(spark, d).collect()}
+    assert out["heavy"]["tail"] == "heavy" and out["heavy"]["alpha"] < 2.0
+    assert out["light"]["tail"] == "light"
+    assert out["const"]["alpha"] is None and out["const"]["tail"] == "light"
+    assert out["heavy"]["k"] == 50
+
+
+def test_label_balance_detects_collapse(spark, tmp_path):
+    """A uniform 4-label set is balanced (chi2 ~ 0); a collapsed set
+    where one label holds 70% fails the 2*dof gate with max_share
+    0.7."""
+    rows = [(i, [0.0], i % 4) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    from anomalydetection_spark.queries import q_label_balance
+
+    (r,) = q_label_balance(spark, d).collect()
+    assert r["chi2"] == 0.0 and r["is_balanced"] is True
+    rows = [(i, [0.0], 0 if i < 280 else 1 + i % 3) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    (r,) = q_label_balance(spark, d).collect()
+    assert r["max_share"] == 0.7
+    assert r["is_balanced"] is False and r["chi2"] > 6.0
