@@ -548,8 +548,11 @@ def test_new_queries_raw_shuffle_budget(spark):
     once; everything after runs on bounded grids (single-partition
     exchanges for metadata windows are a separate, declared tier)."""
     from anomalydetection_spark.queries import (
+        q_burstiness_index,
+        q_charset_audit,
         q_completeness_grid,
         q_join_fanout,
+        q_precision_audit,
         q_row_completeness,
         q_volume_anomaly,
     )
@@ -560,6 +563,9 @@ def test_new_queries_raw_shuffle_budget(spark):
         (q_completeness_grid, 1),  # one agg on day
         (q_join_fanout, 2),        # key counts -> fanout histogram
         (q_volume_anomaly, 2),     # daily series -> 7-row dow agg
+        (q_charset_audit, 1),      # row-local codepoint math -> grid
+        (q_precision_audit, 1),    # row-local identity test -> grid
+        (q_burstiness_index, 2),   # daily series -> type agg
     ):
         ex = _hash_exchanges(fn(spark, SF))
         assert len(ex) <= budget, (fn.__name__, ex)
