@@ -6034,7 +6034,80 @@ def q_label_balance(spark, sf_dir):
     return out
 
 
+def q_conversion_latency(spark, sf_dir):
+    """Time-to-convert distribution: minutes from a user's FIRST view
+    to their FIRST subsequent purchase, summarized as p50/p90 via the
+    histogram_quantiles discipline (minute-bucketed counts +
+    integer-rank ceil(q·n) boundary decisions — no interpolation, no
+    float at any boundary). event_funnel counts WHO converts; this
+    measures HOW LONG conversion takes — the pair every growth
+    dashboard shows together. ONE shuffle (per-user conditional-min
+    agg), second-truncated then minute-floored delta (the
+    staleness_by_type cross-engine timestamp contract), histogram +
+    rank math on the bounded minute grid. Users who never purchase
+    (or purchased before viewing) are counted but excluded from the
+    latency histogram."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    delta_min = F.floor(
+        (
+            F.unix_timestamp("t_buy") - F.unix_timestamp("t_view")
+        ).cast("double")
+        / 60.0
+    ).cast("long")
+    conv = per_user.select(
+        delta_min.alias("m"),
+        F.col("t_view").isNotNull().alias("viewed"),
+    )
+    hist = (
+        conv.filter(F.col("viewed") & (F.col("m") >= 0))
+        .groupBy("m")
+        .agg(F.count("*").alias("w"))
+    )
+    w_cum = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    c = hist.withColumn("cum", F.sum("w").over(w_cum)).withColumn(
+        "n", F.sum("w").over(w_all)
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.lit(q) * F.col("n").cast("double")),
+                F.col("m"),
+            )
+        ).alias(name)
+        for q, name in ((0.5, "p50_minutes"), (0.9, "p90_minutes"))
+    ]
+    totals = conv.agg(
+        F.sum(F.col("viewed").cast("long")).cast("long").alias("n_viewers"),
+        F.sum(
+            (F.col("viewed") & (F.col("m") >= 0)).cast("long")
+        ).cast("long").alias("n_converted"),
+    )
+    q_row = c.groupBy().agg(*picks)
+    return totals.crossJoin(F.broadcast(q_row)).select(
+        "n_viewers",
+        "n_converted",
+        F.round(
+            F.col("n_converted") / F.col("n_viewers"), 6
+        ).alias("conversion_rate"),
+        "p50_minutes",
+        "p90_minutes",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "conversion_latency": q_conversion_latency,
     "hill_tail_index": q_hill_tail_index,
     "label_balance": q_label_balance,
     "burstiness_index": q_burstiness_index,
@@ -11026,4 +11099,46 @@ ORACLES["label_balance"] = """
                      / (CAST(n_total AS DOUBLE) / n_labels)), 6)
              <= 2.0 * (n_labels - 1.0) AS is_balanced
     FROM one
+"""
+
+# Second-truncated epoch diff (the staleness_by_type contract) then
+# integer-rank quantiles on the minute histogram.
+ORACLES["conversion_latency"] = """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS t_buy
+      FROM events GROUP BY 1
+    ), conv AS (
+      SELECT CAST(floor((epoch(date_trunc('second', t_buy))
+                         - epoch(date_trunc('second', t_view)))
+                        / 60.0) AS BIGINT) AS m,
+             t_view IS NOT NULL AS viewed
+      FROM per_user
+    ), hist AS (
+      SELECT m, count(*) AS w FROM conv
+      WHERE viewed AND m >= 0 GROUP BY 1
+    ), c AS (
+      SELECT m, w,
+             sum(w) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER () AS n
+      FROM hist
+    ), qrow AS (
+      SELECT min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE))
+                 THEN m END) AS p50_minutes,
+             min(CASE WHEN cum >= ceil(0.9 * CAST(n AS DOUBLE))
+                 THEN m END) AS p90_minutes
+      FROM c
+    ), totals AS (
+      SELECT CAST(sum(CASE WHEN viewed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_viewers,
+             CAST(sum(CASE WHEN viewed AND m >= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_converted
+      FROM conv
+    )
+    SELECT n_viewers, n_converted,
+           round(n_converted * 1.0 / n_viewers, 6) AS conversion_rate,
+           p50_minutes, p90_minutes
+    FROM totals, qrow
 """

@@ -994,3 +994,30 @@ def test_label_balance_detects_collapse(spark, tmp_path):
     (r,) = q_label_balance(spark, d).collect()
     assert r["max_share"] == 0.7
     assert r["is_balanced"] is False and r["chi2"] > 6.0
+
+
+def test_conversion_latency_percentiles_and_rate(spark, tmp_path):
+    """10 viewers: 8 convert at known minute deltas (10x4, 30x3, 240),
+    1 never converts, 1 purchases BEFORE viewing (excluded): rate 0.8,
+    p50 at the ceil(0.5*8)=4th latency (10), p90 at the 8th (240)."""
+    rows, eid = [], 0
+    deltas = [10, 10, 10, 10, 30, 30, 30, 240]
+    for uid, dm in enumerate(deltas):
+        rows.append((eid, "2026-01-01 08:00:00", uid, "view", 0.0, "{}"))
+        eid += 1
+        h, m = divmod(8 * 60 + dm, 60)
+        rows.append((eid, f"2026-01-01 {h:02d}:{m:02d}:00", uid,
+                     "purchase", 0.0, "{}"))
+        eid += 1
+    rows.append((eid, "2026-01-01 08:00:00", 97, "view", 0.0, "{}")); eid += 1
+    rows.append((eid, "2026-01-01 09:00:00", 98, "purchase", 0.0, "{}")); eid += 1
+    rows.append((eid, "2026-01-01 10:00:00", 98, "view", 0.0, "{}")); eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_conversion_latency
+
+    (r,) = q_conversion_latency(spark, d).collect()
+    assert r["n_viewers"] == 10
+    assert r["n_converted"] == 8
+    assert r["conversion_rate"] == 0.8
+    assert r["p50_minutes"] == 10
+    assert r["p90_minutes"] == 240
