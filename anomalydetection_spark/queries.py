@@ -6106,7 +6106,137 @@ def q_conversion_latency(spark, sf_dir):
     )
 
 
+def q_temporal_referential(spark, sf_dir):
+    """Cross-table TEMPORAL integrity: lineitems that shipped before
+    their order existed (l_shipdate < o_orderdate) — the referential
+    family (referential_orphans, join_coverage) proves the key EXISTS;
+    this proves the timeline makes SENSE, the classic symptom of a
+    replayed feed or a timezone-mangled load. One co-keyed equi-join
+    (bucketed/co-partitioned at scale — both sides key on orderkey),
+    row-local date compare, map-side-combinable rollup per order
+    status with the worst lead (most-negative ship−order day delta)
+    as the triage handle."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    lead = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    g = j.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum((lead < 0).cast("long")).cast("long").alias(
+            "n_violations"
+        ),
+        F.min(lead).cast("long").alias("worst_lead_days"),
+    )
+    return g.select(
+        "o_orderstatus",
+        "n_lines",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n_lines"), 6).alias(
+            "violation_rate"
+        ),
+        "worst_lead_days",
+        (F.col("n_violations") == 0).alias("is_consistent"),
+    )
+
+
+def q_dispersion_test(spark, sf_dir):
+    """Index of dispersion (variance/mean) of orders-per-customer —
+    the count-data regime test: D≈1 Poisson-compatible, D≫1 clumped
+    (a few whales or a duplicating feed), D≪1 suspiciously regular
+    (synthetic or quota-capped data). Customers with ZERO orders are
+    part of the distribution (left join, coalesce 0) — dropping them
+    is the classic way this statistic lies. Exact integer sums
+    (n, Σy, Σy²) with pinned cast order; burstiness_index is the
+    time-axis sibling, this is the population axis."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count("*").alias("n")
+    )
+    per = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        F.coalesce("n", F.lit(0)).alias("n")
+    )
+    g = per.agg(
+        F.count("*").alias("nc"),
+        F.sum("n").alias("sy"),
+        F.sum(F.col("n") * F.col("n")).alias("syy"),
+        F.sum((F.col("n") == 0).cast("long")).alias("n_zero"),
+    )
+    nc = F.col("nc").cast("double")
+    mu = F.col("sy").cast("double") / nc
+    var = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / nc
+    ) / (nc - 1.0)
+    d = var / mu
+    return g.select(
+        F.col("nc").cast("long").alias("n_customers"),
+        F.col("n_zero").cast("long").alias("n_zero"),
+        F.round(mu, 6).alias("mean_orders"),
+        F.round(var, 6).alias("var_orders"),
+        F.round(d, 6).alias("dispersion"),
+        F.when(F.round(d, 6) > 1.5, "clumped")
+        .when(F.round(d, 6) < 0.5, "regular")
+        .otherwise("poisson_like")
+        .alias("regime"),
+    )
+
+
+def q_shingle_saturation(spark, sf_dir):
+    """Shingle-size calibration for the dedup stack: duplicate-shingle
+    rate at k ∈ {1,2,3,5} — at k=1 everything collides (vocabulary),
+    at large k nothing does; the knee is where minhash_lsh_candidates'
+    shingle size should sit for THIS corpus, measured rather than
+    guessed. ONE scan: per-doc token arrays explode into (k, shingle)
+    rows for all four k values (an array-of-structs explode, no
+    4-branch union rescanning the table), then one two-level
+    count/distinct agg per k. Exact-long dup rates."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    toks = d.select(
+        F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    )
+    ks = (1, 2, 3, 5)
+    per_k = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.expr(
+                    f"CASE WHEN size(toks) >= {k} THEN "
+                    f"transform(sequence(0, size(toks) - {k}), "
+                    f"i -> concat_ws(' ', slice(toks, i + 1, {k}))) "
+                    f"ELSE array() END"
+                ).alias("sh"),
+            )
+            for k in ks
+        ]
+    )
+    ex = (
+        toks.select(F.explode(per_k).alias("s"))
+        .select("s.k", F.explode("s.sh").alias("shingle"))
+    )
+    g = ex.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.countDistinct("shingle").cast("long").alias("n_distinct"),
+    )
+    return g.select(
+        "k",
+        "n_shingles",
+        "n_distinct",
+        F.round(
+            1 - F.col("n_distinct") / F.col("n_shingles"), 6
+        ).alias("dup_rate"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "temporal_referential": q_temporal_referential,
+    "dispersion_test": q_dispersion_test,
+    "shingle_saturation": q_shingle_saturation,
     "conversion_latency": q_conversion_latency,
     "hill_tail_index": q_hill_tail_index,
     "label_balance": q_label_balance,
@@ -11141,4 +11271,84 @@ ORACLES["conversion_latency"] = """
            round(n_converted * 1.0 / n_viewers, 6) AS conversion_rate,
            p50_minutes, p90_minutes
     FROM totals, qrow
+"""
+
+# round 4ab oracles --------------------------------------------------------
+
+ORACLES["temporal_referential"] = """
+    WITH j AS (
+      SELECT o.o_orderstatus,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(li.l_shipdate AS DATE)) AS lead
+      FROM lineitem li JOIN orders o
+        ON li.l_orderkey = o.o_orderkey
+    ), g AS (
+      SELECT o_orderstatus, count(*) AS n_lines,
+             sum(CASE WHEN lead < 0 THEN 1 ELSE 0 END) AS n_viol,
+             min(lead) AS worst
+      FROM j GROUP BY 1
+    )
+    SELECT o_orderstatus,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_viol AS BIGINT) AS n_violations,
+           round(n_viol * 1.0 / n_lines, 6) AS violation_rate,
+           CAST(worst AS BIGINT) AS worst_lead_days,
+           n_viol = 0 AS is_consistent
+    FROM g
+"""
+
+ORACLES["dispersion_test"] = """
+    WITH o AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+    ), per AS (
+      SELECT coalesce(o.n, 0) AS n
+      FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+    ), g AS (
+      SELECT count(*) AS nc, sum(n) AS sy, sum(n * n) AS syy,
+             sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS n_zero
+      FROM per
+    ), s AS (
+      SELECT nc, n_zero,
+             CAST(sy AS DOUBLE) / CAST(nc AS DOUBLE) AS mu,
+             (CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(nc AS DOUBLE))
+             / (CAST(nc AS DOUBLE) - 1.0) AS var
+      FROM g
+    )
+    SELECT CAST(nc AS BIGINT) AS n_customers,
+           CAST(n_zero AS BIGINT) AS n_zero,
+           round(mu, 6) AS mean_orders,
+           round(var, 6) AS var_orders,
+           round(var / mu, 6) AS dispersion,
+           CASE WHEN round(var / mu, 6) > 1.5 THEN 'clumped'
+                WHEN round(var / mu, 6) < 0.5 THEN 'regular'
+                ELSE 'poisson_like' END AS regime
+    FROM s
+"""
+
+# 1-based inclusive list slicing in DuckDB: seq[i : i+k-1] is the
+# k-shingle starting at i.
+ORACLES["shingle_saturation"] = """
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), ex AS (
+      SELECT ks.k,
+             unnest([array_to_string(t[i : i + ks.k - 1], ' ')
+                     for i in generate_series(
+                       1, greatest(len(t) - ks.k + 1, 0))]) AS shingle
+      FROM toks
+      CROSS JOIN (SELECT unnest([1, 2, 3, 5]) AS k) ks
+    ), agg AS (
+      SELECT k, count(*) AS n_shingles,
+             count(DISTINCT shingle) AS n_distinct
+      FROM ex GROUP BY 1
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           round(1 - n_distinct * 1.0 / n_shingles, 6) AS dup_rate
+    FROM agg
 """

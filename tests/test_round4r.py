@@ -1021,3 +1021,94 @@ def test_conversion_latency_percentiles_and_rate(spark, tmp_path):
     assert r["conversion_rate"] == 0.8
     assert r["p50_minutes"] == 10
     assert r["p90_minutes"] == 240
+
+
+# round 4ab -----------------------------------------------------------------
+
+def test_temporal_referential_detects_backdated_ship(spark, tmp_path):
+    """A lineitem shipping 3 days before its order flags its status
+    group with worst_lead_days -3; the clean group stays
+    consistent."""
+    orders = [(1, 10, "O", 1.0, "2026-01-10", "P"),
+              (2, 11, "F", 1.0, "2026-01-10", "P")]
+    odf = spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate_s string,"
+        " o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.to_timestamp("o_orderdate_s").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    lines = [(1, "2026-01-12"), (1, "2026-01-15"),
+             (2, "2026-01-07"), (2, "2026-01-20")]
+    ldf = spark.createDataFrame(
+        lines, "l_orderkey long, l_shipdate_s string"
+    ).select(
+        "l_orderkey", F.to_timestamp("l_shipdate_s").alias("l_shipdate")
+    )
+    d = str(tmp_path / "sf")
+    odf.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    ldf.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    from anomalydetection_spark.queries import q_temporal_referential
+
+    out = {r["o_orderstatus"]: r
+           for r in q_temporal_referential(spark, d).collect()}
+    assert out["O"]["is_consistent"] is True
+    assert out["O"]["worst_lead_days"] == 2
+    assert out["F"]["n_violations"] == 1
+    assert out["F"]["worst_lead_days"] == -3
+    assert out["F"]["violation_rate"] == 0.5
+
+
+def test_dispersion_regimes_with_zero_customers(spark, tmp_path):
+    """All customers at exactly 2 orders -> variance 0, 'regular';
+    zero-order customers are counted (n_zero), not dropped."""
+    cust = [(i,) for i in range(10)]
+    spark.createDataFrame(cust, "c_custkey long").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/sf/customer.parquet")
+    orders = []
+    k = 0
+    for i in range(8):  # customers 0..7 get 2 orders; 8,9 get none
+        for _ in range(2):
+            orders.append((k, i, "O", 1.0, "2026-01-01", "P")); k += 1
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/sf/orders.parquet")
+    from anomalydetection_spark.queries import q_dispersion_test
+
+    (r,) = q_dispersion_test(spark, str(tmp_path / "sf")).collect()
+    assert r["n_customers"] == 10 and r["n_zero"] == 2
+    assert r["mean_orders"] == 1.6
+    # var of [2]*8+[0]*2 (sample) = (8*0.16+2*2.56)/9 = 0.711111
+    assert r["var_orders"] == round((8 * 0.16 + 2 * 2.56) / 9, 6)
+    assert r["regime"] == "regular"
+
+
+def test_shingle_saturation_knee(spark, tmp_path):
+    """A corpus of repeated 5-word sentences: k=1 dup rate is extreme
+    (tiny vocabulary), dup rate decreases monotonically with k, and
+    counts follow n_tokens - (k-1) per doc."""
+    docs = [(i, "the cat sat on mats", "en", "s", 0) for i in range(20)]
+    docs += [(100 + i, "dogs run through tall grass", "en", "s", 0)
+             for i in range(20)]
+    d = _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+        tmp_path,
+        "documents",
+    )
+    from anomalydetection_spark.queries import q_shingle_saturation
+
+    out = {r["k"]: r for r in q_shingle_saturation(spark, d).collect()}
+    assert out[1]["n_shingles"] == 200 and out[1]["n_distinct"] == 10
+    assert out[5]["n_shingles"] == 40 and out[5]["n_distinct"] == 2
+    rates = [out[k]["dup_rate"] for k in (1, 2, 3, 5)]
+    assert rates == sorted(rates, reverse=True)
