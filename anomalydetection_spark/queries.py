@@ -6233,7 +6233,135 @@ def q_shingle_saturation(spark, sf_dir):
     )
 
 
+def q_cardinality_drift(spark, sf_dir):
+    """Distinct-count trajectory per column between halves (event_id
+    parity): an EXPLODED cardinality means a fused feed started
+    leaking raw IDs into an enum column; a COLLAPSED one means a
+    default value is eating real data — both invisible to null rates
+    and to value-level enum_drift when the domain is large. ALL
+    columns audit in ONE stacked explode + one two-level
+    distinct agg; ratios are exact-long divisions with verdicts on
+    the 6dp-rounded ratio."""
+    ev = _t(spark, sf_dir, "events")
+    half = F.when(F.col("event_id") % 2 == 0, "base").otherwise("curr")
+    cols = ["user_id", "event_type", "props"]
+    branches = [
+        F.when(
+            F.col(c).isNotNull(),
+            F.struct(
+                F.lit(c).alias("col"),
+                half.alias("half"),
+                F.col(c).cast("string").alias("v"),
+            ),
+        )
+        for c in cols
+    ]
+    stacked = (
+        ev.select(F.array_compact(F.array(*branches)).alias("a"))
+        .select(F.explode("a").alias("s"))
+        .select("s.col", "s.half", "s.v")
+    )
+    counts = (
+        stacked.groupBy("col")
+        .pivot("half", ["base", "curr"])
+        .agg(F.countDistinct("v"))
+        .fillna(0)
+    )
+    ratio = F.round(
+        F.col("curr").cast("double") / F.col("base").cast("double"), 6
+    )
+    return counts.select(
+        "col",
+        F.col("base").cast("long").alias("d_base"),
+        F.col("curr").cast("long").alias("d_curr"),
+        ratio.alias("ratio"),
+        F.when(ratio > 2.0, "exploded")
+        .when(ratio < 0.5, "collapsed")
+        .otherwise("stable")
+        .alias("verdict"),
+    )
+
+
+def q_unit_price_outliers(spark, sf_dir):
+    """Cross-column RATIO consistency: unit price (extendedprice /
+    quantity) per line vs its part's median unit price — each column
+    passes its own range gate while their ratio is nonsense, the
+    signature of a misaligned join or a currency mixup. Per-part
+    median via exact interpolated percentile (per-key sort inside the
+    co-keyed partition), ROUNDED 6dp before the ±50% band decision
+    (the iqr_outliers fence contract); one co-keyed join back and a
+    map-side-combinable rollup per returnflag."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
+    u = li.select("l_partkey", "l_returnflag", unit)
+    med = u.groupBy("l_partkey").agg(
+        F.round(F.expr("percentile(unit, 0.5)"), 6).alias("med")
+    )
+    j = u.join(med, "l_partkey")
+    is_out = (
+        F.abs(F.col("unit") - F.col("med")) / F.col("med") > 0.5
+    )
+    g = j.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(is_out.cast("long")).cast("long").alias("n_outliers"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_lines",
+        "n_outliers",
+        F.round(F.col("n_outliers") / F.col("n_lines"), 6).alias(
+            "outlier_rate"
+        ),
+    )
+
+
+def q_bounce_rate(spark, sf_dir):
+    """Session bounce rate per day: share of 30-minute-gap sessions
+    containing exactly ONE event — the engagement-floor metric
+    sessionization's duration stats don't expose, and a sudden bounce
+    spike is how bot traffic and broken landing flows first appear.
+    Same session machinery as `sessionization` (per-user lag window,
+    gap > 1800 s starts a session, cumulative flag sum = session id),
+    then two map-side-combinable rollups: per session, per start
+    day."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w)
+    )
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sessions = flagged.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day"),
+    )
+    g = sessions.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).cast("long").alias(
+            "n_bounces"
+        ),
+    )
+    return g.select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        F.round(F.col("n_bounces") / F.col("n_sessions"), 6).alias(
+            "bounce_rate"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cardinality_drift": q_cardinality_drift,
+    "unit_price_outliers": q_unit_price_outliers,
+    "bounce_rate": q_bounce_rate,
     "temporal_referential": q_temporal_referential,
     "dispersion_test": q_dispersion_test,
     "shingle_saturation": q_shingle_saturation,
@@ -11351,4 +11479,94 @@ ORACLES["shingle_saturation"] = """
            CAST(n_distinct AS BIGINT) AS n_distinct,
            round(1 - n_distinct * 1.0 / n_shingles, 6) AS dup_rate
     FROM agg
+"""
+
+# round 4ac oracles --------------------------------------------------------
+
+ORACLES["cardinality_drift"] = """
+    WITH stacked AS (
+      SELECT 'user_id' AS col,
+             CASE WHEN event_id % 2 = 0 THEN 'base' ELSE 'curr' END
+               AS half,
+             CAST(user_id AS VARCHAR) AS v
+      FROM events WHERE user_id IS NOT NULL
+      UNION ALL
+      SELECT 'event_type',
+             CASE WHEN event_id % 2 = 0 THEN 'base' ELSE 'curr' END,
+             event_type
+      FROM events WHERE event_type IS NOT NULL
+      UNION ALL
+      SELECT 'props',
+             CASE WHEN event_id % 2 = 0 THEN 'base' ELSE 'curr' END,
+             props
+      FROM events WHERE props IS NOT NULL
+    ), counts AS (
+      SELECT col,
+        count(DISTINCT CASE WHEN half = 'base' THEN v END) AS db,
+        count(DISTINCT CASE WHEN half = 'curr' THEN v END) AS dc
+      FROM stacked GROUP BY 1
+    )
+    SELECT col, CAST(db AS BIGINT) AS d_base,
+           CAST(dc AS BIGINT) AS d_curr,
+           round(CAST(dc AS DOUBLE) / CAST(db AS DOUBLE), 6) AS ratio,
+           CASE WHEN round(CAST(dc AS DOUBLE) / CAST(db AS DOUBLE), 6)
+                  > 2.0 THEN 'exploded'
+                WHEN round(CAST(dc AS DOUBLE) / CAST(db AS DOUBLE), 6)
+                  < 0.5 THEN 'collapsed'
+                ELSE 'stable' END AS verdict
+    FROM counts
+"""
+
+ORACLES["unit_price_outliers"] = """
+    WITH u AS (
+      SELECT l_partkey, l_returnflag,
+             l_extendedprice / l_quantity AS unit
+      FROM lineitem WHERE l_quantity > 0
+    ), med AS (
+      SELECT l_partkey, round(quantile_cont(unit, 0.5), 6) AS med
+      FROM u GROUP BY 1
+    ), j AS (
+      SELECT u.l_returnflag,
+             CASE WHEN abs(u.unit - med.med) / med.med > 0.5
+             THEN 1 ELSE 0 END AS is_out
+      FROM u JOIN med USING (l_partkey)
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(is_out) AS BIGINT) AS n_outliers,
+           round(sum(is_out) * 1.0 / count(*), 6) AS outlier_rate
+    FROM j GROUP BY 1
+"""
+
+# Same session machinery as the sessionization oracle: second-
+# truncated gaps, 1800 s threshold, cumulative new-session flags.
+ORACLES["bounce_rate"] = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(date_trunc('second', ts))
+                       - epoch(date_trunc('second',
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)))
+                       > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sid AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             strftime(min(ts), '%Y-%m-%d') AS day
+      FROM sid GROUP BY 1, 2
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS bounce_rate
+    FROM sessions GROUP BY 1
 """

@@ -1112,3 +1112,78 @@ def test_shingle_saturation_knee(spark, tmp_path):
     assert out[5]["n_shingles"] == 40 and out[5]["n_distinct"] == 2
     rates = [out[k]["dup_rate"] for k in (1, 2, 3, 5)]
     assert rates == sorted(rates, reverse=True)
+
+
+# round 4ac -----------------------------------------------------------------
+
+def test_cardinality_drift_explosion_and_collapse(spark, tmp_path):
+    """props explodes (2 -> 100 distinct), event_type collapses
+    (4 -> 1), user_id stays stable — each verdict lands on the right
+    column."""
+    rows = []
+    for i in range(200):
+        half_even = (i % 2 == 0)
+        rows.append((
+            i, "2026-01-01 01:00:00", i % 10,
+            ("a" if not half_even else "abcd"[(i // 2) % 4]),
+            0.0,
+            ('{"k":%d}' % i if not half_even else '{"k":0}'
+             if i % 4 else '{"k":1}'),
+        ))
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_cardinality_drift
+
+    out = {r["col"]: r for r in q_cardinality_drift(spark, d).collect()}
+    assert out["props"]["verdict"] == "exploded"
+    assert out["event_type"]["verdict"] == "collapsed"
+    assert out["event_type"]["d_curr"] == 1
+    assert out["user_id"]["verdict"] == "stable"
+
+
+def test_unit_price_outliers_flags_ratio_break(spark, tmp_path):
+    """Part 1's lines at a consistent 10.0 unit price plus one line at
+    100.0: only that line is an outlier; per-part medians keep part
+    2's different-but-consistent 50.0 clean."""
+    rows = []
+    k = 0
+    for _ in range(9):
+        rows.append((k, 1, 1, 1, 2.0, 20.0, 0.0, 0.0, "N", "O",
+                     "2026-01-01")); k += 1
+    rows.append((k, 1, 1, 1, 2.0, 200.0, 0.0, 0.0, "N", "O",
+                 "2026-01-01")); k += 1
+    for _ in range(5):
+        rows.append((k, 2, 1, 1, 4.0, 200.0, 0.0, 0.0, "R", "F",
+                     "2026-01-01")); k += 1
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/sf/lineitem.parquet")
+    from anomalydetection_spark.queries import q_unit_price_outliers
+
+    out = {r["l_returnflag"]: r
+           for r in q_unit_price_outliers(
+               spark, str(tmp_path / "sf")).collect()}
+    assert out["N"]["n_outliers"] == 1 and out["N"]["outlier_rate"] == 0.1
+    assert out["R"]["n_outliers"] == 0
+
+
+def test_bounce_rate_singleton_sessions(spark, tmp_path):
+    """User 1: a 3-event session then (90 min later) a singleton;
+    user 2: one singleton. Day sees 3 sessions, 2 bounces."""
+    rows = [
+        (0, "2026-01-01 08:00:00", 1, "a", 0.0, "{}"),
+        (1, "2026-01-01 08:10:00", 1, "a", 0.0, "{}"),
+        (2, "2026-01-01 08:20:00", 1, "a", 0.0, "{}"),
+        (3, "2026-01-01 10:00:00", 1, "a", 0.0, "{}"),
+        (4, "2026-01-01 09:00:00", 2, "a", 0.0, "{}"),
+    ]
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_bounce_rate
+
+    (r,) = q_bounce_rate(spark, d).collect()
+    assert r["n_sessions"] == 3 and r["n_bounces"] == 2
+    assert r["bounce_rate"] == round(2 / 3, 6)
