@@ -6358,7 +6358,82 @@ def q_bounce_rate(spark, sf_dir):
     )
 
 
+def q_timestamp_ties(spark, sf_dir):
+    """Timestamp-tie storm detection per day: share of events sharing
+    their (user, timestamp) with another event, and the worst tie
+    multiplicity — a batch-stamped feed (loader writes arrival time,
+    not event time) silently breaks every event-time consumer in this
+    engine (sessionization, as-of joins, funnels, EMA ordering), and
+    ties are its first symptom. ONE (user, ts) count agg + one
+    per-day rollup, both map-side combinable; exact-long rates."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    g = ev.groupBy(
+        "user_id",
+        "ts",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    d = g.groupBy("day").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_tied"),
+        F.max("n").cast("long").alias("max_tie"),
+    )
+    return d.select(
+        "day",
+        "n_events",
+        "n_tied",
+        F.round(F.col("n_tied") / F.col("n_events"), 6).alias(
+            "tie_rate"
+        ),
+        "max_tie",
+        (F.col("n_tied") / F.col("n_events") > 0.05).alias(
+            "is_tie_storm"
+        ),
+    )
+
+
+def q_id_gap_audit(spark, sf_dir):
+    """Sequential-ID continuity: for an autoincrement key, the span
+    (max−min+1) minus the distinct count IS the number of silently
+    dropped rows — the ingestion audit that catches loss row counts
+    can't (counts only say how many arrived, not how many should
+    have). Per event_type AND overall in one pass (grouping sets via
+    a stacked union of the same agg shape); exact longs throughout;
+    duplicates surface separately (n_rows − n_distinct)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+    )
+    def audit(df, key):
+        return df.groupBy(key.alias("scope")).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("event_id").cast("long").alias("n_distinct"),
+            F.min("event_id").cast("long").alias("id_min"),
+            F.max("event_id").cast("long").alias("id_max"),
+        )
+    per_type = audit(ev, F.col("event_type"))
+    overall = audit(ev, F.lit("__all__"))
+    u = per_type.unionByName(overall)
+    span = F.col("id_max") - F.col("id_min") + 1
+    return u.select(
+        "scope",
+        "n_rows",
+        "n_distinct",
+        "id_min",
+        "id_max",
+        (span - F.col("n_distinct")).cast("long").alias("n_missing"),
+        (F.col("n_rows") - F.col("n_distinct")).cast("long").alias(
+            "n_duplicated"
+        ),
+        F.round(F.col("n_distinct") / span.cast("double"), 6).alias(
+            "density"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "timestamp_ties": q_timestamp_ties,
+    "id_gap_audit": q_id_gap_audit,
     "cardinality_drift": q_cardinality_drift,
     "unit_price_outliers": q_unit_price_outliers,
     "bounce_rate": q_bounce_rate,
@@ -11569,4 +11644,50 @@ ORACLES["bounce_rate"] = """
            round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
                  * 1.0 / count(*), 6) AS bounce_rate
     FROM sessions GROUP BY 1
+"""
+
+# round 4ad oracles --------------------------------------------------------
+
+ORACLES["timestamp_ties"] = """
+    WITH g AS (
+      SELECT user_id, ts, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+    )
+    SELECT day,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_tied,
+           round(sum(CASE WHEN n > 1 THEN n ELSE 0 END)
+                 * 1.0 / sum(n), 6) AS tie_rate,
+           CAST(max(n) AS BIGINT) AS max_tie,
+           sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1.0 / sum(n)
+             > 0.05 AS is_tie_storm
+    FROM g GROUP BY 1
+"""
+
+ORACLES["id_gap_audit"] = """
+    WITH base AS (
+      SELECT event_type, event_id FROM events
+      WHERE event_id IS NOT NULL
+    ), per AS (
+      SELECT event_type AS scope, count(*) AS n_rows,
+             count(DISTINCT event_id) AS n_distinct,
+             min(event_id) AS id_min, max(event_id) AS id_max
+      FROM base GROUP BY 1
+      UNION ALL
+      SELECT '__all__', count(*), count(DISTINCT event_id),
+             min(event_id), max(event_id)
+      FROM base
+    )
+    SELECT scope, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(id_min AS BIGINT) AS id_min,
+           CAST(id_max AS BIGINT) AS id_max,
+           CAST(id_max - id_min + 1 - n_distinct AS BIGINT)
+             AS n_missing,
+           CAST(n_rows - n_distinct AS BIGINT) AS n_duplicated,
+           round(n_distinct * 1.0 / (id_max - id_min + 1), 6)
+             AS density
+    FROM per
 """

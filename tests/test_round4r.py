@@ -1187,3 +1187,51 @@ def test_bounce_rate_singleton_sessions(spark, tmp_path):
     (r,) = q_bounce_rate(spark, d).collect()
     assert r["n_sessions"] == 3 and r["n_bounces"] == 2
     assert r["bounce_rate"] == round(2 / 3, 6)
+
+
+# round 4ad -----------------------------------------------------------------
+
+def test_timestamp_ties_storm_detection(spark, tmp_path):
+    """Day 1: 10 events batch-stamped on ONE (user, ts) -> tie storm
+    (rate 10/12, max_tie 10). Day 2: distinct timestamps -> clean.
+    Ties across DIFFERENT users are not ties."""
+    rows = []
+    eid = 0
+    for _ in range(10):
+        rows.append((eid, "2026-01-01 08:00:00", 1, "a", 0.0, "{}"))
+        eid += 1
+    rows.append((eid, "2026-01-01 09:00:00", 1, "a", 0.0, "{}")); eid += 1
+    rows.append((eid, "2026-01-01 08:00:00", 2, "a", 0.0, "{}")); eid += 1
+    for i in range(5):
+        rows.append((eid, f"2026-01-02 08:0{i}:00", 1, "a", 0.0, "{}"))
+        eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_timestamp_ties
+
+    out = {r["day"]: r for r in q_timestamp_ties(spark, d).collect()}
+    d1 = out["2026-01-01"]
+    assert d1["n_tied"] == 10 and d1["max_tie"] == 10
+    assert d1["tie_rate"] == round(10 / 12, 6)
+    assert d1["is_tie_storm"] is True
+    d2 = out["2026-01-02"]
+    assert d2["n_tied"] == 0 and d2["is_tie_storm"] is False
+
+
+def test_id_gap_audit_missing_and_duplicated(spark, tmp_path):
+    """Ids 0..9 with 3,7 missing and 5 duplicated: overall scope
+    reports n_missing 2, n_duplicated 1, density 0.8; per-type scopes
+    carry their own ranges."""
+    ids = [0, 1, 2, 4, 5, 5, 6, 8, 9]
+    rows = [
+        (i, "2026-01-01 01:00:00", 1, "a" if i < 5 else "b", 0.0, "{}")
+        for i in ids
+    ]
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_id_gap_audit
+
+    out = {r["scope"]: r for r in q_id_gap_audit(spark, d).collect()}
+    allr = out["__all__"]
+    assert allr["n_missing"] == 2  # 3 and 7
+    assert allr["n_duplicated"] == 1  # the extra 5
+    assert allr["density"] == 0.8  # 8 distinct / span 10
+    assert out["a"]["id_max"] == 4 and out["b"]["id_min"] == 5
