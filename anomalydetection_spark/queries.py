@@ -6431,7 +6431,76 @@ def q_id_gap_audit(spark, sf_dir):
     )
 
 
+def q_scale_drift(spark, sf_dir):
+    """Pure DISPERSION drift per event_type: the ratio of IQRs
+    between halves (event_id parity) — a variance change with a
+    stable center reweights every z-score and alert band downstream,
+    and shape tests (PSI/KS) report it entangled with location.
+    Exact interpolated quartiles per (type, half) (the iqr_outliers
+    percentile contract), IQRs ROUNDED 6dp before the ratio, verdict
+    on the rounded ratio at 1.5×/0.67×; a zero-width base IQR
+    reports 'degenerate', never an infinity."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    half = F.when(F.col("event_id") % 2 == 0, "base").otherwise("curr")
+    q = ev.groupBy("event_type", half.alias("half")).agg(
+        F.round(
+            F.expr("percentile(value, 0.75)")
+            - F.expr("percentile(value, 0.25)"),
+            6,
+        ).alias("iqr")
+    )
+    wide = (
+        q.groupBy("event_type")
+        .pivot("half", ["base", "curr"])
+        .agg(F.first("iqr"))
+    )
+    ratio = F.round(F.col("curr") / F.col("base"), 6)
+    return wide.select(
+        "event_type",
+        F.col("base").alias("iqr_base"),
+        F.col("curr").alias("iqr_curr"),
+        F.when(F.col("base") > 0, ratio).alias("ratio"),
+        F.when(F.col("base") <= 0, "degenerate")
+        .when(ratio > 1.5, "widened")
+        .when(ratio < 0.67, "narrowed")
+        .otherwise("stable")
+        .alias("verdict"),
+    )
+
+
+def q_user_novelty(spark, sf_dir):
+    """New-vs-returning user mix per day: share of that day's active
+    users seen for the FIRST time — the acquisition-mix monitor where
+    bot influxes and replayed backfills first show (a backfill makes
+    'new' users appear in the past; a bot wave makes novelty spike
+    without a campaign). ONE (user, day) distinct projection feeds
+    both the first-seen table and the daily rollup — the engine's
+    reuse-don't-rescan rule; the join is co-keyed on user."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = ud.join(first, "user_id")
+    g = j.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum(
+            (F.col("day") == F.col("first_day")).cast("long")
+        ).cast("long").alias("n_new"),
+    )
+    return g.select(
+        "day",
+        "n_active",
+        "n_new",
+        F.round(F.col("n_new") / F.col("n_active"), 6).alias(
+            "new_share"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scale_drift": q_scale_drift,
+    "user_novelty": q_user_novelty,
     "timestamp_ties": q_timestamp_ties,
     "id_gap_audit": q_id_gap_audit,
     "cardinality_drift": q_cardinality_drift,
@@ -11690,4 +11759,50 @@ ORACLES["id_gap_audit"] = """
            round(n_distinct * 1.0 / (id_max - id_min + 1), 6)
              AS density
     FROM per
+"""
+
+# round 4ae oracles --------------------------------------------------------
+
+ORACLES["scale_drift"] = """
+    WITH q AS (
+      SELECT event_type,
+             CASE WHEN event_id % 2 = 0 THEN 'base' ELSE 'curr' END
+               AS half,
+             round(quantile_cont(value, 0.75)
+                   - quantile_cont(value, 0.25), 6) AS iqr
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), wide AS (
+      SELECT b.event_type, b.iqr AS iqr_base, c.iqr AS iqr_curr
+      FROM q b JOIN q c
+        ON b.event_type = c.event_type
+       AND b.half = 'base' AND c.half = 'curr'
+    )
+    SELECT event_type, iqr_base, iqr_curr,
+           CASE WHEN iqr_base > 0
+                THEN round(iqr_curr / iqr_base, 6) END AS ratio,
+           CASE WHEN iqr_base <= 0 THEN 'degenerate'
+                WHEN round(iqr_curr / iqr_base, 6) > 1.5
+                  THEN 'widened'
+                WHEN round(iqr_curr / iqr_base, 6) < 0.67
+                  THEN 'narrowed'
+                ELSE 'stable' END AS verdict
+    FROM wide
+"""
+
+ORACLES["user_novelty"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+      FROM events
+    ), first AS (
+      SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1
+    )
+    SELECT ud.day,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN ud.day = first.first_day
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           round(sum(CASE WHEN ud.day = first.first_day
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS new_share
+    FROM ud JOIN first USING (user_id)
+    GROUP BY 1
 """

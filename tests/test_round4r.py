@@ -1235,3 +1235,57 @@ def test_id_gap_audit_missing_and_duplicated(spark, tmp_path):
     assert allr["n_duplicated"] == 1  # the extra 5
     assert allr["density"] == 0.8  # 8 distinct / span 10
     assert out["a"]["id_max"] == 4 and out["b"]["id_min"] == 5
+
+
+# round 4ae -----------------------------------------------------------------
+
+def test_scale_drift_widened_and_degenerate(spark, tmp_path):
+    """Type 'w': base IQR 10, curr IQR 100 -> widened (ratio 10);
+    type 's': identical halves -> stable ratio 1.0; type 'c':
+    constant base -> 'degenerate' with NULL ratio, not infinity."""
+    rows, eid = [], 0
+    for i in range(100):
+        # 'w': base values 0..9 repeating, curr 0..99 (x10 spread)
+        rows.append((2 * eid, "2026-01-01 01:00:00", 1, "w",
+                     float(i % 10), "{}"))
+        rows.append((2 * eid + 1, "2026-01-01 01:00:00", 1, "w",
+                     float(i), "{}"))
+        rows.append((2 * eid + 200, "2026-01-01 01:00:00", 1, "s",
+                     float(i % 20), "{}"))
+        rows.append((2 * eid + 201, "2026-01-01 01:00:00", 1, "s",
+                     float(i % 20), "{}"))
+        rows.append((2 * eid + 400, "2026-01-01 01:00:00", 1, "c",
+                     5.0, "{}"))
+        rows.append((2 * eid + 401, "2026-01-01 01:00:00", 1, "c",
+                     float(i), "{}"))
+        eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_scale_drift
+
+    out = {r["event_type"]: r for r in q_scale_drift(spark, d).collect()}
+    assert out["w"]["verdict"] == "widened" and out["w"]["ratio"] > 5
+    assert out["s"]["verdict"] == "stable" and out["s"]["ratio"] == 1.0
+    assert out["c"]["verdict"] == "degenerate"
+    assert out["c"]["ratio"] is None
+
+
+def test_user_novelty_mix(spark, tmp_path):
+    """Day 1: 3 users, all new (share 1.0). Day 2: those 3 return plus
+    2 fresh -> share 0.4. Multiple events per user-day count once."""
+    rows, eid = [], 0
+    for uid in (1, 2, 3):
+        for _ in range(3):  # multiple events, one active-user row
+            rows.append((eid, "2026-01-01 08:00:00", uid, "a", 0.0, "{}"))
+            eid += 1
+    for uid in (1, 2, 3, 4, 5):
+        rows.append((eid, "2026-01-02 08:00:00", uid, "a", 0.0, "{}"))
+        eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_user_novelty
+
+    out = {r["day"]: r for r in q_user_novelty(spark, d).collect()}
+    assert out["2026-01-01"]["n_active"] == 3
+    assert out["2026-01-01"]["new_share"] == 1.0
+    assert out["2026-01-02"]["n_active"] == 5
+    assert out["2026-01-02"]["n_new"] == 2
+    assert out["2026-01-02"]["new_share"] == 0.4
