@@ -6498,7 +6498,111 @@ def q_user_novelty(spark, sf_dir):
     )
 
 
+def q_clustering_factor(spark, sf_dir):
+    """Storage-clustering audit: average run length of each column in
+    ingest order (event_id) — the number that decides whether a
+    sort/Z-order rewrite is worth it at 10^12 rows: avg_run ≈ 1 means
+    the column is shuffled through the file (min/max pruning useless),
+    avg_run ≫ 1 means scans on that predicate already skip. ONE
+    stacked projection + lag over the ingest-order window per column
+    (single-ordering window, declared audit tier — the production
+    form reads run stats from parquet row-group metadata instead of
+    row data); exact-long run counts."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_type", "user_id", "value"]
+    branches = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(c).cast("string").alias("v"),
+            F.col("event_id").alias("oid"),
+        )
+        for c in cols
+    ]
+    stacked = ev.select(F.explode(F.array(*branches)).alias("s")).select(
+        "s.col", "s.v", "s.oid"
+    )
+    w = Window.partitionBy("col").orderBy("oid")
+    # first row always opens a run; after that the NULL-safe compare
+    # decides (lag().isNull() alone would start a run after EVERY
+    # NULL value, and eqNullSafe alone would miss a leading NULL row)
+    runs = stacked.withColumn(
+        "new_run",
+        F.when(F.row_number().over(w) == 1, 1)
+        .when(~F.lag("v").over(w).eqNullSafe(F.col("v")), 1)
+        .otherwise(0),
+    )
+    g = runs.groupBy("col").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    avg_run = F.col("n_rows").cast("double") / F.col("n_runs").cast(
+        "double"
+    )
+    return g.select(
+        "col",
+        "n_rows",
+        "n_runs",
+        F.round(avg_run, 6).alias("avg_run"),
+        F.when(F.round(avg_run, 6) >= 8.0, "clustered")
+        .when(F.round(avg_run, 6) >= 2.0, "partial")
+        .otherwise("shuffled")
+        .alias("layout"),
+    )
+
+
+def q_join_size_forecast(spark, sf_dir):
+    """Join-size forecast WITHOUT running the join: |orders ⋈
+    lineitem| on orderkey is exactly Σ_k fa(k)·fb(k) over the two
+    key-count tables — the planner-style audit that decides whether
+    a proposed join explodes BEFORE 100 TB of shuffle gets scheduled
+    (join_fanout profiles one side; this multiplies both). Two
+    map-side-combinable count aggs + a co-keyed join of the count
+    tables (each ≤ |keys| rows — strictly smaller than the real
+    join's output); exact-long products and blowup ratios vs each
+    input."""
+    o = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count("*").alias("fa"))
+    li = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count("*").alias("fb"))
+    j = o.join(li, "k")
+    g = j.agg(
+        F.count("*").cast("long").alias("n_shared_keys"),
+        F.sum(F.col("fa") * F.col("fb")).cast("long").alias(
+            "predicted_rows"
+        ),
+        F.max(F.col("fa") * F.col("fb")).cast("long").alias(
+            "max_key_contrib"
+        ),
+    )
+    tot = (
+        _t(spark, sf_dir, "orders")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .crossJoin(
+            F.broadcast(
+                _t(spark, sf_dir, "lineitem").agg(
+                    F.count("*").cast("long").alias("n_lineitem")
+                )
+            )
+        )
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "n_shared_keys",
+        "predicted_rows",
+        "max_key_contrib",
+        F.round(
+            F.col("predicted_rows") / F.col("n_orders"), 6
+        ).alias("blowup_vs_orders"),
+        F.round(
+            F.col("predicted_rows") / F.col("n_lineitem"), 6
+        ).alias("blowup_vs_lineitem"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "clustering_factor": q_clustering_factor,
+    "join_size_forecast": q_join_size_forecast,
     "scale_drift": q_scale_drift,
     "user_novelty": q_user_novelty,
     "timestamp_ties": q_timestamp_ties,
@@ -11805,4 +11909,67 @@ ORACLES["user_novelty"] = """
              AS new_share
     FROM ud JOIN first USING (user_id)
     GROUP BY 1
+"""
+
+# round 4af oracles --------------------------------------------------------
+
+# NULL-safe run boundaries: IS DISTINCT FROM mirrors eqNullSafe.
+ORACLES["clustering_factor"] = """
+    WITH stacked AS (
+      SELECT 'event_type' AS col, event_type AS v, event_id AS oid
+      FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(user_id AS VARCHAR), event_id FROM events
+      UNION ALL
+      SELECT 'value', CAST(value AS VARCHAR), event_id FROM events
+    ), runs AS (
+      SELECT col,
+             CASE WHEN row_number() OVER (PARTITION BY col
+                                          ORDER BY oid) = 1 THEN 1
+                  WHEN lag(v) OVER (PARTITION BY col ORDER BY oid)
+                       IS DISTINCT FROM v THEN 1
+                  ELSE 0 END AS new_run
+      FROM stacked
+    ), g AS (
+      SELECT col, count(*) AS n_rows, sum(new_run) AS n_runs
+      FROM runs GROUP BY 1
+    )
+    SELECT col, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           round(CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE), 6)
+             AS avg_run,
+           CASE WHEN round(CAST(n_rows AS DOUBLE)
+                           / CAST(n_runs AS DOUBLE), 6) >= 8.0
+                  THEN 'clustered'
+                WHEN round(CAST(n_rows AS DOUBLE)
+                           / CAST(n_runs AS DOUBLE), 6) >= 2.0
+                  THEN 'partial'
+                ELSE 'shuffled' END AS layout
+    FROM g
+"""
+
+ORACLES["join_size_forecast"] = """
+    WITH o AS (
+      SELECT o_orderkey AS k, count(*) AS fa FROM orders GROUP BY 1
+    ), li AS (
+      SELECT l_orderkey AS k, count(*) AS fb FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT o.fa, li.fb FROM o JOIN li USING (k)
+    ), g AS (
+      SELECT count(*) AS n_shared_keys,
+             sum(fa * fb) AS predicted_rows,
+             max(fa * fb) AS max_key_contrib
+      FROM j
+    ), tot AS (
+      SELECT (SELECT count(*) FROM orders) AS n_orders,
+             (SELECT count(*) FROM lineitem) AS n_lineitem
+    )
+    SELECT CAST(n_shared_keys AS BIGINT) AS n_shared_keys,
+           CAST(predicted_rows AS BIGINT) AS predicted_rows,
+           CAST(max_key_contrib AS BIGINT) AS max_key_contrib,
+           round(predicted_rows * 1.0 / n_orders, 6)
+             AS blowup_vs_orders,
+           round(predicted_rows * 1.0 / n_lineitem, 6)
+             AS blowup_vs_lineitem
+    FROM g, tot
 """

@@ -1289,3 +1289,56 @@ def test_user_novelty_mix(spark, tmp_path):
     assert out["2026-01-02"]["n_active"] == 5
     assert out["2026-01-02"]["n_new"] == 2
     assert out["2026-01-02"]["new_share"] == 0.4
+
+
+# round 4af -----------------------------------------------------------------
+
+def test_clustering_factor_layout_verdicts(spark, tmp_path):
+    """event_type written in 10-row runs reads 'clustered' (avg_run
+    10); user_id alternating every row reads 'shuffled' (avg_run 1);
+    NULL runs count as runs, not boundaries on every row."""
+    rows = []
+    for i in range(100):
+        rows.append((
+            i, "2026-01-01 01:00:00",
+            i % 2,                      # alternates -> shuffled
+            "abcdefghij"[i // 10],      # 10-row runs -> clustered
+            None if i < 50 else 1.0,    # two 50-row runs
+            "{}",
+        ))
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_clustering_factor
+
+    out = {r["col"]: r for r in q_clustering_factor(spark, d).collect()}
+    assert out["event_type"]["n_runs"] == 10
+    assert out["event_type"]["avg_run"] == 10.0
+    assert out["event_type"]["layout"] == "clustered"
+    assert out["user_id"]["n_runs"] == 100
+    assert out["user_id"]["layout"] == "shuffled"
+    assert out["value"]["n_runs"] == 2  # NULL run + 1.0 run
+
+
+def test_join_size_forecast_exact_prediction(spark, tmp_path):
+    """2 orders x (3, 5) lineitems plus an orphan line: predicted rows
+    = 3 + 5 = 8 (exactly what the real join yields), max contribution
+    5, blowups vs both inputs exact."""
+    orders = [(1, 1, "O", 1.0, "2026-01-01", "P"),
+              (2, 1, "O", 1.0, "2026-01-01", "P")]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/sf/orders.parquet")
+    lines = [(1, "2026-01-02")] * 3 + [(2, "2026-01-02")] * 5
+    lines += [(99, "2026-01-02")]  # orphan key: contributes nothing
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_shipdate string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/sf/lineitem.parquet")
+    from anomalydetection_spark.queries import q_join_size_forecast
+
+    (r,) = q_join_size_forecast(spark, str(tmp_path / "sf")).collect()
+    assert r["n_shared_keys"] == 2
+    assert r["predicted_rows"] == 8
+    assert r["max_key_contrib"] == 5
+    assert r["blowup_vs_orders"] == 4.0
+    assert r["blowup_vs_lineitem"] == round(8 / 9, 6)
