@@ -6600,7 +6600,124 @@ def q_join_size_forecast(spark, sf_dir):
     )
 
 
+def q_random_walk_test(spark, sf_dir):
+    """Stationarity screen per event_type: variance of daily
+    first-differences vs variance of levels — a trending/random-walk
+    series has tiny diff-variance relative to its level-variance
+    (levels accumulate, steps don't), and every EMA/3σ-style rule in
+    this engine ASSUMES stationarity; this is the check that says
+    'difference this metric first'. Levels and diffs both reduce to
+    exact integer sums on the bounded daily series (diff via one lag
+    over the per-type window); ratio on 6dp-rounded variances,
+    ratio < 0.5 flags 'trending'."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d2 = daily.withColumn("diff", F.col("n") - F.lag("n").over(w))
+    g = d2.groupBy("event_type").agg(
+        F.count("*").alias("nd"),
+        F.sum("n").alias("sy"),
+        F.sum(F.col("n") * F.col("n")).alias("syy"),
+        F.count("diff").alias("ndiff"),
+        F.sum("diff").alias("sd"),
+        F.sum(F.col("diff") * F.col("diff")).alias("sdd"),
+    )
+    def _var(s, ss, n):
+        nn = F.col(n).cast("double")
+        return (
+            F.col(ss).cast("double")
+            - F.col(s).cast("double") * F.col(s).cast("double") / nn
+        ) / (nn - 1.0)
+    vl = F.round(_var("sy", "syy", "nd"), 6)
+    vd = F.round(_var("sd", "sdd", "ndiff"), 6)
+    ratio = F.when(vl > 0, F.round(vd / vl, 6))
+    return g.filter(F.col("ndiff") >= 3).select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_days"),
+        vl.alias("var_level"),
+        vd.alias("var_diff"),
+        ratio.alias("ratio"),
+        F.when(ratio.isNull(), "degenerate")
+        .when(ratio < 0.5, "trending")
+        .otherwise("stationary")
+        .alias("verdict"),
+    )
+
+
+def q_traffic_concentration(spark, sf_dir):
+    """Daily traffic concentration: share of each day's events from
+    its top-10 users — the bot/scraper tell (one account quietly
+    becoming 40% of traffic) that per-user rate limits see only
+    account-by-account and volume anomalies miss entirely when the
+    total stays flat. ONE (day × user) count agg; the rank window
+    orders each day's bounded active-user set; exact-long shares."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    w_rk = Window.partitionBy("day").orderBy(F.desc("n"), "user_id")
+    w_day = Window.partitionBy("day")
+    r = du.withColumn("rk", F.row_number().over(w_rk)).withColumn(
+        "tot", F.sum("n").over(w_day)
+    )
+    g = r.groupBy("day").agg(
+        F.max("tot").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_top10"),
+    )
+    share = F.round(F.col("n_top10") / F.col("n_events"), 6)
+    return g.select(
+        "day",
+        "n_events",
+        "n_users",
+        share.alias("top10_share"),
+        (share > 0.5).alias("is_concentrated"),
+    )
+
+
+def q_dau_churn(spark, sf_dir):
+    """Day-over-day retention/churn of active users: of yesterday's
+    actives, how many returned today — user_novelty watches the
+    inflow, this watches the OUTFLOW (a quiet churn cliff with stable
+    volume means the user base is being replaced, the classic symptom
+    of an auth or tracking break). ONE (user, day) distinct
+    projection self-joined on day+1 (co-keyed on user), then a
+    bounded per-day rollup; exact-long rates."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_format("ts", "yyyy-MM-dd")).alias("d")
+    ).distinct()
+    nxt = ud.select(
+        "user_id", F.date_sub("d", 1).alias("d_prev")
+    )
+    stays = (
+        ud.join(
+            nxt,
+            (ud.user_id == nxt.user_id) & (ud.d == nxt.d_prev),
+        )
+        .groupBy(ud.d.alias("d"))
+        .agg(F.count("*").alias("n_stay"))
+    )
+    actives = ud.groupBy("d").agg(F.count("*").alias("n_active"))
+    j = actives.join(stays, "d", "left").fillna(0, "n_stay")
+    return j.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_stay").cast("long").alias("n_retained_next_day"),
+        F.round(
+            1 - F.col("n_stay") / F.col("n_active"), 6
+        ).alias("churn_rate"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "random_walk_test": q_random_walk_test,
+    "traffic_concentration": q_traffic_concentration,
+    "dau_churn": q_dau_churn,
     "clustering_factor": q_clustering_factor,
     "join_size_forecast": q_join_size_forecast,
     "scale_drift": q_scale_drift,
@@ -11972,4 +12089,88 @@ ORACLES["join_size_forecast"] = """
            round(predicted_rows * 1.0 / n_lineitem, 6)
              AS blowup_vs_lineitem
     FROM g, tot
+"""
+
+# round 4ag oracles --------------------------------------------------------
+
+ORACLES["random_walk_test"] = """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), d2 AS (
+      SELECT event_type, n,
+             n - lag(n) OVER (PARTITION BY event_type ORDER BY day)
+               AS diff
+      FROM daily
+    ), g AS (
+      SELECT event_type, count(*) AS nd, sum(n) AS sy,
+             sum(n * n) AS syy,
+             count(diff) AS ndiff, sum(diff) AS sd,
+             sum(diff * diff) AS sdd
+      FROM d2 GROUP BY 1
+    ), s AS (
+      SELECT event_type, nd, ndiff,
+        round((CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                 / CAST(nd AS DOUBLE))
+              / (CAST(nd AS DOUBLE) - 1.0), 6) AS vl,
+        round((CAST(sdd AS DOUBLE)
+               - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+                 / CAST(ndiff AS DOUBLE))
+              / (CAST(ndiff AS DOUBLE) - 1.0), 6) AS vd
+      FROM g WHERE ndiff >= 3
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+           vl AS var_level, vd AS var_diff,
+           CASE WHEN vl > 0 THEN round(vd / vl, 6) END AS ratio,
+           CASE WHEN vl <= 0 THEN 'degenerate'
+                WHEN round(vd / vl, 6) < 0.5 THEN 'trending'
+                ELSE 'stationary' END AS verdict
+    FROM s
+"""
+
+ORACLES["traffic_concentration"] = """
+    WITH du AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT day, n,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY n DESC, user_id) AS rk,
+             sum(n) OVER (PARTITION BY day) AS tot
+      FROM du
+    ), g AS (
+      SELECT day, max(tot) AS n_events, count(*) AS n_users,
+             sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS n_top10
+      FROM r GROUP BY 1
+    )
+    SELECT day, CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(n_top10 * 1.0 / n_events, 6) AS top10_share,
+           n_top10 * 1.0 / n_events > 0.5 AS is_concentrated
+    FROM g
+"""
+
+# The last observed day always churns 100% (no next day to retain
+# into) — an honest boundary, not a bug.
+ORACLES["dau_churn"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), stays AS (
+      SELECT a.d, count(*) AS n_stay
+      FROM ud a JOIN ud b
+        ON a.user_id = b.user_id AND b.d = a.d + 1
+      GROUP BY 1
+    ), actives AS (
+      SELECT d, count(*) AS n_active FROM ud GROUP BY 1
+    )
+    SELECT strftime(a.d, '%Y-%m-%d') AS day,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(coalesce(s.n_stay, 0) AS BIGINT)
+             AS n_retained_next_day,
+           round(1 - coalesce(s.n_stay, 0) * 1.0 / a.n_active, 6)
+             AS churn_rate
+    FROM actives a LEFT JOIN stays s USING (d)
 """

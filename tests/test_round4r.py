@@ -1342,3 +1342,71 @@ def test_join_size_forecast_exact_prediction(spark, tmp_path):
     assert r["max_key_contrib"] == 5
     assert r["blowup_vs_orders"] == 4.0
     assert r["blowup_vs_lineitem"] == round(8 / 9, 6)
+
+
+# round 4ag -----------------------------------------------------------------
+
+def test_random_walk_vs_stationary(spark, tmp_path):
+    """A cumulative ramp (10,20,...,200) reads 'trending' (diffs are
+    constant, levels accumulate); an alternating 100/110 series reads
+    'stationary' (diff variance dominates)."""
+    rows, eid = [], 0
+    for day in range(1, 21):
+        for _ in range(day * 10):  # ramp
+            rows.append((eid, f"2026-01-{day:02d} 06:00:00", 1,
+                         "ramp", 0.0, "{}")); eid += 1
+        for _ in range(100 if day % 2 else 110):  # oscillator
+            rows.append((eid, f"2026-01-{day:02d} 07:00:00", 1,
+                         "osc", 0.0, "{}")); eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_random_walk_test
+
+    out = {r["event_type"]: r for r in q_random_walk_test(spark, d).collect()}
+    assert out["ramp"]["verdict"] == "trending"
+    assert out["ramp"]["var_diff"] == 0.0  # perfectly constant steps
+    assert out["osc"]["verdict"] == "stationary"
+    assert out["osc"]["ratio"] > 0.5
+
+
+def test_traffic_concentration_bot_day(spark, tmp_path):
+    """Day 1: 100 users x 1 event each -> top10_share 0.1. Day 2: one
+    bot fires 900 of 1000 events -> concentrated."""
+    rows, eid = [], 0
+    for u in range(100):
+        rows.append((eid, "2026-01-01 06:00:00", u, "a", 0.0, "{}"))
+        eid += 1
+    for _ in range(900):
+        rows.append((eid, "2026-01-02 06:00:00", 666, "a", 0.0, "{}"))
+        eid += 1
+    for u in range(100):
+        rows.append((eid, "2026-01-02 07:00:00", u, "a", 0.0, "{}"))
+        eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_traffic_concentration
+
+    out = {r["day"]: r for r in q_traffic_concentration(spark, d).collect()}
+    assert out["2026-01-01"]["top10_share"] == 0.1
+    assert out["2026-01-01"]["is_concentrated"] is False
+    d2 = out["2026-01-02"]
+    assert d2["n_events"] == 1000 and d2["top10_share"] >= 0.9
+    assert d2["is_concentrated"] is True
+
+
+def test_dau_churn_replacement(spark, tmp_path):
+    """Day 1 actives {1,2,3,4}; day 2 actives {3,4,5,6}: day 1 retains
+    2 of 4 (churn 0.5); the last day churns 1.0 by boundary
+    definition."""
+    rows, eid = [], 0
+    for u in (1, 2, 3, 4):
+        rows.append((eid, "2026-01-01 06:00:00", u, "a", 0.0, "{}"))
+        eid += 1
+    for u in (3, 4, 5, 6):
+        rows.append((eid, "2026-01-02 06:00:00", u, "a", 0.0, "{}"))
+        eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_dau_churn
+
+    out = {r["day"]: r for r in q_dau_churn(spark, d).collect()}
+    assert out["2026-01-01"]["n_retained_next_day"] == 2
+    assert out["2026-01-01"]["churn_rate"] == 0.5
+    assert out["2026-01-02"]["churn_rate"] == 1.0
