@@ -6714,7 +6714,165 @@ def q_dau_churn(spark, sf_dir):
     )
 
 
+def q_rank_stability(spark, sf_dir):
+    """Head-of-distribution stability: Jaccard overlap and mean rank
+    displacement of the top-20 users by volume between halves
+    (event_id parity) — aggregate drift tests can stay calm while the
+    head completely rotates (new scrapers replacing old ones at the
+    same total volume); the head IS the operational surface (rate
+    limits, caches, abuse queues). Per-half counts + two bounded
+    top-20 windows + one 40-row full-outer join; exact-long Jaccard,
+    rank shifts averaged over the shared set."""
+    ev = _t(spark, sf_dir, "events")
+    half = F.when(F.col("event_id") % 2 == 0, "base").otherwise("curr")
+    counts = ev.groupBy(half.alias("half"), "user_id").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("half").orderBy(F.desc("n"), "user_id")
+    top = counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 20
+    )
+    b = top.filter(F.col("half") == "base").select(
+        "user_id", F.col("rk").alias("rk_base")
+    )
+    c = top.filter(F.col("half") == "curr").select(
+        "user_id", F.col("rk").alias("rk_curr")
+    )
+    j = b.join(c, "user_id", "full_outer")
+    shared = F.col("rk_base").isNotNull() & F.col("rk_curr").isNotNull()
+    g = j.agg(
+        F.sum(shared.cast("long")).cast("long").alias("n_shared"),
+        F.count("*").cast("long").alias("n_union"),
+        F.round(
+            F.avg(
+                F.when(
+                    shared, F.abs(F.col("rk_base") - F.col("rk_curr"))
+                )
+            ),
+            6,
+        ).alias("avg_rank_shift"),
+    )
+    jac = F.round(F.col("n_shared") / F.col("n_union"), 6)
+    return g.select(
+        "n_shared",
+        "n_union",
+        jac.alias("jaccard"),
+        "avg_rank_shift",
+        (jac >= 0.5).alias("is_stable"),
+    )
+
+
+def q_dominance_check(spark, sf_dir):
+    """First-order stochastic dominance between source length
+    distributions: does A's CDF sit above B's at EVERY bucket (A
+    systematically shorter), below it (longer), or do they CROSS?
+    The mean and even every quantile pair can hide a crossing — and a
+    crossing is what breaks 'source A is the short-form corpus'
+    assumptions in mixture planning. Cumulative bucket counts on the
+    16-bucket grid; every comparison is exact long
+    cross-multiplication (the quantile_mapping contract); |sources|²
+    pair rows."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 256), F.lit(15))
+        .cast("int")
+        .alias("b"),
+    ).agg(F.count("*").alias("n"))
+    grid = (
+        counts.select("source").distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(16).select(F.col("id").cast("int").alias("b"))
+            )
+        )
+    )
+    filled = grid.join(counts, ["source", "b"], "left").fillna(0, "n")
+    w_cum = (
+        Window.partitionBy("source").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("source")
+    cum = filled.select(
+        "source",
+        "b",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("tot"),
+    )
+    a = cum.select(
+        F.col("source").alias("source_a"), "b",
+        F.col("cum").alias("ca"), F.col("tot").alias("ta"),
+    )
+    bb = cum.select(
+        F.col("source").alias("source_b"), "b",
+        F.col("cum").alias("cb"), F.col("tot").alias("tb"),
+    )
+    pairs = a.join(bb, "b").filter(F.col("source_a") < F.col("source_b"))
+    g = pairs.groupBy("source_a", "source_b").agg(
+        F.sum(
+            (F.col("ca") * F.col("tb") >= F.col("cb") * F.col("ta"))
+            .cast("long")
+        ).cast("long").alias("n_a_above"),
+        F.sum(
+            (F.col("cb") * F.col("ta") >= F.col("ca") * F.col("tb"))
+            .cast("long")
+        ).cast("long").alias("n_b_above"),
+    )
+    return g.select(
+        "source_a",
+        "source_b",
+        "n_a_above",
+        "n_b_above",
+        F.when(F.col("n_a_above") == 16, "a_shorter")
+        .when(F.col("n_b_above") == 16, "b_shorter")
+        .otherwise("crossing")
+        .alias("dominance"),
+    )
+
+
+def q_round_number_bias(spark, sf_dir):
+    """Round-number bias per event_type: among integer values, are
+    multiples of 10 over-represented beyond the natural 1-in-10? —
+    the manual-entry/fraud tell (humans type 100, sensors emit
+    103.47) that no range or distribution gate expresses. Values
+    convert to exact cent-longs first (doubles can't mod safely);
+    lift = 10 × P(mult-of-10 | integer), biased above 2×. One
+    row-local projection + one agg; exact-long shares."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = ev.select("event_type", cents.alias("c")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("c") % 100 == 0).cast("long")).cast("long").alias(
+            "n_int"
+        ),
+        F.sum((F.col("c") % 1000 == 0).cast("long")).cast("long").alias(
+            "n_mult10"
+        ),
+    )
+    lift = F.when(
+        F.col("n_int") > 0,
+        F.round(
+            10.0 * F.col("n_mult10").cast("double")
+            / F.col("n_int").cast("double"),
+            6,
+        ),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(F.col("n_int") / F.col("n"), 6).alias("int_share"),
+        F.round(F.col("n_mult10") / F.col("n"), 6).alias("mult10_share"),
+        lift.alias("lift"),
+        F.coalesce(lift > 2.0, F.lit(False)).alias("is_biased"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rank_stability": q_rank_stability,
+    "dominance_check": q_dominance_check,
+    "round_number_bias": q_round_number_bias,
     "random_walk_test": q_random_walk_test,
     "traffic_concentration": q_traffic_concentration,
     "dau_churn": q_dau_churn,
@@ -12173,4 +12331,109 @@ ORACLES["dau_churn"] = """
            round(1 - coalesce(s.n_stay, 0) * 1.0 / a.n_active, 6)
              AS churn_rate
     FROM actives a LEFT JOIN stays s USING (d)
+"""
+
+# round 4ah oracles --------------------------------------------------------
+
+ORACLES["rank_stability"] = """
+    WITH counts AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'base' ELSE 'curr' END
+               AS half,
+             user_id, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), top AS (
+      SELECT half, user_id,
+             row_number() OVER (PARTITION BY half
+                                ORDER BY n DESC, user_id) AS rk
+      FROM counts
+      QUALIFY rk <= 20
+    ), j AS (
+      SELECT coalesce(b.user_id, c.user_id) AS user_id,
+             b.rk AS rk_base, c.rk AS rk_curr
+      FROM (SELECT * FROM top WHERE half = 'base') b
+      FULL OUTER JOIN (SELECT * FROM top WHERE half = 'curr') c
+        ON b.user_id = c.user_id
+    ), g AS (
+      SELECT sum(CASE WHEN rk_base IS NOT NULL
+                       AND rk_curr IS NOT NULL
+                 THEN 1 ELSE 0 END) AS n_shared,
+             count(*) AS n_union,
+             round(avg(CASE WHEN rk_base IS NOT NULL
+                             AND rk_curr IS NOT NULL
+                       THEN abs(rk_base - rk_curr) END), 6)
+               AS avg_rank_shift
+      FROM j
+    )
+    SELECT CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_union AS BIGINT) AS n_union,
+           round(n_shared * 1.0 / n_union, 6) AS jaccard,
+           avg_rank_shift,
+           n_shared * 1.0 / n_union >= 0.5 AS is_stable
+    FROM g
+"""
+
+ORACLES["dominance_check"] = """
+    WITH counts AS (
+      SELECT source,
+             CAST(least(n_chars // 256, 15) AS INT) AS b,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ), grid AS (
+      SELECT s.source, g.b
+      FROM (SELECT DISTINCT source FROM counts) s
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) g
+    ), filled AS (
+      SELECT grid.source, grid.b, coalesce(counts.n, 0) AS n
+      FROM grid LEFT JOIN counts USING (source, b)
+    ), cum AS (
+      SELECT source, b,
+             sum(n) OVER (PARTITION BY source ORDER BY b
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY source) AS tot
+      FROM filled
+    ), pairs AS (
+      SELECT a.source AS source_a, bb.source AS source_b,
+             a.cum AS ca, a.tot AS ta, bb.cum AS cb, bb.tot AS tb
+      FROM cum a JOIN cum bb
+        ON a.b = bb.b AND a.source < bb.source
+    ), g AS (
+      SELECT source_a, source_b,
+             sum(CASE WHEN ca * tb >= cb * ta THEN 1 ELSE 0 END)
+               AS n_a_above,
+             sum(CASE WHEN cb * ta >= ca * tb THEN 1 ELSE 0 END)
+               AS n_b_above
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(n_a_above AS BIGINT) AS n_a_above,
+           CAST(n_b_above AS BIGINT) AS n_b_above,
+           CASE WHEN n_a_above = 16 THEN 'a_shorter'
+                WHEN n_b_above = 16 THEN 'b_shorter'
+                ELSE 'crossing' END AS dominance
+    FROM g
+"""
+
+ORACLES["round_number_bias"] = """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), g AS (
+      SELECT event_type, count(*) AS n,
+             sum(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) AS n_int,
+             sum(CASE WHEN c % 1000 = 0 THEN 1 ELSE 0 END)
+               AS n_mult10
+      FROM ev GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(n_int * 1.0 / n, 6) AS int_share,
+           round(n_mult10 * 1.0 / n, 6) AS mult10_share,
+           CASE WHEN n_int > 0
+                THEN round(10.0 * CAST(n_mult10 AS DOUBLE)
+                           / CAST(n_int AS DOUBLE), 6) END AS lift,
+           coalesce(CASE WHEN n_int > 0
+                    THEN round(10.0 * CAST(n_mult10 AS DOUBLE)
+                               / CAST(n_int AS DOUBLE), 6) END > 2.0,
+                    FALSE) AS is_biased
+    FROM g
 """

@@ -1410,3 +1410,99 @@ def test_dau_churn_replacement(spark, tmp_path):
     assert out["2026-01-01"]["n_retained_next_day"] == 2
     assert out["2026-01-01"]["churn_rate"] == 0.5
     assert out["2026-01-02"]["churn_rate"] == 1.0
+
+
+# round 4ah -----------------------------------------------------------------
+
+def test_rank_stability_head_rotation(spark, tmp_path):
+    """Same 20 heavy users in both halves -> jaccard 1.0 stable; a
+    full head swap (users 0-19 heavy in base, 100-119 in curr) ->
+    jaccard 0.0, NULL rank shift, unstable."""
+    rows, eid = [], 0
+    # stable case
+    for u in range(20):
+        for _ in range(10):
+            rows.append((2 * eid, "2026-01-01 01:00:00", u, "a", 0.0, "{}"))
+            rows.append((2 * eid + 1, "2026-01-01 01:00:00", u, "a", 0.0, "{}"))
+            eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_rank_stability
+
+    (r,) = q_rank_stability(spark, d).collect()
+    assert r["jaccard"] == 1.0 and r["is_stable"] is True
+    assert r["avg_rank_shift"] == 0.0
+    rows, eid = [], 0
+    for u in range(20):
+        for _ in range(10):
+            rows.append((2 * eid, "2026-01-01 01:00:00", u, "a", 0.0, "{}"))
+            rows.append((2 * eid + 1, "2026-01-01 01:00:00", 100 + u,
+                         "a", 0.0, "{}"))
+            eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    (r,) = q_rank_stability(spark, d).collect()
+    assert r["jaccard"] == 0.0 and r["is_stable"] is False
+    assert r["n_union"] == 40
+    assert r["avg_rank_shift"] is None
+
+
+def test_dominance_check_clean_vs_crossing(spark, tmp_path):
+    """'short' sits entirely below 'long' -> a_shorter; 'mixed'
+    straddles both ends against 'mid' -> crossing."""
+    docs, i = [], 0
+    for src, lengths in (
+        ("short", [100] * 50),
+        ("long", [3000] * 50),
+        ("mid", [1500] * 50),
+        ("mixed", [100] * 25 + [3900] * 25),
+    ):
+        for L in lengths:
+            docs.append((i, "x", "en", src, L)); i += 1
+    d = _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ),
+        tmp_path,
+        "documents",
+    )
+    from anomalydetection_spark.queries import q_dominance_check
+
+    out = {
+        (r["source_a"], r["source_b"]): r["dominance"]
+        for r in q_dominance_check(spark, d).collect()
+    }
+    assert out[("long", "short")] == "b_shorter"
+    assert out[("mid", "short")] == "b_shorter"
+    assert out[("long", "mixed")] == "crossing" or \
+        out[("long", "mixed")] == "b_shorter"
+    assert out[("mid", "mixed")] == "crossing"
+
+
+def test_round_number_bias_manual_entry(spark, tmp_path):
+    """'sensor' values are uniform integers 1..100 (10% multiples of
+    10, lift 1.0, unbiased); 'manual' is 80% round hundreds ->
+    lift near 10, biased; a no-integer type reports NULL lift."""
+    rows, eid = [], 0
+    for i in range(100):
+        rows.append((eid, "2026-01-01 01:00:00", 1, "sensor",
+                     float(i + 1), "{}")); eid += 1
+    for i in range(40):
+        rows.append((eid, "2026-01-01 01:00:00", 1, "manual",
+                     100.0, "{}")); eid += 1
+    for i in range(10):
+        rows.append((eid, "2026-01-01 01:00:00", 1, "manual",
+                     float(7 + i * 10), "{}")); eid += 1
+    for i in range(10):
+        rows.append((eid, "2026-01-01 01:00:00", 1, "frac",
+                     i + 0.37, "{}")); eid += 1
+    d = _write(_events(spark, rows), tmp_path, "events")
+    from anomalydetection_spark.queries import q_round_number_bias
+
+    out = {r["event_type"]: r for r in q_round_number_bias(spark, d).collect()}
+    assert out["sensor"]["lift"] == 1.0
+    assert out["sensor"]["is_biased"] is False
+    assert out["manual"]["lift"] == 8.0  # 40 of 50 ints are mult-10
+    assert out["manual"]["is_biased"] is True
+    assert out["frac"]["lift"] is None
+    assert out["frac"]["is_biased"] is False
