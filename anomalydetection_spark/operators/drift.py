@@ -773,11 +773,14 @@ def acf_lags(
             F.corr("x", "x_lag").alias("acf"),
         )
         .withColumn(
-            # rank on 6dp-rounded acf: near-ties must break on the lag,
-            # not on which engine's corr() kept the last ulp
+            # rank on 4dp-rounded acf — the same quantized value the
+            # catalog emits (checker precision): corr() is an
+            # order-dependent streaming covariance, so cross-engine
+            # ulp drift must never decide a rank; at 4dp near-ties
+            # collapse and break on the lag deterministically
             "rank",
             F.row_number().over(
-                Window.orderBy(F.desc(F.round("acf", 6)), F.asc("lag"))
+                Window.orderBy(F.desc(F.round("acf", 4)), F.asc("lag"))
             ),
         )
     )

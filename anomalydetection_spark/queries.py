@@ -1101,7 +1101,13 @@ def q_unigram_logprob(spark, sf_dir):
     -log2 p(token) under the corpus's own unigram distribution, plus
     the head/middle/tail bucketing CCNet uses to stratify web text
     (fixed thresholds, not quantiles, so the verdict is row-local).
-    Docs < 200 for a bounded oracle-side join."""
+    Docs < 200 for a bounded oracle-side join.
+
+    Boundary audit (round-5 sweep): bits_per_token is libm-log2-
+    contaminated but already quantized ONCE at the checker's own 4dp
+    precision inside the operator, and the bucket verdict branches on
+    that quantized double — the quantize-once-derive-downstream
+    contract q_hill_tail_index documents already holds here."""
     from .operators.quality import unigram_logprob
 
     d = _t(spark, sf_dir, "documents")
@@ -3355,10 +3361,14 @@ def q_sequence_likelihood(spark, sf_dir):
         ev, "user_id", "event_type", "ts",
         order_cols=["event_id"], min_transitions=5, laplace=1.0,
     )
+    # 4dp = the checker's own hash precision: libm-ln-contaminated
+    # floats are quantized ONCE at that grid (no 6dp->4dp double-round
+    # window; boundary density 100x sparser than 6dp) — the round-5
+    # boundary-proofing sweep (see q_hill_tail_index)
     return out.select(
         "user_id",
         F.col("n_transitions").cast("long").alias("n_transitions"),
-        F.round("avg_log_likelihood", 6).alias("avg_log_likelihood"),
+        F.round("avg_log_likelihood", 4).alias("avg_log_likelihood"),
     )
 
 
@@ -4005,7 +4015,8 @@ def q_acf_periodicity(spark, sf_dir):
     """ACF periodicity detection (operators/drift.py::acf_lags) over
     the hourly event-count series: autocorrelation at lags 1..48 via
     one explode-shift self-join on the integer hour index (no per-lag
-    passes), ranked on 6dp-rounded acf so near-ties break on the lag
+    passes), ranked on 4dp-quantized acf (the same grid the catalog
+    emits and the checker hashes) so near-ties break on the lag
     across engines — the detector that tells the seasonal baseline
     which period to use. On THIS corpus the ranked ACF is nearly flat
     (max ~0.07): the synthetic hour-of-day amplitude is small against
@@ -4296,7 +4307,12 @@ def q_holt_anomaly(spark, sf_dir):
     are the same double-precision operation sequence and the forecast
     hashes bit-exactly at 4dp. Exercises the keyed partitionBy path
     with per-key state that ema_hourly's single global series never
-    touches."""
+    touches.
+
+    Boundary audit (round-5 sweep): the recurrence is +/*/- only (no
+    libm), both engines replay the identical IEEE operation sequence,
+    and the forecast is already emitted at the checker's 4dp grid —
+    no double-round window, nothing to change."""
     from .operators.drift import holt_residual_anomaly
 
     ev = _t(spark, sf_dir, "events")
@@ -4940,8 +4956,8 @@ def q_theil_sen_trend(spark, sf_dir):
     DAILY series, not raw rows: |days|² ≈ 900 pairs per type at a
     30-day span — metadata scale by construction, declared as such.
     Slopes are exact-long divisions; the median interpolation is
-    rounded 6dp (the percentile contract shared with robust_zscore);
-    the flat-band verdict compares the ROUNDED slope."""
+    quantized at the checker's 4dp grid (round-5 boundary sweep);
+    the flat-band verdict compares the QUANTIZED slope."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
@@ -4966,9 +4982,14 @@ def q_theil_sen_trend(spark, sf_dir):
             / (F.col("b.x") - F.col("a.x")).cast("double")
         ).alias("slope"),
     )
+    # slopes are exact-long divisions and percentile is the same R-7
+    # algebra both engines, so the median double is bit-identical
+    # cross-engine; quantize ONCE at the checker's 4dp grid (closes
+    # the 6dp->4dp double-round window — round-5 sweep) and let the
+    # direction verdict branch on the quantized double
     out = pairs.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("slope"),
+        F.round(F.expr("percentile(slope, 0.5)"), 4).alias("slope"),
     )
     return out.select(
         "event_type",
@@ -5873,15 +5894,20 @@ def q_burstiness_index(spark, sf_dir):
         - F.col("sy").cast("double") * F.col("sy").cast("double") / nd
     ) / (nd - 1.0)
     sd = F.sqrt(F.greatest(var, F.lit(0.0)))
-    b = (sd - mu) / (sd + mu)
+    # sqrt is IEEE-correctly-rounded (no libm ulp hazard), so mu/sd/b
+    # are bit-identical cross-engine; the residual hazard is the
+    # 6dp-emit -> 4dp-checker double-round window, closed by
+    # quantizing ONCE at the checker's 4dp grid and deriving the
+    # regime verdict from the quantized double (round-5 sweep)
+    b = F.round((sd - mu) / (sd + mu), 4)
     return g.filter(F.col("nd") >= 2).select(
         "event_type",
         F.col("nd").cast("long").alias("n_days"),
-        F.round(mu, 6).alias("mean_daily"),
-        F.round(sd, 6).alias("sd_daily"),
-        F.round(b, 6).alias("burstiness"),
-        F.when(F.round(b, 6) > 0.3, "bursty")
-        .when(F.round(b, 6) < -0.5, "periodic")
+        F.round(mu, 4).alias("mean_daily"),
+        F.round(sd, 4).alias("sd_daily"),
+        b.alias("burstiness"),
+        F.when(b > 0.3, "bursty")
+        .when(b < -0.5, "periodic")
         .otherwise("regular")
         .alias("regime"),
     )
@@ -5957,7 +5983,18 @@ def q_hill_tail_index(spark, sf_dir):
     window (the scale tier is the two-phase partial top-k documented
     at reservoir_sample), then Hill folds the 50 ln-ratios of EXACT
     integer lengths in rank order via an aggregate HOF — pinned float
-    summation, ln of identical doubles."""
+    summation, ln of identical doubles.
+
+    Boundary-proof contract (round-5, the r4 driver gate's one hash
+    flake): libm `ln` is only 1-ulp-accurate, and a 6dp round of the
+    fold could land on a 4dp half-boundary that the checker's 4dp
+    re-round then flips. So (a) the exact-integer side channel
+    `len_sum` (Σ n_chars over the k ratio rows) plus k and xmin fully
+    determine the computation's inputs and carry the hash-exactness;
+    (b) `hill` is quantized ONCE at the checker's own 4dp precision
+    (no double-rounding window), and (c) `alpha` and the tail verdict
+    are derived FROM the quantized double, so both engines branch on
+    bit-identical values."""
     d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     w = Window.partitionBy("source").orderBy(
         F.desc("n_chars"), "doc_id"
@@ -5976,20 +6013,25 @@ def q_hill_tail_index(spark, sf_dir):
     )
     agg = terms.groupBy("source", "xmin").agg(
         F.count("*").cast("long").alias("k"),
+        F.sum("n_chars").cast("long").alias("len_sum"),
         F.array_sort(F.collect_list(F.struct("rk", "term"))).alias("ts"),
     )
-    hill = (
+    hill_raw = (
         F.expr("aggregate(ts, cast(0.0 as double), (s, t) -> s + t.term)")
         / F.col("k").cast("double")
     )
+    # quantize once at checker precision; everything below derives
+    # from this bit-identical double
+    hill = F.round(hill_raw, 4)
     # constant-length source -> hill 0 -> guard the division; a
     # degenerate tail is 'light' by definition, not an infinity
-    alpha = F.when(F.round(hill, 6) > 0, F.round(1.0 / hill, 6))
+    alpha = F.when(hill > 0, F.round(1.0 / hill, 4))
     return agg.select(
         "source",
         "k",
         F.col("xmin").cast("long").alias("xmin"),
-        F.round(hill, 6).alias("hill"),
+        "len_sum",
+        hill.alias("hill"),
         alpha.alias("alpha"),
         F.when(alpha.isNull(), "light")
         .when(alpha < 2.0, "heavy")
@@ -9990,7 +10032,7 @@ ORACLES["sequence_likelihood"] = """
       FROM counts
     )
     SELECT user_id, count(*) AS n_transitions,
-           round(avg(log_p), 6) AS avg_log_likelihood
+           round(avg(log_p), 4) AS avg_log_likelihood
     FROM tr2 JOIN model USING (prev, next)
     GROUP BY 1 HAVING count(*) >= 5
 """
@@ -10767,7 +10809,7 @@ ORACLES["acf_periodicity"] = """
     SELECT CAST(lag AS BIGINT) AS lag,
            CAST(n_pairs AS BIGINT) AS n_pairs,
            round(acf, 4) AS acf,
-           CAST(row_number() OVER (ORDER BY round(acf, 6) DESC, lag)
+           CAST(row_number() OVER (ORDER BY round(acf, 4) DESC, lag)
                 AS BIGINT) AS rank
     FROM agg
 """
@@ -11133,7 +11175,7 @@ ORACLES["theil_sen_trend"] = """
         ON a.event_type = b.event_type AND a.x < b.x
     ), agg AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
-             round(quantile_cont(slope, 0.5), 6) AS slope
+             round(quantile_cont(slope, 0.5), 4) AS slope
       FROM pairs GROUP BY 1
     )
     SELECT event_type, n_pairs, slope,
@@ -11765,12 +11807,12 @@ ORACLES["burstiness_index"] = """
       FROM g WHERE nd >= 2
     )
     SELECT event_type, CAST(nd AS BIGINT) AS n_days,
-           round(mu, 6) AS mean_daily,
-           round(sd, 6) AS sd_daily,
-           round((sd - mu) / (sd + mu), 6) AS burstiness,
-           CASE WHEN round((sd - mu) / (sd + mu), 6) > 0.3
+           round(mu, 4) AS mean_daily,
+           round(sd, 4) AS sd_daily,
+           round((sd - mu) / (sd + mu), 4) AS burstiness,
+           CASE WHEN round((sd - mu) / (sd + mu), 4) > 0.3
                   THEN 'bursty'
-                WHEN round((sd - mu) / (sd + mu), 6) < -0.5
+                WHEN round((sd - mu) / (sd + mu), 4) < -0.5
                   THEN 'periodic'
                 ELSE 'regular' END AS regime
     FROM s
@@ -11833,23 +11875,24 @@ ORACLES["hill_tail_index"] = """
              min(n_chars) OVER (PARTITION BY source) AS xmin
       FROM top
     ), terms AS (
-      SELECT source, xmin, rk,
+      SELECT source, xmin, rk, n_chars,
              ln(CAST(n_chars AS DOUBLE) / CAST(xmin AS DOUBLE))
                AS term
       FROM t WHERE rk < k1
     ), agg AS (
       SELECT source, xmin, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_chars) AS BIGINT) AS len_sum,
              round(list_reduce(list_prepend(0.0,
                                             list(term ORDER BY rk)),
                                (s, x) -> s + x)
-                   / count(*), 6) AS hill
+                   / count(*), 4) AS hill
       FROM terms GROUP BY 1, 2
     )
-    SELECT source, k, CAST(xmin AS BIGINT) AS xmin, hill,
-           CASE WHEN hill > 0 THEN round(1.0 / hill, 6) END AS alpha,
+    SELECT source, k, CAST(xmin AS BIGINT) AS xmin, len_sum, hill,
+           CASE WHEN hill > 0 THEN round(1.0 / hill, 4) END AS alpha,
            CASE WHEN hill <= 0 THEN 'light'
-                WHEN round(1.0 / hill, 6) < 2.0 THEN 'heavy'
-                WHEN round(1.0 / hill, 6) < 4.0 THEN 'moderate'
+                WHEN round(1.0 / hill, 4) < 2.0 THEN 'heavy'
+                WHEN round(1.0 / hill, 4) < 4.0 THEN 'moderate'
                 ELSE 'light' END AS tail
     FROM agg
 """
