@@ -104,23 +104,37 @@ def heavy_hitters(
         # to a sequence of min-decrements, so the est ≥ true − n/(k+1)
         # retention bound is preserved). Python work per batch is
         # O(uniques log uniques), never O(rows).
+        #
+        # The partition's non-null row count rides along as a sentinel
+        # row (candidate NULL): strict mode's N/(k+1) floor needs the
+        # global N, and this pass already touches every row — emitting
+        # it here fuses what was a separate full-scan count() (the r4
+        # driver bench's one regression) back into scan 1.
         ser = None
+        n_part = 0
         for pdf in batches:
             vc = pdf[col].dropna().value_counts()
             if not vc.empty:
+                n_part += int(vc.sum())
                 ser = mg_fold_counts(ser, vc, k)
+        cands = list(ser.index) if ser is not None else []
         yield pd.DataFrame(
-            {"candidate": list(ser.index) if ser is not None else []}
+            {
+                "candidate": cands + [None],
+                "n": [None] * len(cands) + [n_part],
+            }
         )
 
     col_type = df.schema[col].dataType.simpleString()
     cand_rows = (
         df.select(col)
-        .mapInPandas(_partials, schema=f"candidate {col_type}")
-        .distinct()
+        .mapInPandas(_partials, schema=f"candidate {col_type}, n long")
         .collect()
     )
-    candidates = [r.candidate for r in cand_rows]
+    candidates = list(
+        {r.candidate for r in cand_rows if r.candidate is not None}
+    )
+    n_total = sum(r.n for r in cand_rows if r.n is not None)
     if len(candidates) <= 10_000:
         scoped = df.filter(F.col(col).isin(candidates))
     else:
@@ -142,7 +156,6 @@ def heavy_hitters(
     if not strict:
         return ranked
     rows = ranked.collect()  # ≤ top rows — metadata scale
-    n_total = df.filter(F.col(col).isNotNull()).count()
     floor = n_total / (k + 1)
     provable = (
         len(rows) >= top and min(r["count"] for r in rows) > floor
