@@ -1886,8 +1886,23 @@ def q_tdigest_quantiles(spark, sf_dir):
 
 
 def q_similarity_groups(spark, sf_dir):
-    """A11 greedy similarity grouping per lang on truncated text —
-    order-dependent greedy semantics, not SQL-expressible (rows-only)."""
+    """A11 greedy similarity grouping per lang on truncated text. The
+    greedy pass itself is order-dependent (score-descending, not
+    SQL-expressible), so the gate contract is the property-oracle form
+    (round-5, closing the r4 rows-only trio): per lang the query emits
+    the EXACT invariants DuckDB can recompute plus booleans that any
+    grouping bug flips —
+      * n_rows / n_distinct_snippets: exact counts of the input slice;
+      * max_best_score: score-ordered greedy makes the top-score row
+        an exemplar of its own group, so max(best_score) MUST equal
+        the lang's max score — a hash-compared exact VALUE;
+      * cover_ok: sum(n_members) == n_rows (no row lost or counted
+        twice across groups);
+      * groups_bounded_ok: 1 <= n_groups <= n_distinct_snippets
+        (identical snippets always merge: ratio 1.0 >= threshold);
+      * exemplar_member_ok: every exemplar string occurs in the lang's
+        snippet set (no fabricated exemplars).
+    The raw group table stays pinned in tests/test_verdict.py."""
     from .operators.verdict import similarity_groups
 
     d = (
@@ -1899,9 +1914,38 @@ def q_similarity_groups(spark, sf_dir):
             F.col("n_chars").cast("double").alias("score"),
         )
     )
-    return similarity_groups(
+    groups = similarity_groups(
         d, "snippet", ["lang"], ratio_threshold=0.85, max_candidates=500
     )
+    inp = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("snippet").cast("long").alias(
+            "n_distinct_snippets"
+        ),
+        F.max("score").alias("max_score"),
+        F.collect_set("snippet").alias("snips"),
+    )
+    g = groups.groupBy(F.col("group_key").alias("lang")).agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n_members").cast("long").alias("n_covered"),
+        F.max("best_score").alias("max_best_score"),
+        F.collect_set("exemplar").alias("exemplars"),
+    )
+    j = inp.join(g, "lang")
+    return j.select(
+        "lang",
+        "n_rows",
+        "n_distinct_snippets",
+        F.round("max_best_score", 2).alias("max_best_score"),
+        (F.col("n_covered") == F.col("n_rows")).alias("cover_ok"),
+        (
+            (F.col("n_groups") >= 1)
+            & (F.col("n_groups") <= F.col("n_distinct_snippets"))
+        ).alias("groups_bounded_ok"),
+        F.expr(
+            "forall(exemplars, e -> array_contains(snips, e))"
+        ).alias("exemplar_member_ok"),
+    ).orderBy("lang")
 
 
 # --------------------------------------------------------------------------
@@ -2303,21 +2347,54 @@ def q_template_mining(spark, sf_dir):
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN (operators/ann.py): sample-trained k-means++ coarse
     quantizer, distributed cell assignment, nprobe-cell exact re-rank.
-    Training is an iterative seeded algorithm (driver-side k-means on a
-    bounded sample) — not SQL-expressible, so rows-only; recall vs the
-    exact tier is pinned in tests/test_ann_dedup.py (≥0.55 at ~12.5%
-    scan on sf0.1)."""
-    from .operators.ann import ivf_topk
+    Training is an iterative seeded algorithm (driver-side k-means on
+    a bounded sample) — not SQL-expressible row-for-row, so the gate
+    contract is the recall-vs-exact property oracle (round-5, closing
+    the r4 rows-only trio): per query vector the query emits the EXACT
+    cosine top-3 neighbor ids (rank-ordered, same tie-break as
+    q_cosine_topk — DuckDB recomputes them brute-force, a hash-exact
+    VALUE check of the re-rank metric), plus the overall-recall
+    boolean recall_ok = |IVF ∩ exact| / |exact| >= 0.5 over the query
+    set (measured 0.6 both gate SFs with nprobe/n_centroids = 25%
+    scan; a broken quantizer or probe path drives recall toward 0 and
+    flips every row). Per-draw determinism: seeded kmeans++ on a
+    deterministic sample. Absolute recall is additionally pinned in
+    tests/test_ann_dedup.py."""
+    from .operators.ann import cosine_topk_exact, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        e,
-        e.filter(F.col("vec_id") < 5),
-        "vec_id",
-        "embedding",
-        k=3,
-        n_centroids=16,
-        nprobe=4,
+    q = e.filter(F.col("vec_id") < 5)
+    ivf = ivf_topk(
+        e, q, "vec_id", "embedding", k=3, n_centroids=16, nprobe=4
+    )
+    exact = cosine_topk_exact(e, q, "vec_id", "embedding", k=3)
+    hits = ivf.alias("i").join(
+        exact.alias("x"),
+        (F.col("i.query_id") == F.col("x.query_id"))
+        & (F.col("i.neighbor_id") == F.col("x.neighbor_id")),
+    )
+    totals = hits.agg(
+        F.count("*").cast("double").alias("n_hits")
+    ).crossJoin(
+        exact.agg(F.count("*").cast("double").alias("n_exact"))
+    ).select(
+        (F.col("n_hits") / F.col("n_exact") >= 0.5).alias("recall_ok")
+    )
+    per_q = exact.groupBy("query_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rank", "neighbor_id"))
+                ),
+                lambda s: s["neighbor_id"].cast("string"),
+            ),
+        ).alias("exact_top3")
+    )
+    return per_q.crossJoin(F.broadcast(totals)).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "exact_top3",
+        "recall_ok",
     )
 
 
@@ -2328,16 +2405,65 @@ def q_iforest_scores(spark, sf_dir):
     seeded forest, broadcast tree arrays, Arrow-vectorized distributed
     scoring; is_anomaly replays the reference's score < −0.04 verdict
     (drain3.ini:111). Seeded RNG tree construction is not
-    SQL-expressible — rows-only; score↔drift-verdict rank parity and
-    the distributed-vs-driver bit-identity are pinned in
-    tests/test_iforest.py."""
+    SQL-expressible score-for-score, so the gate contract is the
+    planted-outlier property oracle (round-5, closing the r4
+    rows-only trio): 8 deterministic outliers (+8.0 on every
+    component of vec_id<8's embeddings — both engines can count the
+    construction exactly) ride through the forest with the corpus,
+    and the query emits
+      * n_natural / n_planted: exact row counts DuckDB recomputes;
+      * planted_isolated: all 8 planted rows land in the 16 lowest
+        scores (measured: they occupy the bottom 8 exactly, planted
+        max ≈ −0.31 vs natural min ≈ −0.03 at both gate SFs);
+      * planted_below_gate: every planted score < −0.04 (the
+        reference's anomaly gate — margin ≈ 0.27);
+      * natural_frac_ok: natural anomaly fraction ≤ 0.15 (measured 0).
+    A broken forest (bad path-length algebra, sampling, or scoring)
+    flips the booleans; driver↔distributed bit-identity and planted
+    separation stay pinned in tests/test_iforest.py."""
     from .operators.iforest import iforest_scores
 
-    e = _t(spark, sf_dir, "embeddings")
-    return iforest_scores(
-        e, "vec_id", "embedding", n_trees=50, max_samples=128, seed=7
-    ).select(
-        "vec_id", F.round("score", 4).alias("score"), "is_anomaly"
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x + 8.0f)").alias("embedding"),
+    )
+    scored = iforest_scores(
+        e.unionByName(planted),
+        "vec_id",
+        "embedding",
+        n_trees=50,
+        max_samples=128,
+        seed=7,
+    ).withColumn(
+        "rk", F.row_number().over(Window.orderBy("score", "vec_id"))
+    )
+    return scored.agg(
+        F.sum(F.when(F.col("vec_id") < 1000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_natural"),
+        F.sum(F.when(F.col("vec_id") >= 1000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_planted"),
+        (
+            F.max(
+                F.when(F.col("vec_id") >= 1000000, F.col("rk"))
+            )
+            <= 16
+        ).alias("planted_isolated"),
+        (
+            F.max(F.when(F.col("vec_id") >= 1000000, F.col("score")))
+            < -0.04
+        ).alias("planted_below_gate"),
+        (
+            F.avg(
+                F.when(
+                    F.col("vec_id") < 1000000,
+                    F.when(F.col("score") < -0.04, 1.0).otherwise(0.0),
+                )
+            )
+            <= 0.15
+        ).alias("natural_frac_ok"),
     )
 
 
@@ -12479,4 +12605,66 @@ ORACLES["round_number_bias"] = """
                                / CAST(n_int AS DOUBLE), 6) END > 2.0,
                     FALSE) AS is_biased
     FROM g
+"""
+
+# --------------------------------------------------------------------------
+# round-5 property oracles for the (formerly rows-only) seeded trio:
+# DuckDB recomputes every EXACT column and emits literal TRUE for each
+# property boolean the Spark side derives from the seeded computation —
+# a broken operator flips a boolean (or an exact value) and the hash
+# catches it. template_mining stays the one documented rows-only entry
+# (genuinely order-dependent incremental clustering).
+# --------------------------------------------------------------------------
+
+ORACLES["similarity_groups"] = """
+    WITH d AS (
+      SELECT lang, substring(text, 1, 60) AS snippet,
+             CAST(n_chars AS DOUBLE) AS score
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT snippet) AS BIGINT)
+             AS n_distinct_snippets,
+           round(max(score), 2) AS max_best_score,
+           TRUE AS cover_ok,
+           TRUE AS groups_bounded_ok,
+           TRUE AS exemplar_member_ok
+    FROM d GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["ann_ivf"] = """
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_aggregate(list_transform(
+               list_zip(q.embedding, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(q.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(c.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+               AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 5
+       AND q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC,
+                                         neighbor_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           string_agg(CAST(neighbor_id AS VARCHAR), ','
+                      ORDER BY rank) AS exact_top3,
+           TRUE AS recall_ok
+    FROM ranked WHERE rank <= 3 GROUP BY query_id
+"""
+
+ORACLES["iforest_scores"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_natural,
+           CAST(count(*) FILTER (WHERE vec_id < 8) AS BIGINT)
+             AS n_planted,
+           TRUE AS planted_isolated,
+           TRUE AS planted_below_gate,
+           TRUE AS natural_frac_ok
+    FROM embeddings
 """
