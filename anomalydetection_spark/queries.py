@@ -6991,7 +6991,14 @@ def q_dominance_check(spark, sf_dir):
         "source_b",
         "n_a_above",
         "n_b_above",
-        F.when(F.col("n_a_above") == 16, "a_shorter")
+        # >= in both cumulative comparisons means two identical
+        # distributions score 16/16 on BOTH sides — that's an exact
+        # tie, not "a_shorter", so the tie branch must come first
+        F.when(
+            (F.col("n_a_above") == 16) & (F.col("n_b_above") == 16),
+            "equal",
+        )
+        .when(F.col("n_a_above") == 16, "a_shorter")
         .when(F.col("n_b_above") == 16, "b_shorter")
         .otherwise("crossing")
         .alias("dominance"),
@@ -12576,7 +12583,8 @@ ORACLES["dominance_check"] = """
     SELECT source_a, source_b,
            CAST(n_a_above AS BIGINT) AS n_a_above,
            CAST(n_b_above AS BIGINT) AS n_b_above,
-           CASE WHEN n_a_above = 16 THEN 'a_shorter'
+           CASE WHEN n_a_above = 16 AND n_b_above = 16 THEN 'equal'
+                WHEN n_a_above = 16 THEN 'a_shorter'
                 WHEN n_b_above = 16 THEN 'b_shorter'
                 ELSE 'crossing' END AS dominance
     FROM g

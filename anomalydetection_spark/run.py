@@ -1105,8 +1105,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.repair:
         try:
             rid = args.run_id or f"repair{int(time.time())}"
-            print(json.dumps(repair_round(spark, args, rid)))
-            return 0
+            summary = repair_round(spark, args, rid)
+            print(json.dumps(summary))
+            # a corrupt write must not report success: the repair_round
+            # docstring promises the written output reconciles against
+            # the plan, and CI callers key on the exit code
+            return 0 if summary["reconciled"] else 3
         finally:
             spark.stop()
     if args.incremental_profile:
