@@ -766,12 +766,35 @@ def acf_lags(
         F.col("x").alias("x_lag"),
     ).select("lag", (F.col("i0") + F.col("lag")).alias("i"), "x_lag")
     pairs = s.join(shifted, "i")
+    # Pearson r from moment sums, variance-GUARDED: built-in corr()
+    # raises DIVIDE_BY_ZERO under ANSI mode when either side of a lag
+    # is constant (a perfectly uniform series — the boundary corpus's
+    # 4-events-per-hour fixture — crashed the whole query); NULL acf is
+    # the honest answer there, matching DuckDB's corr(). For
+    # integer-valued series the sums are exact in double regardless of
+    # fold order, so the division runs on bit-identical operands in
+    # both engines.
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.greatest(
+            (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (n * F.col("syy") - F.col("sy") * F.col("sy")),
+            F.lit(0.0),
+        )
+    )
     return (
         pairs.groupBy("lag")
         .agg(
             F.count("*").alias("n_pairs"),
-            F.corr("x", "x_lag").alias("acf"),
+            F.sum("x").alias("sx"),
+            F.sum("x_lag").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x_lag") * F.col("x_lag")).alias("syy"),
+            F.sum(F.col("x") * F.col("x_lag")).alias("sxy"),
         )
+        .withColumn("acf", F.when(den > 0, num / den))
+        .drop("sx", "sy", "sxx", "syy", "sxy")
         .withColumn(
             # rank on 4dp-rounded acf — the same quantized value the
             # catalog emits (checker precision): corr() is an

@@ -4670,8 +4670,15 @@ def q_volume_anomaly(spark, sf_dir):
     ssq_loo = (
         F.col("syy") - F.col("n") * F.col("n")
     ).cast("double")
-    mu = sy_loo / m
-    var = (ssq_loo - sy_loo * sy_loo / m) / (m - 1.0)
+    # guard the LOO divisions: a DOW observed on a single day has
+    # m = 0 (and on two days m - 1 = 0) — under ANSI mode the eager
+    # division crashed the whole query on short histories (flushed out
+    # by the boundary corpus); NULL mean/sd is the honest answer
+    mu = F.when(F.col("n_days") >= 2, sy_loo / m)
+    var = F.when(
+        F.col("n_days") >= 3,
+        (ssq_loo - sy_loo * sy_loo / m) / (m - 1.0),
+    )
     sd = F.sqrt(F.greatest(var, F.lit(0.0)))
     z = F.when(
         (F.col("n_days") >= 3) & (sd > 1e-9), (F.col("n") - mu) / sd
@@ -10936,7 +10943,18 @@ ORACLES["acf_periodicity"] = """
       JOIN h b ON a.i = b.i + l.lag
     ),
     agg AS (
-      SELECT lag, count(*) AS n_pairs, corr(x, x_lag) AS acf
+      -- Pearson r from moment sums with the same variance guard as
+      -- the Spark side: NULL acf when either series is constant
+      SELECT lag, count(*) AS n_pairs,
+             CASE WHEN (count(*) * sum(x * x) - sum(x) * sum(x))
+                        * (count(*) * sum(x_lag * x_lag)
+                           - sum(x_lag) * sum(x_lag)) > 0
+                  THEN (count(*) * sum(x * x_lag) - sum(x) * sum(x_lag))
+                       / sqrt(greatest(
+                           (count(*) * sum(x * x) - sum(x) * sum(x))
+                           * (count(*) * sum(x_lag * x_lag)
+                              - sum(x_lag) * sum(x_lag)), 0.0))
+             END AS acf
       FROM pairs GROUP BY lag
     )
     SELECT CAST(lag AS BIGINT) AS lag,
@@ -11033,14 +11051,17 @@ ORACLES["volume_anomaly"] = """
       FROM d2 GROUP BY 1
     ), j AS (
       SELECT d2.day, d2.dow, d2.n, g.n_days,
-             CAST(g.sy - d2.n AS DOUBLE)
-               / CAST(g.n_days - 1 AS DOUBLE) AS mu,
-             sqrt(greatest(
-               (CAST(g.syy - d2.n * d2.n AS DOUBLE)
-                - CAST(g.sy - d2.n AS DOUBLE)
-                  * CAST(g.sy - d2.n AS DOUBLE)
-                  / CAST(g.n_days - 1 AS DOUBLE))
-               / (CAST(g.n_days - 1 AS DOUBLE) - 1.0), 0.0)) AS sd
+             CASE WHEN g.n_days >= 2 THEN
+               CAST(g.sy - d2.n AS DOUBLE)
+                 / CAST(g.n_days - 1 AS DOUBLE) END AS mu,
+             CASE WHEN g.n_days >= 3 THEN
+               sqrt(greatest(
+                 (CAST(g.syy - d2.n * d2.n AS DOUBLE)
+                  - CAST(g.sy - d2.n AS DOUBLE)
+                    * CAST(g.sy - d2.n AS DOUBLE)
+                    / CAST(g.n_days - 1 AS DOUBLE))
+                 / (CAST(g.n_days - 1 AS DOUBLE) - 1.0), 0.0)) END
+               AS sd
       FROM d2 JOIN g USING (dow)
     )
     SELECT day, dow, CAST(n AS BIGINT) AS n,

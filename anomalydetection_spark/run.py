@@ -226,6 +226,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "partitions are scanned, the table profile is "
                         "merged from state and written under "
                         "<out>/profile/<run_id>")
+    p.add_argument("--quantile-cols", metavar="CSV", default=None,
+                   help="with --incremental-profile or --stream-profile, "
+                        "the numeric columns to track t-digest quantile "
+                        "digests for (derived _text_len and _span_count "
+                        "are always available; empty string disables "
+                        "quantile tracking; --incremental-profile "
+                        "defaults to _text_len, --stream-profile to "
+                        "none). The batch path backfills a GROWN set "
+                        "per column x partition by rescanning; the "
+                        "streaming path CANNOT backfill (earlier "
+                        "micro-batches' rows are gone) and fails loudly "
+                        "if the set changes mid-history")
     p.add_argument("--metric-anomaly", action="store_true",
                    help="instead of a validation round, run the EMA+3σ "
                         "anomaly rule over the metric history stored in "
@@ -283,7 +295,13 @@ def stream_profile_round(spark, args, run_id: str) -> dict:
     ckpt = args.stream_checkpoint or os.path.join(
         args.out, "stream_profile_checkpoint"
     )
-    q = stream_profile(spark, args.docs, state_dir, ckpt)
+    sq = [
+        c.strip() for c in (args.quantile_cols or "").split(",")
+        if c.strip()
+    ]
+    q = stream_profile(
+        spark, args.docs, state_dir, ckpt, quantile_cols=sq or None
+    )
     q.awaitTermination()
     ip = IncrementalProfiler(state_dir)
     if ip.current_version() == 0:
@@ -386,9 +404,9 @@ def incremental_profile_round(spark, args, run_id: str) -> dict:
     from .sources.tables import read_table
 
     docs = read_table(spark, args.docs)
-    # derived per-doc text length feeds the quantile digests; change
-    # detection hashes the ORIGINAL columns only (the derivation is
-    # deterministic from spans)
+    # derived per-doc text length / span count feed the quantile
+    # digests; change detection hashes the ORIGINAL columns only (the
+    # derivations are deterministic from spans)
     src_cols = list(docs.columns)
     docs = docs.withColumn(
         "_text_len",
@@ -396,7 +414,16 @@ def incremental_profile_round(spark, args, run_id: str) -> dict:
             "aggregate(transform(coalesce(spans, array()),"
             " s -> length(coalesce(s.text, ''))), 0, (a, x) -> a + x)"
         ).cast("double"),
+    ).withColumn(
+        "_span_count",
+        F.size(F.coalesce("spans", F.array())).cast("double"),
     )
+    raw = (
+        args.quantile_cols
+        if args.quantile_cols is not None
+        else "_text_len"
+    )
+    qcols = [c.strip() for c in raw.split(",") if c.strip()]
     state_dir = os.path.join(
         args.manifest_dir or args.out, "profile_state"
     )
@@ -405,16 +432,13 @@ def incremental_profile_round(spark, args, run_id: str) -> dict:
         docs,
         "partition_id",
         hash_cols=src_cols,
-        quantile_cols=["_text_len"],
+        quantile_cols=qcols or None,
         quantiles=[0.5, 0.9, 0.99],
         run_id=run_id,
     )
     out_dir = os.path.join(args.out, "profile", run_id)
     res["profile"].write.mode("overwrite").parquet(
         os.path.join(out_dir, "profile")
-    )
-    res["quantiles"].write.mode("overwrite").parquet(
-        os.path.join(out_dir, "quantiles")
     )
     summary = {
         "run_id": run_id,
@@ -423,8 +447,13 @@ def incremental_profile_round(spark, args, run_id: str) -> dict:
         "n_reused": len(res["reused_partitions"]),
         "n_removed": len(res["removed_partitions"]),
         "profile": os.path.join(out_dir, "profile"),
-        "quantiles": os.path.join(out_dir, "quantiles"),
+        "quantile_cols": qcols,
     }
+    if "quantiles" in res:
+        res["quantiles"].write.mode("overwrite").parquet(
+            os.path.join(out_dir, "quantiles")
+        )
+        summary["quantiles"] = os.path.join(out_dir, "quantiles")
     if res["version"] > 1:
         # zero-scan drift vs the previous committed state version —
         # both sides merge from stored partials, no data touched

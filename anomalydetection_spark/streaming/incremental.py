@@ -461,6 +461,7 @@ def stream_profile(
     columns: list[str] | None = None,
     available_now: bool = True,
     processing_time: str = "60 seconds",
+    quantile_cols: list[str] | None = None,
 ):
     """Streaming incremental profiling: each micro-batch's mergeable
     partials (moments + HLL, operators/incremental_profile.py) fold
@@ -473,7 +474,15 @@ def stream_profile(
     Exactly-once: the file-source checkpoint assigns stable batch ids
     and ``IncrementalProfiler.append`` REFUSES an id already in state,
     so a replayed micro-batch after a crash is a loud no-op skip, not a
-    double count. Returns the StreamingQuery."""
+    double count. Returns the StreamingQuery.
+
+    ``quantile_cols``: numeric columns to fold t-digest quantile
+    digests for per micro-batch. Append-only state can NEVER backfill
+    (earlier batches' rows are gone), so a set that grows mid-history
+    — or disappears while digests are tracked — makes the underlying
+    ``append`` raise, which surfaces as a StreamingQueryException:
+    loud, by design (track the columns from the first batch or rebuild
+    the state)."""
     from ..operators.incremental_profile import IncrementalProfiler
 
     ip = IncrementalProfiler(state_dir)
@@ -485,9 +494,23 @@ def stream_profile(
         keyed = batch.withColumn(
             "_batch", F.lit(int(batch_id)).cast("long")
         )
+        if quantile_cols and "spans" in batch.columns:
+            # same derived numeric columns the batch profiler offers
+            keyed = keyed.withColumn(
+                "_text_len",
+                F.expr(
+                    "aggregate(transform(coalesce(spans, array()),"
+                    " s -> length(coalesce(s.text, ''))),"
+                    " 0, (a, x) -> a + x)"
+                ).cast("double"),
+            ).withColumn(
+                "_span_count",
+                F.size(F.coalesce("spans", F.array())).cast("double"),
+            )
         try:
             ip.append(keyed, "_batch", columns=columns,
-                      run_id=f"batch_{batch_id}")
+                      run_id=f"batch_{batch_id}",
+                      quantile_cols=quantile_cols)
         except ValueError as e:
             if "double-count" not in str(e):
                 raise

@@ -851,3 +851,121 @@ def test_repair_flag_round_trip(spark, tmp_path):
     with open(s["plan"]) as f:
         plan = json.load(f)
     assert {p["column"] for p in plan} == {"score", "lang"}
+
+
+def test_quantile_cols_grow_and_shrink_across_cli_runs(
+    spark, docs_path, tmp_path
+):
+    """--quantile-cols drives the per-column digest coverage contract
+    end-to-end: a GROWN set on an unchanged table backfills the new
+    column per partition (no silent subset quantiles), a SHRUNK set
+    drops the column from carried state."""
+    from anomalydetection_spark.run import incremental_profile_round
+
+    base = ["--docs", docs_path, "--out", str(tmp_path / "out"),
+            "--manifest-dir", str(tmp_path / "m"),
+            "--incremental-profile"]
+    s1 = incremental_profile_round(spark, parse_args(base), "p1")
+    q1 = spark.read.parquet(s1["quantiles"])
+    assert {r["column"] for r in q1.collect()} == {"_text_len"}
+
+    # grow: _span_count added mid-history; the table is unchanged so
+    # no partition re-profiles, yet the new column's digests must
+    # cover EVERY partition (backfill by rescan, not a subset)
+    s2 = incremental_profile_round(
+        spark,
+        parse_args(base + ["--quantile-cols", "_text_len,_span_count"]),
+        "p2",
+    )
+    assert s2["profiled_partitions"] == []
+    q2 = spark.read.parquet(s2["quantiles"]).collect()
+    by_col = {}
+    for r in q2:
+        by_col.setdefault(r["column"], set()).add(r["q"])
+    assert set(by_col) == {"_text_len", "_span_count"}
+    assert by_col["_span_count"] == {0.5, 0.9, 0.99}
+    # coverage check from the stored digest state itself: EVERY
+    # partition carries a digest for BOTH columns (backfill by rescan,
+    # not a silent subset)
+    from anomalydetection_spark.operators.incremental_profile import (
+        IncrementalProfiler,
+    )
+
+    ip = IncrementalProfiler(
+        os.path.join(str(tmp_path / "m"), "profile_state")
+    )
+    dig = spark.read.parquet(ip._digests_path(ip.current_version()))
+    cov = {}
+    for r in dig.select("column", "partition").distinct().collect():
+        cov.setdefault(r["column"], set()).add(r["partition"])
+    all_parts = set(s1["profiled_partitions"])
+    assert cov["_text_len"] == all_parts
+    assert cov["_span_count"] == all_parts
+
+    # shrink: _text_len dropped -> removed from carried state
+    s3 = incremental_profile_round(
+        spark,
+        parse_args(base + ["--quantile-cols", "_span_count"]),
+        "p3",
+    )
+    q3 = spark.read.parquet(s3["quantiles"])
+    assert {r["column"] for r in q3.collect()} == {"_span_count"}
+
+
+def test_stream_profile_quantile_cols_cannot_backfill(
+    spark, docs_path, tmp_path
+):
+    """--stream-profile --quantile-cols on a state whose earlier
+    micro-batches carry no digests must fail LOUDLY (append-only state
+    cannot backfill — the error, not a silent subset quantile, is what
+    the operator sees)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from anomalydetection_spark.run import stream_profile_round
+
+    # test-local copy of the docs dir — the fixture is shared and this
+    # test appends a late file to its input
+    src = str(tmp_path / "docs")
+    spark.read.parquet(docs_path).write.mode("overwrite").parquet(src)
+    base = ["--docs", src, "--out", str(tmp_path / "out"),
+            "--manifest-dir", str(tmp_path / "m"), "--stream-profile"]
+    s1 = stream_profile_round(spark, parse_args(base), "sp1")
+    assert s1["state_version"] >= 1
+
+    # new pending file -> a real second micro-batch (same schema:
+    # partition_id is int in the fixture)
+    spark.read.parquet(src).limit(50).withColumn(
+        "partition_id", F.lit(9999).cast("int")
+    ).write.mode("append").parquet(src)
+
+    with pytest.raises(Exception, match="backfill"):
+        stream_profile_round(
+            spark,
+            parse_args(base + ["--quantile-cols", "_text_len"]),
+            "sp2",
+        )
+
+
+def test_stream_profile_quantile_cols_from_first_batch(
+    spark, docs_path, tmp_path
+):
+    """Tracking from the FIRST micro-batch works: digests accumulate
+    in stream state and the batch-side quantile accessor reads them."""
+    import os
+
+    from anomalydetection_spark.operators.incremental_profile import (
+        IncrementalProfiler,
+    )
+    from anomalydetection_spark.run import stream_profile_round
+
+    base = ["--docs", docs_path, "--out", str(tmp_path / "out"),
+            "--manifest-dir", str(tmp_path / "m"), "--stream-profile",
+            "--quantile-cols", "_text_len"]
+    s1 = stream_profile_round(spark, parse_args(base), "sp1")
+    assert s1["state_version"] >= 1
+    state = os.path.join(str(tmp_path / "m"), "profile_state")
+    ip = IncrementalProfiler(state)
+    q = ip.quantiles(spark, [0.5, 0.9]).collect()
+    assert {r["column"] for r in q} == {"_text_len"}
+    assert all(r["value"] > 0 for r in q)
