@@ -445,7 +445,34 @@ def run_validation(
     # Snapshot hashing (full-width pass) only pays when a manifest
     # exists to compare against — without one, partition discovery is a
     # narrow count scan.
-    if manifest is not None:
+    if manifest is not None and manifest.current_version() == 0:
+        # EMPTY manifest (cold start): change detection has nothing to
+        # compare against, so every partition with rows is pending by
+        # construction — the snapshot-hash scan still has to run (the
+        # commit records the hashes) but it no longer needs to GATE
+        # the pass. Fuse it into the concurrent narrow-scan window
+        # exactly like the no-manifest path: scope ≡ docs, the dup
+        # scan and drift histogram launch immediately, and the hash
+        # scan materializes from a driver thread. Leases are acquired
+        # as soon as the partition list lands (before the wide scan
+        # materializes — the expensive, restart-worthy part); a crash
+        # before that point leaves no manifest record, which is the
+        # same clean re-run a pre-pass crash produces today. This was
+        # the round-5 scan-budget trim: the cold-start manifest run
+        # previously serialized a full-width scan (~9 s at 16M docs)
+        # ahead of all other work.
+        snaps = partition_snapshots(docs).cache()
+        fut_dups = pool.submit(dups.count)
+        totals_src = snaps
+        fut_pending = pool.submit(
+            lambda: sorted(
+                r.partition_id
+                for r in snaps.select("partition_id").collect()
+            )
+        )
+        pending = None
+        scope = docs
+    elif manifest is not None:
         snaps = partition_snapshots(docs).cache()
         pending = sorted(manifest.pending_partitions(snaps))
         manifest.acquire_leases(pending, run_id, now)
@@ -573,6 +600,12 @@ def run_validation(
             pending = fut_pending.result()
             if not pending:
                 return _empty_result()
+            if manifest is not None:
+                # cold-start manifest path: lease the (all-pending)
+                # partitions now that the concurrent snapshot scan has
+                # produced the list — still ahead of the wide-scan
+                # materialization, which is the part worth protecting
+                manifest.acquire_leases(pending, run_id, now)
         _mark("small_scans")
 
         # --- ONE wide scan → all violation rows, staged under run_id.

@@ -333,3 +333,97 @@ def test_segmented_contract_one_grouped_agg_pass(spark):
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert len(rs) == 1
     assert "ts" not in rs[0].replace("struct", "") and "session_id" not in rs[0]
+
+
+def _parquet_files_read(spark, n_seen: int) -> tuple[int, int]:
+    """(#executions seen, Σ 'number of files read' over parquet scan
+    nodes) from the SQL status store — counts files ACTUALLY read (a
+    cache hit's FileScan subtree reports 0), so files_read /
+    n_files_on_disk is the executed scan count. Node names are used
+    (not paths — plan-graph descs truncate long pytest tmp paths), so
+    the caller must ensure the docs table is the only parquet source
+    in the window."""
+    # the SQL status store updates from the async listener bus — drain
+    # it so every execution's metrics are finalized before counting
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    ss = spark._jsparkSession.sharedState().statusStore()
+    lst = ss.executionsList()
+    total, files = 0, 0
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        total += 1
+        if total <= n_seen:
+            continue
+        eid = e.executionId()
+        vals = ss.executionMetrics(eid)
+        nit = ss.planGraph(eid).allNodes().iterator()
+        while nit.hasNext():
+            n = nit.next()
+            if "Scan parquet" not in n.name():
+                continue
+            mit = n.metrics().iterator()
+            while mit.hasNext():
+                m = mit.next()
+                if m.name() == "number of files read":
+                    v = vals.get(m.accumulatorId())
+                    if v.isDefined():
+                        files += int(str(v.get()).replace(",", ""))
+    return total, files
+
+
+def test_validation_pass_scan_budget(spark, tmp_path):
+    """The BASELINE.md scan budget, pinned by EXECUTED plans: the
+    no-manifest flagship pass scans the docs table exactly 4 times
+    (narrow dup-key scan, narrow per-partition totals, drift-histogram
+    scan, the one wide violations scan) — a 5th scan sneaking in fails
+    here, not in a 100 TB run. The cold-start MANIFEST pass must ALSO
+    be exactly 4: the round-5 trim fuses the snapshot-hash scan into
+    the concurrent window where it REPLACES the totals scan
+    (totals_src ≡ snaps), so recording lineage hashes costs no extra
+    pass over the data."""
+    from anomalydetection_spark.fixtures import (
+        generate_documents,
+        generate_media_catalog,
+    )
+    from anomalydetection_spark.operators.stats import length_histogram
+    from anomalydetection_spark.plans.pipeline import run_validation
+
+    docs_path = str(tmp_path / "scanbudget_docs")
+    generate_documents(spark, 20000, n_partitions=8).write.mode(
+        "overwrite"
+    ).parquet(docs_path)
+    cat = generate_media_catalog(spark, 5000)
+    docs = spark.read.parquet(docs_path)
+    baseline = length_histogram(docs, bins=64, bin_width=8)
+    rows = baseline.collect()  # materialize OUTSIDE the budget
+    baseline = spark.createDataFrame(rows, baseline.schema)
+
+    import os
+
+    n_files = sum(
+        1 for f in os.listdir(docs_path) if f.endswith(".parquet")
+    )
+    assert n_files > 0
+
+    seen, _ = _parquet_files_read(spark, 0)
+    res = run_validation(spark, docs, catalog=cat, baseline_hist=baseline)
+    assert res.verdicts.count() > 0 and res.violations.count() > 0
+    seen2, files = _parquet_files_read(spark, seen)
+    spark.catalog.clearCache()
+    assert files == 4 * n_files, (
+        f"no-manifest pass read {files} docs files = "
+        f"{files / n_files:.1f} scans (budget 4)"
+    )
+
+    res2 = run_validation(
+        spark, docs, catalog=cat, baseline_hist=baseline,
+        manifest_dir=str(tmp_path / "m"), run_id="r1",
+    )
+    assert res2.verdicts.count() > 0
+    _, files2 = _parquet_files_read(spark, seen2)
+    spark.catalog.clearCache()
+    assert files2 == 4 * n_files, (
+        f"cold-start manifest pass read {files2} docs files = "
+        f"{files2 / n_files:.1f} scans (budget 4: the snapshot-hash "
+        "scan must REPLACE the totals scan, not add one)"
+    )
