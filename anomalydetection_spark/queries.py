@@ -6889,6 +6889,252 @@ def q_dau_churn(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# round-5 batch: multiple-testing control, fixed-reference changepoint,
+# vocabulary coverage, concentration, and lead-lag detection — the
+# statistical layer ABOVE the per-test anomaly rules (which day fires
+# is volume_anomaly's job; how many of 150 simultaneous tests are
+# allowed to fire before the alert stream is noise is BH's).
+# --------------------------------------------------------------------------
+
+def q_benjamini_hochberg(spark, sf_dir):
+    """Benjamini–Hochberg FDR control over the per-(type, day) volume
+    anomaly tests: every daily z-score (leave-one-out exact-sum
+    discipline, the volume_anomaly algebra per event_type) becomes a
+    DISTRIBUTION-FREE p-bound via the two-sided Chebyshev–Cantelli
+    inequality p <= min(1, 2/(1+z²)) — conservative by construction,
+    and pure algebra both engines compute bit-identically (no erf/
+    normal CDF, which Spark SQL lacks). BH then admits the largest k
+    with p_(k) <= k·α/m over ALL m tests at α = 0.10: the discovery
+    set an operator can page on without 150-way multiplicity noise.
+    Determinism: z from exact integer sums, quantized ONCE at 4dp;
+    p from the quantized z; BH rank orders (p, event_type, day); the
+    step-up cutoff is a running max over an exact-integer predicate."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    g = daily.groupBy("event_type").agg(
+        F.count("*").alias("nd"),
+        F.sum("n").alias("sy"),
+        F.sum(F.col("n") * F.col("n")).alias("syy"),
+    )
+    j = daily.join(F.broadcast(g), "event_type").filter(
+        F.col("nd") >= 3
+    )
+    m_ = (F.col("nd") - 1).cast("double")
+    sy_loo = (F.col("sy") - F.col("n")).cast("double")
+    ssq_loo = (F.col("syy") - F.col("n") * F.col("n")).cast("double")
+    mu = sy_loo / m_
+    var = (ssq_loo - sy_loo * sy_loo / m_) / (m_ - 1.0)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.round(
+        F.when(sd > 1e-9, (F.col("n").cast("double") - mu) / sd)
+        .otherwise(0.0),
+        4,
+    )
+    t = j.select(
+        "event_type", "day", F.col("n").cast("long").alias("n"),
+        z.alias("z"),
+        F.round(F.least(F.lit(1.0), 2.0 / (1.0 + z * z)), 4).alias(
+            "p_bound"
+        ),
+    )
+    w_rank = Window.orderBy("p_bound", "event_type", "day")
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("p_bound", "event_type", "day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = t.withColumn(
+        "bh_rank", F.row_number().over(w_rank).cast("long")
+    ).withColumn("m_tests", F.count("*").over(w_all).cast("long"))
+    passes = F.when(
+        F.col("p_bound") * F.col("m_tests").cast("double")
+        <= F.col("bh_rank").cast("double") * 0.10,
+        F.col("bh_rank"),
+    )
+    return ranked.withColumn(
+        "is_discovery", F.col("bh_rank") <= F.max(passes).over(w_cum)
+    ).select(
+        "event_type", "day", "n", "z", "p_bound", "bh_rank",
+        F.coalesce("is_discovery", F.lit(False)).alias("is_discovery"),
+    )
+
+
+def q_page_hinkley(spark, sf_dir):
+    """Page–Hinkley mean-shift detection per event_type over the
+    hourly count series, in the fixed-reference form that decomposes
+    into window algebra: with μ0 = the series' own global mean and
+    tolerance δ = 0.05·μ0, the PH statistic is the maximum drawup of
+    the prefix-sum walk W_t = Σ(x_i − μ0 − δ) — i.e. max_t(W_t −
+    min_{s<=t} W_s) — so a sustained upward shift accumulates while
+    zero-mean noise cancels. Running cumsum + running min are plain
+    windows (no driver loop, no stateful fold; contrast the coupled
+    running-mean PH variant, whose order-dependent fold DuckDB's
+    list_reduce struct accumulators corrupt). Alarm when the drawup
+    exceeds λ = 5·sqrt(μ0). Counts are exact ints; the walk is
+    deterministic double algebra; emitted floats quantized at 4dp."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("h"),
+    ).agg(F.count("*").alias("x"))
+    g = hourly.groupBy("event_type").agg(
+        F.count("*").alias("nh"), F.sum("x").alias("sx")
+    )
+    j = hourly.join(F.broadcast(g), "event_type")
+    mu0 = F.col("sx").cast("double") / F.col("nh").cast("double")
+    step = F.col("x").cast("double") - mu0 * 1.05
+    w_cum = (
+        Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walked = j.withColumn("w", F.sum(step).over(w_cum)).withColumn(
+        "runmin", F.min(F.col("w")).over(w_cum)
+    ).withColumn("dev", F.col("w") - F.col("runmin"))
+    lam = 5.0 * F.sqrt(mu0)
+    return walked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.round(F.max("dev"), 4).alias("max_drawup"),
+        F.round(F.max(lam), 4).alias("lambda_alarm"),
+        F.sum(F.when(F.col("dev") > lam, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarm_hours"),
+        F.min(F.when(F.col("dev") > lam, F.col("h")))
+        .cast("long")
+        .alias("first_alarm_hour"),
+        (F.max("dev") > F.max(lam)).alias("shift_detected"),
+    )
+
+
+def q_good_turing(spark, sf_dir):
+    """Good–Turing vocabulary coverage per source: unseen-species mass
+    p0 = n1/N (the probability the NEXT token is a never-seen type)
+    plus the singleton/doubleton profile — the coverage answer to
+    'have we sampled this source enough, or is its vocabulary still
+    growing?' that raw distinct counts can't give. Everything is
+    exact-integer aggregation (token counts → count-of-counts);
+    emitted ratios are exact-int divisions quantized at 4dp."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    freq = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    return freq.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_doubletons"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            / F.sum("c").cast("double"),
+            4,
+        ).alias("unseen_mass"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            * 20 < F.sum("c")
+        ).alias("coverage_ok"),
+    )
+
+
+def q_gini_concentration(spark, sf_dir):
+    """Token-frequency concentration per source via the Gini
+    coefficient: G = (2·Σ i·c_(i))/(V·N) − (V+1)/V over counts sorted
+    ascending — near 0 every token is equally common (synthetic /
+    template text), near 1 a few tokens dominate (boilerplate). The
+    mixture-planning prior that entropy alone understates because it
+    is scale-free in V. Rank ties break on the token but cannot
+    change Σ i·c_(i) (equal c within a tie run); every sum is exact
+    long arithmetic, the final ratio quantized at 4dp."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    freq = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy("c", "tok")
+    ranked = freq.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("c")).cast("double"))
+            / (
+                F.count("*").cast("double")
+                * F.sum("c").cast("double")
+            )
+            - (F.count("*").cast("double") + 1.0)
+            / F.count("*").cast("double"),
+            4,
+        ).alias("gini"),
+    )
+
+
+def q_lead_lag_xcorr(spark, sf_dir):
+    """Lead–lag cross-correlation between the 'view' and 'purchase'
+    hourly series at lags −6..6: does one stream FORESHADOW the other
+    (views convert to purchases h hours later), the causal-direction
+    question acf (self-similarity) and type_cooccurrence (same-user
+    co-presence) cannot answer. Same variance-guarded moment-sum
+    Pearson as acf_lags — integer counts make every sum exact, so the
+    division runs on bit-identical operands in both engines; best lag
+    picked on the 4dp-quantized r with (|lag|, lag) tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("h"),
+    ).agg(F.count("*").cast("double").alias("x"))
+    a = hourly.filter(F.col("event_type") == "view").select(
+        "h", F.col("x").alias("xa")
+    )
+    b = hourly.filter(F.col("event_type") == "purchase").select(
+        "h", F.col("x").alias("xb")
+    )
+    lags = a.crossJoin(
+        F.broadcast(
+            spark.range(-6, 7).select(
+                F.col("id").cast("long").alias("lag")
+            )
+        )
+    ).select("lag", (F.col("h") + F.col("lag")).alias("h"), "xa")
+    pairs = lags.join(b, "h")
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").alias("np"),
+        F.sum("xa").alias("sa"),
+        F.sum("xb").alias("sb"),
+        F.sum(F.col("xa") * F.col("xa")).alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).alias("sbb"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sab"),
+    )
+    n = F.col("np").cast("double")
+    num = n * F.col("sab") - F.col("sa") * F.col("sb")
+    den = F.sqrt(
+        F.greatest(
+            (n * F.col("saa") - F.col("sa") * F.col("sa"))
+            * (n * F.col("sbb") - F.col("sb") * F.col("sb")),
+            F.lit(0.0),
+        )
+    )
+    r = agg.select(
+        "lag",
+        F.col("np").cast("long").alias("n_pairs"),
+        F.round(F.when(den > 0, num / den), 4).alias("xcorr"),
+    )
+    w_best = Window.orderBy(
+        F.desc_nulls_last("xcorr"), F.abs(F.col("lag")), "lag"
+    )
+    return r.withColumn(
+        "is_best_lag", F.row_number().over(w_best) == 1
+    ).select("lag", "n_pairs", "xcorr", "is_best_lag")
+
+
 def q_rank_stability(spark, sf_dir):
     """Head-of-distribution stability: Jaccard overlap and mean rank
     displacement of the top-20 users by volume between halves
@@ -7052,6 +7298,11 @@ def q_round_number_bias(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "benjamini_hochberg": q_benjamini_hochberg,
+    "page_hinkley": q_page_hinkley,
+    "good_turing": q_good_turing,
+    "gini_concentration": q_gini_concentration,
+    "lead_lag_xcorr": q_lead_lag_xcorr,
     "rank_stability": q_rank_stability,
     "dominance_check": q_dominance_check,
     "round_number_bias": q_round_number_bias,
@@ -12696,4 +12947,174 @@ ORACLES["iforest_scores"] = """
            TRUE AS planted_below_gate,
            TRUE AS natural_frac_ok
     FROM embeddings
+"""
+
+# round-5 batch oracles: BH step-up, fixed-reference Page–Hinkley,
+# Good–Turing counts-of-counts, Gini, lead-lag Pearson — each replays
+# the identical exact-integer/quantize-once algebra.
+
+ORACLES["benjamini_hochberg"] = """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT event_type, count(*) AS nd, sum(n) AS sy,
+             sum(n * n) AS syy
+      FROM daily GROUP BY 1
+    ), t AS (
+      SELECT d.event_type, d.day, d.n,
+             round(CASE WHEN sqrt(greatest(
+                     (CAST(g.syy - d.n * d.n AS DOUBLE)
+                      - CAST(g.sy - d.n AS DOUBLE)
+                        * CAST(g.sy - d.n AS DOUBLE)
+                        / CAST(g.nd - 1 AS DOUBLE))
+                     / (CAST(g.nd - 1 AS DOUBLE) - 1.0), 0.0)) > 1e-9
+                   THEN (CAST(d.n AS DOUBLE)
+                         - CAST(g.sy - d.n AS DOUBLE)
+                           / CAST(g.nd - 1 AS DOUBLE))
+                        / sqrt(greatest(
+                     (CAST(g.syy - d.n * d.n AS DOUBLE)
+                      - CAST(g.sy - d.n AS DOUBLE)
+                        * CAST(g.sy - d.n AS DOUBLE)
+                        / CAST(g.nd - 1 AS DOUBLE))
+                     / (CAST(g.nd - 1 AS DOUBLE) - 1.0), 0.0))
+                   ELSE 0.0 END, 4) AS z
+      FROM daily d JOIN g USING (event_type)
+      WHERE g.nd >= 3
+    ), p AS (
+      SELECT event_type, day, n, z,
+             round(least(1.0, 2.0 / (1.0 + z * z)), 4) AS p_bound
+      FROM t
+    ), ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY p_bound, event_type, day)
+                  AS BIGINT) AS bh_rank,
+             CAST(count(*) OVER () AS BIGINT) AS m_tests
+      FROM p
+    ), cutoff AS (
+      SELECT max(CASE WHEN p_bound * m_tests <= bh_rank * 0.10
+                      THEN bh_rank END) AS k
+      FROM ranked
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n, z, p_bound,
+           bh_rank,
+           coalesce(bh_rank <= (SELECT k FROM cutoff), FALSE)
+             AS is_discovery
+    FROM ranked
+"""
+
+ORACLES["page_hinkley"] = """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT event_type, count(*) AS nh, sum(x) AS sx
+      FROM hourly GROUP BY 1
+    ), walked AS (
+      SELECT h.event_type, h.h,
+             sum(CAST(h.x AS DOUBLE)
+                 - CAST(g.sx AS DOUBLE) / CAST(g.nh AS DOUBLE) * 1.05)
+               OVER (PARTITION BY h.event_type ORDER BY h.h
+                     ROWS UNBOUNDED PRECEDING) AS w,
+             CAST(g.sx AS DOUBLE) / CAST(g.nh AS DOUBLE) AS mu0
+      FROM hourly h JOIN g USING (event_type)
+    ), dev AS (
+      SELECT event_type, h, mu0,
+             w - min(w) OVER (PARTITION BY event_type ORDER BY h
+                              ROWS UNBOUNDED PRECEDING) AS dev
+      FROM walked
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           round(max(dev), 4) AS max_drawup,
+           round(max(5.0 * sqrt(mu0)), 4) AS lambda_alarm,
+           CAST(sum(CASE WHEN dev > 5.0 * sqrt(mu0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarm_hours,
+           CAST(min(CASE WHEN dev > 5.0 * sqrt(mu0) THEN h END)
+                AS BIGINT) AS first_alarm_hour,
+           max(dev) > max(5.0 * sqrt(mu0)) AS shift_detected
+    FROM dev GROUP BY 1
+"""
+
+ORACLES["good_turing"] = """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT source, tok, count(*) AS c FROM toks
+      WHERE length(tok) > 0 GROUP BY 1, 2
+    )
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_doubletons,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(sum(c) AS DOUBLE), 4) AS unseen_mass,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 20 < sum(c)
+             AS coverage_ok
+    FROM freq GROUP BY 1
+"""
+
+ORACLES["gini_concentration"] = """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT source, tok, count(*) AS c FROM toks
+      WHERE length(tok) > 0 GROUP BY 1, 2
+    ), ranked AS (
+      SELECT source, c,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY c, tok) AS BIGINT) AS i
+      FROM freq
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round((2.0 * CAST(sum(i * c) AS DOUBLE))
+                 / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+                 - (CAST(count(*) AS DOUBLE) + 1.0)
+                   / CAST(count(*) AS DOUBLE), 4) AS gini
+    FROM ranked GROUP BY 1
+"""
+
+ORACLES["lead_lag_xcorr"] = """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1, 2
+    ), a AS (SELECT h, x AS xa FROM hourly WHERE event_type = 'view'),
+    b AS (SELECT h, x AS xb FROM hourly WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT l.lag, a.xa, b.xb
+      FROM (SELECT unnest(range(-6, 7)) AS lag) l
+      JOIN a ON true
+      JOIN b ON b.h = a.h + l.lag
+    ), agg AS (
+      SELECT lag, count(*) AS np, sum(xa) AS sa, sum(xb) AS sb,
+             sum(xa * xa) AS saa, sum(xb * xb) AS sbb,
+             sum(xa * xb) AS sab
+      FROM pairs GROUP BY 1
+    ), r AS (
+      SELECT CAST(lag AS BIGINT) AS lag,
+             CAST(np AS BIGINT) AS n_pairs,
+             round(CASE WHEN (np * saa - sa * sa)
+                             * (np * sbb - sb * sb) > 0
+                        THEN (np * sab - sa * sb)
+                             / sqrt(greatest(
+                                 (np * saa - sa * sa)
+                                 * (np * sbb - sb * sb), 0.0))
+                   END, 4) AS xcorr
+      FROM agg
+    )
+    SELECT lag, n_pairs, xcorr,
+           row_number() OVER (ORDER BY xcorr DESC NULLS LAST,
+                              abs(lag), lag) = 1 AS is_best_lag
+    FROM r
 """

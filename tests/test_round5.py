@@ -186,3 +186,135 @@ def test_dominance_check_identical_distributions_read_equal(
     assert out[("alpha", "beta")] == "equal"
     assert out[("alpha", "gamma")] == "b_shorter"
     assert out[("beta", "gamma")] == "b_shorter"
+
+
+# ---------------------------------------------------------------------------
+# round-5 statistical batch: BH FDR control, Page–Hinkley shift,
+# Good–Turing coverage, Gini concentration, lead-lag xcorr — planted
+# fixtures pin the SEMANTICS (oracle parity runs in check_oracles).
+# ---------------------------------------------------------------------------
+
+def _write_events(spark, tmp_path, rows):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long,"
+        " event_type string, value double, props string"
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_benjamini_hochberg_planted_spike_is_discovery(spark, tmp_path):
+    from anomalydetection_spark.queries import q_benjamini_hochberg
+
+    rows = []
+    eid = 0
+    for day in range(1, 29):
+        # baseline alternates 10/12 events; day 15 gets 400 (z >> 35,
+        # clearing even the conservative Chebyshev p-bound at m=28)
+        n = 400 if day == 15 else (10 if day % 2 else 12)
+        for k in range(n):
+            rows.append(
+                (eid, f"2026-02-{day:02d} 0{k % 9}:00:00", k, "click",
+                 1.0, "{}")
+            )
+            eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = {r["day"]: r for r in q_benjamini_hochberg(spark, d).collect()}
+    assert out["2026-02-15"]["is_discovery"]
+    assert out["2026-02-15"]["bh_rank"] == 1
+    others = [r for day, r in out.items() if day != "2026-02-15"]
+    assert not any(r["is_discovery"] for r in others)
+
+
+def test_page_hinkley_detects_planted_shift(spark, tmp_path):
+    from anomalydetection_spark.queries import q_page_hinkley
+
+    rows = []
+    eid = 0
+    for h in range(96):
+        # 'shifted': 5/hour for 2 days then 15/hour; 'steady': 5/hour
+        for et, n in (("shifted", 5 if h < 48 else 15), ("steady", 5)):
+            for k in range(n):
+                rows.append(
+                    (eid, f"2026-03-{1 + h // 24:02d} {h % 24:02d}:30:00",
+                     k, et, 1.0, "{}")
+                )
+                eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in q_page_hinkley(spark, d).collect()}
+    assert out["shifted"]["shift_detected"]
+    assert out["shifted"]["n_alarm_hours"] > 0
+    # the alarm must fire AFTER the shift point (hour index 48)
+    first = out["shifted"]["first_alarm_hour"]
+    assert first is not None and first >= out["steady"]["n_hours"] // 2
+    assert not out["steady"]["shift_detected"]
+    assert out["steady"]["n_alarm_hours"] == 0
+
+
+def test_good_turing_counts_and_gini_extremes(spark, tmp_path):
+    from anomalydetection_spark.queries import (
+        q_gini_concentration,
+        q_good_turing,
+    )
+
+    docs = []
+    # 'uniform': 4 tokens each appearing twice -> no singletons,
+    # gini 0 (all counts equal)
+    docs.append((0, "aa bb cc dd", "en", "uniform", 11))
+    docs.append((1, "aa bb cc dd", "en", "uniform", 11))
+    # 'skewed': one dominant token + singletons
+    docs.append((2, "zz zz zz zz zz zz zz zz qq", "en", "skewed", 26))
+    docs.append((3, "rr ss", "en", "skewed", 5))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    gt = {r["source"]: r for r in q_good_turing(spark, d).collect()}
+    assert gt["uniform"]["n_singletons"] == 0
+    assert gt["uniform"]["unseen_mass"] == 0.0
+    assert gt["uniform"]["coverage_ok"]
+    assert gt["skewed"]["n_tokens"] == 11
+    assert gt["skewed"]["n_singletons"] == 3  # qq, rr, ss
+    assert abs(gt["skewed"]["unseen_mass"] - round(3 / 11, 4)) < 1e-9
+    assert not gt["skewed"]["coverage_ok"]
+
+    gi = {r["source"]: r for r in q_gini_concentration(spark, d).collect()}
+    assert gi["uniform"]["gini"] == 0.0
+    # skewed counts (1,1,1,8): G = 2*(1+2+3+32)/(4*11) - 5/4 = 0.4773
+    assert abs(gi["skewed"]["gini"] - 0.4773) < 1e-4
+
+
+def test_lead_lag_xcorr_finds_planted_lag(spark, tmp_path):
+    from anomalydetection_spark.queries import q_lead_lag_xcorr
+
+    rows = []
+    eid = 0
+    # views pulse every 5 hours; purchases echo the SAME pulse 2 hours
+    # later -> best lag +2
+    for h in range(120):
+        nv = 12 if h % 5 == 0 else 2
+        np_ = 12 if h % 5 == 2 else 2
+        for k in range(nv):
+            rows.append(
+                (eid, f"2026-04-{1 + h // 24:02d} {h % 24:02d}:00:00",
+                 k, "view", 1.0, "{}")
+            )
+            eid += 1
+        for k in range(np_):
+            rows.append(
+                (eid, f"2026-04-{1 + h // 24:02d} {h % 24:02d}:00:00",
+                 k, "purchase", 1.0, "{}")
+            )
+            eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = {r["lag"]: r for r in q_lead_lag_xcorr(spark, d).collect()}
+    assert len(out) == 13
+    best = [r for r in out.values() if r["is_best_lag"]]
+    assert len(best) == 1 and best[0]["lag"] == 2
+    assert out[2]["xcorr"] > 0.9
+    assert out[0]["xcorr"] < 0.5
