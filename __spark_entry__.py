@@ -6,12 +6,15 @@ threshold) + drift (PSI) unioned into one verdicts DataFrame.
 
 ``queries()`` / ``oracle_sql()`` — the operator catalog from
 ``anomalydetection_spark.queries`` (one entry per SURVEY.md §2 operator
-family — see SURVEY.md §8 for the full operator → query map; oracles
-omitted only for genuinely non-SQL-expressible ops: greedy similarity
-grouping, IVF ANN (seeded iterative k-means), and the Drain template
-miner (order-dependent incremental clustering). The EMA fold is
-oracle'd via DuckDB list_reduce; HLL/t-digest sketches via in-query
-tolerance-band booleans both engines agree on).
+family — see SURVEY.md §8 for the full operator → query map). As of
+round 5 the only oracle-less entry is the Drain template miner
+(genuinely order-dependent incremental clustering); the formerly
+rows-only seeded trio carries property oracles — ann_ivf hash-checks
+its exact-tier top-k values + a recall boolean, iforest_scores proves
+itself on planted outliers, similarity_groups emits greedy-contract
+invariants DuckDB recomputes. The EMA fold is oracle'd via DuckDB
+list_reduce; HLL/t-digest sketches via in-query tolerance-band
+booleans both engines agree on.
 """
 
 from __future__ import annotations

@@ -335,26 +335,28 @@ def test_segmented_contract_one_grouped_agg_pass(spark):
     assert "ts" not in rs[0].replace("struct", "") and "session_id" not in rs[0]
 
 
-def _parquet_files_read(spark, n_seen: int) -> tuple[int, int]:
-    """(#executions seen, Σ 'number of files read' over parquet scan
-    nodes) from the SQL status store — counts files ACTUALLY read (a
-    cache hit's FileScan subtree reports 0), so files_read /
-    n_files_on_disk is the executed scan count. Node names are used
-    (not paths — plan-graph descs truncate long pytest tmp paths), so
-    the caller must ensure the docs table is the only parquet source
-    in the window."""
+def _parquet_files_read(spark, after_eid: int) -> tuple[int, int]:
+    """(max executionId seen, Σ 'number of files read' over parquet
+    scan nodes of executions with id > after_eid) from the SQL status
+    store — counts files ACTUALLY read (a cache hit's FileScan subtree
+    reports 0), so files_read / n_files_on_disk is the executed scan
+    count. Watermarking by executionId (monotonic) keeps the window
+    correct under the store's retained-executions eviction in a long
+    suite run; node names are used (not paths — plan-graph descs
+    truncate long pytest tmp paths), so the caller must ensure the
+    docs table is the only parquet source in the window."""
     # the SQL status store updates from the async listener bus — drain
     # it so every execution's metrics are finalized before counting
     spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
     ss = spark._jsparkSession.sharedState().statusStore()
     lst = ss.executionsList()
-    total, files = 0, 0
+    max_eid, files = after_eid, 0
     for i in range(lst.size()):
         e = lst.apply(i)
-        total += 1
-        if total <= n_seen:
-            continue
         eid = e.executionId()
+        max_eid = max(max_eid, eid)
+        if eid <= after_eid:
+            continue
         vals = ss.executionMetrics(eid)
         nit = ss.planGraph(eid).allNodes().iterator()
         while nit.hasNext():
@@ -368,7 +370,7 @@ def _parquet_files_read(spark, n_seen: int) -> tuple[int, int]:
                     v = vals.get(m.accumulatorId())
                     if v.isDefined():
                         files += int(str(v.get()).replace(",", ""))
-    return total, files
+    return max_eid, files
 
 
 def test_validation_pass_scan_budget(spark, tmp_path):
