@@ -207,9 +207,16 @@ def main() -> None:
     )
 
     def _incremental():
+        # the hot-bucket guard is NOT optional at this scale: the
+        # 31-word vocabulary makes r=2 minhash band buckets hold >60%
+        # of the corpus, and the unguarded self-join spilled the disk
+        # to death at 50k docs (the knee this runner exists to record)
         state = os.path.join(WORK, "dedup_idx")
         shutil.rmtree(state, ignore_errors=True)
-        idx = DedupIndex(state, n_hashes=8, bands=4, threshold=0.8)
+        idx = DedupIndex(
+            state, n_hashes=8, bands=4, threshold=0.8,
+            max_bucket_size=CAP,
+        )
         idx.build(docs.filter(F.col("doc_id") % 10 != 0))
         res = idx.update(docs.filter(F.col("doc_id") % 10 == 0))
         return res["assignments"].count()
