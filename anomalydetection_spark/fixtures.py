@@ -79,12 +79,27 @@ def generate_documents(
     ``text_mean_len`` / ``text_frac`` are the drift levers: the drift
     fixture regenerates with mean +25% and text share 80%→60%
     (FIXTURES.md §3).
+
+    ZERO-SHUFFLE generation (round 5): spans are born with their doc,
+    so the span→document assembly happens INSIDE each Arrow batch
+    (vectorized ListArray/StructArray construction, ``mapInArrow``) —
+    the earlier flat-emit + groupBy(_rid) shape re-shuffled the entire
+    corpus to group rows that were already adjacent, which at 160M
+    docs meant ~50 GB of shuffle files before the first output byte
+    (it exhausted the sandbox disk; at 10^12 docs it would be an
+    absurd cluster-wide reshuffle of freshly generated data). Values
+    are bit-identical to the old path: same per-id derivations, spans
+    ordered by span_idx, empty docs → [], null-marker docs → NULL.
     """
+    import pyarrow as pa
+
     n_parts_gen = max(1, min(n_docs // 1000 + 1, 64))
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["id"].to_numpy(dtype=np.int64)
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
             n = len(ids)
             if n == 0:
                 continue
@@ -171,84 +186,52 @@ def generate_documents(
                     rev, (n_spans[doc_idx] - 1 - span_idx) * 10, offset
                 )
 
-            span_rows = pd.DataFrame(
-                {
-                    "_rid": ids[doc_idx],
-                    "doc_id": doc_id[doc_idx],
-                    "partition_id": pid[doc_idx].astype(np.int32),
-                    "span_idx": span_idx.astype(np.int32),
-                    "kind": kind,
-                    "text": text.to_numpy(dtype=object),
-                    "media_ref": media_ref,
-                    "offset": offset.astype(np.int32),
-                }
+            # --- in-batch span→document assembly (no shuffle): the
+            # flat arrays are already ordered (doc ascending, span_idx
+            # ascending via np.repeat/concatenate), so the docs' span
+            # lists are contiguous value runs — exactly Arrow's list
+            # layout. offsets = cumsum(n_spans); null-marker docs get
+            # a validity-mask null (vs [] for empty docs).
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(n_spans, out=off[1:])
+            struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(kind, type=pa.string(), from_pandas=True),
+                    pa.array(
+                        text.to_numpy(dtype=object),
+                        type=pa.string(),
+                        from_pandas=True,
+                    ),
+                    pa.array(
+                        media_ref, type=pa.string(), from_pandas=True
+                    ),
+                    pa.array(offset.astype(np.int32), type=pa.int32()),
+                ],
+                names=["kind", "text", "media_ref", "offset"],
             )
-            # marker rows so zero-span docs still materialize:
-            # span_idx -1 → empty array, -2 → null spans
-            marker_mask = empty | nulls
-            if marker_mask.any():
-                mrows = pd.DataFrame(
-                    {
-                        "_rid": ids[marker_mask],
-                        "doc_id": doc_id[marker_mask],
-                        "partition_id": pid[marker_mask].astype(np.int32),
-                        "span_idx": np.where(nulls[marker_mask], -2, -1).astype(
-                            np.int32
-                        ),
-                        "kind": None,
-                        "text": None,
-                        "media_ref": None,
-                        "offset": np.int32(0),
-                    }
-                )
-                span_rows = pd.concat([span_rows, mrows], ignore_index=True)
-            yield span_rows
+            spans = pa.ListArray.from_arrays(
+                pa.array(off, type=pa.int32()),
+                struct,
+                mask=pa.array(nulls),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_id.astype(object), type=pa.string()),
+                    spans,
+                    pa.array(pid.astype(np.int32), type=pa.int32()),
+                ],
+                names=["doc_id", "spans", "partition_id"],
+            )
 
-    flat = spark.range(0, n_docs, numPartitions=n_parts_gen).mapInPandas(
+    return spark.range(0, n_docs, numPartitions=n_parts_gen).mapInArrow(
         gen,
         schema=(
-            "_rid long, doc_id string, partition_id int, span_idx int,"
-            " kind string, text string, media_ref string, offset int"
+            "doc_id string,"
+            " spans array<struct<kind string, text string,"
+            " media_ref string, offset int>>,"
+            " partition_id int"
         ),
     )
-
-    # span→document assembly, ordered by span_idx (NOT offset: offset
-    # monotonicity is itself under test). Grouping key is the generator
-    # row id ``_rid`` so planted duplicate doc_ids stay separate rows.
-    # This is the C1/§2.4 pattern: sort_array(collect_list(struct(pos,
-    # payload))) preserves sequence.
-    assembled = (
-        flat.groupBy("_rid")
-        .agg(
-            F.first("doc_id").alias("doc_id"),
-            F.first("partition_id").alias("partition_id"),
-            F.sort_array(
-                F.collect_list(
-                    F.struct("span_idx", "kind", "text", "media_ref", "offset")
-                )
-            ).alias("_spans"),
-        )
-        .select(
-            "doc_id",
-            F.when(
-                F.exists("_spans", lambda s: s["span_idx"] == -2), F.lit(None)
-            )
-            .otherwise(
-                F.transform(
-                    F.filter("_spans", lambda s: s["span_idx"] >= 0),
-                    lambda s: F.struct(
-                        s["kind"].alias("kind"),
-                        s["text"].alias("text"),
-                        s["media_ref"].alias("media_ref"),
-                        s["offset"].alias("offset"),
-                    ),
-                )
-            )
-            .alias("spans"),
-            "partition_id",
-        )
-    )
-    return assembled
 
 
 def generate_media_catalog(

@@ -983,7 +983,13 @@ def preflight_estimate(
         half = (
             z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
         )
-        return (max(0.0, center - half), min(1.0, center + half))
+        # at x=0 center and half are mathematically EQUAL (both
+        # z²/2n/denom) but the sqrt path rounds a few ulps low,
+        # leaving a spurious +4e-19 lower bound above the observed
+        # rate 0.0 — pin the exact endpoints
+        lo = 0.0 if x == 0 else max(0.0, center - half)
+        hi = 1.0 if x == n else min(1.0, center + half)
+        return (lo, hi)
 
     def _t_quantile(z: float, nu: int) -> float:
         """Student-t quantile from its normal counterpart via the

@@ -80,9 +80,15 @@ def _materialize_bench_tables(spark) -> tuple[str, str, str]:
     base_path = os.path.join(WORK_DIR, f"baseline_hist_{N_DOCS_BENCH}")
     if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
         shutil.rmtree(docs_path, ignore_errors=True)
+        # NO repartition before the write: the generator already emits
+        # up to 64 equal-sized partitions (spark.range slices), so the
+        # old repartition(64) was a full shuffle of the entire corpus
+        # for nothing — at 160M docs it wrote ~50 GB of shuffle files
+        # and exhausted the sandbox disk before the write began. The
+        # gen-partition layout is the same 64 files with the same rows.
         generate_documents(
             spark, N_DOCS_BENCH, seed=42, n_partitions=64, n_media=50_000
-        ).repartition(64).write.mode("overwrite").parquet(docs_path)
+        ).write.mode("overwrite").parquet(docs_path)
     if not os.path.exists(os.path.join(cat_path, "_SUCCESS")):
         shutil.rmtree(cat_path, ignore_errors=True)
         generate_media_catalog(spark, 50_000, seed=42).write.mode(
