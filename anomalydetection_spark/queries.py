@@ -6897,6 +6897,293 @@ def q_dau_churn(spark, sf_dir):
 # allowed to fire before the alert stream is noise is BH's).
 # --------------------------------------------------------------------------
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend significance per event_type over the daily
+    count series: S = Σ sign(x_j − x_i) over i<j pairs — the
+    NONPARAMETRIC companion to theil_sen_trend (that one estimates the
+    slope; this one says whether ANY monotone trend is significant,
+    immune to outliers and distribution shape). S and 18·Var(S) =
+    n(n−1)(2n+5) − Σ t(t−1)(2t+5) are EXACT integer arithmetic
+    (emitted as var_s_x18 — never a cast of the double: Spark cast
+    truncates, DuckDB cast rounds); the continuity-corrected
+    z = (S∓1)/√Var is the only float, quantized once at 4dp with the
+    verdict derived from the quantized double (|z| > 1.96 ≈ 5%). Pairs are over the daily
+    grid (|days|² ≈ 900/type — metadata scale, declared as such, the
+    theil_sen discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.signum(
+            (F.col("b.n") - F.col("a.n")).cast("double")
+        ).cast("long").alias("sgn"),
+    )
+    s_tbl = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    ties = daily.groupBy("event_type", "n").agg(
+        F.count("*").cast("long").alias("t")
+    ).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("_ng"),
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).cast("long").alias("tie_term"),
+        F.sum("t").cast("long").alias("nd"),
+    )
+    j = s_tbl.join(ties, "event_type")
+    nd = F.col("nd")
+    var_s = (
+        (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term")).cast(
+            "double"
+        )
+        / 18.0
+    )
+    z = F.round(
+        F.when(
+            var_s > 0,
+            (
+                F.col("s").cast("double")
+                - F.signum(F.col("s").cast("double"))
+            )
+            / F.sqrt(var_s),
+        ).otherwise(0.0),
+        4,
+    )
+    return j.select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_days"),
+        "s",
+        # 18·Var(S) is exact integer arithmetic — emit IT, not a cast
+        # of the double (Spark cast truncates, DuckDB cast rounds)
+        (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term"))
+        .cast("long")
+        .alias("var_s_x18"),
+        z.alias("z"),
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test per event_type: are the daily counts'
+    above/below-median signs RANDOMLY ordered, or do they clump
+    (regime persistence) / alternate (oscillation)? The stationarity
+    screen that mean/variance drift gates cannot see — a series can
+    hold its distribution and still be strongly autocorrelated. Signs
+    vs the 6dp-rounded per-type median (R-7, the robust_zscore
+    contract); runs counted via a lag window with the explicit
+    first-row rule (lag NULL starts a run — the round-4 pinned
+    lesson); n1/n2/runs are exact longs, the normal approximation
+    z = (R − μ_R)/σ_R is the only float, quantized once at 4dp."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("med")
+    )
+    signed = daily.join(F.broadcast(med), "event_type").filter(
+        F.col("n").cast("double") != F.col("med")
+    ).withColumn(
+        "above", (F.col("n").cast("double") > F.col("med")).cast("int")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    runs = signed.withColumn("prev", F.lag("above").over(w)).withColumn(
+        "new_run",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("above") != F.col("prev")),
+            1,
+        ).otherwise(0),
+    )
+    g = runs.groupBy("event_type").agg(
+        F.sum("new_run").cast("long").alias("n_runs"),
+        F.sum("above").cast("long").alias("n1"),
+        F.sum(1 - F.col("above")).cast("long").alias("n2"),
+    ).filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = n1 + n2
+    mu = 2.0 * n1 * n2 / nn + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)
+        / (nn * nn * (nn - 1.0))
+    )
+    z = F.round(
+        F.when(
+            var > 0, (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+        ).otherwise(0.0),
+        4,
+    )
+    return g.select(
+        "event_type", "n1", "n2", "n_runs",
+        F.round(mu, 4).alias("expected_runs"),
+        z.alias("z"),
+        F.when(z < -1.96, "clumped")
+        .when(z > 1.96, "oscillating")
+        .otherwise("random")
+        .alias("pattern"),
+    )
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf exponent per source: OLS slope of log(freq) on log(rank)
+    over the token frequency table — natural text sits near −1; a
+    slope near 0 is template/synthetic text and a cliff below −1.5 is
+    boilerplate domination. The generative-shape summary that gini
+    (concentration) and good_turing (coverage) bracket but don't fit.
+    Ranks are exact ints (count desc, token asc — ties can't reorder
+    equal counts' log-freqs); the OLS sums run over libm logs, so the
+    slope is quantized ONCE at 4dp and the verdict derives from the
+    quantized double (sum error ~1e-10 for vocab ≤ 1e6 terms — far
+    below the 4dp grid; the boundary-corpus discipline)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    freq = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "tok")
+    r = freq.withColumn("rk", F.row_number().over(w)).select(
+        "source",
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    g = r.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).filter(F.col("n_types") >= 3)
+    n = F.col("n_types").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.round(
+        F.when(
+            denom > 0,
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
+        ),
+        4,
+    )
+    return g.select(
+        "source",
+        "n_types",
+        slope.alias("zipf_slope"),
+        F.when(slope.isNull(), "degenerate")
+        .when(slope > -0.5, "flat_synthetic")
+        .when(slope < -1.5, "boilerplate_heavy")
+        .otherwise("natural")
+        .alias("shape"),
+    )
+
+
+def q_interarrival_cv(spark, sf_dir):
+    """Poissonity check per event_type from INTERARRIVAL times: for an
+    exponential (memoryless) arrival process the coefficient of
+    variation of gaps is 1 — CV >> 1 means bursts, CV << 1 means a
+    scheduler/batcher (suspiciously regular). The event-level
+    complement to burstiness_index's daily-count view: a process can
+    look calm daily and still arrive in microbursts. Gaps are exact
+    integer epoch-second differences over the (ts, event_id) ordered
+    stream; mean/sd from exact sums (n, Σg, Σg²); cv quantized once
+    at 4dp, verdict from the quantized double."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        "ts",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+    ).withColumn("prev", F.lag("sec").over(w)).filter(
+        F.col("prev").isNotNull()
+    ).select(
+        "event_type", (F.col("sec") - F.col("prev")).alias("g")
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sgg"),
+    ).filter(F.col("n_gaps") >= 2)
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("sg").cast("double") / n
+    var = (
+        F.col("sgg").cast("double")
+        - F.col("sg").cast("double") * F.col("sg").cast("double") / n
+    ) / (n - 1.0)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    cv = F.round(F.when(mu > 0, sd / mu).otherwise(0.0), 4)
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(mu, 4).alias("mean_gap_sec"),
+        cv.alias("cv"),
+        F.when(cv > 1.5, "bursty")
+        .when(cv < 0.5, "scheduled")
+        .otherwise("poisson_like")
+        .alias("process"),
+    )
+
+
+def q_chao1_richness(spark, sf_dir):
+    """Chao1 species-richness estimate per source: V + n1²/(2·n2) —
+    how many vocabulary types EXIST (seen + unseen) given the
+    singleton/doubleton profile, the forward-looking companion to
+    good_turing's unseen MASS (how much probability the unseen types
+    carry). Together they answer 'keep crawling this source?'. Exact
+    integer counts-of-counts; the estimate's only floats are one
+    division quantized at 4dp (bias-corrected form when n2 = 0, the
+    standard Chao1-bc fallback)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    freq = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    g = freq.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    est = F.round(
+        F.col("n_types").cast("double")
+        + F.when(
+            F.col("f2") > 0, f1 * f1 / (2.0 * f2)
+        ).otherwise(f1 * (f1 - 1.0) / 2.0),
+        4,
+    )
+    return g.select(
+        "source",
+        "n_types",
+        "f1",
+        "f2",
+        est.alias("chao1"),
+        F.round(
+            F.col("n_types").cast("double") / est, 4
+        ).alias("completeness"),
+        (F.col("n_types").cast("double") / est >= 0.9).alias(
+            "vocab_saturated"
+        ),
+    )
+
+
+
 def q_benjamini_hochberg(spark, sf_dir):
     """Benjamini–Hochberg FDR control over the per-(type, day) volume
     anomaly tests: every daily z-score (leave-one-out exact-sum
@@ -7298,6 +7585,11 @@ def q_round_number_bias(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mann_kendall": q_mann_kendall,
+    "runs_test": q_runs_test,
+    "zipf_fit": q_zipf_fit,
+    "interarrival_cv": q_interarrival_cv,
+    "chao1_richness": q_chao1_richness,
     "benjamini_hochberg": q_benjamini_hochberg,
     "page_hinkley": q_page_hinkley,
     "good_turing": q_good_turing,
@@ -13117,4 +13409,201 @@ ORACLES["lead_lag_xcorr"] = """
            row_number() OVER (ORDER BY xcorr DESC NULLS LAST,
                               abs(lag), lag) = 1 AS is_best_lag
     FROM r
+"""
+
+# round-5 second batch oracles: Mann–Kendall, runs test, Zipf OLS,
+# interarrival CV, Chao1 — exact-integer statistics with one
+# quantize-once float each.
+
+ORACLES["mann_kendall"] = """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             CAST(sign(b.n - a.n) AS BIGINT) AS sgn
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ), s_tbl AS (
+      SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY 1
+    ), tie_groups AS (
+      SELECT event_type, n, count(*) AS t
+      FROM daily GROUP BY 1, 2
+    ), ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+             CAST(sum(t) AS BIGINT) AS nd
+      FROM tie_groups GROUP BY 1
+    ), j AS (
+      SELECT s_tbl.event_type, s_tbl.s, ties.nd,
+             CAST(ties.nd * (ties.nd - 1) * (2 * ties.nd + 5)
+                  - ties.tie_term AS BIGINT) AS var18,
+             CAST(ties.nd * (ties.nd - 1) * (2 * ties.nd + 5)
+                  - ties.tie_term AS DOUBLE) / 18.0 AS var_s
+      FROM s_tbl JOIN ties USING (event_type)
+    ), z_tbl AS (
+      SELECT event_type, nd, s, var18,
+             round(CASE WHEN var_s > 0
+                        THEN (CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+                             / sqrt(var_s)
+                   ELSE 0.0 END, 4) AS z
+      FROM j
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days, s,
+           var18 AS var_s_x18, z,
+           CASE WHEN z > 1.96 THEN 'increasing'
+                WHEN z < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM z_tbl
+"""
+
+ORACLES["runs_test"] = """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, round(quantile_cont(n, 0.5), 6) AS med
+      FROM daily GROUP BY 1
+    ), signed AS (
+      SELECT d.event_type, d.day,
+             CASE WHEN CAST(d.n AS DOUBLE) > m.med THEN 1 ELSE 0 END
+               AS above
+      FROM daily d JOIN med m USING (event_type)
+      WHERE CAST(d.n AS DOUBLE) <> m.med
+    ), runs AS (
+      SELECT event_type, above,
+             CASE WHEN lag(above) OVER (PARTITION BY event_type
+                                        ORDER BY day) IS NULL
+                    OR above <> lag(above) OVER (PARTITION BY event_type
+                                                 ORDER BY day)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signed
+    ), g AS (
+      SELECT event_type,
+             CAST(sum(new_run) AS BIGINT) AS n_runs,
+             CAST(sum(above) AS BIGINT) AS n1,
+             CAST(sum(1 - above) AS BIGINT) AS n2
+      FROM runs GROUP BY 1
+    ), stats AS (
+      SELECT *,
+             2.0 * n1 * n2 / (n1 + n2) + 1.0 AS mu,
+             2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+               / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1.0)) AS var
+      FROM g WHERE n1 > 0 AND n2 > 0
+    ), z_tbl AS (
+      SELECT *, round(CASE WHEN var > 0
+                           THEN (CAST(n_runs AS DOUBLE) - mu) / sqrt(var)
+                      ELSE 0.0 END, 4) AS z
+      FROM stats
+    )
+    SELECT event_type, n1, n2, n_runs,
+           round(mu, 4) AS expected_runs, z,
+           CASE WHEN z < -1.96 THEN 'clumped'
+                WHEN z > 1.96 THEN 'oscillating'
+                ELSE 'random' END AS pattern
+    FROM z_tbl
+"""
+
+ORACLES["zipf_fit"] = """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT source, tok, count(*) AS c FROM toks
+      WHERE length(tok) > 0 GROUP BY 1, 2
+    ), r AS (
+      SELECT source,
+             ln(CAST(row_number() OVER (PARTITION BY source
+                                        ORDER BY c DESC, tok)
+                     AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+      FROM freq
+    ), g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(x * y) AS sxy
+      FROM r GROUP BY 1 HAVING count(*) >= 3
+    ), fit AS (
+      SELECT source, n_types,
+             round(CASE WHEN n_types * sxx - sx * sx > 0
+                        THEN (n_types * sxy - sx * sy)
+                             / (n_types * sxx - sx * sx)
+                   END, 4) AS zipf_slope
+      FROM g
+    )
+    SELECT source, n_types, zipf_slope,
+           CASE WHEN zipf_slope IS NULL THEN 'degenerate'
+                WHEN zipf_slope > -0.5 THEN 'flat_synthetic'
+                WHEN zipf_slope < -1.5 THEN 'boilerplate_heavy'
+                ELSE 'natural' END AS shape
+    FROM fit
+"""
+
+ORACLES["interarrival_cv"] = """
+    WITH seq AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY event_type
+                     ORDER BY ts, event_id) AS prev
+      FROM events
+    ), gaps AS (
+      SELECT event_type, sec - prev AS g FROM seq
+      WHERE prev IS NOT NULL
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(g) AS BIGINT) AS sg,
+             CAST(sum(g * g) AS BIGINT) AS sgg
+      FROM gaps GROUP BY 1 HAVING count(*) >= 2
+    ), stats AS (
+      SELECT event_type, n_gaps,
+             CAST(sg AS DOUBLE) / n_gaps AS mu,
+             sqrt(greatest(
+               (CAST(sgg AS DOUBLE)
+                - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / n_gaps)
+               / (n_gaps - 1.0), 0.0)) AS sd
+      FROM agg
+    ), cv_tbl AS (
+      SELECT event_type, n_gaps, mu,
+             round(CASE WHEN mu > 0 THEN sd / mu ELSE 0.0 END, 4) AS cv
+      FROM stats
+    )
+    SELECT event_type, n_gaps, round(mu, 4) AS mean_gap_sec, cv,
+           CASE WHEN cv > 1.5 THEN 'bursty'
+                WHEN cv < 0.5 THEN 'scheduled'
+                ELSE 'poisson_like' END AS process
+    FROM cv_tbl
+"""
+
+ORACLES["chao1_richness"] = """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT source, tok, count(*) AS c FROM toks
+      WHERE length(tok) > 0 GROUP BY 1, 2
+    ), g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+      FROM freq GROUP BY 1
+    ), est_tbl AS (
+      SELECT *,
+             round(CAST(n_types AS DOUBLE)
+                   + CASE WHEN f2 > 0
+                          THEN CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
+                     ELSE CAST(f1 AS DOUBLE) * (f1 - 1.0) / 2.0 END,
+                   4) AS chao1
+      FROM g
+    )
+    SELECT source, n_types, f1, f2, chao1,
+           round(CAST(n_types AS DOUBLE) / chao1, 4) AS completeness,
+           CAST(n_types AS DOUBLE) / chao1 >= 0.9 AS vocab_saturated
+    FROM est_tbl
 """

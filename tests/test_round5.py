@@ -318,3 +318,129 @@ def test_lead_lag_xcorr_finds_planted_lag(spark, tmp_path):
     assert len(best) == 1 and best[0]["lag"] == 2
     assert out[2]["xcorr"] > 0.9
     assert out[0]["xcorr"] < 0.5
+
+
+# ---------------------------------------------------------------------------
+# round-5 second statistical batch: Mann–Kendall, runs test, Zipf fit,
+# interarrival CV, Chao1 richness.
+# ---------------------------------------------------------------------------
+
+def test_mann_kendall_monotone_vs_flat(spark, tmp_path):
+    from anomalydetection_spark.queries import q_mann_kendall
+
+    rows = []
+    eid = 0
+    for day in range(1, 29):
+        # 'rising': strictly increasing daily volume; 'flat': constant
+        for et, n in (("rising", 4 + day), ("flat", 10)):
+            for k in range(n):
+                rows.append(
+                    (eid, f"2026-05-{day:02d} 10:00:00", k, et, 1.0,
+                     "{}")
+                )
+                eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in q_mann_kendall(spark, d).collect()}
+    r = out["rising"]
+    assert r["s"] == 28 * 27 // 2  # every pair concordant
+    assert r["trend"] == "increasing" and r["z"] > 1.96
+    f = out["flat"]
+    assert f["s"] == 0 and f["trend"] == "no_trend"
+    # all-tied series: 18*Var collapses entirely via the tie term
+    assert f["var_s_x18"] == 0 and f["z"] == 0.0
+
+
+def test_runs_test_clumped_vs_alternating(spark, tmp_path):
+    from anomalydetection_spark.queries import q_runs_test
+
+    rows = []
+    eid = 0
+    for day in range(1, 29):
+        # 'clumped': 14 low days then 14 high days -> 2 runs
+        # 'alt': low/high alternating -> 28 runs
+        for et, n in (
+            ("clumped", 5 if day <= 14 else 20),
+            ("alt", 5 if day % 2 else 20),
+        ):
+            for k in range(n):
+                rows.append(
+                    (eid, f"2026-06-{day:02d} 10:00:00", k, et, 1.0,
+                     "{}")
+                )
+                eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in q_runs_test(spark, d).collect()}
+    c = out["clumped"]
+    assert c["n_runs"] == 2 and c["pattern"] == "clumped"
+    a = out["alt"]
+    assert a["n_runs"] == 28 and a["pattern"] == "oscillating"
+    assert a["n1"] == 14 and a["n2"] == 14
+
+
+def test_zipf_and_chao1_shapes(spark, tmp_path):
+    from anomalydetection_spark.queries import (
+        q_chao1_richness,
+        q_zipf_fit,
+    )
+
+    docs = []
+    # 'zipfy': frequencies 16,8,4,2,1 over 5 tokens (slope ~ -1.7 on
+    # exact ranks); 'flat': 6 tokens x 4 each (slope 0)
+    zipf_text = " ".join(
+        ["w0"] * 16 + ["w1"] * 8 + ["w2"] * 4 + ["w3"] * 2 + ["w4"]
+    )
+    docs.append((0, zipf_text, "en", "zipfy", len(zipf_text)))
+    flat_text = " ".join(f"t{i}" for i in range(6) for _ in range(4))
+    docs.append((1, flat_text, "en", "flat", len(flat_text)))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    z = {r["source"]: r for r in q_zipf_fit(spark, d).collect()}
+    assert z["zipfy"]["zipf_slope"] < -1.5
+    assert z["zipfy"]["shape"] == "boilerplate_heavy"
+    assert z["flat"]["zipf_slope"] == 0.0
+    assert z["flat"]["shape"] == "flat_synthetic"
+
+    c = {r["source"]: r for r in q_chao1_richness(spark, d).collect()}
+    # zipfy: V=5, f1=1, f2=1 -> chao1 = 5 + 1/2 = 5.5
+    assert c["zipfy"]["chao1"] == 5.5
+    assert abs(c["zipfy"]["completeness"] - round(5 / 5.5, 4)) < 1e-9
+    # flat: no singletons/doubletons -> chao1 == V, saturated
+    assert c["flat"]["chao1"] == 6.0
+    assert c["flat"]["vocab_saturated"]
+
+
+def test_interarrival_cv_scheduled_vs_bursty(spark, tmp_path):
+    from anomalydetection_spark.queries import q_interarrival_cv
+
+    rows = []
+    eid = 0
+    # 'cron': exactly every 300s -> cv 0 ('scheduled')
+    for i in range(200):
+        t = 300 * i
+        rows.append(
+            (eid, f"2026-07-01 {t//3600:02d}:{(t//60)%60:02d}:{t%60:02d}",
+             1, "cron", 1.0, "{}")
+        )
+        eid += 1
+    # 'burst': 50 clusters of 4 events 1s apart, clusters 1200s apart
+    for ci in range(50):
+        base = 1200 * ci
+        for j in range(4):
+            t = base + j
+            rows.append(
+                (eid,
+                 f"2026-07-0{1 + t//86400} "
+                 f"{(t % 86400)//3600:02d}:{(t//60)%60:02d}:{t%60:02d}",
+                 1, "burst", 1.0, "{}")
+            )
+            eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in q_interarrival_cv(spark, d).collect()}
+    assert out["cron"]["cv"] == 0.0
+    assert out["cron"]["process"] == "scheduled"
+    assert out["burst"]["cv"] > 1.5
+    assert out["burst"]["process"] == "bursty"
