@@ -52,6 +52,18 @@ BOUNDARY_QUERIES = [
     "spearman_correlation",
     "quantile_mapping",
     "seasonal_anomaly",
+    # round-5 statistical batches (zipf_fit is ln-based; the rest are
+    # exact-integer statistics with one quantized float each)
+    "benjamini_hochberg",
+    "page_hinkley",
+    "good_turing",
+    "gini_concentration",
+    "lead_lag_xcorr",
+    "mann_kendall",
+    "runs_test",
+    "zipf_fit",
+    "interarrival_cv",
+    "chao1_richness",
 ]
 
 WORDS = [
