@@ -6897,6 +6897,235 @@ def q_dau_churn(spark, sf_dir):
 # allowed to fire before the alert stream is noise is BH's).
 # --------------------------------------------------------------------------
 
+def q_dead_dimensions(spark, sf_dir):
+    """Per-dimension variance profile of the embedding space: dead
+    dimensions (variance ≈ 0 — wasted capacity, a truncation or
+    projection bug) and the variance concentration top-1 share — the
+    column-level hygiene check embedding_stats' norm view cannot see
+    (a vector can have healthy norms while one dimension carries
+    everything). One posexplode pass → per-dim (n, Σx, Σx²) — the
+    exact-sum stats discipline over float32-as-double values (both
+    engines fold the same doubles; emitted floats quantized at 4dp,
+    verdicts derived from quantized values)."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cells = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    per_dim = cells.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1.0)
+    d = per_dim.select(
+        "dim", F.round(var, 4).alias("v")
+    )
+    return d.agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.sum((F.col("v") <= 0.0001).cast("long"))
+        .cast("long")
+        .alias("n_dead_dims"),
+        F.round(F.max("v"), 4).alias("var_max"),
+        F.round(F.avg("v"), 4).alias("var_mean"),
+        F.round(F.max("v") / F.sum("v"), 4).alias("top1_var_share"),
+        (
+            F.sum((F.col("v") <= 0.0001).cast("long")) == 0
+        ).alias("no_dead_dims"),
+    )
+
+
+def q_embedding_quantization_error(spark, sf_dir):
+    """int8 quantization audit: per-dimension min/max scaling to 255
+    levels, dequantize, and report the reconstruction error — the
+    go/no-go for shipping a quantized ANN index (4x memory saving vs
+    recall risk). Quantization uses floor(u + 0.5) explicitly (NEVER
+    an engine round(): half-level cells would flip between Spark's
+    HALF_UP and DuckDB's float-mult rounding); min/max are exact
+    float comparisons; the MSE/max-error sums are quantized once at
+    4dp (cell errors ~1e-3, cross-engine sum jitter ~1e-13 — five
+    orders under the grid)."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cells = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    rng = cells.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    j = cells.join(F.broadcast(rng), "dim")
+    scale = (F.col("hi") - F.col("lo")) / 255.0
+    q = F.floor((F.col("x") - F.col("lo")) / scale + 0.5)
+    deq = F.col("lo") + q * scale
+    err = F.when(F.col("hi") > F.col("lo"), F.col("x") - deq).otherwise(
+        0.0
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.avg(err * err), 4).alias("mse"),
+        F.round(F.max(F.abs(err)), 4).alias("max_abs_err"),
+        F.round(
+            F.avg(err * err)
+            / F.avg(F.col("x") * F.col("x")),
+            4,
+        ).alias("rel_mse"),
+        (
+            F.round(
+                F.avg(err * err) / F.avg(F.col("x") * F.col("x")), 4
+            )
+            < 0.001
+        ).alias("int8_safe"),
+    )
+
+
+def q_duplicate_vectors(spark, sf_dir):
+    """Exact-duplicate embedding groups: vectors identical at 1e-6
+    resolution (component micro-units via floor(x·1e6 + 0.5) longs —
+    never float→string formatting, which differs across engines, and
+    never an engine round() at half-units) hashed per vector; groups
+    with >1 member are re-ingested/copied rows that silently bias
+    ANN training and nearest-neighbor evaluation. Output is the
+    bounded group table (hash prefix, size, min vec_id exemplar)."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    key = F.md5(
+        F.concat_ws(
+            "_",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * 1000000.0 + 0.5).cast("long").cast(
+                    "string"
+                ),
+            ),
+        )
+    )
+    g = e.select(F.col("vec_id"), key.alias("vkey")).groupBy(
+        "vkey"
+    ).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("vec_id").cast("long").alias("exemplar_vec_id"),
+    ).filter(F.col("n_members") > 1)
+    return g.select(
+        F.substring("vkey", 1, 8).alias("group_key"),
+        "n_members",
+        "exemplar_vec_id",
+    ).orderBy("group_key")
+
+
+def q_label_centroid_separation(spark, sf_dir):
+    """Per-label cluster separability: mean distance of a label's
+    vectors to their OWN centroid (cohesion) vs the distance to the
+    NEAREST other centroid (separation) — the simplified-silhouette
+    pre-training answer to 'are these labels learnable structure or
+    noise?'. Two |labels|×dims aggregates + one bounded centroid
+    cross join; distances quantized once at 4dp, the verdict derives
+    from the quantized ratio (separated iff nearest-other-centroid
+    distance > own-spread × 1.5)."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    cells = e.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    )
+    cent = cells.groupBy("label", "dim").agg(
+        F.avg("x").alias("c")
+    )
+    j = cells.join(F.broadcast(cent), ["label", "dim"])
+    dist = j.groupBy("label", "vec_id").agg(
+        F.sqrt(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+        ).alias("d_own")
+    )
+    cohesion = dist.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.avg("d_own"), 4).alias("mean_intra"),
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), "dim", F.col("c").alias("cb")
+    )
+    cd = (
+        a.join(b, "dim")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("ca") - F.col("cb"))
+                    * (F.col("ca") - F.col("cb"))
+                )
+            ).alias("d")
+        )
+        .groupBy("la")
+        .agg(F.round(F.min("d"), 4).alias("nearest_other"))
+        .withColumnRenamed("la", "label")
+    )
+    out = cohesion.join(cd, "label")
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vecs",
+        "mean_intra",
+        "nearest_other",
+        F.round(F.col("nearest_other") / F.col("mean_intra"), 4).alias(
+            "separation_ratio"
+        ),
+        (
+            F.col("nearest_other") > F.col("mean_intra") * 1.5
+        ).alias("well_separated"),
+    )
+
+
+def q_anisotropy_audit(spark, sf_dir):
+    """Embedding anisotropy: the norm of the MEAN vector relative to
+    the mean norm — the 'common direction' pathology (Ethayarajh
+    2019): contextual embeddings often share a large common component
+    that crushes cosine contrast; ratio near 0 is isotropic (healthy
+    for cosine retrieval), near 1 means every vector points the same
+    way and similarity scores compress. One per-dim mean aggregate +
+    one norm aggregate; floats quantized once at 4dp."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+    norms = e.select(norm.alias("nrm"))
+    mean_norm = norms.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.avg("nrm").alias("mean_norm"),
+    )
+    cells = e.select(
+        F.posexplode(v).alias("dim", "x")
+    )
+    mean_vec_norm = (
+        cells.groupBy("dim")
+        .agg(F.avg("x").alias("m"))
+        .agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("mv_norm"))
+    )
+    out = mean_norm.crossJoin(F.broadcast(mean_vec_norm))
+    ratio = F.round(F.col("mv_norm") / F.col("mean_norm"), 4)
+    return out.select(
+        "n_vecs",
+        F.round("mean_norm", 4).alias("mean_norm"),
+        F.round("mv_norm", 4).alias("mean_vector_norm"),
+        ratio.alias("anisotropy"),
+        (ratio < 0.5).alias("isotropy_ok"),
+    )
+
+
 def q_mann_kendall(spark, sf_dir):
     """Mann–Kendall trend significance per event_type over the daily
     count series: S = Σ sign(x_j − x_i) over i<j pairs — the
@@ -7585,6 +7814,11 @@ def q_round_number_bias(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dead_dimensions": q_dead_dimensions,
+    "embedding_quantization_error": q_embedding_quantization_error,
+    "duplicate_vectors": q_duplicate_vectors,
+    "label_centroid_separation": q_label_centroid_separation,
+    "anisotropy_audit": q_anisotropy_audit,
     "mann_kendall": q_mann_kendall,
     "runs_test": q_runs_test,
     "zipf_fit": q_zipf_fit,
@@ -13606,4 +13840,136 @@ ORACLES["chao1_richness"] = """
            round(CAST(n_types AS DOUBLE) / chao1, 4) AS completeness,
            CAST(n_types AS DOUBLE) / chao1 >= 0.9 AS vocab_saturated
     FROM est_tbl
+"""
+
+# round-5 embeddings-QA oracles: dead dims, int8 quantization audit,
+# exact-duplicate vectors, centroid separation, anisotropy — zipped
+# unnest gives DuckDB the (dim, x) cells; float32 components cast to
+# double on both sides before any arithmetic.
+
+ORACLES["dead_dimensions"] = """
+    WITH cells AS (
+      SELECT unnest(range(len(embedding))) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), per_dim AS (
+      SELECT dim, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+      FROM cells GROUP BY 1
+    ), v AS (
+      SELECT dim,
+             round((sxx - sx * sx / n) / (n - 1.0), 4) AS v
+      FROM per_dim
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(CASE WHEN v <= 0.0001 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dead_dims,
+           round(max(v), 4) AS var_max,
+           round(avg(v), 4) AS var_mean,
+           round(max(v) / sum(v), 4) AS top1_var_share,
+           sum(CASE WHEN v <= 0.0001 THEN 1 ELSE 0 END) = 0
+             AS no_dead_dims
+    FROM v
+"""
+
+ORACLES["embedding_quantization_error"] = """
+    WITH cells AS (
+      SELECT unnest(range(len(embedding))) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), rng AS (
+      SELECT dim, min(x) AS lo, max(x) AS hi FROM cells GROUP BY 1
+    ), j AS (
+      SELECT c.x,
+             CASE WHEN r.hi > r.lo THEN
+               c.x - (r.lo + floor((c.x - r.lo)
+                                   / ((r.hi - r.lo) / 255.0) + 0.5)
+                            * ((r.hi - r.lo) / 255.0))
+             ELSE 0.0 END AS err
+      FROM cells c JOIN rng r USING (dim)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(avg(err * err), 4) AS mse,
+           round(max(abs(err)), 4) AS max_abs_err,
+           round(avg(err * err) / avg(x * x), 4) AS rel_mse,
+           round(avg(err * err) / avg(x * x), 4) < 0.001 AS int8_safe
+    FROM j
+"""
+
+ORACLES["duplicate_vectors"] = """
+    WITH keyed AS (
+      SELECT vec_id,
+             md5(array_to_string(
+               list_transform(embedding,
+                 x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+                                      + 0.5) AS BIGINT) AS VARCHAR)),
+               '_')) AS vkey
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), g AS (
+      SELECT vkey, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(min(vec_id) AS BIGINT) AS exemplar_vec_id
+      FROM keyed GROUP BY 1 HAVING count(*) > 1
+    )
+    SELECT substring(vkey, 1, 8) AS group_key, n_members,
+           exemplar_vec_id
+    FROM g ORDER BY group_key
+"""
+
+ORACLES["label_centroid_separation"] = """
+    WITH cells AS (
+      SELECT label, vec_id,
+             unnest(range(len(embedding))) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), cent AS (
+      SELECT label, dim, avg(x) AS c FROM cells GROUP BY 1, 2
+    ), dist AS (
+      SELECT c.label, c.vec_id,
+             sqrt(sum((c.x - ct.c) * (c.x - ct.c))) AS d_own
+      FROM cells c JOIN cent ct USING (label, dim)
+      GROUP BY 1, 2
+    ), cohesion AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             round(avg(d_own), 4) AS mean_intra
+      FROM dist GROUP BY 1
+    ), cd AS (
+      SELECT a.label AS la, b.label AS lb,
+             sqrt(sum((a.c - b.c) * (a.c - b.c))) AS d
+      FROM cent a JOIN cent b
+        ON a.dim = b.dim AND a.label <> b.label
+      GROUP BY 1, 2
+    ), nearest AS (
+      SELECT la AS label, round(min(d), 4) AS nearest_other
+      FROM cd GROUP BY 1
+    )
+    SELECT CAST(c.label AS BIGINT) AS label, c.n_vecs, c.mean_intra,
+           n.nearest_other,
+           round(n.nearest_other / c.mean_intra, 4)
+             AS separation_ratio,
+           n.nearest_other > c.mean_intra * 1.5 AS well_separated
+    FROM cohesion c JOIN nearest n USING (label)
+"""
+
+ORACLES["anisotropy_audit"] = """
+    WITH norms AS (
+      SELECT sqrt(list_aggregate(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+               AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), mn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vecs, avg(nrm) AS mean_norm
+      FROM norms
+    ), cells AS (
+      SELECT unnest(range(len(embedding))) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), mv AS (
+      SELECT sqrt(sum(m * m)) AS mv_norm
+      FROM (SELECT dim, avg(x) AS m FROM cells GROUP BY 1)
+    )
+    SELECT mn.n_vecs, round(mn.mean_norm, 4) AS mean_norm,
+           round(mv.mv_norm, 4) AS mean_vector_norm,
+           round(mv.mv_norm / mn.mean_norm, 4) AS anisotropy,
+           round(mv.mv_norm / mn.mean_norm, 4) < 0.5 AS isotropy_ok
+    FROM mn CROSS JOIN mv
 """

@@ -444,3 +444,100 @@ def test_interarrival_cv_scheduled_vs_bursty(spark, tmp_path):
     assert out["cron"]["process"] == "scheduled"
     assert out["burst"]["cv"] > 1.5
     assert out["burst"]["process"] == "bursty"
+
+
+# ---------------------------------------------------------------------------
+# round-5 embeddings-QA batch: dead dims, int8 quantization audit,
+# duplicate vectors, centroid separation, anisotropy.
+# ---------------------------------------------------------------------------
+
+def _write_embeddings(spark, tmp_path, rows):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def test_dead_dimensions_and_quantization(spark, tmp_path):
+    from anomalydetection_spark.queries import (
+        q_dead_dimensions,
+        q_embedding_quantization_error,
+    )
+
+    rows = []
+    for i in range(80):
+        # dim0 constant (dead), dim1 constant (dead), dims 2-3 alive
+        rows.append(
+            (i, [0.5, -1.0, float(i % 7), float((i * 3) % 11)], i % 2)
+        )
+    d = _write_embeddings(spark, tmp_path, rows)
+    r = q_dead_dimensions(spark, d).collect()[0]
+    assert r["n_dims"] == 4
+    assert r["n_dead_dims"] == 2
+    assert not r["no_dead_dims"]
+    assert r["var_max"] > 0
+
+    qz = q_embedding_quantization_error(spark, d).collect()[0]
+    assert qz["n_cells"] == 320
+    # 255 levels over ranges <= 11 -> max error <= range/510 ~ 0.022
+    assert qz["max_abs_err"] <= 0.025
+    assert qz["int8_safe"]
+
+
+def test_duplicate_vectors_planted(spark, tmp_path):
+    from anomalydetection_spark.queries import q_duplicate_vectors
+
+    base = [0.25, -0.5, 1.0, 0.125]
+    rows = [(0, base, 0), (1, base, 1), (2, base, 0)]  # triple dup
+    # differs at 1e-5 — above the operator's 1e-6 resolution, so NOT
+    # grouped (a 1e-7 difference would be, by design)
+    rows += [(3, [0.25, -0.5, 1.0, 0.12501], 0)]
+    rows += [(i, [float(i), 0.0, 0.0, 0.0], 0) for i in range(4, 10)]
+    d = _write_embeddings(spark, tmp_path, rows)
+    out = q_duplicate_vectors(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["n_members"] == 3
+    assert out[0]["exemplar_vec_id"] == 0
+
+
+def test_centroid_separation_and_anisotropy(spark, tmp_path):
+    import math
+    import random
+
+    from anomalydetection_spark.queries import (
+        q_anisotropy_audit,
+        q_label_centroid_separation,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # two tight, far-apart clusters -> well separated
+    for i in range(60):
+        lab = i % 2
+        center = 10.0 if lab else -10.0
+        rows.append(
+            (i, [center + rng.uniform(-0.5, 0.5) for _ in range(4)],
+             lab)
+        )
+    d = _write_embeddings(spark, tmp_path, rows)
+    out = {r["label"]: r for r in q_label_centroid_separation(spark, d).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r["well_separated"], r
+        assert r["separation_ratio"] > 10  # ~20 units apart, spread <1
+
+    # the same data is maximally ANISOTROPIC per cluster union: mean
+    # vector is ~0 (clusters cancel) -> healthy isotropy ratio
+    a = q_anisotropy_audit(spark, d).collect()[0]
+    assert a["n_vecs"] == 60
+    assert a["isotropy_ok"]
+    # one-sided corpus: every vector points the same way -> ratio ~ 1
+    rows2 = [
+        (i, [5.0 + rng.uniform(-0.1, 0.1) for _ in range(4)], 0)
+        for i in range(40)
+    ]
+    d2 = _write_embeddings(spark, tmp_path / "b", rows2)
+    a2 = q_anisotropy_audit(spark, d2).collect()[0]
+    assert a2["anisotropy"] > 0.99
+    assert not a2["isotropy_ok"]
