@@ -64,6 +64,13 @@ BOUNDARY_QUERIES = [
     "zipf_fit",
     "interarrival_cv",
     "chao1_richness",
+    # embeddings-QA batch — the exact-binary grid vectors repeat with
+    # period 8, so duplicate_vectors exercises its positive path here
+    "dead_dimensions",
+    "embedding_quantization_error",
+    "duplicate_vectors",
+    "label_centroid_separation",
+    "anisotropy_audit",
 ]
 
 WORDS = [
