@@ -6897,6 +6897,183 @@ def q_dau_churn(spark, sf_dir):
 # allowed to fire before the alert stream is noise is BH's).
 # --------------------------------------------------------------------------
 
+def q_seasonality_strength(spark, sf_dir):
+    """Seasonality strength per event_type: the share of hourly-count
+    variance explained by the hour-of-day profile (ANOVA η² =
+    SS_between / SS_total over the 24 hour-of-day groups) — the
+    quantitative answer acf_periodicity's honest 'no dominant peak'
+    leaves open: even a weak daily cycle has a measurable η², and the
+    seasonal-baseline decision (deseasonalize or not) should key on
+    variance explained, not peak detection. All sums are exact
+    integers (counts and their squares grouped by hour-of-day); the
+    η² ratio is the only float, quantized once at 4dp with the
+    verdict derived from the quantized value."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("h"),
+    ).agg(F.count("*").alias("x"))
+    hod = hourly.withColumn("hod", (F.col("h") % 24).cast("int"))
+    grp = hod.groupBy("event_type", "hod").agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+    )
+    tot = hod.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("tsx"),
+        F.sum(F.col("x") * F.col("x")).alias("tsxx"),
+    )
+    j = grp.join(tot, "event_type")
+    # SS_between = Σ_g m_g·(mean_g − mean)² = Σ_g sx_g²/m_g − tsx²/n
+    ssb_terms = j.groupBy("event_type", "n", "tsx", "tsxx").agg(
+        F.sum(
+            F.col("sx").cast("double")
+            * F.col("sx").cast("double")
+            / F.col("m").cast("double")
+        ).alias("sum_sq_over_m"),
+        F.count("*").cast("long").alias("n_groups"),
+    )
+    n = F.col("n").cast("double")
+    ss_total = (
+        F.col("tsxx").cast("double")
+        - F.col("tsx").cast("double") * F.col("tsx").cast("double") / n
+    )
+    ss_between = (
+        F.col("sum_sq_over_m")
+        - F.col("tsx").cast("double") * F.col("tsx").cast("double") / n
+    )
+    eta2 = F.round(
+        F.when(ss_total > 0, F.greatest(ss_between / ss_total, F.lit(0.0)))
+        .otherwise(0.0),
+        4,
+    )
+    return ssb_terms.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        "n_groups",
+        eta2.alias("eta2"),
+        F.when(eta2 >= 0.5, "strong")
+        .when(eta2 >= 0.15, "moderate")
+        .otherwise("weak")
+        .alias("seasonality"),
+    )
+
+
+def q_vocab_overlap_matrix(spark, sf_dir):
+    """Pairwise source vocabulary overlap: Jaccard and containment of
+    the DISTINCT token sets for every source pair — the mixture-
+    planning redundancy map (two sources with 0.9 vocab Jaccard add
+    diversity in proportion, not in sum) that doc-level near-dup
+    never sees because it compares documents, not corpora. One
+    distinct (source, token) projection, a token-granularity
+    self-join bounded by vocabulary size (zipf: ~√corpus), exact-long
+    set algebra; ratios quantized once at 4dp, a<b pairs only."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0).distinct()
+    sizes = vocab.groupBy("source").agg(
+        F.count("*").cast("long").alias("v")
+    )
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("v").alias("va")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("v").alias("vb")
+    )
+    j = inter.join(sa, "source_a").join(sb, "source_b")
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("va") + F.col("vb") - F.col("n_common")).cast("double"),
+        4,
+    )
+    return j.select(
+        "source_a",
+        "source_b",
+        "n_common",
+        F.col("va").alias("vocab_a"),
+        F.col("vb").alias("vocab_b"),
+        jac.alias("jaccard"),
+        F.round(
+            F.col("n_common").cast("double")
+            / F.least("va", "vb").cast("double"),
+            4,
+        ).alias("containment"),
+        (jac > 0.8).alias("redundant_pair"),
+    )
+
+
+def q_value_kurtosis(spark, sf_dir):
+    """Excess kurtosis of the value column per event_type from EXACT
+    integer moment sums: values round to integer units first (the
+    round_number_bias discipline — doubles never enter the moment
+    products; integer units, not cents: values reach ~560 and a
+    cent-long's 4th power would overflow int64), so Σy, Σy², Σy³, Σy⁴
+    are exact and both engines derive the population kurtosis
+    g₂ = n·M₄/M₂² − 3 from bit-identical operands. Heavy tails
+    (g₂ >> 0) mean 3σ rules under-fire and robust (MAD/quantile)
+    gates should take over; the value-column complement to
+    hill_tail_index's doc-length view. One map-side-combinable agg;
+    only the final ratios are floats, quantized once at 4dp. Scale
+    note: Σy⁴ stays exact while n·max(y)⁴ < 2^53 (~10^9 rows at this
+    value range); beyond that, switch the sums to merged central-
+    moment doubles (the t-digest tier's trade)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = F.round(F.col("value")).cast("long")
+    g = ev.select("event_type", c.alias("y")).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+        F.sum(F.col("y") * F.col("y") * F.col("y"))
+        .cast("long")
+        .alias("s3"),
+        F.sum(
+            F.col("y") * F.col("y") * F.col("y") * F.col("y")
+        ).cast("long").alias("s4"),
+    ).filter(F.col("n") >= 4)
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m4 = (
+        s4 / n
+        - 4.0 * mean * s3 / n
+        + 6.0 * mean * mean * s2 / n
+        - 3.0 * mean * mean * mean * mean
+    )
+    g2 = F.round(
+        F.when(m2 > 0, m4 / (m2 * m2) - 3.0).otherwise(0.0), 4
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(mean, 4).alias("mean_value"),
+        g2.alias("excess_kurtosis"),
+        F.when(g2 > 1.0, "heavy_tailed")
+        .when(g2 < -1.0, "light_tailed")
+        .otherwise("near_normal")
+        .alias("tail_class"),
+    )
+
+
 def q_dead_dimensions(spark, sf_dir):
     """Per-dimension variance profile of the embedding space: dead
     dimensions (variance ≈ 0 — wasted capacity, a truncation or
@@ -7814,6 +7991,9 @@ def q_round_number_bias(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "seasonality_strength": q_seasonality_strength,
+    "vocab_overlap_matrix": q_vocab_overlap_matrix,
+    "value_kurtosis": q_value_kurtosis,
     "dead_dimensions": q_dead_dimensions,
     "embedding_quantization_error": q_embedding_quantization_error,
     "duplicate_vectors": q_duplicate_vectors,
@@ -13972,4 +14152,121 @@ ORACLES["anisotropy_audit"] = """
            round(mv.mv_norm / mn.mean_norm, 4) AS anisotropy,
            round(mv.mv_norm / mn.mean_norm, 4) < 0.5 AS isotropy_ok
     FROM mn CROSS JOIN mv
+"""
+
+# final round-5 oracles: ANOVA eta-squared seasonality, vocabulary
+# overlap matrix, exact-moment kurtosis.
+
+ORACLES["seasonality_strength"] = """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ), hod AS (
+      SELECT event_type, CAST(h % 24 AS INT) AS hod, x FROM hourly
+    ), grp AS (
+      SELECT event_type, hod, count(*) AS m, sum(x) AS sx
+      FROM hod GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, count(*) AS n, sum(x) AS tsx,
+             sum(x * x) AS tsxx
+      FROM hod GROUP BY 1
+    ), terms AS (
+      SELECT g.event_type, t.n, t.tsx, t.tsxx,
+             sum(CAST(g.sx AS DOUBLE) * g.sx / g.m) AS sum_sq_over_m,
+             CAST(count(*) AS BIGINT) AS n_groups
+      FROM grp g JOIN tot t USING (event_type)
+      GROUP BY 1, 2, 3, 4
+    ), e AS (
+      SELECT event_type, n, n_groups,
+             round(CASE WHEN CAST(tsxx AS DOUBLE)
+                             - CAST(tsx AS DOUBLE) * tsx / n > 0
+                        THEN greatest(
+                          (sum_sq_over_m
+                           - CAST(tsx AS DOUBLE) * tsx / n)
+                          / (CAST(tsxx AS DOUBLE)
+                             - CAST(tsx AS DOUBLE) * tsx / n), 0.0)
+                   ELSE 0.0 END, 4) AS eta2
+      FROM terms
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours, n_groups, eta2,
+           CASE WHEN eta2 >= 0.5 THEN 'strong'
+                WHEN eta2 >= 0.15 THEN 'moderate'
+                ELSE 'weak' END AS seasonality
+    FROM e
+"""
+
+ORACLES["vocab_overlap_matrix"] = """
+    WITH vocab AS (
+      SELECT DISTINCT source,
+             unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ), v2 AS (
+      SELECT source, tok FROM vocab WHERE length(tok) > 0
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS v
+      FROM v2 GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM v2 a JOIN v2 b
+        ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           sa.v AS vocab_a, sb.v AS vocab_b,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.v + sb.v - i.n_common), 4) AS jaccard,
+           round(CAST(i.n_common AS DOUBLE)
+                 / least(sa.v, sb.v), 4) AS containment,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.v + sb.v - i.n_common), 4) > 0.8
+             AS redundant_pair
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+"""
+
+ORACLES["value_kurtosis"] = """
+    WITH y_tbl AS (
+      SELECT event_type,
+             CAST(round(value) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ), g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s1,
+             CAST(sum(y * y) AS BIGINT) AS s2,
+             CAST(sum(y * y * y) AS BIGINT) AS s3,
+             CAST(sum(y * y * y * y) AS BIGINT) AS s4
+      FROM y_tbl GROUP BY 1 HAVING count(*) >= 4
+    ), m AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               AS m2,
+             CAST(s4 AS DOUBLE) / n
+               - 4.0 * (CAST(s1 AS DOUBLE) / n)
+                 * CAST(s3 AS DOUBLE) / n
+               + 6.0 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n)
+                 * CAST(s2 AS DOUBLE) / n
+               - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) AS m4
+      FROM g
+    ), k AS (
+      SELECT event_type, n, mean,
+             round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0
+                   ELSE 0.0 END, 4) AS g2
+      FROM m
+    )
+    SELECT event_type, n, round(mean, 4) AS mean_value,
+           g2 AS excess_kurtosis,
+           CASE WHEN g2 > 1.0 THEN 'heavy_tailed'
+                WHEN g2 < -1.0 THEN 'light_tailed'
+                ELSE 'near_normal' END AS tail_class
+    FROM k
 """

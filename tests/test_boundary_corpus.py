@@ -71,6 +71,9 @@ BOUNDARY_QUERIES = [
     "duplicate_vectors",
     "label_centroid_separation",
     "anisotropy_audit",
+    "seasonality_strength",
+    "vocab_overlap_matrix",
+    "value_kurtosis",
 ]
 
 WORDS = [

@@ -541,3 +541,87 @@ def test_centroid_separation_and_anisotropy(spark, tmp_path):
     a2 = q_anisotropy_audit(spark, d2).collect()[0]
     assert a2["anisotropy"] > 0.99
     assert not a2["isotropy_ok"]
+
+
+# ---------------------------------------------------------------------------
+# final round-5 batch: seasonality eta^2, vocab overlap matrix,
+# exact-moment kurtosis.
+# ---------------------------------------------------------------------------
+
+def test_seasonality_strength_planted_cycle(spark, tmp_path):
+    from anomalydetection_spark.queries import q_seasonality_strength
+
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        for hod in range(24):
+            # 'cyclic': strong daily profile (20 at noon, 2 at night)
+            # 'flat': constant 8/hour
+            for et, nn in (
+                ("cyclic", 20 if 10 <= hod <= 14 else 2),
+                ("flat", 8),
+            ):
+                for k in range(nn):
+                    rows.append(
+                        (eid, f"2026-08-{day:02d} {hod:02d}:15:00", k,
+                         et, 1.0, "{}")
+                    )
+                    eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in q_seasonality_strength(spark, d).collect()}
+    c = out["cyclic"]
+    assert c["n_groups"] == 24
+    # identical counts at every same-hour slot -> ALL variance is
+    # between hour-of-day groups
+    assert c["eta2"] == 1.0 and c["seasonality"] == "strong"
+    f = out["flat"]
+    assert f["eta2"] == 0.0 and f["seasonality"] == "weak"
+
+
+def test_vocab_overlap_and_kurtosis(spark, tmp_path):
+    from anomalydetection_spark.queries import (
+        q_value_kurtosis,
+        q_vocab_overlap_matrix,
+    )
+
+    docs = [
+        (0, "aa bb cc dd", "en", "s1", 11),
+        (1, "aa bb cc dd", "en", "s2", 11),   # identical vocab to s1
+        (2, "aa bb xx yy zz qq", "en", "s3", 17),  # 2 of 6 shared
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in q_vocab_overlap_matrix(spark, d).collect()
+    }
+    r12 = out[("s1", "s2")]
+    assert r12["jaccard"] == 1.0 and r12["redundant_pair"]
+    r13 = out[("s1", "s3")]
+    assert r13["n_common"] == 2
+    assert abs(r13["jaccard"] - 0.25) < 1e-9  # 2 / (4+6-2)
+    assert r13["containment"] == 0.5
+
+    rows = []
+    eid = 0
+    # 'normalish': symmetric tight values; 'heavy': mostly 10 with
+    # rare huge spikes -> kurtosis >> 1
+    for i in range(400):
+        rows.append(
+            (eid, "2026-08-01 00:00:00", 1, "normalish",
+             float(9 + (i % 3)), "{}")
+        )
+        eid += 1
+        v = 500.0 if i % 100 == 0 else 10.0
+        rows.append(
+            (eid, "2026-08-01 00:00:00", 1, "heavy", v, "{}")
+        )
+        eid += 1
+    d2 = _write_events(spark, tmp_path / "b", rows)
+    out2 = {r["event_type"]: r for r in q_value_kurtosis(spark, d2).collect()}
+    assert out2["heavy"]["excess_kurtosis"] > 50
+    assert out2["heavy"]["tail_class"] == "heavy_tailed"
+    assert out2["normalish"]["tail_class"] == "light_tailed"  # uniform 3-point
